@@ -1,0 +1,78 @@
+"""Local mirror of the driver's oracle gate.
+
+For every registered query with an oracle, run the Spark DataFrame AND the
+DuckDB SQL on the same parquet tables (sf0.001 for speed), then compare
+row-count, column names, and order-insensitive values.  Catches name/type/
+value drift before the driver's sf0.01 run does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from aws_genaric_datapipeline_spark.queries import QUERIES
+from aws_genaric_datapipeline_spark.tables import TABLES, table_path
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF, t)}'")
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, stringify values with float rounding."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return f"{v:.6g}" if v == v and abs(v) < 1e15 else repr(v)
+        return str(v)
+
+    return sorted(tuple(norm_cell(row[i]) for i in order) for row in rows)
+
+
+ORACLE_QUERIES = sorted(name for name, spec in QUERIES.items() if spec.oracle)
+ROWS_ONLY_QUERIES = sorted(name for name, spec in QUERIES.items() if not spec.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, SF)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    rel = duck.sql(spec.oracle)
+    duck_cols = rel.columns
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} row(s) differ; first: {mismatches[0]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, SF)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
