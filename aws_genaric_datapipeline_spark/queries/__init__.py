@@ -6,6 +6,13 @@ Importing this package populates the registry with every implemented query.
 from aws_genaric_datapipeline_spark.queries.registry import QUERIES, QuerySpec, query
 
 # Import modules for their registration side effects.
-from aws_genaric_datapipeline_spark.queries import tpch  # noqa: E402,F401
+from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
+    relational_aggs,
+    relational_joins,
+    relational_windows,
+    scalar_functions,
+    setops,
+    tpch,
+)
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

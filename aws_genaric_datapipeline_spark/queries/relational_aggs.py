@@ -1,0 +1,267 @@
+"""Aggregation operator coverage (SURVEY.md §2b: hash agg, distinct, approx,
+cube/rollup/grouping sets, percentiles, pivot, dedup).
+
+The reference's only aggregate is count() (glue src/raw_layer_job.py:158);
+everything here is new surface.  All grouped aggregation in Spark is
+partial+final automatically (map-side combine), so shuffle volume is
+|groups| × partitions — noted per query only where it changes the plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.tables import load, register_views
+
+
+@query(
+    "agg_stats",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*)                          AS order_count,
+               round(sum(o_totalprice), 2)       AS sum_price,
+               round(avg(o_totalprice), 4)       AS avg_price,
+               round(min(o_totalprice), 2)       AS min_price,
+               round(max(o_totalprice), 2)       AS max_price,
+               round(stddev_samp(o_totalprice), 4) AS stddev_price,
+               round(var_samp(o_totalprice), 2)  AS var_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scalar-aggregate battery per group (sum/avg/min/max/stddev/var)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("stddev_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS distinct_parts,
+               count(DISTINCT l_suppkey) AS distinct_supps,
+               count(*)                  AS line_count
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (expand + two-phase agg in Catalyst)."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ per engine — driver does rows-only
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the scale path for distinct
+    counts — one pass, fixed memory, no expand.  Checked rows-only (sketch
+    estimates are engine-specific); a unit test asserts <5% relative error
+    against the exact count."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+               round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark `percentile` ≡ DuckDB quantile_cont).
+
+    Exact percentile sorts per group — fine for low-cardinality groups; at
+    100 TB switch to percentile_approx (t-digest, single pass, mergeable).
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag, l_linestatus) AS gid,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping_id disambiguating NULL keys."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt")
+
+
+@query(
+    "agg_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority (all 2^n grouping combinations)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "cnt", "sum_price")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS cnt,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-segment and per-nation totals, one pass)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS cnt,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT c_nationkey,
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined string (deterministic set aggregation)."""
+    (customer,) = load(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments")
+    )
+
+
+@query(
+    "dedup_exact_distinct",
+    oracle="""
+        SELECT DISTINCT c_nationkey, c_mktsegment
+        FROM customer
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication on a column subset (dropDuplicates ≡ DISTINCT)."""
+    (customer,) = load(spark, sf_dir, "customer")
+    return customer.select("c_nationkey", "c_mktsegment").dropDuplicates()
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order counts status × priority.
+
+    Pivot values are declared explicitly — at scale never let Spark run the
+    implicit distinct-values job to discover them.
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 250000) AS big_orders,
+               count(*) FILTER (WHERE o_totalprice <= 250000) AS small_orders,
+               round(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN o_totalprice ELSE 0 END), 2) AS urgent_value
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "conditional"),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: FILTER clauses and CASE-gated sums."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_totalprice") > 250000, 1)).alias("big_orders"),
+        F.count(F.when(F.col("o_totalprice") <= 250000, 1)).alias("small_orders"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_totalprice")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("urgent_value"),
+    )

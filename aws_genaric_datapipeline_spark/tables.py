@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -32,12 +33,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = table_path(sf_dir, name)
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects
+        # (PARQUET_TYPE_ILLEGAL).  Read nanos as long, then floor-divide to
+        # microseconds — the same truncation DuckDB applies converting
+        # TIMESTAMP_NS → TIMESTAMP, so oracle comparisons agree.  Integer
+        # `div`, not `/`: ns-epoch ≈ 1.7e18 overflows double precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     """Load one or more test tables as DataFrames."""
-    return tuple(spark.read.parquet(table_path(sf_dir, n)) for n in names)
+    return tuple(_read(spark, sf_dir, n) for n in names)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for spark.sql queries)."""
     for name in TABLES:
-        spark.read.parquet(table_path(sf_dir, name)).createOrReplaceTempView(name)
+        _read(spark, sf_dir, name).createOrReplaceTempView(name)
