@@ -1,0 +1,267 @@
+"""Deduplication operators: exact, content-hash, n-gram Jaccard, MinHash-LSH,
+SimHash.
+
+Scale design: every path is expressed as groupBy/join on derived keys so
+Spark shuffles only keys+ids, never document text, past the first
+projection.  The near-dup paths follow the standard two-stage shape:
+
+  candidate generation (banded signatures → equi-join on bucket key)
+  → verification (exact Jaccard on the candidate pairs only)
+
+which is how near-dedup stays ~O(N·bands) instead of O(N²) at 100 TB.
+No Python UDFs: hashing is xxhash64 (JVM), set ops are higher-order array
+functions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from aws_genaric_datapipeline_spark.operators.text import fingerprint, tokens, word_ngrams
+
+
+# ---------------------------------------------------------------- exact dedup
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact dedup on full rows or a column subset (hash-based groupBy)."""
+    return df.dropDuplicates(subset)
+
+
+def dedup_by_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint.
+
+    One shuffle on the 128-bit fingerprint; survivor choice is deterministic
+    (min id), so re-runs are idempotent.
+    """
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard (exact)
+def _token_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, token) pairs with distinct n-gram shingles per document."""
+    shingle = tokens(F.col(text_col)) if n == 1 else word_ngrams(F.col(text_col), n)
+    return (
+        df.select(F.col(id_col).alias("did"), F.explode(shingle).alias("tok"))
+        .dropDuplicates(["did", "tok"])
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
+
+    Inverted-index self-join: explode distinct shingles, equi-join on the
+    shingle, count co-occurrences, then J = |∩| / (|A|+|B|-|∩|).  The join
+    key is the shingle, so cost is Σ_shingle df²(shingle) — fine while no
+    shingle is ubiquitous; at web scale, drop top-frequency shingles first
+    (stopword-shingle pruning) or move to minhash_lsh_pairs below.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 4 decimals.
+    """
+    sets = _token_sets(df, id_col, text_col, n)
+    sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sets.select(F.col("did").alias("id_a"), "tok")
+    b = sets.select(F.col("did").alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"did": "id_a", "set_size": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"did": "id_b", "set_size": "size_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- MinHash LSH
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature (array<bigint>) from an array of shingles.
+
+    Permutation i is simulated with seeded xxhash64 — JVM-side, vectorized,
+    and mergeable (min is associative).  Empty shingle sets get MAX_LONG
+    sentinels so they never collide into real buckets.
+    """
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))),
+                F.lit(2**63 - 1),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    Jaccard on candidates only.
+
+    Stages (standard shingle→minhash→band→bucket-join):
+      1. signature: num_hashes seeded min-hashes over word n-gram shingles;
+      2. banding: split the signature into ``bands`` bands of r rows each;
+         band key = (band_idx, xxhash64(band values)).  Pair collision prob
+         ≈ 1-(1-J^r)^b — tune (b, r) to put the S-curve knee at ``threshold``;
+      3. candidates: self-join on band key (equi join — the only shuffle
+         that touches all docs, and it carries ids + 64-bit keys only);
+      4. verify: exact n-gram Jaccard on candidate pairs (bounded set).
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    shingle = word_ngrams(F.col(text_col), shingle_n)
+    sig = df.select(
+        F.col(id_col).alias("did"),
+        minhash_signature(shingle, num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "did",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("did", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.did") < F.col("y.did"))
+        .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
+        .dropDuplicates()
+    )
+    # verification: exact Jaccard restricted to candidate pairs
+    sets = _token_sets(df, id_col, text_col, shingle_n)
+    sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
+    # equi-join on (id_b, tok): the intersection is computed pair-wise with
+    # hash joins only — never materializing |A|×|B| token combinations.
+    inter = (
+        cand.join(sets.select(F.col("did").alias("id_a"), "tok"), "id_a")
+        .join(sets.select(F.col("did").alias("id_b"), "tok"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"did": "id_a", "set_size": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"did": "id_b", "set_size": "size_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------------- SimHash
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Each token hashes to 64 bits; bit i of the simhash is the sign of
+    Σ_tokens (±1 depending on token bit i).  Implemented as one explode +
+    64 conditional-sum aggregates — a single shuffle on doc id; near-dup
+    lookup then bands the 64 bits into 4×16-bit chunks (pigeonhole: hamming
+    distance ≤3 ⇒ at least one identical chunk).
+    """
+    tok = (
+        df.select(F.col(id_col).alias("did"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = tok.groupBy("did").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return bit_sums.select("did", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash banding + exact hamming filter.
+
+    4 chunks of 16 bits: hamming ≤ 3 guarantees one exact chunk match, so an
+    equi-join on (chunk_idx, chunk_value) finds all such pairs without N².
+    """
+    sig = simhash(df, id_col, text_col)
+    chunks = sig.select(
+        "did",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("did", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "cv"])
+        .where(F.col("x.did") < F.col("y.did"))
+        .select(
+            F.col("x.did").alias("id_a"),
+            F.col("y.did").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

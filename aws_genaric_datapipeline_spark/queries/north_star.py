@@ -1,0 +1,263 @@
+"""North-star operator queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §2b bottom rows + BASELINE.json north_star).
+
+Oracle-checkable wherever the operator is SQL-expressible (DuckDB list/
+lambda functions cover shingling, Jaccard and cosine); hash-seeded sketches
+(MinHash, SimHash, hyperplane LSH) are engine-specific → rows-only here,
+with recall asserted against the exact operators in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_genaric_datapipeline_spark.operators import dedup as D
+from aws_genaric_datapipeline_spark.operators import multimodal as M
+from aws_genaric_datapipeline_spark.operators import similarity as S
+from aws_genaric_datapipeline_spark.operators import text as X
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.tables import load
+
+# DuckDB fragments shared by several oracles.
+_DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
+_DUCK_TRIGRAMS = (
+    "list_transform(range(1, len({w}) - 1), "
+    "i -> array_to_string(list_slice({w}, i, i + 2), ' '))"
+).format(w=_DUCK_TOKS)
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len({_DUCK_TOKS}) AS n_tokens,
+               CAST(list_sum(list_transform({_DUCK_TOKS},
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe,
+               length(trim(text)) AS n_chars_trim
+        FROM documents
+    """,
+    tags=("north-star", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting: whitespace tokens + BPE-ish sub-word estimate."""
+    (documents,) = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        X.bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.length(F.trim(t)).alias("n_chars_trim"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(trim(text)) AS n_chars,
+                   len({_DUCK_TOKS}) AS n_toks,
+                   length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(4 * least(n_chars * 20, 10000)
+                  + 3 * (CASE WHEN n_toks > 0
+                              AND n_chars - (n_toks - 1) >= 2 * n_toks
+                              AND n_chars - (n_toks - 1) <= 12 * n_toks
+                         THEN 10000 ELSE 0 END)
+                  + 3 * (CASE WHEN n_chars = 0 THEN 0
+                         ELSE (n_alpha * 10000) // n_chars END) AS BIGINT) AS quality_bp
+        FROM base
+    """,
+    tags=("north-star", "text"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-statistics quality score (length/word-shape/alpha-ratio) in
+    exact integer basis points — bit-reproducible across engines, no float
+    rounding boundaries (the double-valued quality_score drifted on docs
+    landing exactly on a rounding boundary)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return documents.select("doc_id", X.quality_score_bp(F.col("text")).alias("quality_bp"))
+
+
+def _duck_ratio(markers: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return (
+        f"CASE WHEN len({_DUCK_TOKS}) = 0 THEN 0.0 "
+        f"ELSE len(list_filter({_DUCK_TOKS}, t -> list_contains({lst}, lower(t)))) "
+        f"/ CAST(len({_DUCK_TOKS}) AS DOUBLE) END"
+    )
+
+
+@query(
+    "text_lang_detect",
+    oracle=f"""
+        WITH scored AS (
+            SELECT lang,
+                   {_duck_ratio(X.LANG_MARKERS['de'])} AS s_de,
+                   {_duck_ratio(X.LANG_MARKERS['en'])} AS s_en,
+                   {_duck_ratio(X.LANG_MARKERS['es'])} AS s_es,
+                   {_duck_ratio(X.LANG_MARKERS['fr'])} AS s_fr
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               count(*) AS doc_count
+        FROM scored
+        GROUP BY 1, 2
+    """,
+    tags=("north-star", "text"),
+)
+def text_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-marker language ID vs the labeled lang column."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return (
+        documents.select("lang", X.detect_language(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+@query(
+    "text_fingerprint_dedup",
+    oracle="""
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS doc_id,
+               count(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("north-star", "dedup"),
+)
+def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via md5 fingerprint of normalized text
+    (keep-min-id survivor policy, engine-portable hash)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return D.dedup_by_fingerprint(documents)
+
+
+@query(
+    "dedup_jaccard_trigram",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.id_a = sa.did
+        JOIN sizes sb ON inter.id_b = sb.did
+        WHERE n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE) >= 0.8
+    """,
+    tags=("north-star", "dedup"),
+)
+def dedup_jaccard_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-duplicate pairs (≥0.8) via
+    inverted-index self-join — the ground truth the sketch-based paths
+    (MinHash/SimHash) are measured against."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(documents, n=3, threshold=0.8)
+
+
+@query("dedup_minhash_lsh", oracle=None, tags=("north-star", "dedup"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 8-band LSH candidates, exact-Jaccard-verified ≥0.8.
+
+    Rows-only for the driver (seeded xxhash64 sketches are engine-specific);
+    recall vs dedup_jaccard_trigram asserted in tests/test_operators.py.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(documents, shingle_n=3, num_hashes=16, bands=8, threshold=0.8)
+
+
+@query("dedup_simhash_pairs", oracle=None, tags=("north-star", "dedup"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup candidates (hamming ≤ 3 via 16-bit chunk banding)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(documents)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN (1, 2, 3, 4, 5)),
+        scored AS (
+            SELECT query_id, b.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(qv, b.v), 4) AS cosine_sim
+            FROM q JOIN base b ON b.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 5
+    """,
+    tags=("north-star", "similarity"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors 1..5 (the ANN baseline)."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(embeddings, query_ids=[1, 2, 3, 4, 5], k=5)
+
+
+@query(
+    "sim_cosine_near_pairs",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+    tags=("north-star", "similarity"),
+)
+def sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-pairs with cosine ≥ 0.4 (threshold sits above the
+    random-pair distribution of this corpus, max ≈ 0.51)."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return S.cosine_near_pairs(embeddings, threshold=0.4)
+
+
+@query("sim_lsh_ann_topk", oracle=None, tags=("north-star", "similarity"))
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-5 (recall vs brute force
+    asserted in tests/test_operators.py)."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(
+        embeddings, query_ids=[1, 2, 3, 4, 5], k=5, num_planes=4, num_tables=8
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id,
+               'image' AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    tags=("north-star", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing end to end: encode → typed-metadata media
+    table → Arrow-batched mapInPandas feature extraction (deterministic fake
+    decoder).  The byte-count contract is oracle-checked; feature values are
+    covered by unit tests."""
+    (documents,) = load(spark, sf_dir, "documents")
+    media = M.attach_media(documents)
+    feats = M.decode_media(media, fake=True)
+    return feats.select("doc_id", "kind", "n_bytes")

@@ -146,15 +146,22 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_custkey, c.c_mktsegment
         FROM customer c
         WHERE NOT EXISTS (
-            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
         )
     """,
     tags=("join",),
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join = NOT EXISTS: customers with no orders at all."""
+    """Anti join = NOT EXISTS: customers with no urgent orders.
+
+    (Filtered on the right side so the result is non-empty at every SF —
+    every customer has *some* order in the fixtures.)
+    """
     customer, orders = load(spark, sf_dir, "customer", "orders")
-    return customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
 

@@ -1,0 +1,115 @@
+"""Unit tests for the north-star operators that are NOT oracle-checkable:
+sketch recall vs exact ground truth, multimodal feature contract, language
+detection sanity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_genaric_datapipeline_spark.operators import dedup as D
+from aws_genaric_datapipeline_spark.operators import multimodal as M
+from aws_genaric_datapipeline_spark.operators import similarity as S
+from aws_genaric_datapipeline_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    (d,) = load(spark, SF, "documents")
+    return d
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    (e,) = load(spark, SF, "embeddings")
+    return e
+
+
+def _pair_set(df, a="id_a", b="id_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+class TestDedupSketches:
+    def test_minhash_lsh_recall_vs_exact(self, documents):
+        """LSH candidates after exact verification must recover ≥80% of true
+        ≥0.8-Jaccard pairs, and report the same (exact) jaccard values."""
+        exact = _pair_set(D.jaccard_pairs(documents, n=3, threshold=0.8))
+        lsh = _pair_set(D.minhash_lsh_pairs(documents, shingle_n=3, threshold=0.8))
+        assert lsh <= exact, "verified LSH pairs must be a subset of exact pairs"
+        if exact:
+            recall = len(lsh & exact) / len(exact)
+            assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 ({len(exact)} true pairs)"
+
+    def test_simhash_identical_docs_collide(self, spark):
+        rows = [(1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (3, "totally different words entirely here now")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = _pair_set(D.simhash_near_pairs(df, max_hamming=3))
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_fingerprint_normalization(self, spark):
+        rows = [(1, "Hello   World"), (2, "hello world"), (3, "other doc")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r["dup_count"] for r in D.dedup_by_fingerprint(df).collect()}
+        # 1 and 2 normalize to the same fingerprint → one survivor (min id 1)
+        assert out == {1: 2, 3: 1}
+
+
+class TestSimilarity:
+    def test_lsh_ann_recall_vs_brute_force(self, embeddings):
+        qids = [1, 2, 3, 4, 5]
+        exact = S.cosine_topk(embeddings, qids, k=5)
+        approx = S.lsh_bucketed_topk(embeddings, qids, k=5, num_planes=4, num_tables=8)
+        exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        assert recall >= 0.5, f"ANN recall {recall:.2f} too low (4 planes × 8 tables)"
+
+    def test_cosine_self_similarity(self, spark):
+        df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+                                   ["vec_id", "embedding"])
+        pairs = S.cosine_near_pairs(df, threshold=0.99)
+        rows = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in pairs.collect()}
+        assert rows == {(1, 2): 1.0}
+
+
+class TestMultimodal:
+    def test_decode_requires_explicit_fake(self, documents):
+        media = M.attach_media(documents)
+        with pytest.raises(NotImplementedError):
+            M.decode_media(media)
+
+    def test_fake_decode_contract(self, documents):
+        media = M.attach_media(documents.limit(20))
+        feats = M.decode_media(media, fake=True, feature_dim=8)
+        rows = feats.collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r["kind"] == "image"
+            assert r["n_bytes"] > 0
+            assert len(r["feature"]) == 8
+            assert all(0.0 <= x <= 1.0 for x in r["feature"])
+
+    def test_feature_determinism(self, documents):
+        media = M.attach_media(documents.limit(5))
+        a = sorted(M.decode_media(media, fake=True).collect(), key=lambda r: r["doc_id"])
+        b = sorted(M.decode_media(media, fake=True).collect(), key=lambda r: r["doc_id"])
+        assert [r["feature"] for r in a] == [r["feature"] for r in b]
+
+    def test_meta_pushdown_schema(self, documents):
+        """Metadata filter must not require touching the media blob column."""
+        media = M.attach_media(documents)
+        filtered = media.where(F.col("media_meta.kind") == "image").select("doc_id")
+        assert filtered.count() == documents.count()
+
+
+class TestApproxAgg:
+    def test_approx_count_distinct_error_bound(self, spark):
+        (lineitem,) = load(spark, SF, "lineitem")
+        exact = lineitem.select(F.countDistinct("l_partkey").alias("c")).collect()[0]["c"]
+        approx = lineitem.select(F.approx_count_distinct("l_partkey", 0.01).alias("c")).collect()[0]["c"]
+        assert abs(approx - exact) / exact < 0.05
