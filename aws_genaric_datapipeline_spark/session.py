@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Batch partition keys (ETL_PART_KEY) are opaque strings; without
+        # this, 20-digit batch ids read back as decimals.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Arrow for any pandas_udf / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,218 @@
+"""Pipeline lifecycle tests (SURVEY.md §5.3): ingest writes partitioned
+parquet + a typed state row; promote transitions state exactly once;
+re-running promote is a no-op; schema validation enforces the declared
+schema.  These are the regression tests for the reference's state-machine
+bugs (SURVEY.md §0 bugs 1-2)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_genaric_datapipeline_spark.catalog import register_temp_view
+from aws_genaric_datapipeline_spark.config import (
+    ColumnSpec,
+    PipelineConfig,
+    SourceSpec,
+    discover_pipelines,
+    load_pipeline,
+    parse_config,
+)
+from aws_genaric_datapipeline_spark.pipeline import Pipeline, States, StateStore
+from aws_genaric_datapipeline_spark.pipeline.jobs import build_pipeline, make_batch_id
+from aws_genaric_datapipeline_spark.sources.readers import SchemaMismatchError, validate_schema
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    return PipelineConfig(
+        template="cds_view",
+        project="test",
+        subject="new",
+        job_src="tableA",
+        source=SourceSpec(kind="parquet", path=str(tmp_path / "source")),
+        raw_path=str(tmp_path / "raw"),
+        prepared_path=str(tmp_path / "prepared"),
+        state_path=str(tmp_path / "state"),
+        table_name="table_a",
+        schema=(
+            ColumnSpec("a", "string", "col a"),
+            ColumnSpec("b", "string", "col b"),
+            ColumnSpec("c", "string", "col c"),
+        ),
+    )
+
+
+@pytest.fixture
+def source_df(spark):
+    rows = [(f"a{i}", f"b{i}", f"c{i % 3}") for i in range(100)]
+    return spark.createDataFrame(rows, ["a", "b", "c"])
+
+
+class TestIngest:
+    def test_ingest_writes_partitioned_raw_and_state(self, spark, cfg, source_df):
+        p = Pipeline(spark, cfg)
+        batch = p.ingest(source_df)
+        raw = p.raw()
+        assert raw.count() == 100
+        assert "ETL_PART_KEY" in raw.columns
+        assert raw.select("ETL_PART_KEY").distinct().collect()[0][0] == batch
+        [st] = p.state.current().collect()
+        assert st["state"] == States.RAW_COMPLETED
+        assert st["raw_count"] == 100  # typed long via observe(), no second scan
+        assert st["batch_id"] == batch
+
+    def test_two_batches_partition_separately(self, spark, cfg, source_df):
+        p = Pipeline(spark, cfg)
+        b1 = p.ingest(source_df, batch_id="20260101000000000001")
+        b2 = p.ingest(source_df, batch_id="20260101000000000002")
+        raw = p.raw()
+        assert raw.count() == 200
+        keys = {r[0] for r in raw.select("ETL_PART_KEY").distinct().collect()}
+        assert keys == {b1, b2}
+        # partition pruning: filtering one batch reads one partition
+        assert raw.where(F.col("ETL_PART_KEY") == b1).count() == 100
+
+
+class TestPromote:
+    def test_promote_transitions_exactly_once(self, spark, cfg, source_df):
+        """Regression for reference bug 1 (prepared_layer_job.py:176-208):
+        the transition must actually land, and must not regress to RAW."""
+        p = Pipeline(spark, cfg)
+        p.ingest(source_df)
+        done = p.promote()
+        assert len(done) == 1
+        [st] = p.state.current().collect()
+        assert st["state"] == States.PREPARED_COMPLETED
+        assert st["prepared_count"] == 100
+        assert st["raw_count"] == 100  # carried forward from the RAW row
+        assert p.prepared().count() == 100
+
+    def test_repromote_is_noop(self, spark, cfg, source_df):
+        """Regression for reference bug 1's consequence: promote() again must
+        find nothing pending and move no data."""
+        p = Pipeline(spark, cfg)
+        p.ingest(source_df)
+        assert len(p.promote()) == 1
+        assert p.promote() == []
+        assert p.prepared().count() == 100  # no duplicate files (bug 2)
+
+    def test_promote_batch_rerun_idempotent(self, spark, cfg, source_df):
+        """Re-running a single batch promotion (crash-retry path) must
+        overwrite its partition, not append duplicates (reference bug 2:
+        prepared wrote unpartitioned into one folder)."""
+        p = Pipeline(spark, cfg)
+        b = p.ingest(source_df)
+        p.promote_batch(b)
+        p.promote_batch(b)
+        assert p.prepared().count() == 100
+
+    def test_promote_applies_transform_hook(self, spark, cfg, source_df):
+        p = Pipeline(spark, cfg, transform=lambda df: df.where(F.col("c") == "c0"))
+        p.ingest(source_df)
+        p.promote()
+        expected = 100 - 66  # c0 appears for i%3==0 → 34 rows
+        assert p.prepared().count() == expected
+        [st] = p.state.current().collect()
+        assert st["prepared_count"] == expected
+
+    def test_multi_batch_promote_only_pending(self, spark, cfg, source_df):
+        p = Pipeline(spark, cfg)
+        b1 = p.ingest(source_df, batch_id="20260101000000000001")
+        p.promote()
+        b2 = p.ingest(source_df, batch_id="20260101000000000002")
+        done = p.promote()
+        assert done == [b2]
+        cur = {r["batch_id"]: r["state"] for r in p.state.current().collect()}
+        assert cur == {b1: States.PREPARED_COMPLETED, b2: States.PREPARED_COMPLETED}
+
+
+class TestStateStore:
+    def test_latest_wins_over_append_history(self, spark, tmp_path):
+        s = StateStore(spark, str(tmp_path / "st"))
+        s.append("b1", "src", States.RAW_COMPLETED, raw_count=10)
+        s.append("b1", "src", States.PREPARED_COMPLETED, prepared_count=10)
+        s.append("b2", "src", States.RAW_COMPLETED, raw_count=5)
+        cur = {r["batch_id"]: r["state"] for r in s.current().collect()}
+        assert cur == {"b1": States.PREPARED_COMPLETED, "b2": States.RAW_COMPLETED}
+        assert s.log().count() == 3  # full history retained (event-sourced)
+        assert [d["batch_id"] for d in s.pending("src")] == ["b2"]
+
+    def test_failed_state_not_pending(self, spark, tmp_path):
+        s = StateStore(spark, str(tmp_path / "st"))
+        s.append("b1", "src", States.RAW_COMPLETED)
+        s.append("b1", "src", States.FAILED)
+        assert s.pending("src") == []
+
+
+class TestConfig:
+    def test_parse_reference_layout(self, tmp_path):
+        """The reference's own config.json shape must load unchanged."""
+        ref = {
+            "template": "cds_view",
+            "project": "test",
+            "subject": "new",
+            "config": {"job_src": "tableA", "dynamoTable": "pipeline_table"},
+            "raw": {"rawBucket": "raw-b", "rawS3Folder": "tableA", "CDSView": "table_a"},
+            "prepared": {"preparedBucket": "prep-b"},
+            "data_object": {
+                "name": "table_a",
+                "schema": [
+                    {"name": "a", "type": "string", "comment": "col a"},
+                    {"name": "b", "type": "string", "comment": "col b"},
+                    {"name": "c", "type": "string", "comment": "col c"},
+                ],
+            },
+        }
+        cfg = parse_config(ref, base_dir=str(tmp_path))
+        assert cfg.job_src == "tableA"
+        assert cfg.stack_name == "test-new-tableA"
+        assert cfg.source.view == "table_a"
+        assert cfg.raw_path.endswith("raw-b/tableA")
+        assert [f.name for f in cfg.declared_struct().fields] == ["a", "b", "c"]
+
+    def test_discover_pipelines(self, tmp_path):
+        d = tmp_path / "pipelines" / "tableB"
+        d.mkdir(parents=True)
+        (d / "config.json").write_text(json.dumps({
+            "job_src": "tableB",
+            "raw_path": "/r", "prepared_path": "/p", "state_path": "/s",
+            "source": {"kind": "parquet", "path": "/src"},
+            "schema": [{"name": "x", "type": "bigint"}],
+        }))
+        found = discover_pipelines(tmp_path / "pipelines")
+        assert set(found) == {"tableB"}
+        assert found["tableB"].declared_struct().fields[0].dataType.simpleString() == "bigint"
+
+    def test_unknown_template_rejected(self, spark, cfg):
+        bad = PipelineConfig(**{**cfg.__dict__, "template": "nope"})
+        with pytest.raises(ValueError, match="unknown pipeline template"):
+            build_pipeline(spark, bad)
+
+    def test_batch_id_format(self):
+        b = make_batch_id()
+        assert len(b) == 20 and b.isdigit()
+
+
+class TestSchemaValidation:
+    def test_missing_declared_column_fails(self, spark, cfg):
+        df = spark.createDataFrame([("x", "y")], ["a", "b"])  # no 'c'
+        with pytest.raises(SchemaMismatchError, match="\\['c'\\]"):
+            validate_schema(df, cfg)
+
+    def test_extra_columns_dropped_and_cast_applied(self, spark, cfg):
+        df = spark.createDataFrame([(1, 2, 3, 4)], ["a", "b", "c", "extra"])
+        out = validate_schema(df, cfg)
+        assert out.columns == ["a", "b", "c"]
+        assert dict(out.dtypes) == {"a": "string", "b": "string", "c": "string"}
+
+
+class TestCatalog:
+    def test_register_temp_view(self, spark, cfg, source_df):
+        p = Pipeline(spark, cfg)
+        p.ingest(source_df)
+        p.promote()
+        name = register_temp_view(spark, cfg)
+        assert spark.sql(f"SELECT count(*) c FROM {name}").collect()[0]["c"] == 100
