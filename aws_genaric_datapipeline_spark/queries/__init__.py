@@ -13,6 +13,7 @@ from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
     relational_windows,
     scalar_functions,
     setops,
+    streaming_windows,
     tpch,
 )
 

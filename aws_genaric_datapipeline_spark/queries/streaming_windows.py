@@ -1,0 +1,94 @@
+"""Driver queries for the event-time window operators (streaming semantics,
+batch execution).
+
+The exact expressions used by the streaming jobs (streaming/windows.py) run
+here in batch mode over the events table; DuckDB oracles use time_bucket /
+lag-gap-cumsum equivalents.  Streaming execution of the same expressions
+(watermarks, availableNow, checkpoints) is covered in tests/test_streaming.py
+— window placement and aggregate values are engine semantics shared by both
+modes, which is what the oracle pins down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.streaming.windows import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+from aws_genaric_datapipeline_spark.tables import load
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               event_type,
+               count(*) AS event_count,
+               round(sum(value), 2) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows per event type (F.window ≡ time_bucket)."""
+    (events,) = load(spark, sf_dir, "events")
+    return tumbling_counts(events)
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+        SELECT window_start, count(*) AS event_count FROM (
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '10 minutes', ts,
+                               TIMESTAMP '2000-01-01 00:05:00') AS window_start FROM events
+        )
+        GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes (each event in 2 windows);
+    oracle = union of two phase-shifted tumbling bucketings."""
+    (events,) = load(spark, sf_dir, "events")
+    return sliding_counts(events)
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS event_count
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (native session_window operator;
+    oracle = classic lag-gap-cumsum sessionization — same partitions by
+    construction)."""
+    (events,) = load(spark, sf_dir, "events")
+    return session_windows(events)

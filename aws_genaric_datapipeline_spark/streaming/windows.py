@@ -1,0 +1,111 @@
+"""Event-time windowed aggregations over the events stream.
+
+Each aggregation is a plain DataFrame expression: applied to a streaming
+DataFrame it runs incrementally with watermark-managed state; applied to a
+batch DataFrame it computes the same result in one pass (this is how the
+driver's DuckDB oracle verifies the semantics).  The reference's only
+"streaming" was per-record Lambda dispatch with batch_size=1
+(aws_genaric_datapipeline_stack.py:82) — no windows, no watermarks.
+
+Scale notes: streaming state is keyed by (group keys, window); the
+watermark bounds state size — without it a windowed agg leaks state
+forever.  Sliding windows multiply state by window/slide; session windows
+keep one merging state per key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events directory (schema pinned — streaming
+    sources never infer)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-type counts/sums in tumbling event-time windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event counts (each row lands in width/slide windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("window_start"), "event_count")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-merged): start/end/count per session.
+
+    Uses the native session_window operator — in streaming it merges
+    partial sessions as events arrive; in batch it's equivalent to the
+    classic lag-gap-cumsum sessionization (which is exactly what the DuckDB
+    oracle runs).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Drop duplicate event_ids within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds dedup state by event time —
+    the streaming analog of exact dedup; state size = ids per horizon, not
+    ids ever seen."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])

@@ -1,0 +1,172 @@
+"""Structured Streaming tests: availableNow drains match batch results,
+watermarks drop late data across restarts, streaming dedup, and the
+state-log streaming promoter (the reference's event chain, rebuilt)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_genaric_datapipeline_spark.config import ColumnSpec, PipelineConfig, SourceSpec
+from aws_genaric_datapipeline_spark.pipeline import Pipeline
+from aws_genaric_datapipeline_spark.streaming.promote import run_streaming_promoter
+from aws_genaric_datapipeline_spark.streaming.windows import (
+    EVENTS_SCHEMA,
+    stream_events,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _event(eid, minute, user=1, etype="click", value=1.0, second=0):
+    return (
+        eid,
+        dt.datetime(2024, 1, 1, 10, minute, second),
+        user,
+        etype,
+        value,
+        "{}",
+    )
+
+
+def _write_events(spark, path, rows, mode="append"):
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(mode).parquet(path)
+
+
+def _drain(stream_df, sink_table, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+class TestWindowedStreaming:
+    def test_tumbling_stream_matches_batch(self, spark, tmp_path):
+        src = str(tmp_path / "events")
+        rows = [_event(i, minute=i % 30, etype="click" if i % 2 else "view") for i in range(60)]
+        _write_events(spark, src, rows)
+
+        batch_result = tumbling_counts(spark.read.parquet(src))
+        expected = {
+            (r["window_start"], r["event_type"]): (r["event_count"], r["value_sum"])
+            for r in batch_result.collect()
+        }
+
+        stream = stream_events(spark, src)
+        assert stream.isStreaming
+        _drain(tumbling_counts(stream), "tumbling_sink", str(tmp_path / "ckpt"))
+        got = {
+            (r["window_start"], r["event_type"]): (r["event_count"], r["value_sum"])
+            for r in spark.sql("SELECT * FROM tumbling_sink").collect()
+        }
+        assert got == expected
+
+    def test_watermark_drops_late_rows_across_restarts(self, spark, tmp_path):
+        """Two availableNow runs over one checkpoint: run 1 advances the
+        watermark to 11:50; run 2's 10:00 event is > 10 min late → dropped
+        from the append-mode aggregation; its 11:58 event survives."""
+        src = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+        sink_dir = str(tmp_path / "sink")
+        _write_events(spark, src, [_event(1, minute=0), _event(2, minute=5)])
+        # push event-time high so the watermark (max_ts - 10m) passes the
+        # early windows
+        rows2 = [(100, dt.datetime(2024, 1, 1, 12, 0), 1, "click", 1.0, "{}")]
+        _write_events(spark, src, rows2)
+
+        def run_once():
+            q = (
+                tumbling_counts(stream_events(spark, src, max_files_per_trigger=1))
+                .writeStream.format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        # late arrivals: one inside the watermark horizon, one far behind it
+        late = [
+            (200, dt.datetime(2024, 1, 1, 10, 1), 1, "click", 1.0, "{}"),   # very late
+            (201, dt.datetime(2024, 1, 1, 11, 58), 1, "click", 1.0, "{}"),  # fresh
+        ]
+        _write_events(spark, src, late)
+        run_once()
+        # drain residual windows by pushing the watermark forward once more
+        _write_events(spark, src, [(300, dt.datetime(2024, 1, 1, 13, 0), 1, "click", 1.0, "{}")])
+        run_once()
+
+        out = spark.read.parquet(sink_dir)
+        by_window = {
+            (r["window_start"], r["event_type"]): r["event_count"] for r in out.collect()
+        }
+        # the 10:00-10:05 window closed in run 1 with exactly 1 event; the
+        # late event_id=200 must NOT have re-opened or re-emitted it
+        w_1000 = (dt.datetime(2024, 1, 1, 10, 0), "click")
+        assert by_window.get(w_1000) == 1
+        # the fresh 11:55-12:00 window contains the surviving late event
+        w_1155 = (dt.datetime(2024, 1, 1, 11, 55), "click")
+        assert by_window.get(w_1155) == 1
+
+    def test_streaming_dedup(self, spark, tmp_path):
+        src = str(tmp_path / "events")
+        rows = [_event(1, minute=0), _event(1, minute=0), _event(2, minute=1)]
+        _write_events(spark, src, rows)
+        q = (
+            streaming_dedup(stream_events(spark, src))
+            .writeStream.format("memory")
+            .queryName("dedup_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_sink").collect())
+        assert ids == [1, 2]
+
+
+class TestStreamingPromoter:
+    @pytest.fixture
+    def cfg(self, tmp_path):
+        return PipelineConfig(
+            template="cds_view", project="t", subject="s", job_src="tableA",
+            source=SourceSpec(kind="parquet", path=str(tmp_path / "srcdir")),
+            raw_path=str(tmp_path / "raw"),
+            prepared_path=str(tmp_path / "prepared"),
+            state_path=str(tmp_path / "state"),
+            table_name="table_a",
+            schema=(ColumnSpec("a", "string"), ColumnSpec("b", "string"), ColumnSpec("c", "string")),
+        )
+
+    def test_promoter_drains_pending_then_is_incremental(self, spark, cfg, tmp_path):
+        p = Pipeline(spark, cfg)
+        df = spark.createDataFrame([("x", "y", "z")] * 10, ["a", "b", "c"])
+        b1 = p.ingest(df, batch_id="20260101000000000001")
+        b2 = p.ingest(df, batch_id="20260101000000000002")
+        ckpt = str(tmp_path / "promoter_ckpt")
+
+        promoted = run_streaming_promoter(p, ckpt)
+        assert sorted(promoted) == [b1, b2]
+        cur = {r["batch_id"]: r["state"] for r in p.state.current().collect()}
+        assert set(cur.values()) == {"PREPARED_COMPLETED"}
+        assert p.prepared().count() == 20
+
+        # second drain: checkpoint advances past processed files → no-op
+        # (the PREPARED_COMPLETED rows it now sees are filtered out anyway)
+        assert run_streaming_promoter(p, ckpt) == []
+
+        # a new ingest is picked up incrementally
+        b3 = p.ingest(df, batch_id="20260101000000000003")
+        assert run_streaming_promoter(p, ckpt) == [b3]
+        assert p.prepared().count() == 30
