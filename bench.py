@@ -21,14 +21,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from aws_genaric_datapipeline_spark.queries import QUERIES
 from aws_genaric_datapipeline_spark.session import get_spark
 
-# Headline set: exercised per-round by the driver. Keep to the queries that
-# represent each engine area (scan/agg, joins, windows, dedup, similarity).
+# Headline set: exercised per-round by the driver. One representative per
+# engine area: scan/agg, multi-join, windows, setops, json, streaming
+# windows, dedup, similarity, text.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q10_returned_items",
+    "agg_cube",
+    "window_topk_per_group",
+    "join_asof_events",
+    "func_json",
+    "stream_session_windows",
+    "text_fingerprint_dedup",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
 ]
 
 
