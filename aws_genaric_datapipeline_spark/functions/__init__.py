@@ -1,0 +1,8 @@
+"""Custom function surface: Pandas UDFs and grouped-map transforms."""
+
+from aws_genaric_datapipeline_spark.functions.udfs import (
+    discounted_price_pandas_udf,
+    zscore_per_group,
+)
+
+__all__ = ["discounted_price_pandas_udf", "zscore_per_group"]

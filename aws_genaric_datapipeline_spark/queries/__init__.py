@@ -9,12 +9,14 @@ from aws_genaric_datapipeline_spark.queries.registry import QUERIES, QuerySpec, 
 from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
     north_star,
     relational_aggs,
+    relational_extra,
     relational_joins,
     relational_windows,
     scalar_functions,
     setops,
     streaming_windows,
     tpch,
+    udf_surface,
 )
 
 __all__ = ["QUERIES", "QuerySpec", "query"]
