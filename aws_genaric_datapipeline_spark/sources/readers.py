@@ -89,7 +89,10 @@ def read_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         df = spark.read.format(src.kind).options(**src.options).load(src.path)
     elif src.kind in ("csv", "json"):
         declared = cfg.declared_struct()
-        reader = spark.read.format(src.kind).options(**src.options)
+        opts = dict(src.options)
+        if src.kind == "csv":
+            opts.setdefault("header", "true")  # match write_table's default
+        reader = spark.read.format(src.kind).options(**opts)
         # Schema-on-read from the declared schema: no inference job at scale.
         df = (reader.schema(declared) if declared is not None else reader).load(src.path)
     else:

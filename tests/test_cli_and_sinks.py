@@ -1,0 +1,143 @@
+"""CLI surface, sink writers, source readers (csv/json), and the custom
+stateful streaming operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from aws_genaric_datapipeline_spark.cli import main as cli_main
+from aws_genaric_datapipeline_spark.config import ColumnSpec, PipelineConfig, SourceSpec
+from aws_genaric_datapipeline_spark.sources.readers import read_source
+from aws_genaric_datapipeline_spark.sources.writers import write_table
+from aws_genaric_datapipeline_spark.streaming.stateful import running_user_totals
+from aws_genaric_datapipeline_spark.streaming.windows import EVENTS_SCHEMA, stream_events
+
+
+class TestSinks:
+    @pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+    def test_round_trip(self, spark, tmp_path, fmt):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+        path = str(tmp_path / fmt)
+        write_table(df, path, format=fmt)
+        back = (
+            spark.read.format(fmt).option("header", "true").option("inferSchema", "true").load(path)
+            if fmt == "csv"
+            else spark.read.format(fmt).load(path)
+        )
+        assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    def test_partitioned_overwrite_is_per_partition(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df1 = spark.createDataFrame([(1, "p1"), (2, "p2")], ["id", "part"])
+        write_table(df1, path, partition_by=("part",))
+        # overwrite only p1's partition
+        df2 = spark.createDataFrame([(9, "p1")], ["id", "part"])
+        write_table(df2, path, mode="overwrite", partition_by=("part",))
+        rows = sorted((r["id"], r["part"]) for r in spark.read.parquet(path).collect())
+        assert rows == [(2, "p2"), (9, "p1")]
+
+    def test_unknown_format_rejected(self, spark):
+        df = spark.createDataFrame([(1,)], ["id"])
+        with pytest.raises(ValueError, match="unknown sink format"):
+            write_table(df, "/tmp/x", format="avro")
+
+
+class TestSourceReaders:
+    def _cfg(self, tmp_path, kind, path):
+        return PipelineConfig(
+            template="cds_view", project="t", subject="s", job_src="j",
+            source=SourceSpec(kind=kind, path=path),
+            raw_path=str(tmp_path / "raw"),
+            prepared_path=str(tmp_path / "prep"),
+            state_path=str(tmp_path / "state"),
+            table_name="t",
+            schema=(ColumnSpec("id", "bigint"), ColumnSpec("v", "string")),
+        )
+
+    @pytest.mark.parametrize("fmt", ["csv", "json"])
+    def test_schema_on_read_no_inference(self, spark, tmp_path, fmt):
+        """csv/json sources read with the DECLARED schema — no inference job
+        (an extra full scan at scale) and types land as declared."""
+        src = str(tmp_path / f"src_{fmt}")
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+        write_table(df, src, format=fmt)
+        cfg = self._cfg(tmp_path, fmt, src)
+        out = read_source(spark, cfg)
+        assert dict(out.dtypes) == {"id": "bigint", "v": "string"}
+        assert out.count() == 2
+
+
+class TestCli:
+    def test_list_ingest_promote(self, spark, tmp_path, capsys):
+        srcdir = str(tmp_path / "srcdata")
+        spark.createDataFrame([("x", "y", "z")] * 5, ["a", "b", "c"]).write.parquet(srcdir)
+        pdir = tmp_path / "pipelines" / "tableA"
+        pdir.mkdir(parents=True)
+        (pdir / "config.json").write_text(json.dumps({
+            "job_src": "tableA",
+            "source": {"kind": "parquet", "path": srcdir},
+            "raw_path": str(tmp_path / "raw"),
+            "prepared_path": str(tmp_path / "prepared"),
+            "state_path": str(tmp_path / "state"),
+            "schema": [{"name": "a", "type": "string"}, {"name": "b", "type": "string"},
+                       {"name": "c", "type": "string"}],
+        }))
+        pipelines = str(tmp_path / "pipelines")
+
+        cli_main(["list", "--pipelines", pipelines])
+        assert json.loads(capsys.readouterr().out)["job_src"] == "tableA"
+
+        cli_main(["ingest", "--pipelines", pipelines, "--job-src", "tableA"])
+        batch = json.loads(capsys.readouterr().out)["ingested"]
+        assert len(batch) == 20
+
+        cli_main(["promote", "--pipelines", pipelines, "--job-src", "tableA"])
+        assert json.loads(capsys.readouterr().out)["promoted"] == [batch]
+
+        assert spark.read.parquet(str(tmp_path / "prepared")).count() == 5
+
+    def test_unknown_job_src_exits(self, tmp_path):
+        (tmp_path / "pipelines").mkdir()
+        with pytest.raises(SystemExit, match="unknown job_src"):
+            cli_main(["ingest", "--pipelines", str(tmp_path / "pipelines"), "--job-src", "nope"])
+
+
+class TestStatefulStreaming:
+    def test_running_totals_accumulate_across_drains(self, spark, tmp_path):
+        src = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+
+        def ev(eid, user, value):
+            return (eid, dt.datetime(2024, 1, 1, 10, 0, eid % 60), user, "click", value, "{}")
+
+        def drain(_sink):
+            # foreachBatch (checkpoint-recoverable, unlike the memory sink)
+            emitted = []
+
+            def collect(batch_df, _eid):
+                emitted.extend(batch_df.collect())
+
+            q = (
+                running_user_totals(stream_events(spark, src))
+                .writeStream.foreachBatch(collect)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {r["user_id"]: (r["event_count"], r["value_sum"]) for r in emitted}
+
+        spark.createDataFrame([ev(1, 1, 2.0), ev(2, 1, 3.0), ev(3, 2, 5.0)], EVENTS_SCHEMA)\
+            .coalesce(1).write.mode("append").parquet(src)
+        got = drain("totals_1")
+        assert got == {1: (2, 5.0), 2: (1, 5.0)}
+
+        # second drain: state survives via checkpoint, totals accumulate
+        spark.createDataFrame([ev(4, 1, 10.0)], EVENTS_SCHEMA)\
+            .coalesce(1).write.mode("append").parquet(src)
+        got = drain("totals_2")
+        assert got[1] == (3, 15.0)  # 2 prior + 1 new event; 5.0 + 10.0
