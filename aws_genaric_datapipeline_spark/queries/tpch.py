@@ -187,6 +187,135 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q12_shipping_modes",
+    oracle="""
+        SELECT l.l_linestatus,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                   AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                   AS low_line_count
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_linestatus
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-split line counts (TPC-H Q12 shape): join + CASE-sum pivot."""
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    oracle="""
+        SELECT round(
+                 100.0 * sum(CASE WHEN p.p_type LIKE 'ECO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("join", "agg", "ratio"),
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional revenue ratio (TPC-H Q14 shape): two CASE-gated sums in
+    one aggregation pass (never two scans for numerator/denominator)."""
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("ECO%"), rev).otherwise(0.0)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS line_count
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("join", "filter", "disjunction"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-clause predicates over a join (TPC-H Q19 shape) —
+    exercises OR-of-conjunctions pushdown and constraint propagation."""
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(clause)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+        SELECT substring(c.c_name, 10, 2) AS name_slice,
+               count(*) AS cust_count,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY 1
+    """,
+    tags=("subquery", "anti-join", "agg"),
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar subquery + anti join (TPC-H Q22 shape): above-average-
+    balance customers with no recent orders.  The scalar average broadcasts
+    as a literal after its own 1-row agg; the NOT EXISTS is a left_anti."""
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("name_slice"))
+        .agg(
+            F.count(F.lit(1)).alias("cust_count"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "q10_returned_items",
     oracle="""
         SELECT
