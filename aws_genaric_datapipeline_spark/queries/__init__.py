@@ -16,6 +16,7 @@ from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
     setops,
     streaming_windows,
     tpch,
+    tpch_extra,
     udf_surface,
 )
 
