@@ -25,8 +25,8 @@ from aws_genaric_datapipeline_spark.tables import load, register_views
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
         JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
-        WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
-            OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+        WHERE ((sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_10')
+            OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_9'))
           AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                                AND TIMESTAMP '1997-12-31 00:00:00'
         GROUP BY 1, 2, 3
@@ -42,8 +42,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    pair = ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")) | (
-        (F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE")
+    pair = ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10")) | (
+        (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")
     )
     return (
         lineitem.where(
