@@ -223,6 +223,36 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "func_date_parse_roundtrip",
+    oracle="""
+        SELECT fmt AS date_str,
+               CAST(strptime(fmt, '%Y-%m-%d') AS DATE) AS parsed_date,
+               count(*) AS cnt
+        FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS fmt FROM orders)
+        GROUP BY fmt
+        HAVING count(*) >= 20
+    """,
+    tags=("functions", "date"),
+)
+def func_date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String↔date round trip: date_format to render, to_date to parse back
+    (the csv/json ingestion path for date columns)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    fmt = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return (
+        orders.select(fmt.alias("date_str"))
+        .groupBy("date_str")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 20)
+        .select(
+            "date_str",
+            F.to_date("date_str", "yyyy-MM-dd").alias("parsed_date"),
+            "cnt",
+        )
+    )
+
+
+@query(
     "func_conditional",
     oracle="""
         SELECT CASE

@@ -107,6 +107,45 @@ class TestMultimodal:
         assert filtered.count() == documents.count()
 
 
+class TestSkewOps:
+    def test_salted_join_equals_plain_join(self, spark):
+        from aws_genaric_datapipeline_spark.operators.skew import salted_join
+
+        (lineitem,) = load(spark, SF, "lineitem")
+        (part,) = load(spark, SF, "part")
+        big = lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+        small = part.select("p_partkey", "p_brand")
+        plain = big.join(small, F.col("l_partkey") == F.col("p_partkey"))
+        salted = salted_join(big, small, "l_partkey", "p_partkey", salt=4)
+        key = lambda r: (r["l_orderkey"], r["l_partkey"], r["p_brand"])
+        assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from aws_genaric_datapipeline_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+        small = spark.createDataFrame([(1, "X")], ["sk", "sv"])
+        out = salted_join(big, small, "k", "sk", salt=4, how="left")
+        rows = sorted((r["k"], r["sv"]) for r in out.collect())
+        assert rows == [(1, "X"), (2, None), (3, None)]
+
+    def test_two_phase_agg_matches_direct(self, spark):
+        from aws_genaric_datapipeline_spark.operators.skew import two_phase_agg
+
+        (orders,) = load(spark, SF, "orders")
+        direct = {
+            r["o_orderstatus"]: (r["cnt"], round(r["total"], 2))
+            for r in orders.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("total"))
+            .collect()
+        }
+        salted = {
+            r["o_orderstatus"]: (r["cnt"], round(r["total"], 2))
+            for r in two_phase_agg(orders, "o_orderstatus", "o_totalprice").collect()
+        }
+        assert salted == direct
+
+
 class TestApproxAgg:
     def test_approx_count_distinct_error_bound(self, spark):
         (lineitem,) = load(spark, SF, "lineitem")
