@@ -20,10 +20,13 @@ Reference parity map (SURVEY.md §3):
 from __future__ import annotations
 
 import datetime as dt
+import logging
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
+
+log = logging.getLogger(__name__)
 
 from aws_genaric_datapipeline_spark.config import PipelineConfig
 from aws_genaric_datapipeline_spark.pipeline.state import States, StateStore
@@ -79,8 +82,28 @@ class Pipeline:
         stamped = df.withColumn(PART_KEY, F.lit(batch_id)).observe(
             obs, F.count(F.lit(1)).alias("rows")
         )
-        stamped.write.mode("append").partitionBy(PART_KEY).parquet(self.cfg.raw_path)
+        try:
+            stamped.write.mode("append").partitionBy(PART_KEY).parquet(self.cfg.raw_path)
+        except Exception:
+            # The write failed before commit: Spark's committer leaves no
+            # visible files, and no RAW_COMPLETED row is written, so the
+            # batch simply never existed.  Record FAILED for observability
+            # and re-raise (the reference swallowed errors into
+            # print+sys.exit, raw_layer_job.py:58-60, leaving no trace).
+            log.exception("ingest failed: job_src=%s batch_id=%s", self.cfg.job_src, batch_id)
+            self.state.append(
+                batch_id=batch_id,
+                job_src=self.cfg.job_src,
+                state=States.FAILED,
+                raw_path=self.cfg.raw_path,
+                job_name=self.job_name,
+            )
+            raise
         raw_count = obs.get["rows"]
+        log.info(
+            "ingest complete: job_src=%s batch_id=%s rows=%s",
+            self.cfg.job_src, batch_id, raw_count,
+        )
         self.state.append(
             batch_id=batch_id,
             job_src=self.cfg.job_src,
@@ -103,14 +126,32 @@ class Pipeline:
         """
         raw = self.spark.read.parquet(self.cfg.raw_path).where(F.col(PART_KEY) == batch_id)
         obs = Observation(f"promote-{batch_id}")
-        prepared = self.transform(raw).observe(obs, F.count(F.lit(1)).alias("rows"))
-        (
-            prepared.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(PART_KEY)
-            .parquet(self.cfg.prepared_path)
-        )
+        try:
+            prepared = self.transform(raw).observe(obs, F.count(F.lit(1)).alias("rows"))
+            (
+                prepared.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(PART_KEY)
+                .parquet(self.cfg.prepared_path)
+            )
+        except Exception:
+            # Batch stays RAW_COMPLETED (current() ignores the FAILED marker
+            # only if a later transition supersedes it) — mark FAILED so
+            # operators see it; a fixed re-run transitions it forward.
+            log.exception("promote failed: job_src=%s batch_id=%s", self.cfg.job_src, batch_id)
+            self.state.append(
+                batch_id=batch_id,
+                job_src=self.cfg.job_src,
+                state=States.FAILED,
+                prepared_path=self.cfg.prepared_path,
+                job_name=self.job_name,
+            )
+            raise
         prepared_count = obs.get["rows"]
+        log.info(
+            "promote complete: job_src=%s batch_id=%s rows=%s",
+            self.cfg.job_src, batch_id, prepared_count,
+        )
         self.state.append(
             batch_id=batch_id,
             job_src=self.cfg.job_src,

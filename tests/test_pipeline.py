@@ -129,6 +129,26 @@ class TestPromote:
         assert cur == {b1: States.PREPARED_COMPLETED, b2: States.PREPARED_COMPLETED}
 
 
+class TestFailureHandling:
+    def test_failed_transform_marks_failed_and_reraises(self, spark, cfg, source_df):
+        """A promote whose transform explodes must append FAILED (visible to
+        operators), re-raise (no silent sys.exit like the reference,
+        raw_layer_job.py:58-60), and allow a fixed re-run to proceed."""
+        p = Pipeline(spark, cfg, transform=lambda df: df.select(F.col("nonexistent")))
+        b = p.ingest(source_df)
+        with pytest.raises(Exception):
+            p.promote_batch(b)
+        [st] = p.state.current().collect()
+        assert st["state"] == States.FAILED
+        assert p.state.pending(cfg.job_src) == []  # not retried blindly
+        # fix the transform and promote explicitly — batch recovers
+        p2 = Pipeline(spark, cfg)
+        p2.promote_batch(b)
+        [st] = p2.state.current().collect()
+        assert st["state"] == States.PREPARED_COMPLETED
+        assert p2.prepared().count() == 100
+
+
 class TestStateStore:
     def test_latest_wins_over_append_history(self, spark, tmp_path):
         s = StateStore(spark, str(tmp_path / "st"))
