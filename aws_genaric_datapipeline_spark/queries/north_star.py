@@ -31,10 +31,10 @@ _DUCK_TRIGRAMS = (
     "text_token_stats",
     oracle=f"""
         SELECT doc_id,
-               len({_DUCK_TOKS}) AS n_tokens,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
                CAST(list_sum(list_transform({_DUCK_TOKS},
                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe,
-               length(trim(text)) AS n_chars_trim
+               CAST(length(trim(text)) AS BIGINT) AS n_chars_trim
         FROM documents
     """,
     tags=("north-star", "text"),
@@ -45,9 +45,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return documents.select(
         "doc_id",
-        X.token_count(t).alias("n_tokens"),
+        X.token_count(t).cast("bigint").alias("n_tokens"),
         X.bpe_ish_token_count(t).alias("n_tokens_bpe"),
-        F.length(F.trim(t)).alias("n_chars_trim"),
+        F.length(F.trim(t)).cast("bigint").alias("n_chars_trim"),
     )
 
 

@@ -108,7 +108,7 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact",
     oracle="""
         SELECT o_orderstatus,
-               sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total_dec,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total_dec,
                min(CAST(o_totalprice AS DECIMAL(14,2))) AS min_dec,
                max(CAST(o_totalprice AS DECIMAL(14,2))) AS max_dec
         FROM orders
@@ -123,7 +123,7 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(14,2)")
     return orders.groupBy("o_orderstatus").agg(
-        F.sum(dec).alias("total_dec"),
+        F.sum(dec).cast("decimal(18,2)").alias("total_dec"),
         F.min(dec).alias("min_dec"),
         F.max(dec).alias("max_dec"),
     )
@@ -180,7 +180,7 @@ def func_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_map_from_json",
     oracle="""
         SELECT event_type, 'k' AS map_key,
-               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS value_sum
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS value_sum
         FROM events
         GROUP BY event_type
     """,

@@ -21,8 +21,8 @@ from aws_genaric_datapipeline_spark.tables import load
         SELECT * FROM (
             SELECT o_custkey, o_orderkey,
                    round(o_totalprice, 2) AS o_totalprice,
-                   row_number() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
             FROM orders
         ) WHERE rn <= 3
     """,
@@ -38,7 +38,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .where(F.col("rn") <= 3)
     )
@@ -48,8 +48,8 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_dense",
     oracle="""
         SELECT c_mktsegment, c_custkey,
-               rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
-               dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk
+               CAST(rank()  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS drnk
         FROM customer
         QUALIFY rnk <= 5
     """,
@@ -63,8 +63,8 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select(
             "c_mktsegment",
             "c_custkey",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
         )
         .where(F.col("rnk") <= 5)
     )
@@ -178,7 +178,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ntile_cume",
     oracle="""
         SELECT c_custkey,
-               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+               CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
                round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 4) AS pct_rank,
                round(cume_dist()    OVER (ORDER BY c_acctbal, c_custkey), 4) AS cume
         FROM customer
@@ -195,7 +195,7 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
     return customer.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
@@ -204,7 +204,8 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sort_limit_global",
     oracle="""
-        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderdate
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 25
@@ -219,7 +220,7 @@ def sort_limit_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey",
             F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
-            "o_orderdate",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(25)

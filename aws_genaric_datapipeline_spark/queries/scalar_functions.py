@@ -20,7 +20,7 @@ from aws_genaric_datapipeline_spark.tables import load
                concat(p_brand, '-', p_type)         AS brand_type,
                substring(p_name, 1, 8)              AS name_prefix,
                upper(p_brand)                       AS brand_upper,
-               length(p_name)                       AS name_len,
+               CAST(length(p_name) AS BIGINT)       AS name_len,
                lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
                split_part(p_type, ' ', 1)           AS type_first_word,
                replace(p_brand, 'Brand#', 'B')      AS brand_short,
@@ -38,7 +38,7 @@ def func_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.upper("p_brand").alias("brand_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
         F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
         F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
@@ -135,8 +135,8 @@ def func_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(p_size * p_size AS BIGINT)     AS size_sq,
                round(ln(p_retailprice), 4)         AS price_ln,
                round(sqrt(CAST(p_size AS DOUBLE)), 4) AS size_sqrt,
-               least(p_size, 25)                   AS size_capped,
-               greatest(p_size, 10)                AS size_floored,
+               CAST(least(p_size, 25) AS BIGINT)    AS size_capped,
+               CAST(greatest(p_size, 10) AS BIGINT) AS size_floored,
                p_size % 5                          AS size_mod,
                CAST(ceil(p_retailprice) AS BIGINT)  AS price_ceil,
                CAST(floor(p_retailprice) AS BIGINT) AS price_floor
@@ -155,8 +155,8 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") * F.col("p_size")).cast("bigint").alias("size_sq"),
         F.round(F.log(F.col("p_retailprice")), 4).alias("price_ln"),
         F.round(F.sqrt(F.col("p_size").cast("double")), 4).alias("size_sqrt"),
-        F.least(F.col("p_size"), F.lit(25)).alias("size_capped"),
-        F.greatest(F.col("p_size"), F.lit(10)).alias("size_floored"),
+        F.least(F.col("p_size"), F.lit(25)).cast("bigint").alias("size_capped"),
+        F.greatest(F.col("p_size"), F.lit(10)).cast("bigint").alias("size_floored"),
         (F.col("p_size") % 5).alias("size_mod"),
         F.ceil(F.col("p_retailprice")).alias("price_ceil"),
         F.floor(F.col("p_retailprice")).alias("price_floor"),
@@ -167,7 +167,7 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_arrays",
     oracle="""
         SELECT vec_id,
-               len(embedding)                                               AS dim,
+               CAST(len(embedding) AS BIGINT)                               AS dim,
                round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS sq_norm,
                round(CAST(embedding[1] AS DOUBLE), 4)                       AS first_val,
                round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) AS mean_val,
@@ -185,7 +185,7 @@ def func_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return embeddings.where(F.col("vec_id") <= 200).select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
         ).alias("sq_norm"),

@@ -72,7 +72,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             l.l_orderkey,
             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-            o.o_orderdate,
+            CAST(o.o_orderdate AS DATE) AS o_orderdate,
             o.o_orderpriority
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -102,7 +102,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem.where(F.col("l_shipdate") > cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(F.col("l_orderkey"), F.col("o_orderdate").cast("date").alias("o_orderdate"), F.col("o_orderpriority"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -190,10 +190,10 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipping_modes",
     oracle="""
         SELECT l.l_linestatus,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-                   AS high_line_count,
-               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-                   AS low_line_count
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                   AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                   AS BIGINT) AS low_line_count
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'

@@ -62,6 +62,14 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     )
+    # types must agree too (int widths, decimal precision, timestamp flavor)
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    dtypes = {
+        c: {"integer": "int", "varchar": "string"}.get(str(t).lower(), str(t).lower())
+        for c, t in zip(rel.columns, rel.types)
+    }
+    type_diffs = {c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes.get(c, stypes[c])}
+    assert not type_diffs, f"{name}: column types differ: {type_diffs}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
