@@ -159,6 +159,135 @@ def lsh_bucketed_topk(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Train IVF cell centroids: deterministic seeding + Lloyd iterations.
+
+    Seeds are the ``num_cells`` corpus vectors with the smallest xxhash64 of
+    their id (reproducible, no RNG state).  Each Lloyd step is one
+    distributed pass: broadcast the (tiny) centroid set, assign every vector
+    to its max-dot cell, then recompute centroids as the per-cell per-dim
+    mean (posexplode → partial-avg shuffle keyed by (cell, dim) → rebuild
+    array).  The centroid set is O(num_cells·dim) — always broadcastable —
+    so no corpus shuffle ever happens during training.
+
+    Returns (cell_id:int, cvec:array<double>) with unit-normalized cvec.
+    """
+    base = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("unit_vec").alias("uvec")
+    )
+    centroids = (
+        base.orderBy(F.xxhash64(F.col("vid")))
+        .limit(num_cells)
+        .select(
+            (F.row_number().over(Window.orderBy(F.xxhash64(F.col("vid")))) - 1).alias("cell_id"),
+            F.col("uvec").alias("cvec"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(base, centroids)
+        centroids = (
+            assigned.select("cell_id", F.posexplode("uvec").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("mean_val"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                    lambda s: s.getField("mean_val"),
+                ).alias("cvec")
+            )
+        )
+        n = norm(F.col("cvec"))
+        centroids = centroids.select(
+            "cell_id",
+            F.when(n == 0, F.col("cvec"))
+            .otherwise(F.transform(F.col("cvec"), lambda x: x / n))
+            .alias("cvec"),
+        )
+    return centroids
+
+
+def _assign_cells(base: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
+    """Attach the ``nprobe`` max-dot cell ids to every row of ``base``
+    (columns vid, uvec).  One broadcast-nested-loop pass over the corpus —
+    no shuffle; the per-row top-nprobe selection happens inside the join
+    via a sorted slice of the scored centroid array."""
+    cents = F.broadcast(centroids.agg(F.collect_list(F.struct("cell_id", "cvec")).alias("cents")))
+    scored = base.crossJoin(cents).select(
+        "vid",
+        "uvec",
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        F.col("cents"),
+                        lambda c: F.struct(
+                            dot(F.col("uvec"), c.getField("cvec")).alias("score"),
+                            c.getField("cell_id").alias("cell_id"),
+                        ),
+                    )
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("top_cells"),
+    )
+    return scored.select(
+        "vid", "uvec", F.explode(F.col("top_cells").getField("cell_id")).alias("cell_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus vectors
+    are bucketed by nearest trained centroid; each query probes its
+    ``nprobe`` nearest cells and exact-re-ranks only those candidates.
+
+    The 100 TB shape: candidate generation is an equi-join on cell_id (a
+    shuffle of ~nprobe/num_cells of the corpus instead of a full crossJoin),
+    and the cell assignment is computed in one broadcast pass.  At real
+    scale, persist the assignment (partitionBy cell_id) at ingest so queries
+    read only the probed cells' partitions — partition pruning on parquet.
+    """
+    base = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("unit_vec").alias("uvec")
+    )
+    centroids = ivf_train_centroids(df, id_col, vec_col, num_cells, iters)
+    corpus = _assign_cells(base, centroids, nprobe=1).select(
+        F.col("vid").alias("nid"), F.col("uvec").alias("nvec"), "cell_id"
+    )
+    queries = _assign_cells(base.where(F.col("vid").isin(query_ids)), centroids, nprobe=nprobe).select(
+        F.col("vid").alias("query_id"), F.col("uvec").alias("qvec"), "cell_id"
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cell_id")
+        .where(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(dot(F.col("qvec"), F.col("nvec")), 4).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
 def cosine_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -17,6 +17,7 @@ from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
     streaming_windows,
     tpch,
     tpch_extra,
+    tpch_final,
     udf_surface,
 )
 

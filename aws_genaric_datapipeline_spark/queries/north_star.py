@@ -242,6 +242,18 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_topk", oracle=None, tags=("north-star", "similarity"))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5: corpus bucketed by nearest
+    trained centroid, queries probe their nprobe nearest cells, exact
+    re-rank inside the probed cells (recall vs brute force asserted in
+    tests/test_operators.py)."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        embeddings, query_ids=[1, 2, 3, 4, 5], k=5, num_cells=16, nprobe=6
+    )
+
+
 @query(
     "multimodal_features",
     oracle="""

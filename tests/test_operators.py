@@ -69,6 +69,20 @@ class TestSimilarity:
         recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
         assert recall >= 0.5, f"ANN recall {recall:.2f} too low (4 planes × 8 tables)"
 
+    def test_ivf_recall_vs_brute_force(self, embeddings):
+        """Probing 4 of 16 IVF cells must recover most true top-5 neighbors;
+        with nprobe == num_cells the search is exhaustive and recall is 1."""
+        qids = [1, 2, 3, 4, 5]
+        exact = S.cosine_topk(embeddings, qids, k=5)
+        exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        approx = S.ivf_topk(embeddings, qids, k=5, num_cells=16, nprobe=6)
+        approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        assert recall >= 0.5, f"IVF recall {recall:.2f} too low (nprobe=6/16)"
+        full = S.ivf_topk(embeddings, qids, k=5, num_cells=16, nprobe=16)
+        full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+        assert full_pairs == exact_pairs, "nprobe=num_cells must equal brute force"
+
     def test_cosine_self_similarity(self, spark):
         df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
                                    ["vec_id", "embedding"])
