@@ -7,10 +7,12 @@ from aws_genaric_datapipeline_spark.queries.registry import QUERIES, QuerySpec, 
 
 # Import modules for their registration side effects.
 from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
+    events_analytics,
     north_star,
     relational_aggs,
     relational_extra,
     relational_joins,
+    relational_stats,
     relational_windows,
     scalar_functions,
     setops,

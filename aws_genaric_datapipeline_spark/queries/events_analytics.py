@@ -1,0 +1,122 @@
+"""Event-stream analytics beyond windowing: ordered funnels and cohort
+retention — the standard product-analytics shapes a training-data/telemetry
+pipeline computes at scale.
+
+Reference parity: the reference's only event processing is one-record-at-a-
+time dispatch (lambda/invoke_prepared.py:20-30); these queries are the
+batch-analytics counterpart over the driver's `events` table (sessionization
+lives in streaming_windows.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.tables import load
+
+
+@query(
+    "events_funnel",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN f ON f.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > f.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(t_view) FROM f)  AS n_view,
+               (SELECT count(*) FROM c)       AS n_click_after_view,
+               (SELECT count(*) FROM p)       AS n_purchase_after_click
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase): each step counts
+    users whose first step-N event strictly follows their first step-(N-1)
+    event.
+
+    Scale: three aggregations all keyed by user_id — the join inputs arrive
+    hash-partitioned on the same key, so AQE reuses the partitioning instead
+    of re-shuffling; per-user state is a single timestamp per step (no
+    event-list materialization, unlike collect_list-based funnel impls).
+    """
+    (events,) = load(spark, sf_dir, "events")
+    first_view = (
+        events.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"))
+        .where(F.col("t_view").isNotNull())
+    )
+    first_click = (
+        events.where(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        events.where(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        first_view.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(first_click.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(first_purchase.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        )
+        SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INT) AS week_offset,
+               count(*) AS active_users
+        FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    tags=("events", "cohort"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-active week,
+    counted per (cohort, weeks-since-cohort) cell.
+
+    Scale: both sides reduce to one row per (user, week) before the join, so
+    the join input is bounded by users×weeks, not raw events; cohort
+    assignment is a min-aggregate (partial-merge friendly).  `active` is
+    deduped, so count(*) == count(DISTINCT user) without a distinct shuffle.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = events.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = events.select("user_id", wk.alias("wk")).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

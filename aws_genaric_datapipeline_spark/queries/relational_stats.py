@@ -1,0 +1,232 @@
+"""Statistical aggregate surface: correlation/covariance, linear-regression
+aggregates, distribution moments (population skewness/kurtosis), exact
+median, deterministic mode, bitwise aggregates, ordered string aggregation,
+and width_bucket histograms.
+
+Reference parity: the reference computes no statistics at all (its only
+aggregate is count(), glue src/raw_layer_job.py:158); this module fills the
+SURVEY.md §2b aggregation rows that go beyond sum/avg.  Every aggregate here
+is a single-shuffle hash aggregation with map-side partials — the same
+scale shape as q1.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.tables import load
+
+
+@query(
+    "stats_corr_covar",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_extendedprice, l_quantity), 4)       AS price_qty_corr,
+               round(covar_pop(l_extendedprice, l_quantity), 2)  AS covar_p,
+               round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_s,
+               round(stddev_pop(l_quantity), 4)                  AS qty_stddev_p
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation and covariance per return flag — one pass, one shuffle;
+    Catalyst computes the co-moments as partial aggregates (Welford-style
+    merge), so the shuffle carries O(groups) state, not rows."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("covar_p"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_s"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("qty_stddev_p"),
+    )
+
+
+@query(
+    "stats_regression",
+    oracle="""
+        SELECT l_linestatus,
+               round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+    tags=("agg", "stats"),
+)
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression aggregates (price ~ quantity) per line status —
+    the SQL-standard regr_* family, identical partial-merge scale shape
+    to corr/covar."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_linestatus").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n_pairs"),
+    )
+
+
+@query(
+    "stats_moments",
+    oracle="""
+        WITH mu AS (
+            SELECT o_orderstatus, avg(o_totalprice) AS m, count(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT o.o_orderstatus,
+               round((sum(pow(o_totalprice - m, 3)) / any_value(n))
+                     / pow(sum(pow(o_totalprice - m, 2)) / any_value(n), 1.5), 4) AS price_skew,
+               round((sum(pow(o_totalprice - m, 4)) / any_value(n))
+                     / pow(sum(pow(o_totalprice - m, 2)) / any_value(n), 2) - 3, 4) AS price_kurt
+        FROM orders o JOIN mu USING (o_orderstatus)
+        GROUP BY 1
+    """,
+    tags=("agg", "stats"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of order value per status.
+    Spark's skewness/kurtosis are the population (biased) estimators; the
+    oracle states the same two-pass centered-moment formula explicitly
+    (DuckDB's built-ins are the sample-corrected variants — different
+    definition, not a bug)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.skewness("o_totalprice"), 4).alias("price_skew"),
+        F.round(F.kurtosis("o_totalprice"), 4).alias("price_kurt"),
+    )
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+        WITH counts AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT o_orderstatus, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY n DESC, o_orderpriority) AS rn
+            FROM counts
+        ),
+        med AS (
+            SELECT o_orderstatus, round(median(o_totalprice), 2) AS median_price
+            FROM orders GROUP BY 1
+        )
+        SELECT b.o_orderstatus, b.o_orderpriority AS mode_priority, m.median_price
+        FROM best b JOIN med m USING (o_orderstatus)
+        WHERE b.rn = 1
+    """,
+    tags=("agg", "stats"),
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent priority, ties broken by value —
+    the built-in `mode` is tie-nondeterministic across engines, so the
+    count+row_number form is the portable contract) plus exact median.
+
+    Scale: the mode side aggregates to |status×priority| rows before the
+    window; the median is Spark's exact `median` (full sort within group —
+    swap for percentile_approx at 100 TB if ±ε is acceptable).
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    medians = orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price")
+    )
+    return modes.join(medians, "o_orderstatus")
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+        SELECT event_type,
+               bit_and(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_and,
+               bit_or(CAST(json_extract_string(props, '$.k') AS INTEGER))  AS k_or,
+               bit_xor(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_xor
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates over a JSON-extracted int — flag-mask
+    folding, a one-pass commutative aggregate (perfect partial-merge)."""
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.bit_and(k).alias("k_and"),
+        F.bit_or(k).alias("k_or"),
+        F.bit_xor(k).alias("k_xor"),
+    )
+
+
+@query(
+    "agg_string_sorted",
+    oracle="""
+        SELECT s_nationkey,
+               string_agg(s_name, ',' ORDER BY s_name) AS names_csv,
+               count(*) AS n_suppliers
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+    tags=("agg", "string"),
+)
+def agg_string_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: concat_ws over a sorted collect_list —
+    the deterministic form of listagg/string_agg (the built-ins leave
+    within-group order to chance in a distributed engine).
+
+    Scale: collect_list materializes the group in memory — valid only for
+    dimension-sized groups; for fact-sized groups, write rows and let the
+    consumer stream them instead of building giant strings.
+    """
+    (supplier,) = load(spark, sf_dir, "supplier")
+    return supplier.groupBy("s_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("names_csv"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "stats_price_histogram",
+    oracle="""
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 500000 THEN 11
+                         ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def stats_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value via width_bucket (10 buckets over
+    [0, 500k); 0/11 are underflow/overflow).  The oracle spells out the
+    same bucket arithmetic (DuckDB has no width_bucket).  Scale: the shuffle
+    carries 12 groups — histogram construction is scan-bound."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(10))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
