@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from aws_genaric_datapipeline_spark.operators.partitioning import ensure_parallelism
 from aws_genaric_datapipeline_spark.operators.text import fingerprint, tokens, word_ngrams
 
 
@@ -33,7 +34,9 @@ def dedup_by_fingerprint(
     """Keep the lowest-id document per normalized-content fingerprint.
 
     One shuffle on the 128-bit fingerprint; survivor choice is deterministic
-    (min id), so re-runs are idempotent.
+    (min id), so re-runs are idempotent.  No repartition guard here: md5 of
+    a short text is cheaper than shuffling the text, even from one input
+    split (measured at sf0.1).
     """
     fp = fingerprint(F.col(text_col)).alias("fp")
     return (
@@ -46,6 +49,7 @@ def dedup_by_fingerprint(
 # ------------------------------------------------------- n-gram Jaccard (exact)
 def _token_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, token) pairs with distinct n-gram shingles per document."""
+    df = ensure_parallelism(df)
     shingle = tokens(F.col(text_col)) if n == 1 else word_ngrams(F.col(text_col), n)
     return (
         df.select(F.col(id_col).alias("did"), F.explode(shingle).alias("tok"))
@@ -141,14 +145,24 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # Materialize the shingle array in its own projection: referencing the
-    # inline shingling expression from all num_hashes min-hash aggregates
-    # defeats Catalyst's subexpression elimination and recomputes the
-    # tokenize+ngram work num_hashes times (~12× slower, measured at sf0.1).
-    shingled = df.select(
+    # Everything downstream (signatures, candidate verification, set sizes)
+    # derives from ONE exploded-distinct shingle frame.  The min-hash over
+    # distinct shingles equals the min-hash over the raw array (duplicates
+    # never change a min), and computing it as groupBy-min aggregates makes
+    # it partial-merged map-side instead of a per-row 16-transform array
+    # scan.  The shingle projection is still re-evaluated per consuming
+    # subtree (exchange reuse does not dedup across different downstream
+    # partitionings); if that ever dominates, persist/localCheckpoint `sets`
+    # — at sf0.1 the recompute costs less than the materialization.
+    shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("did"), word_ngrams(F.col(text_col), shingle_n).alias("sh")
     )
-    sig = shingled.select("did", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    sets = shingled.select("did", F.explode("sh").alias("tok")).dropDuplicates(["did", "tok"])
+    sig = sets.groupBy("did").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.col("tok"), F.lit(i))) for i in range(num_hashes)]
+        ).alias("sig")
+    )
     banded = sig.select(
         "did",
         F.explode(
@@ -170,9 +184,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
         .dropDuplicates()
     )
-    # verification: exact Jaccard restricted to candidate pairs (reuses the
-    # shingled projection rather than re-tokenizing the corpus)
-    sets = shingled.select("did", F.explode("sh").alias("tok")).dropDuplicates(["did", "tok"])
+    # verification: exact Jaccard restricted to candidate pairs (the same
+    # `sets` frame — its exchange is reused, not recomputed)
     sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
     # equi-join on (id_b, tok): the intersection is computed pair-wise with
     # hash joins only — never materializing |A|×|B| token combinations.
@@ -209,7 +222,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     distance ≤3 ⇒ at least one identical chunk).
     """
     tok = (
-        df.select(F.col(id_col).alias("did"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("did"), F.explode(tokens(F.col(text_col))).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
     bit_sums = tok.groupBy("did").agg(

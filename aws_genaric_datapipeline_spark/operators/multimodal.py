@@ -123,4 +123,6 @@ def decode_media(
                 }
             )
 
-    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    from aws_genaric_datapipeline_spark.operators.partitioning import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(extract, schema=FEATURE_SCHEMA)

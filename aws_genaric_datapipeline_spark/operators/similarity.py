@@ -16,6 +16,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from aws_genaric_datapipeline_spark.operators.partitioning import ensure_parallelism
+
 
 def _dbl(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -45,7 +47,7 @@ def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     v = _dbl(F.col(vec_col))
     n = norm(v)
     unit = F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
-    return df.withColumn("unit_vec", unit)
+    return ensure_parallelism(df).withColumn("unit_vec", unit)
 
 
 def cosine_topk(
