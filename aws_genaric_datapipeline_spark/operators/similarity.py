@@ -166,83 +166,126 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_cells: int = 16,
-    iters: int = 2,
+    iters: int = 1,
 ) -> DataFrame:
     """Train IVF cell centroids: deterministic seeding + Lloyd iterations.
 
     Seeds are the ``num_cells`` corpus vectors with the smallest xxhash64 of
     their id (reproducible, no RNG state).  Each Lloyd step is one
-    distributed pass: broadcast the (tiny) centroid set, assign every vector
-    to its max-dot cell, then recompute centroids as the per-cell per-dim
-    mean (posexplode → partial-avg shuffle keyed by (cell, dim) → rebuild
-    array).  The centroid set is O(num_cells·dim) — always broadcastable —
-    so no corpus shuffle ever happens during training.
+    distributed pass over the corpus: assign every vector to its max-dot
+    cell (vectorized, see _assign_cells), then recompute each cell's mean
+    vector with one applyInPandas per cell — a single shuffle keyed by
+    cell_id carrying the unit vectors, numpy mean inside the Arrow batch.
+
+    Each iteration's centroids are collected to the driver and re-seeded as
+    a literal DataFrame: centroids are driver-sized BY CONSTRUCTION, and
+    materializing them (a) caps lineage depth — a lazy loop would nest every
+    iteration's full corpus pass inside the next, recomputing pass 1 under
+    pass N — and (b) lets every downstream consumer (corpus assignment,
+    query probing) reuse the trained values without replaying training.
+    This is the standard iterative-refinement pattern (MLlib k-means does
+    the same with its cost-function loop).
 
     Returns (cell_id:int, cvec:array<double>) with unit-normalized cvec.
     """
-    base = with_unit_vectors(df, vec_col).select(
-        F.col(id_col).alias("vid"), F.col("unit_vec").alias("uvec")
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    base = _unit_vectors_np(df, id_col, vec_col)
+    seeds = base.select("uvec").orderBy(F.xxhash64(F.col("vid"))).limit(num_cells).collect()
+    centroids = spark.createDataFrame(
+        [(i, list(r["uvec"])) for i, r in enumerate(seeds)], "cell_id int, cvec array<double>"
     )
-    centroids = (
-        base.orderBy(F.xxhash64(F.col("vid")))
-        .limit(num_cells)
-        .select(
-            (F.row_number().over(Window.orderBy(F.xxhash64(F.col("vid")))) - 1).alias("cell_id"),
-            F.col("uvec").alias("cvec"),
-        )
-    )
+
+    def _cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mean = np.vstack(pdf["uvec"].to_numpy()).mean(axis=0)
+        n = np.linalg.norm(mean)
+        if n > 0:
+            mean = mean / n
+        return pd.DataFrame({"cell_id": [int(pdf["cell_id"].iloc[0])], "cvec": [mean.tolist()]})
+
     for _ in range(iters):
         assigned = _assign_cells(base, centroids)
-        centroids = (
-            assigned.select("cell_id", F.posexplode("uvec").alias("pos", "val"))
-            .groupBy("cell_id", "pos")
-            .agg(F.avg("val").alias("mean_val"))
-            .groupBy("cell_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
-                    lambda s: s.getField("mean_val"),
-                ).alias("cvec")
-            )
+        rows = (
+            assigned.groupBy("cell_id")
+            .applyInPandas(_cell_mean, "cell_id int, cvec array<double>")
+            .collect()
         )
-        n = norm(F.col("cvec"))
-        centroids = centroids.select(
-            "cell_id",
-            F.when(n == 0, F.col("cvec"))
-            .otherwise(F.transform(F.col("cvec"), lambda x: x / n))
-            .alias("cvec"),
+        centroids = spark.createDataFrame(
+            [(r["cell_id"], list(r["cvec"])) for r in rows], "cell_id int, cvec array<double>"
         )
     return centroids
 
 
+def _unit_vectors_np(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vid, uvec) with numpy-normalized unit vectors — the vectorized twin
+    of with_unit_vectors for the IVF path, where every corpus pass would
+    otherwise pay the interpreted higher-order-function normalization."""
+    import numpy as np
+    import pandas as pd
+
+    def _norm(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        return pd.Series(list(mat))
+
+    unit = F.pandas_udf(_norm, "array<double>")
+    return df.select(F.col(id_col).alias("vid"), unit(F.col(vec_col)).alias("uvec"))
+
+
+def _pair_dot() -> "F.Column":
+    """Arrow-vectorized dot product over (qvec, nvec) pair columns."""
+    import numpy as np
+    import pandas as pd
+
+    def _dotp(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack(a.to_numpy())
+        mb = np.vstack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return F.pandas_udf(_dotp, "double")
+
+
 def _assign_cells(base: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
     """Attach the ``nprobe`` max-dot cell ids to every row of ``base``
-    (columns vid, uvec).  One broadcast-nested-loop pass over the corpus —
-    no shuffle; the per-row top-nprobe selection happens inside the join
-    via a sorted slice of the scored centroid array."""
-    cents = F.broadcast(centroids.agg(F.collect_list(F.struct("cell_id", "cvec")).alias("cents")))
-    scored = base.crossJoin(cents).select(
-        "vid",
-        "uvec",
-        F.slice(
-            F.reverse(
-                F.array_sort(
-                    F.transform(
-                        F.col("cents"),
-                        lambda c: F.struct(
-                            dot(F.col("uvec"), c.getField("cvec")).alias("score"),
-                            c.getField("cell_id").alias("cell_id"),
-                        ),
-                    )
-                )
-            ),
-            1,
-            nprobe,
-        ).alias("top_cells"),
-    )
-    return scored.select(
-        "vid", "uvec", F.explode(F.col("top_cells").getField("cell_id")).alias("cell_id")
-    )
+    (columns vid, uvec) — no shuffle, one map pass over the corpus.
+
+    The centroid matrix rides into an Arrow-vectorized pandas UDF as a
+    closure (it is driver-sized by construction), and scoring is one numpy
+    matmul per Arrow batch.  Dense fixed-dimension vector math is the one
+    place pandas UDFs beat built-in expressions: Catalyst evaluates
+    higher-order-function lambdas interpreted per element (~100x slower
+    than the BLAS loop), while the relational paths around it stay JVM.
+    Ties broken toward the lower cell_id (stable argsort), deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted((r["cell_id"], r["cvec"]) for r in centroids.collect())
+    cell_ids = np.array([cid for cid, _ in rows], dtype=np.int32)
+    cmat = np.array([vec for _, vec in rows], dtype=np.float64)  # cells × dim
+    n = min(nprobe, len(rows))
+
+    def _topn(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(v.to_numpy())  # batch × dim
+        scores = mat @ cmat.T  # batch × cells
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :n]
+        return pd.Series([cell_ids[r].tolist() for r in idx])
+
+    # explicit form, not type-hint inference: `from __future__ import
+    # annotations` stringifies hints, which the udf resolver can't evaluate
+    # against function-local imports
+    topn_cells = F.pandas_udf(_topn, "array<int>")
+
+    return base.select("vid", "uvec", F.explode(topn_cells(F.col("uvec"))).alias("cell_id"))
 
 
 def ivf_topk(
@@ -253,7 +296,7 @@ def ivf_topk(
     k: int = 5,
     num_cells: int = 16,
     nprobe: int = 4,
-    iters: int = 2,
+    iters: int = 1,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus vectors
     are bucketed by nearest trained centroid; each query probes its
@@ -265,9 +308,7 @@ def ivf_topk(
     scale, persist the assignment (partitionBy cell_id) at ingest so queries
     read only the probed cells' partitions — partition pruning on parquet.
     """
-    base = with_unit_vectors(df, vec_col).select(
-        F.col(id_col).alias("vid"), F.col("unit_vec").alias("uvec")
-    )
+    base = _unit_vectors_np(df, id_col, vec_col)
     centroids = ivf_train_centroids(df, id_col, vec_col, num_cells, iters)
     corpus = _assign_cells(base, centroids, nprobe=1).select(
         F.col("vid").alias("nid"), F.col("uvec").alias("nvec"), "cell_id"
@@ -282,7 +323,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            F.round(dot(F.col("qvec"), F.col("nvec")), 4).alias("cosine_sim"),
+            F.round(_pair_dot()(F.col("qvec"), F.col("nvec")), 4).alias("cosine_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -38,6 +38,13 @@ HEADLINE = [
     "text_fingerprint_dedup",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ivf_topk",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "stats_regression",
+    "events_funnel",
+    "events_cohort_retention",
 ]
 
 
@@ -45,9 +52,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="engine-bench", master=f"local[{cpus}]")
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup.
+    # warm the JVM + parquet footers + Python/Arrow worker pool once so
+    # per-query numbers measure the query, not session startup.
     QUERIES["q1_pricing_summary"].fn(spark, sf_dir).count()
+    import pyspark.sql.functions as F  # noqa: E402
+
+    spark.range(64, numPartitions=4).select(
+        F.pandas_udf(lambda s: s, "long")(F.col("id"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
