@@ -126,3 +126,93 @@ def decode_media(
     from aws_genaric_datapipeline_spark.operators.partitioning import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads to (width, height) — 1-in-1-out mapInPandas
+    that rewrites BOTH the blob and its typed metadata, so downstream
+    metadata filters see the new dimensions without decoding.
+
+    Stub contract: the real implementation decodes + resamples (PIL /
+    libvips); ``fake=True`` substitutes a deterministic byte resample
+    (stride-sampled to width·height bytes) with the identical batch shape.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no image library available in this environment; pass fake=True "
+            "for the deterministic byte-resample stand-in"
+        )
+    n_out = max(1, width * height)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            metas = []
+            for b, m in zip(pdf["media"], pdf["media_meta"]):
+                b = b or b""
+                step = max(1, len(b) // n_out)
+                blobs.append(bytes(b[::step][:n_out]))
+                m = dict(m) if m is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas})
+
+    from aws_genaric_datapipeline_spark.operators.partitioning import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample frames from video payloads — the 1-in-N-out shape that is WHY
+    these operators use mapInPandas instead of a scalar pandas_udf: each
+    input row emits a variable number of frame rows (bounded by
+    ``max_frames``), and the output schema is unrelated to the input's.
+
+    Stub contract: real implementation seeks/decodes with ffmpeg;
+    ``fake=True`` slices the payload into deterministic chunks, one per
+    sampled timestamp up to media_meta.duration_ms.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no video decoder available in this environment; pass fake=True "
+            "for the deterministic chunk-sampling stand-in"
+        )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for did, b, m in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
+                b = b or b""
+                duration = (m or {}).get("duration_ms") or 0
+                n = min(max_frames, max(1, duration // every_ms + 1)) if b else 0
+                for i in range(n):
+                    stripe = max(1, len(b) // max(n, 1))
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame"].append(bytes(b[i * stripe : (i + 1) * stripe] or b[-stripe:]))
+            yield pd.DataFrame(out)
+
+    from aws_genaric_datapipeline_spark.operators.partitioning import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(_sample, schema=FRAME_SCHEMA)

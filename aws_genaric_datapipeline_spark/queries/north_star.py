@@ -242,6 +242,41 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(t.i AS INT) AS frame_idx,
+               CAST(t.i * 1000 AS INT) AS ts_ms
+        FROM documents,
+             UNNEST(range(0, least(4, ((length(text) * 7) % 20000) // 1000 + 1))) AS t(i)
+        WHERE length(text) > 0
+    """,
+    tags=("north-star", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end to end: documents → media table with video-typed
+    metadata (duration derived from text length) → mapInPandas 1-in-N-out
+    frame expansion.  The oracle checks the row-expansion contract — which
+    docs emit frames, how many, and at which timestamps; frame payload bytes
+    are covered by unit tests (the stub decoder is engine-specific)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    duration = ((F.length("text") * 7) % 20000).cast("int")
+    media = documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("media"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("video/mp4").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            duration.alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    frames = M.sample_frames(media, every_ms=1000, max_frames=4, fake=True)
+    return frames.select("doc_id", "frame_idx", "ts_ms")
+
+
 @query("sim_ivf_topk", oracle=None, tags=("north-star", "similarity"))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-5: corpus bucketed by nearest

@@ -114,6 +114,36 @@ class TestMultimodal:
         b = sorted(M.decode_media(media, fake=True).collect(), key=lambda r: r["doc_id"])
         assert [r["feature"] for r in a] == [r["feature"] for r in b]
 
+    def test_resize_updates_meta_and_blob(self, documents):
+        media = M.attach_media(documents.limit(10))
+        with pytest.raises(NotImplementedError):
+            M.resize_media(media, 4, 4)
+        out = M.resize_media(media, 4, 4, fake=True).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r["media_meta"]["width"] == 4 and r["media_meta"]["height"] == 4
+            assert 0 < len(r["media"]) <= 16
+
+    def test_sample_frames_row_expansion(self, spark):
+        rows = [
+            (1, b"0123456789abcdef", {"kind": "video", "mime": "video/mp4",
+                                      "width": 0, "height": 0, "duration_ms": 5000}),
+            (2, b"", {"kind": "video", "mime": "video/mp4",
+                      "width": 0, "height": 0, "duration_ms": 9000}),
+        ]
+        media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+        with pytest.raises(NotImplementedError):
+            M.sample_frames(media)
+        out = M.sample_frames(media, every_ms=1000, max_frames=4, fake=True).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: duration 5000 → 6 candidate frames capped at 4; doc 2: empty payload → none
+        assert len(by_doc.get(1, [])) == 4
+        assert 2 not in by_doc
+        assert [r["ts_ms"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 1000, 2000, 3000]
+        assert all(len(r["frame"]) > 0 for r in by_doc[1])
+
     def test_meta_pushdown_schema(self, documents):
         """Metadata filter must not require touching the media blob column."""
         media = M.attach_media(documents)
