@@ -11,7 +11,7 @@ lives in streaming_windows.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from aws_genaric_datapipeline_spark.queries.registry import query
 from aws_genaric_datapipeline_spark.tables import load
@@ -119,4 +119,72 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@query(
+    "events_resample_locf",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS mn,
+                   date_trunc('hour', max(ts)) AS mx
+            FROM events
+        ),
+        grid AS (
+            SELECT et.event_type, g.hr
+            FROM (SELECT DISTINCT event_type FROM events) et,
+                 (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+                  FROM bounds) g
+        ),
+        agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   round(avg(value), 4) AS avg_val
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.event_type, g.hr,
+               a.avg_val IS NOT NULL AS observed,
+               round(last_value(a.avg_val IGNORE NULLS)
+                     OVER (PARTITION BY g.event_type ORDER BY g.hr), 4) AS locf_val
+        FROM grid g
+        LEFT JOIN agg a ON a.event_type = g.event_type AND a.hr = g.hr
+    """,
+    tags=("events", "timeseries"),
+)
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with gap filling (the hypertable-rollup shape):
+    aggregate to an hourly grid per event type, densify missing hours from
+    a generated time spine, and interpolate gaps by carrying the last
+    observation forward (LOCF; hours before the first observation stay
+    NULL).
+
+    Scale: the spine is |types| x |hours| — generated, never shuffled from
+    the fact side; the hourly aggregate is the only fact-sized shuffle.
+    The LOCF window partitions by type over the whole series; at years-long
+    ranges, re-key to (type, coarser bucket) and propagate boundary values
+    in a second tiny pass instead of one giant ordered partition.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 hour"))).alias("hr"),
+        )
+    )
+    hourly = events.groupBy("event_type", hour.alias("hr")).agg(
+        F.round(F.avg("value"), 4).alias("avg_val")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    return grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.col("avg_val").isNotNull().alias("observed"),
+        F.round(F.last("avg_val", ignorenulls=True).over(w), 4).alias("locf_val"),
     )

@@ -230,3 +230,23 @@ def stats_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query("agg_hll_mergeable", oracle=None, tags=("agg", "sketch"))
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-(status, priority) partial HLL
+    sketches union-merged up to per-status estimates — the two-level rollup
+    that lets 100 TB distinct counts pre-aggregate per partition/day and
+    re-aggregate without rescanning raw data (exact distinct cannot).
+
+    Rows-only for the driver (sketch encoding is engine-specific); the
+    merge-equals-direct property and the error bound vs exact distinct are
+    asserted in tests/test_operators.py::TestApproxAgg.
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    partials = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sketch")
+    )
+    return partials.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_customers")
+    )

@@ -196,3 +196,31 @@ class TestApproxAgg:
         exact = lineitem.select(F.countDistinct("l_partkey").alias("c")).collect()[0]["c"]
         approx = lineitem.select(F.approx_count_distinct("l_partkey", 0.01).alias("c")).collect()[0]["c"]
         assert abs(approx - exact) / exact < 0.05
+
+    def test_hll_merge_equals_direct_and_bounds_error(self, spark):
+        """Union-merged partial HLL sketches must estimate the same value as
+        one direct sketch over the union, and land within 5% of exact."""
+        (orders,) = load(spark, SF, "orders")
+        direct = {
+            r["o_orderstatus"]: r["est"]
+            for r in orders.groupBy("o_orderstatus")
+            .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"))
+            .collect()
+        }
+        merged = {
+            r["o_orderstatus"]: r["est"]
+            for r in orders.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+            .groupBy("o_orderstatus")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()
+        }
+        exact = {
+            r["o_orderstatus"]: r["n"]
+            for r in orders.groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n"))
+            .collect()
+        }
+        assert merged == direct, "sketch merge must be lossless vs direct sketch"
+        for k, n in exact.items():
+            assert abs(merged[k] - n) / n < 0.05, f"{k}: {merged[k]} vs exact {n}"
