@@ -1,0 +1,57 @@
+"""Bucketed (pre-shuffled) tables for co-located joins and aggregations.
+
+At 100 TB the dominant cost of a fact-fact join is shuffling both sides on
+the join key for every query.  Bucketing pays that shuffle ONCE at write
+time: `bucketBy(n, key)` hash-partitions files on disk, and every later
+join/aggregation on the bucket key reads co-located buckets with NO
+exchange (Spark plans a sort-merge join over matching bucket ids; with
+`sortBy` the per-bucket sort is pre-done too).
+
+Both sides must use the same bucket count (or an integer multiple with
+`spark.sql.bucketing.coalesceBucketsInJoin.enabled`) and the catalog must
+own the table (`saveAsTable` — bucket metadata lives in the metastore, not
+the parquet footers; plain `.parquet(path)` writes cannot carry it).
+
+Reference parity: the reference re-shuffles nothing because it never joins
+(glue src/ has no joins at all); this module is forward-looking engine
+surface for the SURVEY.md §2b join rows at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (optionally bucket-sorted) catalog table.
+
+    Choose ``num_buckets`` so one bucket of the LARGEST co-bucketed table
+    fits an executor's memory (the whole bucket is one task's input when
+    bucketed joins kick in); powers of two keep future bucket coalescing
+    exact.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed catalog tables on (a prefix of) their bucket
+    key.  When both sides share bucket spec, the physical plan contains no
+    Exchange — verify with plans.audit.count_exchanges (asserted in
+    tests/test_plans.py::TestBucketedJoin)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime row-level filtering: build a bloom filter from the small
+        # side of a shuffle join and push it into the big side's scan —
+        # the biggest win on selective fact⋈dim joins at scale.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Bucketed joins tolerate mismatched (integer-multiple) bucket
+        # counts by coalescing instead of falling back to a full shuffle.
+        .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Batch partition keys (ETL_PART_KEY) are opaque strings; without
         # this, 20-digit batch ids read back as decimals.

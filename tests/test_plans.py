@@ -106,3 +106,48 @@ class TestPartitionPruning:
         assert has_partition_filters(batch_read, "ETL_PART_KEY"), (
             "promote's batch read must hit PartitionFilters, not scan all batches"
         )
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Co-bucketed tables join without any shuffle: the write pre-paid it."""
+        from aws_genaric_datapipeline_spark.operators.bucketing import bucketed_join, write_bucketed
+        from aws_genaric_datapipeline_spark.plans import shuffle_count
+
+        (orders,) = load(spark, SF, "orders")
+        (lineitem,) = load(spark, SF, "lineitem")
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "k"), "bkt_orders", ["k"], 8, sort_cols=["k"]
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "k"), "bkt_lineitem", ["k"], 8, sort_cols=["k"]
+        )
+        try:
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = bucketed_join(spark, "bkt_orders", "bkt_lineitem", ["k"])
+                assert shuffle_count(joined) == 0, "bucketed join must not re-shuffle"
+                # and it still returns the right answer
+                plain = orders.join(
+                    lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+                ).count()
+                assert joined.count() == plain
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_orders")
+            spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+    def test_bucketed_agg_has_no_exchange(self, spark):
+        """Aggregation keyed by the bucket column reuses the disk layout."""
+        from aws_genaric_datapipeline_spark.operators.bucketing import write_bucketed
+        from aws_genaric_datapipeline_spark.plans import shuffle_count
+
+        (orders,) = load(spark, SF, "orders")
+        write_bucketed(orders, "bkt_orders_agg", ["o_custkey"], 8)
+        try:
+            agg = spark.table("bkt_orders_agg").groupBy("o_custkey").count()
+            assert shuffle_count(agg) == 0, "bucket-keyed aggregation must not shuffle"
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_orders_agg")
