@@ -193,9 +193,22 @@ def ivf_train_centroids(
 
     spark = df.sparkSession
     base = _unit_vectors_np(df, id_col, vec_col)
-    seeds = base.select("uvec").orderBy(F.xxhash64(F.col("vid"))).limit(num_cells).collect()
+    # Seed from RAW vectors (hash-ordered TakeOrdered, pure JVM — no reason
+    # to run the normalization UDF over the whole corpus just to pick
+    # num_cells rows); normalize the handful driver-side.
+    seeds = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(num_cells)
+        .collect()
+    )
+    seed_vecs = []
+    for r in seeds:
+        v = np.asarray(list(r["v"]), dtype=np.float64)
+        n = np.linalg.norm(v)
+        seed_vecs.append((v / n if n > 0 else v).tolist())
     centroids = spark.createDataFrame(
-        [(i, list(r["uvec"])) for i, r in enumerate(seeds)], "cell_id int, cvec array<double>"
+        list(enumerate(seed_vecs)), "cell_id int, cvec array<double>"
     )
 
     def _cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":

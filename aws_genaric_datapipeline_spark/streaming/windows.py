@@ -109,3 +109,21 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
     return events.dropDuplicates(["event_id"])
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension snapshot — no watermark or state needed because the
+    static side is re-read per batch (stateless by construction, unlike
+    stream-stream joins).
+
+    Scale: broadcast the dimension (the standard star-schema enrich);
+    Catalyst does this per micro-batch, so dimension updates between
+    batches are picked up automatically when the static side is a table.
+    """
+    return events.join(F.broadcast(dim), on, how)

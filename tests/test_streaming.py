@@ -170,3 +170,40 @@ class TestStreamingPromoter:
         b3 = p.ingest(df, batch_id="20260101000000000003")
         assert run_streaming_promoter(p, ckpt) == [b3]
         assert p.prepared().count() == 30
+
+
+class TestStreamStaticJoin:
+    def test_stream_static_enrich_matches_batch(self, spark, tmp_path):
+        """Stream-static broadcast enrich over availableNow equals the batch
+        join, including stream rows with no dimension match (left join)."""
+        from aws_genaric_datapipeline_spark.streaming.windows import enrich_with_dim
+
+        src = str(tmp_path / "events")
+        rows = [_event(i, minute=i % 10, user=i % 5) for i in range(40)]
+        _write_events(spark, src, rows)
+        dim = spark.createDataFrame(
+            [(0, "bronze"), (1, "silver"), (2, "gold")], ["user_id", "tier"]
+        )
+
+        batch = enrich_with_dim(spark.read.parquet(src), dim)
+        expected = sorted(
+            (r["event_id"], r["tier"]) for r in batch.select("event_id", "tier").collect()
+        )
+        assert any(t is None for _, t in expected), "left join must keep unmatched users"
+
+        stream = stream_events(spark, src)
+        enriched = enrich_with_dim(stream, dim).select("event_id", "tier")
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("enrich_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["event_id"], r["tier"])
+            for r in spark.sql("SELECT * FROM enrich_sink").collect()
+        )
+        assert got == expected
