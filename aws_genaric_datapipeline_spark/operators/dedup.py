@@ -283,3 +283,47 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------- winnowing dedup
+def winnow_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints
+    (rolling-hash k-grams, min-per-window selection — text.py
+    winnow_fingerprints_udf).  Pairs share >= ``min_shared`` fingerprints.
+
+    Scale: after the fingerprint projection only (id, fp) rows shuffle.
+    Fingerprints present in more than ``max_doc_freq`` documents are
+    dropped before the self-join — boilerplate shared by thousands of docs
+    would otherwise create a quadratic hot bucket (same skew guard as the
+    LSH band-bucket paths).
+    """
+    from aws_genaric_datapipeline_spark.operators.text import (
+        normalize_text,
+        winnow_fingerprints_udf,
+    )
+
+    winnow = winnow_fingerprints_udf(k, w)
+    fps = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.explode(winnow(normalize_text(F.col(text_col)))).alias("fp"))
+        .distinct()
+    )
+    doc_freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = fps.join(doc_freq.where(F.col("df") <= max_doc_freq), "fp", "left_semi")
+    a = rare.select(F.col("id").alias("id_a"), "fp")
+    b = rare.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -162,3 +162,47 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+def winnow_fingerprints_udf(k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    rolling-hash every character k-gram, then keep the minimum hash of each
+    window of ``w`` consecutive k-gram hashes.  Guarantee: any substring
+    match of length >= w + k - 1 between two documents shares at least one
+    selected fingerprint, while only ~2/(w+1) of hashes are kept.
+
+    Returns an Arrow-batched pandas UDF ``text -> array<bigint>`` (sorted,
+    distinct).  Vectorized per document with numpy (strided windows + one
+    matmul per doc); a JVM higher-order-function formulation evaluates the
+    lambda interpreted per element — measured ~100x slower on the IVF path,
+    same story here.  Normalize text (normalize_text) before hashing so
+    case/whitespace don't break matches.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(1099511628211)  # FNV-1a prime; arithmetic wraps mod 2^64
+    powers = np.empty(k, dtype=np.uint64)
+    p = np.uint64(1)
+    for i in range(k - 1, -1, -1):
+        powers[i] = p
+        p = p * B
+    sliding = np.lib.stride_tricks.sliding_window_view
+
+    def one(s: str) -> list[int]:
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        if b.size == 0:
+            return []
+        if b.size < k:
+            h = (b.astype(np.uint64) * powers[-b.size :]).sum()
+            return [int(h.astype(np.int64))]
+        with np.errstate(over="ignore"):
+            h = (sliding(b, k).astype(np.uint64) * powers).sum(axis=1)
+        mins = h.min() if h.size < w else sliding(h, w).min(axis=1)
+        return sorted({int(v) for v in np.atleast_1d(mins).view(np.int64)})
+
+    @F.pandas_udf("array<bigint>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda s: one(s) if s is not None else [])
+
+    return _winnow

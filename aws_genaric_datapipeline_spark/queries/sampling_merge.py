@@ -1,0 +1,193 @@
+"""Driver queries for deterministic sampling, MERGE upsert, and SCD2.
+
+All four are oracle-checked: the sampling hash is pure bigint arithmetic
+reproduced verbatim in the DuckDB SQL, the merge oracle is the equivalent
+FULL OUTER JOIN, and the SCD2 oracle is the textbook gaps-and-islands SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from aws_genaric_datapipeline_spark.operators.merge import merge_upsert, scd2_collapse
+from aws_genaric_datapipeline_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.tables import load
+
+_HASH_SQL = "((doc_id * 2654435761) % 4294967296) % 10000"
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {_HASH_SQL} < 2500
+    """,
+    tags=("sampling",),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 25% sample of the document corpus: membership
+    depends only on doc_id (Knuth multiplicative hash, JVM-side bigint
+    arithmetic), so the sample is identical across runs, partitionings,
+    and engines — which the DuckDB oracle proves by reproducing the exact
+    row set.
+
+    Scale: narrow filter in the scan stage; no shuffle, no RNG state.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 2500).select("doc_id", "lang")
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle=f"""
+        WITH s AS (
+            SELECT lang,
+                   CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000
+                             ELSE 8000 END AS rate_bp,
+                   {_HASH_SQL} AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               count(*) FILTER (WHERE bucket < rate_bp) AS n_sampled,
+               count(*) AS n_total
+        FROM s GROUP BY lang
+    """,
+    tags=("sampling",),
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample the dominant language (en → 20%),
+    keep mid-resource at 50%, low-resource at 80% — per-stratum
+    deterministic rates over the same content-addressed hash.
+
+    Scale: the rate lookup is a CASE expression (broadcast-free, codegen);
+    the only shuffle is the verification groupBy.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "doc_id", "lang", {"en": 2000, "zh": 5000}, default_bp=8000
+    ).groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(sampled, "lang", "left").select(
+        "lang",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        "n_total",
+    )
+
+
+@query(
+    "merge_upsert_latest_value",
+    oracle="""
+        WITH cut AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS c FROM events
+        ),
+        t AS (
+            SELECT user_id, value, updated FROM (
+                SELECT user_id, round(value, 4) AS value, false AS updated,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events, cut WHERE epoch_us(ts) < c
+            ) WHERE rn = 1
+        ),
+        s AS (
+            SELECT user_id, value, updated FROM (
+                SELECT user_id, round(value, 4) AS value, true AS updated,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events, cut WHERE epoch_us(ts) >= c
+            ) WHERE rn = 1
+        )
+        SELECT coalesce(s.user_id, t.user_id) AS user_id,
+               coalesce(s.value, t.value) AS value,
+               coalesce(s.updated, t.updated) AS updated
+        FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+    """,
+    tags=("merge",),
+)
+def merge_upsert_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics without a transactional format: the target snapshot
+    (per-user latest value in the first half of the time range) is upserted
+    with the source batch (latest value in the second half) — source wins
+    on match, unmatched source rows insert, unmatched target rows survive.
+
+    The engine side uses the priority-union merge (one shuffle); the oracle
+    is the equivalent FULL OUTER JOIN, proving the rewrite.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    bounds = events.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2))
+        .cast("bigint")
+        .alias("c")
+    )
+    ev = events.crossJoin(F.broadcast(bounds))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(side: DataFrame, updated: bool) -> DataFrame:
+        return (
+            side.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.round("value", 4).alias("value"),
+                F.lit(updated).alias("updated"),
+            )
+        )
+
+    target = latest(ev.where(F.unix_micros("ts") < F.col("c")), updated=False)
+    source = latest(ev.where(F.unix_micros("ts") >= F.col("c")), updated=True)
+    return merge_upsert(target, source, ["user_id"])
+
+
+@query(
+    "scd2_event_type_intervals",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WHERE user_id < 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+            FROM ordered
+        ),
+        islands AS (
+            SELECT user_id, event_type, grp,
+                   min(ts) AS valid_from, count(*) AS n_rows
+            FROM runs GROUP BY user_id, event_type, grp
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from) AS valid_to,
+               n_rows
+        FROM islands
+    """,
+    tags=("merge", "scd2"),
+)
+def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event-type change log
+    into validity intervals (valid_from / valid_to, NULL = current run) via
+    gaps-and-islands.  Restricted to user_id < 30 to bound driver compare
+    size; the operator itself is unbounded.
+
+    Scale: both windows share one (user_id, ts) sort — a single exchange;
+    the island aggregation is partial-merge friendly.  Skewed users are the
+    risk at 100 TB (one partition per user); mitigate by splitting the log
+    into time slices and stitching boundary runs.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    return scd2_collapse(
+        events.where(F.col("user_id") < 30),
+        key="user_id",
+        attr="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+    )

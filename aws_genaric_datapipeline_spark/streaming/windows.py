@@ -127,3 +127,46 @@ def enrich_with_dim(
     batches are picked up automatically when the static side is a table.
     """
     return events.join(F.broadcast(dim), on, how)
+
+
+def join_click_after_view(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same user's
+    views from the preceding ``max_lag`` (attribution shape).  Works on
+    batch DataFrames identically — that is how equivalence is tested.
+
+    Stream-stream inner joins need BOTH a watermark on each side and a
+    time-range condition relating the two event times: together they bound
+    how long a buffered row can still find a partner, so the join state is
+    evicted instead of growing forever.  Without the interval bound the
+    state is unbounded regardless of watermark.
+
+    Scale: state is hash-partitioned by user_id; the watermark caps state
+    at (events within `watermark + max_lag`) per side.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (v["v_user"] == c["c_user"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return v.join(c, cond, "inner").select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
+    )

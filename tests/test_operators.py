@@ -224,3 +224,78 @@ class TestApproxAgg:
         assert merged == direct, "sketch merge must be lossless vs direct sketch"
         for k, n in exact.items():
             assert abs(merged[k] - n) / n < 0.05, f"{k}: {merged[k]} vs exact {n}"
+
+
+class TestSampling:
+    def test_split_is_disjoint_exhaustive_and_stable(self, spark):
+        """train/holdout partition the corpus exactly, and membership is a
+        pure function of the key — independent of partitioning."""
+        from aws_genaric_datapipeline_spark.operators.sampling import (
+            train_holdout_split,
+        )
+
+        (docs,) = load(spark, SF, "documents")
+        train, hold = train_holdout_split(docs, "doc_id", holdout_bp=2000)
+        n_train, n_hold, n_all = train.count(), hold.count(), docs.count()
+        assert n_train + n_hold == n_all
+        assert train.join(hold, "doc_id", "inner").count() == 0
+        # ~20% holdout, generous tolerance on 500 docs
+        assert 0.10 < n_hold / n_all < 0.30
+        # repartitioning must not change membership (df.sample would)
+        hold_ids = {r["doc_id"] for r in hold.select("doc_id").collect()}
+        _, hold2 = train_holdout_split(docs.repartition(17), "doc_id", holdout_bp=2000)
+        assert {r["doc_id"] for r in hold2.select("doc_id").collect()} == hold_ids
+
+    def test_stratified_rates_monotone(self, spark):
+        """A higher basis-point rate keeps a superset of a lower rate's rows
+        within every stratum (nested samples — needed for curriculum scaling)."""
+        from aws_genaric_datapipeline_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        (docs,) = load(spark, SF, "documents")
+        small = stratified_sample(docs, "doc_id", "lang", {}, default_bp=2000)
+        big = stratified_sample(docs, "doc_id", "lang", {}, default_bp=6000)
+        small_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+        big_ids = {r["doc_id"] for r in big.select("doc_id").collect()}
+        assert small_ids <= big_ids
+
+
+class TestMergeScd2:
+    def test_merge_upsert_semantics(self, spark):
+        from aws_genaric_datapipeline_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+        )
+        source = spark.createDataFrame([(2, "B"), (4, "D")], ["k", "v"])
+        got = {(r["k"], r["v"]) for r in merge_upsert(target, source, ["k"]).collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+
+    def test_merge_upsert_idempotent(self, spark):
+        from aws_genaric_datapipeline_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        source = spark.createDataFrame([(2, "B")], ["k", "v"])
+        once = merge_upsert(target, source, ["k"])
+        twice = merge_upsert(once, source, ["k"])
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+    def test_scd2_handles_null_attr_runs(self, spark):
+        """NULL attribute values form their own runs (null-safe change
+        detection), and the last run per key stays open (valid_to NULL)."""
+        from aws_genaric_datapipeline_spark.operators.merge import scd2_collapse
+
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (1, "x", t0),
+            (1, "x", t0 + dt.timedelta(hours=1)),
+            (1, None, t0 + dt.timedelta(hours=2)),
+            (1, "x", t0 + dt.timedelta(hours=3)),
+        ]
+        df = spark.createDataFrame(rows, "k int, attr string, ts timestamp")
+        iv = scd2_collapse(df, key="k", attr="attr", ts_col="ts").orderBy("valid_from")
+        got = [(r["attr"], r["n_rows"], r["valid_to"] is None) for r in iv.collect()]
+        assert got == [("x", 2, False), (None, 1, False), ("x", 1, True)]

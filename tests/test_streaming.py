@@ -207,3 +207,47 @@ class TestStreamStaticJoin:
             for r in spark.sql("SELECT * FROM enrich_sink").collect()
         )
         assert got == expected
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path):
+        """Stream-stream interval join (views x clicks within 1 hour) over
+        availableNow produces exactly the batch join's pairs."""
+        from aws_genaric_datapipeline_spark.streaming.windows import (
+            join_click_after_view,
+        )
+
+        src = str(tmp_path / "events")
+        rows = [
+            _event(i, minute=(i * 7) % 60, user=i % 3, etype="view" if i % 2 else "click")
+            for i in range(60)
+        ]
+        _write_events(spark, src, rows)
+        batch = spark.read.parquet(src)
+        b_views = batch.where(F.col("event_type") == "view")
+        b_clicks = batch.where(F.col("event_type") == "click")
+        expected = sorted(
+            (r["view_id"], r["click_id"])
+            for r in join_click_after_view(b_views, b_clicks).collect()
+        )
+        assert expected, "fixture must produce at least one join pair"
+
+        stream = stream_events(spark, src)
+        joined = join_click_after_view(
+            stream.where(F.col("event_type") == "view"),
+            stream.where(F.col("event_type") == "click"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ss_join_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["view_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM ss_join_sink").collect()
+        )
+        assert got == expected
