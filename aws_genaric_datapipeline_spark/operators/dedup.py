@@ -290,8 +290,8 @@ def winnow_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 8,
-    w: int = 4,
+    k: int = 25,
+    w: int = 10,
     min_shared: int = 2,
     max_doc_freq: int = 50,
 ) -> DataFrame:

@@ -5,10 +5,17 @@ from ``pyspark.sql.functions`` — no Python UDFs — so they run inside
 whole-stage codegen and scale linearly with document count.  These are the
 building blocks for training-data curation at 100 TB: language filtering,
 quality filtering, token accounting, and fingerprint-based exact dedup.
+
+One deliberate exception: winnowing fingerprints (bottom of file) need a
+rolling hash + sliding minimum per character position — genuinely not
+expressible as efficient built-ins — so they use an Arrow-batched pandas
+UDF with numpy inner loops (the sanctioned slow-path shape).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -164,7 +171,7 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def winnow_fingerprints_udf(k: int = 8, w: int = 4):
+def winnow_fingerprints_udf(k: int = 25, w: int = 10):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     rolling-hash every character k-gram, then keep the minimum hash of each
     window of ``w`` consecutive k-gram hashes.  Guarantee: any substring
@@ -178,15 +185,10 @@ def winnow_fingerprints_udf(k: int = 8, w: int = 4):
     same story here.  Normalize text (normalize_text) before hashing so
     case/whitespace don't break matches.
     """
-    import numpy as np
-    import pandas as pd
-
-    B = np.uint64(1099511628211)  # FNV-1a prime; arithmetic wraps mod 2^64
-    powers = np.empty(k, dtype=np.uint64)
-    p = np.uint64(1)
-    for i in range(k - 1, -1, -1):
-        powers[i] = p
-        p = p * B
+    B = 1099511628211  # FNV-1a prime; arithmetic wraps mod 2^64
+    powers = np.array(
+        [pow(B, k - 1 - i, 2**64) for i in range(k)], dtype=np.uint64
+    )
     sliding = np.lib.stride_tricks.sliding_window_view
 
     def one(s: str) -> list[int]:

@@ -308,3 +308,76 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_media(documents)
     feats = M.decode_media(media, fake=True)
     return feats.select("doc_id", "kind", "n_bytes")
+
+
+# Quality score in exact integer basis points — same arithmetic as
+# operators/text.py quality_score_bp (shared by the quality + curation
+# oracles).
+_DUCK_QUALITY_BP = """
+    CAST(4 * least(n_chars * 20, 10000)
+       + 3 * (CASE WHEN n_toks > 0
+                   AND n_chars - (n_toks - 1) >= 2 * n_toks
+                   AND n_chars - (n_toks - 1) <= 12 * n_toks
+              THEN 10000 ELSE 0 END)
+       + 3 * (CASE WHEN n_chars = 0 THEN 0
+              ELSE (n_alpha * 10000) // n_chars END) AS BIGINT)
+"""
+
+
+@query(
+    "curate_top_quality_per_lang",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   length(trim(text)) AS n_chars,
+                   len({_DUCK_TOKS}) AS n_toks,
+                   length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, {_DUCK_QUALITY_BP} AS quality_bp FROM base
+        ),
+        ranked AS (
+            SELECT *, percent_rank() OVER (PARTITION BY lang
+                       ORDER BY quality_bp DESC, doc_id) AS pr
+            FROM scored
+        )
+        SELECT doc_id, lang, quality_bp FROM ranked WHERE pr <= 0.5
+    """,
+    tags=("north-star", "text", "curation"),
+)
+def curate_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core curation shape: keep the top half of documents by quality
+    WITHIN each language (global thresholds starve low-resource languages).
+    Integer-exact scores + unique-id tie-break make the kept set
+    bit-reproducible — rerunning curation after an incremental ingest keeps
+    a superset, never a reshuffled set.
+
+    Scale: one shuffle on lang for the percent_rank window; lang is
+    low-cardinality, so skew is the concern — at 100 TB replace percent_rank
+    with an approx-quantile threshold per lang (two tiny aggregates, no
+    per-lang global sort).
+    """
+    from pyspark.sql import Window
+
+    (documents,) = load(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id", "lang", X.quality_score_bp(F.col("text")).alias("quality_bp")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality_bp"), "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= 0.5)
+        .select("doc_id", "lang", "quality_bp")
+    )
+
+
+@query("dedup_winnow_pairs", oracle=None, tags=("north-star", "dedup"))
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints (rolling-hash
+    k-grams, min-per-window — the MOSS algorithm).  Engine-specific hash →
+    rows-only here; precision vs exact Jaccard and the substring-match
+    guarantee are asserted in tests/test_operators.py::TestWinnowing.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    return D.winnow_near_pairs(documents)

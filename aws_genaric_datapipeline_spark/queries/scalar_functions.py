@@ -338,3 +338,61 @@ def projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice")).alias("price_floor"),
         F.col("o_orderdate").cast("date").alias("order_date"),
     )
+
+
+@query(
+    "func_edit_distance",
+    oracle="""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS edit30
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("functions", "text"),
+)
+def func_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between consecutive documents' 30-char
+    prefixes — the string-similarity function surface (title-dedup shape).
+    Bounded prefixes matter: levenshtein is O(len^2) per pair, so cap the
+    comparison width before joining, not after.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    a = documents.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
+    b = documents.select(F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
+    return (
+        a.join(b, b["id_b"] == a["id_a"] + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.substring("t_a", 1, 30), F.substring("t_b", 1, 30))
+            .cast("bigint")
+            .alias("edit30"),
+        )
+    )
+
+
+@query(
+    "func_variant_json",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_decile,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("functions", "json", "variant"),
+)
+def func_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: parse_json once into a Variant column,
+    then typed variant_get extraction — the modern semi-structured surface
+    (binary-encoded, ~an order of magnitude faster to re-extract than
+    repeated get_json_object string parsing, and type-safe).
+    """
+    from aws_genaric_datapipeline_spark.tables import load as _load
+
+    (events,) = _load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("k_sum"))
+    )

@@ -45,6 +45,9 @@ HEADLINE = [
     "stats_regression",
     "events_funnel",
     "events_cohort_retention",
+    "dedup_winnow_pairs",
+    "curate_top_quality_per_lang",
+    "merge_upsert_latest_value",
 ]
 
 

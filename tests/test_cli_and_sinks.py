@@ -141,3 +141,50 @@ class TestStatefulStreaming:
             .coalesce(1).write.mode("append").parquet(src)
         got = drain("totals_2")
         assert got[1] == (3, 15.0)  # 2 prior + 1 new event; 5.0 + 10.0
+
+
+class TestLayout:
+    def test_range_sorted_layout_has_tight_file_stats(self, spark, tmp_path):
+        """Range-partitioned + sorted write: per-file min/max bands on the
+        sort column must not overlap, so row-group stats can prune scans."""
+        from aws_genaric_datapipeline_spark.operators.layout import (
+            write_range_sorted,
+        )
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        df = spark.range(10_000).selectExpr(
+            "id", "cast(id % 97 as double) as noise"
+        )
+        out = str(tmp_path / "sorted")
+        write_range_sorted(df, out, ["id"], num_files=4)
+
+        bands = []
+        for f in Path(out).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "id"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            bands.append((min(mins), max(maxs)))
+        bands.sort()
+        assert len(bands) == 4
+        for (lo1, hi1), (lo2, hi2) in zip(bands, bands[1:]):
+            assert hi1 < lo2, f"file bands overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    def test_compact_parquet_reduces_files_preserves_rows(self, spark, tmp_path):
+        from aws_genaric_datapipeline_spark.operators.layout import compact_parquet
+        from pathlib import Path
+
+        out = str(tmp_path / "small_files")
+        spark.range(5_000).repartition(40).write.parquet(out)
+        assert len(list(Path(out).glob("*.parquet"))) == 40
+        before = sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+        n_files = compact_parquet(spark, out, target_rows=2_500)
+        assert n_files == 2
+        assert len(list(Path(out).glob("*.parquet"))) == 2
+        after = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert after == before

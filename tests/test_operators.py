@@ -299,3 +299,82 @@ class TestMergeScd2:
         iv = scd2_collapse(df, key="k", attr="attr", ts_col="ts").orderBy("valid_from")
         got = [(r["attr"], r["n_rows"], r["valid_to"] is None) for r in iv.collect()]
         assert got == [("x", 2, False), (None, 1, False), ("x", 1, True)]
+
+
+class TestWinnowing:
+    def test_substring_match_guarantee(self, spark):
+        """Winnowing guarantee: two docs sharing a substring of length
+        >= w + k - 1 share at least one selected fingerprint."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            winnow_fingerprints_udf,
+        )
+        import string
+
+        k, w = 25, 10
+        shared = string.ascii_lowercase + string.digits  # 36 chars >= w+k-1
+        df = spark.createDataFrame(
+            [
+                (1, "totally unrelated preamble " + shared),
+                (2, shared + " and a completely different tail part"),
+                (3, "no overlap with the others whatsoever in this one"),
+            ],
+            "id int, text string",
+        )
+        winnow = winnow_fingerprints_udf(k, w)
+        fps = {
+            r["id"]: set(r["fps"])
+            for r in df.select("id", winnow(F.col("text")).alias("fps")).collect()
+        }
+        assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+        assert not (fps[1] & fps[3])
+        assert not (fps[2] & fps[3])
+
+    def test_normalization_invariance(self, spark):
+        """Case/whitespace variants fingerprint identically after
+        normalize_text."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            normalize_text,
+            winnow_fingerprints_udf,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "The Quick   Brown Fox Jumps Over The Lazy Dog Daily"),
+                (2, "the quick brown fox jumps over the lazy dog daily"),
+            ],
+            "id int, text string",
+        )
+        winnow = winnow_fingerprints_udf()
+        fps = [
+            sorted(r["fps"])
+            for r in df.select(winnow(normalize_text(F.col("text"))).alias("fps"))
+            .orderBy("fps")
+            .collect()
+        ]
+        assert fps[0] == fps[1] and fps[0]
+
+    def test_near_pairs_precision_and_recall(self, spark):
+        """Planted near-dups are all found, and every reported pair on the
+        clean corpus is confirmed by exact unigram Jaccard >= 0.5."""
+        from aws_genaric_datapipeline_spark.operators.dedup import (
+            jaccard_pairs,
+            winnow_near_pairs,
+        )
+
+        docs = load(spark, SF, "documents")[0].select("doc_id", "text")
+        mut = docs.limit(10).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" EXTRA appended tail words")).alias("text"),
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in winnow_near_pairs(docs.unionByName(mut)).collect()
+        }
+        assert {(i, i + 10000) for i in range(10)} <= pairs
+        clean = {
+            (r["id_a"], r["id_b"]) for r in winnow_near_pairs(docs).collect()
+        }
+        jacc = jaccard_pairs(docs)
+        ja, jb = jacc.columns[0], jacc.columns[1]
+        exact = {(r[ja], r[jb]) for r in jacc.collect()}
+        assert clean <= exact

@@ -251,3 +251,65 @@ class TestStreamStreamJoin:
             for r in spark.sql("SELECT * FROM ss_join_sink").collect()
         )
         assert got == expected
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TestTransformWithState:
+    @pytest.mark.skipif(
+        not _has_protobuf(),
+        reason="transformWithStateInPandas needs protobuf for its driver-side "
+        "state-server channel; not installed in this container (operator code "
+        "is exercised on clusters where pyspark[connect] deps are present)",
+    )
+    def test_high_water_marks_converge_to_batch_max(self, spark, tmp_path):
+        """transformWithStateInPandas high-water tracker: fed one file per
+        micro-batch, emissions per user are strictly increasing and the last
+        one equals the batch-computed global max."""
+        from aws_genaric_datapipeline_spark.streaming.stateful import (
+            high_water_marks,
+        )
+
+        src = str(tmp_path / "events")
+        # three files → three micro-batches with maxFilesPerTrigger=1
+        for part in range(3):
+            rows = [
+                _event(part * 100 + i, minute=i % 60, user=i % 3, value=float((i * 7 + part * 11) % 50))
+                for i in range(30)
+            ]
+            _write_events(spark, src, rows)
+
+        batch_max = {
+            r["user_id"]: r["mx"]
+            for r in spark.read.parquet(src)
+            .groupBy("user_id")
+            .agg(F.max("value").alias("mx"))
+            .collect()
+        }
+
+        stream = stream_events(spark, src, max_files_per_trigger=1)
+        q = (
+            high_water_marks(stream)
+            .writeStream.format("memory")
+            .queryName("hw_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM hw_sink").collect()
+        per_user: dict = {}
+        for r in got:
+            per_user.setdefault(r["user_id"], []).append(r["high_water"])
+        assert set(per_user) == set(batch_max)
+        for uid, marks in per_user.items():
+            assert marks == sorted(marks) and len(set(marks)) == len(marks)
+            assert marks[-1] == batch_max[uid]
