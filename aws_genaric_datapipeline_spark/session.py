@@ -58,6 +58,9 @@ def get_spark(
         # this, 20-digit batch ids read back as decimals.
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Allow Python DataSource readers (sources/pyds.py) to receive and
+        # absorb filters (source-level partition pruning).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Arrow for any pandas_udf / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 
+import pyspark.sql.functions as F
 import pytest
 
 from aws_genaric_datapipeline_spark.cli import main as cli_main
@@ -188,3 +189,53 @@ class TestLayout:
         assert len(list(Path(out).glob("*.parquet"))) == 2
         after = sorted(r["id"] for r in spark.read.parquet(out).collect())
         assert after == before
+
+
+class TestPythonDataSource:
+    """Spark 4 Python Data Source API: the reference's 'CDS view' source
+    re-expressed as a partition-parallel, filter-pushdown Python source
+    (sources/pyds.py)."""
+
+    def test_parallel_read_and_determinism(self, spark):
+        from aws_genaric_datapipeline_spark.sources.pyds import register
+
+        register(spark)
+        df = (
+            spark.read.format("cds_view")
+            .option("view", "tableA")
+            .option("rows", "100")
+            .option("partitions", "5")
+            .load()
+        )
+        assert df.count() == 100
+        # one task per declared InputPartition
+        n_parts = df.select(
+            F.spark_partition_id().alias("p")
+        ).distinct().count()
+        assert n_parts == 5
+        # deterministic content: row 1 hash-derived amount
+        row = df.where("row_id = 1").collect()[0]
+        assert row["view_key"] == "tableA:1"
+        assert row["amount"] == ((1 * 2654435761) % 4294967296) % 10000 / 100.0
+
+    def test_shard_filter_pushed_into_source(self, spark):
+        from aws_genaric_datapipeline_spark.sources.pyds import register
+
+        register(spark)
+        df = (
+            spark.read.format("cds_view")
+            .option("rows", "100")
+            .option("partitions", "5")
+            .load()
+        )
+        pruned = df.where("shard = 2")
+        rows = pruned.collect()
+        assert len(rows) == 20 and all(r["shard"] == 2 for r in rows)
+        # the equality filter is absorbed by pushFilters → only the matching
+        # InputPartition is planned
+        assert (
+            pruned.select(F.spark_partition_id().alias("p")).distinct().count() == 1
+        )
+        # residual (non-equality) filters still evaluated by Spark post-scan
+        mixed = df.where("shard = 2 AND amount > 50.0")
+        assert all(r["amount"] > 50.0 and r["shard"] == 2 for r in mixed.collect())

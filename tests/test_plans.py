@@ -151,3 +151,29 @@ class TestBucketedJoin:
             assert shuffle_count(agg) == 0, "bucket-keyed aggregation must not shuffle"
         finally:
             spark.sql("DROP TABLE IF EXISTS bkt_orders_agg")
+
+
+class TestNewOperatorPlans:
+    def test_deterministic_sample_is_scan_stage_filter(self, spark):
+        """Content-addressed sampling compiles to a filter in the scan stage:
+        zero exchanges, and only the key column read when that's all the
+        query needs."""
+        from aws_genaric_datapipeline_spark.operators.sampling import (
+            deterministic_sample,
+        )
+        from aws_genaric_datapipeline_spark.plans import scan_read_schema, shuffle_count
+
+        (docs,) = load(spark, SF, "documents")
+        sampled = deterministic_sample(docs, "doc_id", 2500).select("doc_id")
+        assert shuffle_count(sampled) == 0
+        assert scan_read_schema(sampled) == ["doc_id"]
+
+    def test_merge_upsert_is_single_exchange(self, spark):
+        """Priority-union MERGE plans one shuffle (the window), vs a full
+        outer join's two."""
+        from aws_genaric_datapipeline_spark.operators.merge import merge_upsert
+        from aws_genaric_datapipeline_spark.plans import shuffle_count
+
+        t = spark.range(1000).selectExpr("id as k", "id * 2 as v")
+        s = spark.range(500).selectExpr("id as k", "id * 3 as v")
+        assert shuffle_count(merge_upsert(t, s, ["k"])) == 1
