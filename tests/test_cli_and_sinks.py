@@ -239,3 +239,49 @@ class TestPythonDataSource:
         # residual (non-equality) filters still evaluated by Spark post-scan
         mixed = df.where("shard = 2 AND amount > 50.0")
         assert all(r["amount"] > 50.0 and r["shard"] == 2 for r in mixed.collect())
+
+
+class TestZOrder:
+    def test_zorder_tightens_both_columns(self, spark, tmp_path):
+        """Z-order clustering vs single-column sort: the single-column sort
+        leaves the second column's per-file bands at ~full range (no
+        pruning possible); Z-order keeps BOTH columns' bands well under
+        half the range."""
+        from aws_genaric_datapipeline_spark.operators.layout import (
+            write_range_sorted,
+            write_zordered,
+        )
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        df = spark.range(20_000).selectExpr(
+            "id as x", "cast(hash(id) % 20000 as bigint) + 20000 as y"
+        )
+
+        def avg_band(path, colname):
+            widths = []
+            for f in Path(path).glob("*.parquet"):
+                md = pq.ParquetFile(str(f)).metadata
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    for c in range(md.row_group(rg).num_columns):
+                        col = md.row_group(rg).column(c)
+                        if col.path_in_schema == colname:
+                            mins.append(col.statistics.min)
+                            maxs.append(col.statistics.max)
+                widths.append(max(maxs) - min(mins))
+            return sum(widths) / len(widths)
+
+        zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+        write_zordered(df, zp, "x", "y", num_files=16, bits=10)
+        write_range_sorted(df, sp, ["x"], num_files=16)
+
+        x_range, y_range = 20_000, 40_000
+        # single-column sort: x tight, y unclustered (≈ full range)
+        assert avg_band(sp, "x") < 0.15 * x_range
+        assert avg_band(sp, "y") > 0.8 * y_range
+        # z-order: both columns meaningfully clustered
+        assert avg_band(zp, "x") < 0.5 * x_range
+        assert avg_band(zp, "y") < 0.5 * y_range
+        # and the data survives intact
+        assert spark.read.parquet(zp).count() == 20_000
