@@ -32,6 +32,18 @@ class ColumnSpec:
 
 
 @dataclass(frozen=True)
+class QualityRuleSpec:
+    """Declarative data-quality rule (pipeline/quality.py builds the
+    predicate): rule is one of not_null | in_range | matches."""
+
+    rule: str
+    column: str
+    lo: float | None = None
+    hi: float | None = None
+    pattern: str | None = None
+
+
+@dataclass(frozen=True)
 class SourceSpec:
     """Where raw data comes from.
 
@@ -63,6 +75,8 @@ class PipelineConfig:
     state_path: str  # state log table location (replaces DynamoDB table)
     table_name: str  # catalog name of the prepared data object
     schema: tuple[ColumnSpec, ...] = ()
+    quality: tuple[QualityRuleSpec, ...] = ()  # checked at ingest, same action
+    quality_budget: float = 0.0  # max tolerated violation ratio per rule
 
     @property
     def stack_name(self) -> str:
@@ -134,6 +148,14 @@ def parse_config(data: dict, base_dir: str | None = None) -> PipelineConfig:
             ColumnSpec(c["name"], c["type"], c.get("comment", ""))
             for c in data.get("schema", [])
         ),
+        quality=tuple(
+            QualityRuleSpec(
+                rule=q["rule"], column=q["column"],
+                lo=q.get("lo"), hi=q.get("hi"), pattern=q.get("pattern"),
+            )
+            for q in data.get("quality", [])
+        ),
+        quality_budget=float(data.get("quality_budget", 0.0)),
     )
 
 

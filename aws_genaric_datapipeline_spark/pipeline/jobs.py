@@ -31,6 +31,11 @@ log = logging.getLogger(__name__)
 from aws_genaric_datapipeline_spark.config import PipelineConfig
 from aws_genaric_datapipeline_spark.pipeline.state import States, StateStore
 from aws_genaric_datapipeline_spark.sources.readers import read_source
+from aws_genaric_datapipeline_spark.pipeline.quality import (
+    QualityError,
+    build_rules,
+    check_quality,
+)
 
 PART_KEY = "ETL_PART_KEY"  # engine-added batch partition column (reference raw_layer_job.py:53)
 
@@ -78,10 +83,14 @@ class Pipeline:
         """
         batch_id = batch_id or make_batch_id()
         df = source_df if source_df is not None else read_source(self.spark, self.cfg)
+        rules = build_rules(self.cfg)
         obs = Observation(f"ingest-{batch_id}")
-        stamped = df.withColumn(PART_KEY, F.lit(batch_id)).observe(
-            obs, F.count(F.lit(1)).alias("rows")
-        )
+        metrics = [F.count(F.lit(1)).alias("rows")] + [
+            F.sum(F.when(~F.coalesce(r.predicate, F.lit(False)), 1).otherwise(0))
+            .alias(f"{r.name}_violations")
+            for r in rules
+        ]
+        stamped = df.withColumn(PART_KEY, F.lit(batch_id)).observe(obs, *metrics)
         try:
             stamped.write.mode("append").partitionBy(PART_KEY).parquet(self.cfg.raw_path)
         except Exception:
@@ -100,6 +109,25 @@ class Pipeline:
             )
             raise
         raw_count = obs.get["rows"]
+        if rules:
+            try:
+                check_quality(obs.get, self.cfg.quality_budget)
+            except QualityError:
+                # Data is in raw (the write committed) but quarantined:
+                # QUALITY_FAILED batches are never promoted.
+                log.exception(
+                    "quality gate failed: job_src=%s batch_id=%s",
+                    self.cfg.job_src, batch_id,
+                )
+                self.state.append(
+                    batch_id=batch_id,
+                    job_src=self.cfg.job_src,
+                    state=States.QUALITY_FAILED,
+                    raw_path=self.cfg.raw_path,
+                    raw_count=raw_count,
+                    job_name=self.job_name,
+                )
+                raise
         log.info(
             "ingest complete: job_src=%s batch_id=%s rows=%s",
             self.cfg.job_src, batch_id, raw_count,

@@ -28,6 +28,9 @@ class States:
     RAW_COMPLETED = "RAW_COMPLETED"
     PREPARED_COMPLETED = "PREPARED_COMPLETED"
     FAILED = "FAILED"
+    # batch landed in raw but violated its quality rules: quarantined —
+    # promote() only picks RAW_COMPLETED, so it never reaches prepared
+    QUALITY_FAILED = "QUALITY_FAILED"
 
 
 STATE_SCHEMA = T.StructType(

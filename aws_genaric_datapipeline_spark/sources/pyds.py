@@ -95,6 +95,47 @@ class CdsViewDataSource(DataSource):
     def reader(self, schema) -> CdsViewReader:
         return CdsViewReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "CdsViewStreamReader":
+        return CdsViewStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(CdsViewDataSource)
+
+
+# ------------------------------------------------------------- streaming side
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class CdsViewStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming variant: each micro-batch emits the next
+    ``rows_per_batch`` rows of the deterministic view, up to ``max_rows``.
+    The offset dict {"next": i} lives in the checkpoint log, so restarts
+    resume exactly where they left off (readBetweenOffsets replays a
+    committed range for recovery).  This is the reference's
+    DynamoDB-Stream→Lambda chain collapsed into a checkpointed source.
+    """
+
+    def __init__(self, options: dict):
+        self.view = options.get("view", "default_view")
+        self.rows_per_batch = int(options.get("rows_per_batch", 10))
+        self.max_rows = int(options.get("max_rows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        # list, not generator: the prefetched batch is pickled into the
+        # stream's offset cache by the runner
+        return [
+            (i, i % 4, f"{self.view}:{i}", float(((i * _A) % _M) % 10000) / 100.0)
+            for i in range(start, end)
+        ]
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return iter(self._rows(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["next"], end["next"]))

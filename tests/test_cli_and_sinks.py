@@ -285,3 +285,39 @@ class TestZOrder:
         assert avg_band(zp, "y") < 0.5 * y_range
         # and the data survives intact
         assert spark.read.parquet(zp).count() == 20_000
+
+
+class TestPythonStreamingSource:
+    def test_offset_tracked_stream_drains_exactly_once(self, spark, tmp_path):
+        """The cds_view streaming reader advances its checkpointed offset one
+        micro-batch per run: repeated availableNow runs drain the view with
+        no duplicates and no gaps, then go quiet at max_rows."""
+        from aws_genaric_datapipeline_spark.sources.pyds import register
+
+        register(spark)
+        stream = (
+            spark.readStream.format("cds_view")
+            .option("view", "t")
+            .option("rows_per_batch", "25")
+            .option("max_rows", "60")
+            .load()
+        )
+        seen: list[int] = []
+
+        def run_once():
+            got = []
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda df, eid: got.extend(r["row_id"] for r in df.collect())
+                )
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return got
+
+        for _ in range(4):  # 25 + 25 + 10 + 0
+            seen.extend(run_once())
+        assert sorted(seen) == list(range(60)), "exactly-once drain of the view"
+        assert run_once() == [], "offset stays at max_rows"

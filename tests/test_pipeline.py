@@ -236,3 +236,81 @@ class TestCatalog:
         p.promote()
         name = register_temp_view(spark, cfg)
         assert spark.sql(f"SELECT count(*) c FROM {name}").collect()[0]["c"] == 100
+
+
+class TestQualityGates:
+    def test_metrics_collected_in_single_write_action(self, spark, tmp_path):
+        """Rules are evaluated during the write itself — one action, no
+        extra scan — and the metrics reflect exact violation counts."""
+        from aws_genaric_datapipeline_spark.pipeline.quality import (
+            Rule,
+            check_quality,
+            with_quality_metrics,
+        )
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(1, "a@x.io", 10.0), (2, None, 5.0), (3, "bad", -2.0), (4, "c@y.io", 7.0)],
+            ["id", "email", "amount"],
+        )
+        rules = [
+            Rule.not_null("email"),
+            Rule.in_range("amount", 0, 100),
+            Rule.matches("email", r"^[^@]+@[^@]+$"),
+        ]
+        observed, obs = with_quality_metrics(df, rules)
+        observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+        m = obs.get
+        assert m["rows"] == 4
+        assert m["email_not_null_violations"] == 1
+        assert m["amount_in_range_violations"] == 1
+        # null email also fails the regex rule (coalesce False): 2 total
+        assert m["email_matches_violations"] == 2
+
+        from aws_genaric_datapipeline_spark.pipeline.quality import QualityError
+        import pytest as _pytest
+
+        with _pytest.raises(QualityError, match="email_not_null"):
+            check_quality(m)
+        # generous budget passes
+        check_quality(m, max_violation_ratio=0.6)
+
+
+class TestConfigDrivenQuality:
+    def test_bad_batch_is_quarantined_not_promoted(self, spark, tmp_path):
+        """A batch violating config-declared quality rules lands in raw with
+        state QUALITY_FAILED and is never promoted; a clean batch flows
+        through normally."""
+        from aws_genaric_datapipeline_spark.config import (
+            ColumnSpec,
+            PipelineConfig,
+            QualityRuleSpec,
+            SourceSpec,
+        )
+        from aws_genaric_datapipeline_spark.pipeline import Pipeline
+        from aws_genaric_datapipeline_spark.pipeline.quality import QualityError
+        import pytest as _pytest
+
+        cfg = PipelineConfig(
+            template="cds_view", project="t", subject="s", job_src="q",
+            source=SourceSpec(kind="parquet", path=str(tmp_path / "src")),
+            raw_path=str(tmp_path / "raw"),
+            prepared_path=str(tmp_path / "prepared"),
+            state_path=str(tmp_path / "state"),
+            table_name="q",
+            schema=(ColumnSpec("id", "bigint"), ColumnSpec("v", "double")),
+            quality=(QualityRuleSpec(rule="in_range", column="v", lo=0, hi=100),),
+        )
+        p = Pipeline(spark, cfg)
+
+        bad = spark.createDataFrame([(1, -5.0), (2, 50.0)], ["id", "v"])
+        with _pytest.raises(QualityError, match="v_in_range"):
+            p.ingest(bad, batch_id="20260101000000000001")
+        cur = {r["batch_id"]: r["state"] for r in p.state.current().collect()}
+        assert cur["20260101000000000001"] == "QUALITY_FAILED"
+        assert p.promote() == []  # quarantined, not promotable
+
+        good = spark.createDataFrame([(3, 10.0), (4, 20.0)], ["id", "v"])
+        b2 = p.ingest(good, batch_id="20260101000000000002")
+        assert p.promote() == [b2]
+        assert spark.read.parquet(cfg.prepared_path).count() == 2
