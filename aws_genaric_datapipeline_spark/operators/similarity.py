@@ -370,3 +370,74 @@ def cosine_near_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------ persisted IVF index
+def ivf_build_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    iters: int = 1,
+) -> None:
+    """Build and persist an IVF index: trained centroids + the corpus
+    partitioned BY CELL on disk.  This is the amortized half of IVF — at
+    100 TB the index is built once at ingest; every query then reads only
+    its probed cells' partitions (real parquet partition pruning), instead
+    of re-training and re-assigning per query (what ivf_topk does for
+    self-contained benchmarking).
+    """
+    base = _unit_vectors_np(df, id_col, vec_col)
+    centroids = ivf_train_centroids(df, id_col, vec_col, num_cells, iters)
+    assigned = _assign_cells(base, centroids, nprobe=1)
+    assigned.select("vid", "uvec", "cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{index_path}/cells")
+    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_query_index(
+    spark,
+    index_path: str,
+    query_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: assign queries to their nprobe nearest
+    cells (one broadcast pass over the small centroid table), then join
+    ONLY those cells' partitions and exact-re-rank.
+
+    The cell filter is a partition filter on the index parquet — Catalyst
+    prunes unprobed cells at the file listing, so scan cost scales with
+    nprobe/num_cells of the corpus, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    cells = spark.read.parquet(f"{index_path}/cells")
+    q = _unit_vectors_np(query_vectors, id_col, vec_col)
+    probed = _assign_cells(q, centroids, nprobe=nprobe).select(
+        F.col("vid").alias("query_id"), F.col("uvec").alias("qvec"), "cell_id"
+    )
+    wanted = [r["cell_id"] for r in probed.select("cell_id").distinct().collect()]
+    scored = (
+        F.broadcast(probed)
+        .join(
+            cells.where(F.col("cell_id").isin(wanted)).withColumnsRenamed(
+                {"vid": "nid", "uvec": "nvec"}
+            ),
+            "cell_id",
+        )
+        .where(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_pair_dot()(F.col("qvec"), F.col("nvec")), 4).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")

@@ -66,3 +66,60 @@ def two_phase_agg(
     return pre.groupBy(key).agg(
         F.sum("_c").alias("cnt"), F.sum("_s").alias("total")
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 20, min_count: int | None = None
+) -> DataFrame:
+    """Frequent items (heavy hitters) with exact counts in two passes:
+
+    1. Per-partition Misra-Gries sketch with k counters (mapInPandas —
+       constant memory per task regardless of partition size).  Averaging
+       argument: any value with global frequency > N/(k+1) must exceed
+       n_p/(k+1) in at least one partition, so it survives at least one
+       partition's sketch — no false negatives for true heavy hitters.
+    2. Exact count of the candidate values only (semi-join + groupBy over
+       a candidate set bounded by k x partitions, not by cardinality).
+
+    Returns (value, exact_count) for candidates with exact_count >=
+    ``min_count`` (default N/(k+1), the MG guarantee threshold).  This is
+    also the skew-detection primitive: run it on a join key to find the
+    keys that need salting (operators/skew.py salted_join).
+    """
+    import pandas as pd
+
+    def mg_sketch(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame({col: list(counters.keys())})
+
+    field = df.schema[col]
+    cand = (
+        df.select(col)
+        .mapInPandas(mg_sketch, schema=f"{col} {field.dataType.simpleString()}")
+        .distinct()
+    )
+    counted = (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    if min_count is not None:
+        return counted.where(F.col("exact_count") >= min_count)
+    total = df.count()  # driver-side scalar; one lightweight count action
+    return counted.where(F.col("exact_count") > total / (k + 1))

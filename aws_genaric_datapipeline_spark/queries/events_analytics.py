@@ -188,3 +188,32 @@ def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_val").isNotNull().alias("observed"),
         F.round(F.last("avg_val", ignorenulls=True).over(w), 4).alias("locf_val"),
     )
+
+
+@query(
+    "events_heavy_hitter_types",
+    oracle="""
+        SELECT event_type, count(*) AS exact_count
+        FROM events
+        GROUP BY event_type
+        HAVING count(*) > (SELECT count(*) FROM events) / 8.0
+    """,
+    tags=("events", "heavy-hitters"),
+)
+def events_heavy_hitter_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the event stream via the two-pass Misra-Gries
+    operator (partition-local k-counter sketches -> exact verification of
+    the bounded candidate set).  Because the verify pass is exact and the
+    sketch has no false negatives above N/(k+1), the result equals the
+    exact HAVING oracle — an approximate algorithm with a checkable exact
+    answer.  At 100 TB the first pass reads each partition once with O(k)
+    memory; only candidate keys (<= k x partitions) reach the second pass.
+    """
+    from aws_genaric_datapipeline_spark.operators.skew import heavy_hitters
+
+    (events,) = load(spark, sf_dir, "events")
+    return heavy_hitters(
+        events.select(F.col("event_type").cast("string").alias("event_type")),
+        "event_type",
+        k=7,
+    )

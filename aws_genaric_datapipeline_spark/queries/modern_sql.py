@@ -141,3 +141,102 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.word "
         "FROM docs_subset d, LATERAL token_positions(d.doc_id, d.text) t"
     )
+
+
+@query(
+    "pipe_syntax_revenue",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        GROUP BY l_returnflag
+    """,
+    tags=("modern-sql", "pipe"),
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, |> operators): the same logical plan as the
+    GROUP BY form — pipe stages are sugar over standard relational
+    operators, so Catalyst sees an identical tree (the DuckDB oracle is the
+    classic form, proving equivalence).
+    """
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                  AS item_cents
+        |> AGGREGATE count(*) AS n_items,
+                     CAST(sum(item_cents) AS BIGINT) AS revenue_cents
+           GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(ts)  AS last_ts,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        scored AS (
+            SELECT user_id, frequency, monetary_cents,
+                   ntile(4) OVER (ORDER BY last_ts, user_id)         AS r_score,
+                   ntile(4) OVER (ORDER BY frequency, user_id)       AS f_score,
+                   ntile(4) OVER (ORDER BY monetary_cents, user_id)  AS m_score
+            FROM per_user
+        )
+        SELECT CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               count(*) AS n_users,
+               CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+    tags=("events", "rfm"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles per
+    purchasing user, then segment rollup) — the standard customer-value
+    cube.  Unique-id tie-breaks in every ntile make the quartile assignment
+    deterministic and engine-portable.
+
+    Scale: one fact aggregation to per-user rows, then windows over the
+    (small) user dimension; the segment rollup is a partial-merge groupBy.
+    """
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    per_user = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("last_ts", "user_id")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary_cents", "user_id")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+    )

@@ -172,6 +172,65 @@ def dedup_jaccard_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(documents, n=3, threshold=0.8)
 
 
+@query(
+    "dedup_connected_clusters",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.did
+            JOIN sizes sb ON inter.id_b = sb.did
+            WHERE round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM comp
+    """,
+    tags=("north-star", "dedup", "graph"),
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: exact trigram-Jaccard edges
+    (≥0.5) closed transitively by distributed connected components
+    (operators/graph.py — hash-min + pointer jumping, O(log diameter)
+    rounds).  ``cluster_id`` = min doc id = the canonical survivor; the
+    DuckDB oracle recomputes the closure with a recursive CTE, so the
+    iterative distributed algorithm is verified against a declarative
+    fixpoint."""
+    from aws_genaric_datapipeline_spark.operators.graph import (
+        dedup_cluster_assignments,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5)
+    return dedup_cluster_assignments(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None, tags=("north-star", "dedup"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 8-band LSH candidates, exact-Jaccard-verified ≥0.8.

@@ -238,6 +238,63 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_price_components",
+    oracle="""
+        WITH long AS (
+            SELECT l_linestatus, 'extended' AS component,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+            UNION ALL
+            SELECT l_linestatus, 'discount',
+                   CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_linestatus, 'tax',
+                   CAST(round(l_extendedprice * l_tax * 100) AS BIGINT)
+            FROM lineitem
+        )
+        SELECT l_linestatus, component,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM long
+        GROUP BY l_linestatus, component
+    """,
+    tags=("agg", "unpivot"),
+)
+def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, the inverse of pivot): melt three derived price
+    components into (component, cents) rows, then re-aggregate long-form.
+
+    ``DataFrame.unpivot`` (SQL ``stack``) expands each row to one row per
+    value column inside the projection — no shuffle, no UDF; the only
+    exchange is the final small groupBy.  The melt multiplies row count by
+    the number of value columns, so at 100 TB unpivot BEFORE aggregation
+    only when the downstream needs long form (as here); otherwise prefer
+    conditional aggregation on the wide form.
+    """
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    wide = lineitem.select(
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("extended"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("bigint")
+        .alias("discount"),
+        F.round(F.col("l_extendedprice") * F.col("l_tax") * 100)
+        .cast("bigint")
+        .alias("tax"),
+    )
+    return (
+        wide.unpivot(
+            ids="l_linestatus",
+            values=["extended", "discount", "tax"],
+            variableColumnName="component",
+            valueColumnName="cents",
+        )
+        .groupBy("l_linestatus", "component")
+        .agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    )
+
+
+@query(
     "agg_conditional",
     oracle="""
         SELECT o_orderstatus,

@@ -378,3 +378,141 @@ class TestWinnowing:
         ja, jb = jacc.columns[0], jacc.columns[1]
         exact = {(r[ja], r[jb]) for r in jacc.collect()}
         assert clean <= exact
+
+
+class TestHeavyHitters:
+    def test_mg_guarantee_no_false_negatives_exact_counts(self, spark):
+        """Every value with global frequency > N/(k+1) is returned, with its
+        EXACT count (verification pass), under heavy skew and many
+        partitions."""
+        from aws_genaric_datapipeline_spark.operators.skew import heavy_hitters
+
+        # 3 hot keys (~30k rows) drowned in 20k unique cold keys
+        hot = spark.range(30_000).selectExpr(
+            "cast(id % 3 as string) as v"
+        )
+        cold = spark.range(20_000).selectExpr("cast(id + 1000 as string) as v")
+        df = hot.unionByName(cold).repartition(16)
+
+        k = 10
+        got = {r["v"]: r["exact_count"] for r in heavy_hitters(df, "v", k=k).collect()}
+        exact = {
+            r["v"]: r["n"]
+            for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n = sum(exact.values())
+        true_heavy = {v for v, c in exact.items() if c > n / (k + 1)}
+        assert true_heavy == {"0", "1", "2"}
+        assert set(got) == true_heavy, "MG two-pass must find exactly the heavy set"
+        for v in true_heavy:
+            assert got[v] == exact[v], "counts must be exact, not estimates"
+
+
+class TestIvfIndex:
+    def test_prebuilt_index_matches_inline_ivf_recall(self, spark, tmp_path):
+        """Persisted IVF index (build once, query many): results match the
+        self-contained ivf_topk under the same training determinism, the
+        query-side scan is partition-pruned to the probed cells, and recall
+        vs brute force stays high."""
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            cosine_topk,
+            ivf_build_index,
+            ivf_query_index,
+        )
+
+        (emb,) = load(spark, SF, "embeddings")
+        idx = str(tmp_path / "ivf")
+        ivf_build_index(emb, idx, num_cells=8, iters=1)
+
+        qids = [0, 7, 21, 42]
+        got = ivf_query_index(
+            spark, idx, emb.where(F.col("vec_id").isin(qids)), k=5, nprobe=4
+        )
+        rows = got.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert set(by_q) == set(qids)
+        assert all(len(v) == 5 for v in by_q.values())
+
+        exact = cosine_topk(emb, qids, k=5)
+        ecols = exact.columns
+        exact_by_q = {}
+        for r in exact.collect():
+            exact_by_q.setdefault(r[ecols[0]], set()).add(r[ecols[1]])
+        hits = sum(len(by_q[q] & exact_by_q[q]) for q in qids)
+        assert hits / (5 * len(qids)) >= 0.5, "prebuilt-index recall degraded"
+
+        # exhaustive probe (nprobe == num_cells) must equal brute force
+        full = ivf_query_index(
+            spark, idx, emb.where(F.col("vec_id").isin(qids)), k=5, nprobe=8
+        )
+        full_by_q = {}
+        for r in full.collect():
+            full_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert full_by_q == exact_by_q
+
+        # partition pruning: the cells scan must carry a cell_id partition
+        # filter (unprobed cells never listed)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell_id" in plan
+
+
+class TestConnectedComponents:
+    def test_chain_clique_and_singleton(self, spark):
+        """Transitive closure over a 12-node path (forces multi-round
+        propagation), a 4-clique, one extra pair, and an isolated node
+        supplied via `nodes`."""
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        path = [(i, i + 1) for i in range(100, 112)]          # component 100
+        clique = [(a, b) for a in range(0, 4) for b in range(a + 1, 4)]  # 0
+        pair = [(500, 501)]                                    # 500
+        edges = spark.createDataFrame(path + clique + pair, "src long, dst long")
+        nodes = spark.createDataFrame([(999,)], "node long")
+
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(edges, nodes=nodes).collect()
+        }
+        want = {(i, 100) for i in range(100, 113)}
+        want |= {(i, 0) for i in range(4)}
+        want |= {(500, 500), (501, 500), (999, 999)}
+        assert got == want
+
+    def test_two_chains_merge_via_bridge(self, spark):
+        """Pointer jumping must still find the global min when a late
+        bridge edge merges two long chains (order-independent fixpoint)."""
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        a = [(i, i + 1) for i in range(0, 10)]
+        b = [(i, i + 1) for i in range(20, 30)]
+        edges = spark.createDataFrame(a + b + [(5, 25)], "src long, dst long")
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert set(comp.values()) == {0}
+        assert len(comp) == 22
+
+    def test_cluster_assignments_sizes(self, spark):
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            dedup_cluster_assignments,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        rows = dedup_cluster_assignments(pairs).collect()
+        by_doc = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
+        assert by_doc == {
+            1: (1, 3),
+            2: (1, 3),
+            3: (1, 3),
+            10: (10, 2),
+            11: (10, 2),
+        }
