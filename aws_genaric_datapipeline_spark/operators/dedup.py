@@ -50,6 +50,77 @@ def dedup_by_fingerprint(
     )
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming batch against the already-ingested corpus.
+
+    The per-batch shape of fingerprint dedup: survivors = new docs whose
+    normalized-content fingerprint is absent from the corpus, then min-id
+    dedup WITHIN the batch.  Returns (fp, id, dup_count) for survivors.
+
+    Scale: only 128-bit fingerprints + ids shuffle — the corpus text is
+    never re-read if the fingerprint projection is persisted at ingest
+    (that persisted frame IS the dedup index; store it bucketed by fp —
+    operators/bucketing.py — and the anti join becomes co-located with
+    zero shuffle on the corpus side).  The new batch is small relative to
+    the corpus, so the anti join should broadcast the BATCH side; Spark
+    only broadcasts the right side of left_anti, hence corpus-as-right
+    here relies on AQE to pick the cheap plan when the batch is tiny.
+    """
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    seen = corpus_df.select(fp).dropDuplicates()
+    return (
+        new_df.select(fp, F.col(id_col))
+        .join(seen, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def contamination_overlap(
+    corpus_df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word n-grams also occur anywhere in the benchmark set.
+
+    The standard training-data hygiene pass (eval-set leakage detection):
+    docs whose n-grams collide with a held-out benchmark are flagged for
+    removal before training.  Returns only contaminated docs:
+    (id, n_contaminated, n_grams, contamination_ratio).
+
+    Scale: the benchmark n-gram set is tiny next to the corpus (eval sets
+    are thousands of docs), so it is broadcast — the corpus side streams
+    map-side through the semi join with no shuffle of corpus text; the
+    only corpus shuffle carries (id, gram) pairs for the per-doc counts.
+    At 100 TB, hash grams to xxhash64 before the join so the broadcast
+    table and shuffle rows carry 8-byte keys instead of strings.
+    """
+    corpus_sets = _token_sets(corpus_df, id_col, text_col, n)
+    bench_grams = _token_sets(benchmark_df, id_col, text_col, n).select("tok").dropDuplicates()
+    totals = corpus_sets.groupBy("did").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus_sets.join(F.broadcast(bench_grams), "tok", "left_semi")
+        .groupBy("did")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return hits.join(totals, "did").select(
+        F.col("did").alias(id_col),
+        "n_contaminated",
+        "n_grams",
+        F.round(
+            F.col("n_contaminated") / F.col("n_grams").cast("double"), 4
+        ).alias("contamination_ratio"),
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard (exact)
 def _token_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, token) pairs with distinct n-gram shingles per document."""

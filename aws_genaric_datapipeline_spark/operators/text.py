@@ -58,9 +58,105 @@ def word_ngrams(text: Column, n: int) -> Column:
     """Word n-gram shingles as an array<string> (space-joined windows)."""
     words = tokens(text)
     count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    # sequence(1, 0) steps BACKWARD to [1, 0] (Spark default step is -1 when
+    # start > stop), which feeds slice() an illegal start=0 — docs shorter
+    # than n tokens must short-circuit to an empty shingle set.
+    return F.when(count == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document for a bag of query terms.
+
+    Classic Okapi BM25 (Robertson/Spärck Jones; the Lucene idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)) which is always positive).  Returns
+    (id, bm25) for documents matching at least one term, score rounded to
+    4 decimals.
+
+    Scale: one explode pass produces tokens; doc lengths and term stats are
+    two small aggregates.  Corpus-level stats (N, avgdl) are a 1-row frame
+    and per-term document frequencies are |terms| rows — both broadcast, so
+    the only full shuffles are the two groupBys on doc id.  The tf frame is
+    pre-filtered to the query terms BEFORE any shuffle, so scoring cost is
+    proportional to matching postings, not corpus size — the same shape as
+    scoring against an inverted index.
+    """
+    toks = df.select(
+        F.col(id_col).alias("did"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.where(F.col("tok").isin(*terms))
+        .groupBy("did", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / denom
+    return (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "did")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("did")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .select(F.col("did").alias(id_col), "bm25")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetitiousness signals per document: duplicate-token
+    ratio (1 - distinct/total) and the fraction of all bigrams taken by the
+    single most frequent bigram.  High values on either flag boilerplate /
+    degenerate text for removal before training.
+
+    Only documents with at least one token are returned (empty docs have no
+    definable ratios).  All ratios derive from integer counts, so values are
+    bit-identical across engines.  Scale: two explode+groupBy passes keyed
+    on doc id — token strings shuffle once each; at 100 TB hash bigrams to
+    xxhash64 before the count to shrink the second shuffle to 8-byte keys.
+    """
+    base = df.select(
+        F.col(id_col).alias("did"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    uni = base.groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.countDistinct("tok").alias("n_distinct")
+    )
+    bg = df.select(
+        F.col(id_col).alias("did"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+    )
+    bstats = (
+        bg.groupBy("did", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("did")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    return uni.join(bstats, "did", "left").select(
+        F.col("did").alias(id_col),
+        "n_tokens",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens").cast("double"), 4
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.coalesce(F.col("top_c") / F.col("n_bg").cast("double"), F.lit(0.0)), 4
+        ).alias("top_bigram_frac"),
     )
 
 

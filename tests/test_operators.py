@@ -516,3 +516,97 @@ class TestConnectedComponents:
             10: (10, 2),
             11: (10, 2),
         }
+
+
+class TestCuration:
+    def test_incremental_dedup_drops_seen_and_batch_dups(self, spark):
+        """Survivors = fingerprints unseen in the corpus, min-id within the
+        batch; whitespace/case normalization folds near-identical bytes."""
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "  ALPHA   beta "),   # normalizes to corpus doc 1 → dropped
+                (11, "epsilon zeta"),      # new → kept
+                (12, "epsilon zeta"),      # dup within batch → folded into 11
+                (13, "gamma delta x"),     # distinct content → kept
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["dup_count"] for r in D.dedup_incremental(batch, corpus).collect()}
+        assert rows == {11: 2, 13: 1}
+
+    def test_incremental_dedup_idempotent(self, spark):
+        """Promoting survivors into the corpus and re-running the same batch
+        must yield zero new survivors."""
+        corpus = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(10, "new content here"), (11, "alpha beta")], "doc_id long, text string"
+        )
+        first = D.dedup_incremental(batch, corpus)
+        assert {r["doc_id"] for r in first.collect()} == {10}
+        grown = corpus.unionByName(
+            batch.join(first.select("doc_id"), "doc_id", "left_semi")
+        )
+        assert D.dedup_incremental(batch, grown).count() == 0
+
+    def test_contamination_flags_only_overlapping_docs(self, spark):
+        """A corpus doc sharing a trigram with the benchmark is flagged with
+        the right gram counts; disjoint docs do not appear."""
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "quick brown fox elsewhere entirely"),  # shares 1 trigram of 3
+                (2, "completely different words here now"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in D.contamination_overlap(corpus, bench, n=3).collect()}
+        assert set(rows) == {1}
+        assert rows[1]["n_contaminated"] == 1
+        assert rows[1]["n_grams"] == 3
+        assert rows[1]["contamination_ratio"] == pytest.approx(0.3333)
+
+    def test_bm25_ranks_term_frequency_and_rarity(self, spark):
+        """More on-query occurrences → higher score; a doc with no query
+        terms is absent; rarer terms contribute more than ubiquitous ones."""
+        from aws_genaric_datapipeline_spark.operators.text import bm25_scores
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark spark spark filler filler"),
+                (2, "spark filler filler filler filler"),
+                (3, "filler only no hits at all"),
+                (4, "vector filler filler filler filler"),
+            ],
+            "doc_id long, text string",
+        )
+        scores = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ("spark", "vector")).collect()}
+        assert set(scores) == {1, 2, 4}
+        assert scores[1] > scores[2]
+        # 'vector' (df=1) is rarer than 'spark' (df=2) → higher idf at equal tf
+        assert scores[4] > scores[2]
+
+    def test_repetition_stats_degenerate_vs_diverse(self, spark):
+        """A one-token-repeated doc maxes both signals; an all-distinct doc
+        zeroes the dup ratio; a single-token doc has no bigrams (0.0)."""
+        from aws_genaric_datapipeline_spark.operators.text import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam"),
+                (2, "all tokens fully distinct"),
+                (3, "solo"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+        assert rows[1]["dup_token_ratio"] == pytest.approx(0.75)
+        assert rows[1]["top_bigram_frac"] == pytest.approx(1.0)
+        assert rows[2]["dup_token_ratio"] == 0.0
+        assert rows[2]["top_bigram_frac"] == pytest.approx(1.0 / 3.0, abs=1e-4)
+        assert rows[3]["n_tokens"] == 1
+        assert rows[3]["top_bigram_frac"] == 0.0
