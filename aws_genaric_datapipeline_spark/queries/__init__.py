@@ -23,6 +23,7 @@ from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
     tpch,
     tpch_extra,
     tpch_final,
+    tpch_partsupp,
     udf_surface,
 )
 
