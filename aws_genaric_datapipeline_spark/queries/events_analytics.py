@@ -217,3 +217,95 @@ def events_heavy_hitter_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         k=7,
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH scored AS (
+            SELECT event_id, user_id, value,
+                   avg(value) OVER w AS mu,
+                   stddev(value) OVER w AS sd,
+                   count(value) OVER w AS n_prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, round((value - mu) / sd, 4) AS zscore
+        FROM scored
+        WHERE n_prev >= 10 AND sd > 0
+          AND abs((value - mu) / sd) >= 2
+    """,
+    tags=("events", "window", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flags in batch: per-user rolling z-score
+    against the trailing 20 events (|z| >= 2, warm-up of 10).  The window
+    excludes the current row, so an outlier can't suppress its own flag.
+
+    Scale: one shuffle on user_id; the frame is row-bounded so state per
+    key is O(20) — the same shape runs incrementally as a stateful
+    streaming operator (streaming/stateful.py)."""
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("n_prev"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.where((F.col("n_prev") >= 10) & (F.col("sd") > 0) & (F.abs(z) >= 2))
+        .select("event_id", "user_id", F.round(z, 4).alias("zscore"))
+    )
+
+
+@query(
+    "events_winsorize_by_type",
+    oracle="""
+        WITH pct AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS p05,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) FILTER (WHERE value < p05) AS n_clipped_low,
+               count(*) FILTER (WHERE value > p95) AS n_clipped_high,
+               round(avg(least(greatest(value, p05), p95)), 4) AS mean_winsorized
+        FROM events e JOIN pct ON e.event_type = pct.event_type
+        GROUP BY e.event_type
+    """,
+    tags=("events", "agg", "curation"),
+)
+def events_winsorize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust normalization: winsorize `value` at the per-type
+    5th/95th percentiles (the clip-don't-drop counterpart to quality
+    filtering) and report clip counts + winsorized mean per type.
+
+    Scale: the percentile frame is |event_type| rows, broadcast back onto
+    the fact table — one agg shuffle, one broadcast join, one final agg; at
+    100 TB swap the exact percentile for approx_percentile with no shape
+    change."""
+    (events,) = load(spark, sf_dir, "events")
+    pct = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    cv = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        events.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("p05"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("value") > F.col("p95"), 1)).alias("n_clipped_high"),
+            F.round(F.avg(cv), 4).alias("mean_winsorized"),
+        )
+    )

@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "curate_top_quality_per_lang",
     "merge_upsert_latest_value",
+    "q9_product_profit",
+    "search_bm25",
+    "decontaminate_ngram_overlap",
 ]
 
 

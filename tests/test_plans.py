@@ -177,3 +177,35 @@ class TestNewOperatorPlans:
         t = spark.range(1000).selectExpr("id as k", "id * 2 as v")
         s = spark.range(500).selectExpr("id as k", "id * 3 as v")
         assert shuffle_count(merge_upsert(t, s, ["k"])) == 1
+
+
+class TestCurationPlans:
+    def test_decontamination_broadcasts_benchmark_grams(self, spark):
+        """The benchmark n-gram set must broadcast — the corpus side streams
+        map-side through the semi join, never shuffling corpus text."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        df = QUERIES["decontaminate_ngram_overlap"].fn(spark, SF)
+        assert "BroadcastHashJoin" in explain_str(df)
+
+    def test_bm25_stats_broadcast_not_shuffled(self, spark):
+        """Corpus stats (1 row) and per-term dfs (|terms| rows) join in as
+        broadcasts; the only exchanges are the doc-id groupBys."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        df = QUERIES["search_bm25"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_q9_dimensions_broadcast(self, spark):
+        """part/supplier/nation join the fact table as broadcasts."""
+        df = QUERIES["q9_product_profit"].fn(spark, SF)
+        assert has_broadcast_hash_join(df)
+
+    def test_q11_threshold_is_broadcast_scalar(self, spark):
+        """The national total must reach the filter as a broadcast (1-row
+        crossJoin), not a shuffled join."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        df = QUERIES["q11_important_stock"].fn(spark, SF)
+        assert "BroadcastNestedLoopJoin" in explain_str(df)
