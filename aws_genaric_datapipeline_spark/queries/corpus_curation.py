@@ -166,3 +166,128 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal."""
     (documents,) = load(spark, sf_dir, "documents")
     return X.repetition_stats(documents)
+
+
+# Quality score in integer basis points (same arithmetic as
+# operators/text.py quality_score_bp; mirrors north_star._DUCK_QUALITY_BP).
+_DUCK_QUALITY_BP = """
+    CAST(4 * least(n_chars * 20, 10000)
+       + 3 * (CASE WHEN n_toks > 0
+                   AND n_chars - (n_toks - 1) >= 2 * n_toks
+                   AND n_chars - (n_toks - 1) <= 12 * n_toks
+              THEN 10000 ELSE 0 END)
+       + 3 * (CASE WHEN n_chars = 0 THEN 0
+              ELSE (n_alpha * 10000) // n_chars END) AS BIGINT)
+"""
+
+
+@query(
+    "curate_funnel_report",
+    oracle=f"""
+        WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+        k1 AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                    ORDER BY doc_id) AS rn
+                FROM corpus)
+            WHERE rn = 1
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM k1, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        bsh AS (
+            SELECT DISTINCT s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+            WHERE doc_id % 20 = 0
+        ),
+        tot AS (SELECT did, count(*) AS n FROM sh GROUP BY did),
+        hit AS (SELECT did, count(*) AS h
+                FROM sh JOIN bsh USING (tok) GROUP BY did),
+        contam AS (
+            SELECT hit.did FROM hit JOIN tot ON hit.did = tot.did
+            WHERE round(h / CAST(n AS DOUBLE), 4) >= 0.02
+        ),
+        k2 AS (SELECT * FROM k1
+               WHERE doc_id NOT IN (SELECT did FROM contam)),
+        scored AS (
+            SELECT doc_id, text,
+                   length(trim(text)) AS n_chars,
+                   len({_DUCK_TOKS}) AS n_toks,
+                   length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM k2
+        ),
+        k3 AS (SELECT doc_id, text FROM scored
+               WHERE {_DUCK_QUALITY_BP} >= 70000),
+        k4 AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       round(1.0 - len(list_distinct({_DUCK_TOKS}))
+                             / CAST(len({_DUCK_TOKS}) AS DOUBLE), 4) AS dup_ratio
+                FROM k3 WHERE len({_DUCK_TOKS}) > 0)
+            WHERE dup_ratio <= 0.65
+        )
+        SELECT 'input' AS stage, count(*) AS n_kept FROM corpus
+        UNION ALL SELECT 'exact_dedup', count(*) FROM k1
+        UNION ALL SELECT 'decontaminate', count(*) FROM k2
+        UNION ALL SELECT 'quality', count(*) FROM k3
+        UNION ALL SELECT 'repetition', count(*) FROM k4
+    """,
+    tags=("north-star", "curation"),
+)
+def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as one funnel: exact dedup (min-id per
+    fingerprint) → benchmark decontamination (trigram overlap ≥ 2%) →
+    quality gate (≥ 70000 bp) → repetition gate (dup-token ratio ≤ 0.65),
+    reporting surviving-document counts per stage.
+
+    This is the composition a pretraining ingest runs per batch — every
+    stage is the exact operator verified individually by its own query.
+    Scale note: the five counts re-execute shared subtrees here for
+    declarative clarity; a production run persists each stage's survivor
+    frame (or uses observe() metrics on a single pass) so the corpus is
+    read once.
+    """
+    from pyspark.sql import Window
+
+    from aws_genaric_datapipeline_spark.operators.text import fingerprint
+
+    (documents,) = load(spark, sf_dir, "documents")
+    bench = documents.where(F.col("doc_id") % 20 == 0)
+    corpus = documents.where(F.col("doc_id") % 20 != 0)
+
+    fp_w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    k1 = corpus.withColumn("rn", F.row_number().over(fp_w)).where(F.col("rn") == 1).drop("rn")
+
+    contam = (
+        D.contamination_overlap(k1, bench, n=3)
+        .where(F.col("contamination_ratio") >= 0.02)
+        .select("doc_id")
+    )
+    k2 = k1.join(contam, "doc_id", "left_anti")
+    k3 = k2.where(X.quality_score_bp(F.col("text")) >= 70000)
+    survivors = (
+        X.repetition_stats(k3)
+        .where(F.col("dup_token_ratio") <= 0.65)
+        .select("doc_id")
+    )
+    k4 = k3.join(survivors, "doc_id", "left_semi")
+
+    stages = [
+        ("input", corpus),
+        ("exact_dedup", k1),
+        ("decontaminate", k2),
+        ("quality", k3),
+        ("repetition", k4),
+    ]
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n_kept")).select(
+            F.lit(name).alias("stage"), "n_kept"
+        )
+        for name, df in stages
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

@@ -163,10 +163,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - (F.col("ps_cost_cents") / 100.0) * F.col("l_quantity")
     )
+    red_lineitem = lineitem.join(
+        F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey")
+    )
+    # partsupp attributes are pure key arithmetic, so deriving the table
+    # from the part-filtered fact slice yields exactly the rows this join
+    # needs — the dedup pass runs over ~|filter| rows, not the whole fact.
     return (
-        lineitem.join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(
-            _partsupp(lineitem),
+        red_lineitem.join(
+            _partsupp(red_lineitem.select("l_partkey", "l_suppkey")),
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
