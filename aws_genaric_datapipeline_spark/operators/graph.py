@@ -125,3 +125,62 @@ def dedup_cluster_assignments(
         F.col("component").alias("cluster_id"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    ``(node, rank)`` after ``iterations`` synchronous updates from a
+    uniform 1/N start:
+
+        rank(v) = (1-d)/N + d * Σ_{u→v} rank(u) / outdeg(u)
+
+    The simple variant: dangling-node mass is dropped, not redistributed
+    (documented so the oracle can reproduce it exactly).  Within a dedup
+    pipeline this ranks documents by similarity-graph centrality — a
+    centrality-based canonical pick, vs connected_components' min-id pick.
+
+    Scale: the edge list and out-degrees are static — computed once,
+    localCheckpointed, and re-joined each round; only the node-sized rank
+    table updates.  Each round is one join shuffle on ``src`` plus one
+    aggregation shuffle on ``dst``; lineage is cut per round so the plan
+    stays flat across iterations (same discipline as
+    connected_components / ivf_train_centroids).  At 100 TB pre-partition
+    edges by ``src`` so the per-round join co-locates.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.where(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -8,6 +8,7 @@ from aws_genaric_datapipeline_spark.queries.registry import QUERIES, QuerySpec, 
 # Import modules for their registration side effects.
 from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
     corpus_curation,
+    diagnostics,
     events_analytics,
     modern_sql,
     north_star,

@@ -1,0 +1,67 @@
+"""Data-diagnostics queries: the profiling a pipeline runs BEFORE choosing
+a physical strategy at scale — key-skew reports drive the salting /
+AQE-skew-join decisions in operators/skew.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.tables import load
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, count(*) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        stats AS (
+            SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt
+            FROM counts
+        )
+        SELECT user_id, cnt,
+               round(cnt / CAST(n_rows AS DOUBLE), 4) AS share,
+               round(cnt * n_keys / CAST(n_rows AS DOUBLE), 4) AS skew_factor
+        FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+              FROM counts) c
+        CROSS JOIN stats
+        WHERE rn <= 10
+    """,
+    tags=("diagnostics", "skew"),
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew report: the 10 heaviest `user_id` keys with their
+    row share and skew factor (key count ÷ mean key count).  A skew factor
+    ≫ 1 on a join key is the trigger for salting (operators/skew.py) or
+    AQE skew-join handling; running this profile first is how the choice
+    is made from data, not guesswork.
+
+    Scale: one groupBy shuffle on the key, a 1-row global stats frame
+    broadcast via crossJoin, and a driver-side top-10 (TakeOrdered) — no
+    full sort."""
+    (events,) = load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = (
+        counts.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "user_id"))
+        )
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        "cnt",
+        F.round(F.col("cnt") / F.col("n_rows").cast("double"), 4).alias("share"),
+        F.round(
+            F.col("cnt") * F.col("n_keys") / F.col("n_rows").cast("double"), 4
+        ).alias("skew_factor"),
+    )

@@ -440,3 +440,78 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = load(spark, sf_dir, "documents")
     return D.winnow_near_pairs(documents)
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank oracle (standard SQL forbids
+    aggregation inside a recursive CTE, so the five synchronous updates
+    are chained CTEs r0..r5 — same uniform start and drop-dangling-mass
+    variant as operators/graph.py pagerank)."""
+    base = f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.did
+            JOIN sizes sb ON inter.id_b = sb.did
+            WHERE round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
+    for i in range(1, iterations + 1):
+        base += f""",
+        r{i} AS (
+            SELECT x.node, (1 - {damping}) / nn.n + {damping} * coalesce(s.c, 0) AS rank
+            FROM nodes x
+            CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst, sum(r.rank / d.deg) AS c
+                FROM edges e
+                JOIN r{i - 1} r ON r.node = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+            ) s ON s.dst = x.node)"""
+    return base + f"""
+        SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank
+        FROM r{iterations}
+    """
+
+
+@query(
+    "graph_pagerank_centrality",
+    oracle=_pagerank_oracle(),
+    tags=("north-star", "graph", "dedup"),
+)
+def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph (exact trigram-
+    Jaccard edges ≥ 0.5, symmetrized): an iterative distributed algorithm
+    verified against a declaratively-unrolled oracle.  Ranks give a
+    centrality-based canonical-document pick for dedup clusters — the
+    doc most similar to the most others — vs min-id's arbitrary pick."""
+    from aws_genaric_datapipeline_spark.operators.graph import pagerank
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    ranks = pagerank(edges, iterations=5)
+    return ranks.select(
+        F.col("node").cast("bigint").alias("node"), F.round("rank", 6).alias("rank")
+    )

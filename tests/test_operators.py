@@ -610,3 +610,28 @@ class TestCuration:
         assert rows[2]["top_bigram_frac"] == pytest.approx(1.0 / 3.0, abs=1e-4)
         assert rows[3]["n_tokens"] == 1
         assert rows[3]["top_bigram_frac"] == 0.0
+
+
+class TestPageRank:
+    def test_two_node_cycle_is_fixed_point(self, spark):
+        """a<->b is symmetric: uniform 1/2 is the exact fixed point, so
+        every iteration must return 0.5 for both nodes."""
+        from aws_genaric_datapipeline_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+        assert ranks[1] == pytest.approx(0.5)
+        assert ranks[2] == pytest.approx(0.5)
+
+    def test_star_center_dominates_and_mass_bounded(self, spark):
+        """The hub of an undirected star outranks every leaf; with no
+        dangling nodes total mass stays 1."""
+        from aws_genaric_datapipeline_spark.operators.graph import pagerank
+
+        star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+        edges = spark.createDataFrame(star, "src long, dst long")
+        rows = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+        assert all(rows[0] > rows[i] for i in range(1, 6))
+        assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+        leaf_vals = {round(rows[i], 12) for i in range(1, 6)}
+        assert len(leaf_vals) == 1, "symmetric leaves must tie exactly"
