@@ -291,3 +291,113 @@ def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+@query(
+    "search_phrase_positions",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(list_filter({_DUCK_BIGRAMS}, g -> g = 'spark join'))
+                    AS BIGINT) AS n_hits
+        FROM documents
+        WHERE len(list_filter({_DUCK_BIGRAMS}, g -> g = 'spark join')) > 0
+    """,
+    tags=("north-star", "text", "search"),
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("spark join") via a positional postings join:
+    posexplode token positions, then self-join term-A postings to term-B
+    postings at pos+1 — the inverted-index phrase-match shape, where work
+    scales with the two terms' posting lists, not the corpus.  The oracle
+    recomputes the same matches declaratively by counting bigram hits."""
+    from aws_genaric_datapipeline_spark.operators.text import tokens
+
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    a = toks.where(F.col("tok") == "spark").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.where(F.col("tok") == "join").select(
+        F.col("doc_id").alias("did_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, (F.col("doc_id") == F.col("did_b")) & (F.col("pb") == F.col("pa") + 1))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@query(
+    "sim_tfidf_cosine_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id AS did, t.tok
+            FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+            WHERE length(trim(text)) > 0
+        ),
+        tf AS (SELECT did, tok, count(*) AS tf FROM toks GROUP BY did, tok),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(DISTINCT did) AS n FROM tf),
+        w AS (
+            SELECT did, tf.tok, tf * ln(n / CAST(df AS DOUBLE)) AS w
+            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+            WHERE df < n
+        ),
+        norms AS (SELECT did, sqrt(sum(w * w)) AS nr FROM w GROUP BY did),
+        dots AS (
+            SELECT a.did AS id_a, b.did AS id_b, sum(a.w * b.w) AS dot
+            FROM w a JOIN w b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(dot / (na.nr * nb.nr), 4) AS tfidf_cosine
+        FROM dots
+        JOIN norms na ON id_a = na.did
+        JOIN norms nb ON id_b = nb.did
+        WHERE round(dot / (na.nr * nb.nr), 4) >= 0.85
+    """,
+    tags=("north-star", "similarity", "text"),
+)
+def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs (≥ 0.85) via inverted-index
+    self-join — the lexical complement to the dense-embedding cosine path
+    (sim_cosine_near_pairs).  Terms present in EVERY document are pruned
+    before the join (idf = 0 contributes nothing but would create the
+    biggest join buckets — the stopword-pruning skew guard)."""
+    from aws_genaric_datapipeline_spark.operators.text import tokens
+
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = documents.select(
+        F.col("doc_id").alias("did"), F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("did", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("did").alias("n"))
+    w = (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") < F.col("n"))
+        .select(
+            "did",
+            "tok",
+            (F.col("tf") * F.log(F.col("n") / F.col("df").cast("double"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("did").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nr"))
+    a = w.select(F.col("did").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("did").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot") / (F.col("na.nr") * F.col("nb.nr")), 4
+    ).alias("tfidf_cosine")
+    return (
+        dots.join(norms.alias("na"), F.col("id_a") == F.col("na.did"))
+        .join(norms.alias("nb"), F.col("id_b") == F.col("nb.did"))
+        .select("id_a", "id_b", cos)
+        .where(F.col("tfidf_cosine") >= 0.85)
+    )
