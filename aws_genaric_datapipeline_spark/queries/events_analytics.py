@@ -309,3 +309,111 @@ def events_winsorize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(cv), 4).alias("mean_winsorized"),
         )
     )
+
+
+@query(
+    "events_impute_missing",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CASE WHEN value < 5 THEN NULL ELSE value END AS v
+            FROM events
+        ),
+        mu AS (SELECT event_type, avg(v) AS mu FROM m GROUP BY event_type)
+        SELECT m.event_type,
+               count(*) FILTER (WHERE v IS NULL) AS n_missing,
+               round(avg(coalesce(v, mu)), 4) AS mean_imputed
+        FROM m JOIN mu ON m.event_type = mu.event_type
+        GROUP BY m.event_type
+    """,
+    tags=("events", "agg", "repair"),
+)
+def events_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation (data repair): values below the validity floor
+    (< 5) are treated as missing and filled with the per-type mean of the
+    valid values; reports missing counts and the post-imputation mean.
+
+    Scale: the imputation table is |event_type| rows broadcast back onto
+    the fact — same one-agg-one-broadcast shape as winsorization."""
+    (events,) = load(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 5, F.lit(None)).otherwise(F.col("value"))
+    m = events.select("event_type", v.alias("v"))
+    mu = m.groupBy("event_type").agg(F.avg("v").alias("mu"))
+    return (
+        m.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("v").isNull(), 1)).alias("n_missing"),
+            F.round(F.avg(F.coalesce(F.col("v"), F.col("mu"))), 4).alias("mean_imputed"),
+        )
+    )
+
+
+@query(
+    "events_sessionize_stats",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, epoch(ts) AS es,
+                   lag(epoch(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_es
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_id, es,
+                   CASE WHEN prev_es IS NULL OR es - prev_es > 21600
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ordered
+        ),
+        sess AS (
+            SELECT user_id, es,
+                   sum(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY es, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ),
+        per_session AS (
+            SELECT user_id, sid, count(*) AS n_events,
+                   max(es) - min(es) AS dur_s
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               round(avg(n_events), 4) AS avg_session_events,
+               round(avg(dur_s), 2) AS avg_session_duration_s
+        FROM per_session GROUP BY user_id
+    """,
+    tags=("events", "window", "sessionize"),
+)
+def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (6-hour inactivity gap) via the lag-gap-cumsum
+    pattern, rolled up to per-user session statistics — the batch
+    counterpart of the native session_window streaming query, over
+    epoch-seconds so the arithmetic is identical across engines.
+
+    Scale: one shuffle on user_id serves the two windows AND the session
+    aggregate (same partition key throughout); no per-session state beyond
+    the running counter."""
+    (events,) = load(spark, sf_dir, "events")
+    es = F.col("ts").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = events.select(
+        "user_id", "event_id", es.alias("es"), F.lag(es).over(w).alias("prev_es")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > 21600), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("sid", F.sum("is_new").over(run))
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("es") - F.min("es")).alias("dur_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+        F.round(F.avg("dur_s"), 2).alias("avg_session_duration_s"),
+    )
