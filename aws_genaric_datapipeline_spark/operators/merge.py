@@ -77,3 +77,42 @@ def scd2_collapse(
         F.lead("valid_from").over(w_iv).alias("valid_to"),
         "n_rows",
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC changelog (upserts + delete tombstones) to a base table.
+
+    ``changelog`` rows carry ``op_col`` ∈ {'U','D'} (upsert / delete) and a
+    deterministic ordering (``order_cols``, e.g. [ts, seq]).  Per key, the
+    LATEST changelog row decides: 'U' replaces the base row with the
+    changelog payload, 'D' removes the key; keys untouched by the changelog
+    pass through.  This is MERGE WHEN MATCHED DELETE/UPDATE WHEN NOT
+    MATCHED INSERT — without needing a transactional table format.
+
+    Scale: one shuffle on the key for the latest-wins window over the
+    changelog (usually tiny next to the base), one shuffle for the
+    outer join against base; with base bucketed on the key
+    (operators/bucketing.py) the base side never reshuffles, and with a
+    partitioned base + dynamic partition overwrite only touched partitions
+    rewrite.
+    """
+    order_cols = order_cols or ["ts"]
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    latest = (
+        changelog.withColumn(_RN, F.row_number().over(w))
+        .where(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+    payload = [c for c in base.columns if c not in keys]
+    # keys touched by the changelog leave the base either way ('D' ends
+    # there; 'U' re-enters with the changelog payload) — so the result is
+    # untouched-base ∪ latest-upserts, with no separate delete pass.
+    upserts = latest.where(F.col(op_col) != "D").select(*keys, *payload)
+    kept = base.join(latest.select(*keys), keys, "left_anti")
+    return kept.unionByName(upserts)

@@ -191,3 +191,60 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         tiebreak="event_id",
     )
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle="""
+        WITH base AS (
+            SELECT user_id, round(avg(value), 4) AS value
+            FROM events
+            WHERE ts <  TIMESTAMP '2024-01-16 00:00:00'
+            GROUP BY user_id
+        ),
+        changelog AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   round(value, 4) AS value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        ),
+        latest AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM changelog)
+            WHERE rn = 1
+        )
+        SELECT b.user_id, b.value
+        FROM base b LEFT JOIN latest l ON b.user_id = l.user_id
+        WHERE l.user_id IS NULL
+        UNION ALL
+        SELECT user_id, value FROM latest WHERE op <> 'D'
+    """,
+    tags=("merge", "cdc"),
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application with delete tombstones: the first half of
+    January builds the base table (per-user mean value); the second half
+    replays as a changelog where 'error' events are deletes and everything
+    else upserts the event's value — latest change per key wins.  MERGE
+    WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED INSERT, without a
+    transactional format (operators/merge.py cdc_apply)."""
+    from aws_genaric_datapipeline_spark.operators.merge import cdc_apply
+
+    (events,) = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    base = (
+        events.where(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("value"))
+    )
+    changelog = events.where(F.col("ts") >= cut).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.round("value", 4).alias("value"),
+    )
+    return cdc_apply(base, changelog, keys=["user_id"], order_cols=["ts", "event_id"])

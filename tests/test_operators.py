@@ -635,3 +635,38 @@ class TestPageRank:
         assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
         leaf_vals = {round(rows[i], 12) for i in range(1, 6)}
         assert len(leaf_vals) == 1, "symmetric leaves must tie exactly"
+
+
+class TestCdcApply:
+    def test_upsert_delete_insert_and_idempotence(self, spark):
+        """'U' replaces, 'D' removes, unseen keys insert, untouched keys
+        pass through; replaying the same changelog is a no-op."""
+        from aws_genaric_datapipeline_spark.operators.merge import cdc_apply
+
+        base = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        )
+        log = spark.createDataFrame(
+            [
+                (1, 1, "U", 11.0),   # update key 1
+                (2, 1, "D", None),   # delete key 2
+                (4, 1, "U", 40.0),   # insert key 4
+                (3, 1, "D", None),   # delete then...
+                (3, 2, "U", 33.0),   # ...re-insert key 3 (latest wins)
+            ],
+            "k long, ts long, op string, v double",
+        )
+        out = cdc_apply(base, log, keys=["k"], order_cols=["ts"])
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == {1: 11.0, 3: 33.0, 4: 40.0}
+        again = cdc_apply(out, log, keys=["k"], order_cols=["ts"])
+        assert {r["k"]: r["v"] for r in again.collect()} == got
+
+    def test_latest_tombstone_wins(self, spark):
+        from aws_genaric_datapipeline_spark.operators.merge import cdc_apply
+
+        base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        log = spark.createDataFrame(
+            [(1, 1, "U", 2.0), (1, 2, "D", None)], "k long, ts long, op string, v double"
+        )
+        assert cdc_apply(base, log, keys=["k"], order_cols=["ts"]).count() == 0
