@@ -225,3 +225,50 @@ def sort_limit_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(25)
     )
+
+
+@query(
+    "window_cumulative_distinct_users",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, user_id
+            FROM events GROUP BY 1, 2
+        ),
+        firsts AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY user_id),
+        new_per_day AS (SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY 1),
+        days AS (SELECT DISTINCT day FROM daily)
+        SELECT days.day,
+               CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY days.day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+        FROM days LEFT JOIN new_per_day ON days.day = new_per_day.day
+    """,
+    tags=("window", "distinct", "events"),
+)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the windowed COUNT(DISTINCT)
+    Spark's window functions don't support, rewritten as first-seen
+    aggregation: a user contributes to the cumulative count only on their
+    first active day, so a running SUM of per-day first-seen counts equals
+    the running distinct count.
+
+    Scale: two small aggregations + a date-keyed running sum — state is
+    O(days), never O(users) per frame; the naive collect_set-over-window
+    holds every user id in every frame and dies at 100 TB."""
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).dropDuplicates()
+    firsts = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = daily.select("day").dropDuplicates()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(new_per_day, "day", "left")
+        .withColumn(
+            "cum_distinct_users",
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w),
+        )
+        .select("day", "cum_distinct_users")
+    )
