@@ -209,3 +209,11 @@ class TestCurationPlans:
 
         df = QUERIES["q11_important_stock"].fn(spark, SF)
         assert "BroadcastNestedLoopJoin" in explain_str(df)
+
+
+class TestEventPipelinePlans:
+    def test_sessionize_single_shuffle(self, spark):
+        """Both windows and both aggregates key on user_id — the whole
+        sessionization must plan exactly ONE exchange."""
+        df = QUERIES["events_sessionize_stats"].fn(spark, SF)
+        assert shuffle_count(df) == 1
