@@ -401,3 +401,29 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos)
         .where(F.col("tfidf_cosine") >= 0.85)
     )
+
+
+@query("curate_top_quality_approx", oracle=None, tags=("north-star", "curation"))
+def curate_top_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of per-language quality curation: instead of
+    percent_rank (a full sort within every language partition), compute ONE
+    approx_percentile threshold per language (tiny aggregate, mergeable
+    sketches) and keep docs at or above it — no per-language global sort
+    anywhere in the plan.
+
+    Rows-only for the driver (the approximate median is engine-specific);
+    the containment property vs the exact percent_rank query — approx keeps
+    a near-superset of the exact top half, within the sketch's rank error —
+    is asserted in tests/test_operators.py::TestCuration."""
+    (documents,) = load(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id", "lang", X.quality_score_bp(F.col("text")).alias("quality_bp")
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F.expr("approx_percentile(quality_bp, 0.5, 10000)").alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .where(F.col("quality_bp") >= F.col("thr"))
+        .select("doc_id", "lang", "quality_bp")
+    )

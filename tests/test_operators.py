@@ -670,3 +670,24 @@ class TestCdcApply:
             [(1, 1, "U", 2.0), (1, 2, "D", None)], "k long, ts long, op string, v double"
         )
         assert cdc_apply(base, log, keys=["k"], order_cols=["ts"]).count() == 0
+
+
+class TestApproxCuration:
+    def test_approx_threshold_tracks_exact_top_half(self, spark):
+        """The approx-percentile curation keeps, per language, a set whose
+        size is within 15% of the exact percent_rank top half, and the two
+        sets overlap on >= 85% of the smaller one (rank-error tolerance of
+        the sketch at accuracy 10000)."""
+        from aws_genaric_datapipeline_spark.queries import QUERIES
+
+        SF = "/root/testdata/sf0.001"
+        exact = {
+            r["doc_id"] for r in QUERIES["curate_top_quality_per_lang"].fn(spark, SF).collect()
+        }
+        approx = {
+            r["doc_id"] for r in QUERIES["curate_top_quality_approx"].fn(spark, SF).collect()
+        }
+        assert len(approx) >= 0.85 * len(exact)
+        assert len(approx) <= 1.15 * len(exact) + 5
+        inter = len(exact & approx)
+        assert inter >= 0.85 * min(len(exact), len(approx))
