@@ -85,7 +85,13 @@ def read_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
                     .option("numPartitions", str(src.num_partitions))
                 )
         df = reader.load()
-    elif src.kind in ("parquet", "orc"):
+    elif src.kind in ("parquet", "orc", "text", "binaryFile"):
+        # text → one `value:string` row per line (wholetext option for
+        # doc-per-file); binaryFile → (path, modificationTime, length,
+        # content) — the raw-media ingestion path feeding
+        # operators/multimodal.py (each file is one row; non-splittable,
+        # so parallelism = file count — fine for media corpora of many
+        # small-to-medium objects).
         df = spark.read.format(src.kind).options(**src.options).load(src.path)
     elif src.kind in ("csv", "json"):
         declared = cfg.declared_struct()

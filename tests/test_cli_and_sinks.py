@@ -70,6 +70,34 @@ class TestSourceReaders:
         assert dict(out.dtypes) == {"id": "bigint", "v": "string"}
         assert out.count() == 2
 
+    def test_text_source_line_and_wholetext(self, spark, tmp_path):
+        """text source: one row per line by default; wholetext=true gives
+        one row per file (document-per-file corpora)."""
+        d = tmp_path / "txt"; d.mkdir()
+        (d / "a.txt").write_text("line one\nline two\n")
+        (d / "b.txt").write_text("solo\n")
+        cfg = self._cfg(tmp_path, "text", str(d))
+        cfg = cfg.__class__(**{**cfg.__dict__, "schema": ()})
+        out = read_source(spark, cfg)
+        assert out.columns == ["value"]
+        assert out.count() == 3
+        cfg2 = cfg.__class__(**{**cfg.__dict__, "source": SourceSpec(
+            kind="text", path=str(d), options={"wholetext": "true"})})
+        assert read_source(spark, cfg2).count() == 2
+
+    def test_binary_file_source_reads_bytes(self, spark, tmp_path):
+        """binaryFile source: one row per file with payload bytes + typed
+        metadata — the raw-media ingestion path for multimodal columns."""
+        d = tmp_path / "bin"; d.mkdir()
+        (d / "x.bin").write_bytes(b"\x00\x01payload")
+        (d / "y.bin").write_bytes(b"zz")
+        cfg = self._cfg(tmp_path, "binaryFile", str(d))
+        cfg = cfg.__class__(**{**cfg.__dict__, "schema": ()})
+        out = read_source(spark, cfg)
+        assert {"path", "modificationTime", "length", "content"} <= set(out.columns)
+        rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in out.collect()}
+        assert rows == {"x.bin": b"\x00\x01payload", "y.bin": b"zz"}
+
 
 class TestCli:
     def test_list_ingest_promote(self, spark, tmp_path, capsys):
