@@ -95,6 +95,15 @@ class StateStore:
 
     # ------------------------------------------------------------------- read
     def _read_log(self) -> DataFrame:
+        # First run: the log directory doesn't exist yet.  Returning an
+        # empty typed frame (instead of letting the read throw) keeps the
+        # caller's control flow exception-free and the logs clean — Spark
+        # logs the full PATH_NOT_FOUND stack at WARN before the exception
+        # even reaches Python.
+        import os
+
+        if "://" not in self.path and not os.path.exists(self.path):
+            return self.spark.createDataFrame([], STATE_SCHEMA)
         return self.spark.read.schema(STATE_SCHEMA).parquet(self.path)
 
     def log(self) -> DataFrame:
