@@ -51,6 +51,7 @@ HEADLINE = [
     "q9_product_profit",
     "search_bm25",
     "decontaminate_ngram_overlap",
+    "curate_funnel_report",
 ]
 
 
