@@ -29,9 +29,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"].fn(spark, SMOKE_SF_DIR)
 
 
+def _verification_priority() -> dict[str, tuple[int, int]]:
+    """(times_checked, last_round_checked) per query, from CORRECTNESS_r*.json.
+
+    The driver verifies queries in dict order up to a per-round cap, so
+    ``queries()`` yields least-recently-verified entries first.  This rotates
+    driver coverage across rounds until every registered query has a green row.
+    """
+    import json
+    import re
+
+    here = Path(__file__).resolve().parent
+    seen: dict[str, tuple[int, int]] = {}
+    for path in sorted(here.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            count, _ = seen.get(name, (0, 0))
+            seen[name] = (count + 1, rnd)
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered least-recently-verified first (see _verification_priority).
+    """
+    seen = _verification_priority()
+    names = sorted(QUERIES, key=lambda n: (*seen.get(n, (0, 0)), n))
+    return {name: QUERIES[name].fn for name in names}
 
 
 def oracle_sql() -> dict[str, str]:
