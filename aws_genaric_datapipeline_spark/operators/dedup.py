@@ -140,27 +140,65 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
 
-    Inverted-index self-join: explode distinct shingles, equi-join on the
-    shingle, count co-occurrences, then J = |∩| / (|A|+|B|-|∩|).  The join
-    key is the shingle, so cost is Σ_shingle df²(shingle) — fine while no
-    shingle is ubiquitous; at web scale, drop top-frequency shingles first
-    (stopword-shingle pruning) or move to minhash_lsh_pairs below.
+    Candidate generation uses prefix filtering (the AllPairs/SSJoin
+    principle): order every document's shingles by ascending global
+    document frequency; if J(A,B) >= t then |A∩B| >= ceil(t·|A|), so A's
+    first |A| - ceil(t·|A|) + 1 shingles in that order must contain a
+    shingle of the intersection — and two qualifying sets always share a
+    shingle in BOTH prefixes.  The self-join therefore runs only on prefix
+    shingles — the rarest per document — so a ubiquitous shingle (df ~ N)
+    sorts to the end of every set and never becomes a join key, eliminating
+    the Σ df²(shingle) quadratic hot-bucket at web scale while staying
+    EXACT.  Verification then counts full intersections on candidates only.
+
+    ``prefix_filter=False`` keeps the plain inverted-index join (every
+    shingle a join key) — only sensible for tiny oracle-tier inputs.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 4 decimals.
     """
     sets = _token_sets(df, id_col, text_col, n)
     sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sets.select(F.col("did").alias("id_a"), "tok")
-    b = sets.select(F.col("did").alias("id_b"), "tok")
-    inter = (
-        a.join(b, "tok")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        doc_freq = sets.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+        w_rank = Window.partitionBy("did").orderBy("tok_df", "tok")
+        prefix = (
+            sets.join(doc_freq, "tok")
+            .withColumn("tok_rank", F.row_number().over(w_rank))
+            .join(sizes, "did")
+            .where(
+                F.col("tok_rank")
+                <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+            )
+            .select("did", "tok")
+        )
+        cand = (
+            prefix.select(F.col("did").alias("id_a"), "tok")
+            .join(prefix.select(F.col("did").alias("id_b"), "tok"), "tok")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
+        inter = (
+            cand.join(sets.select(F.col("did").alias("id_a"), "tok"), "id_a")
+            .join(sets.select(F.col("did").alias("id_b"), "tok"), ["id_b", "tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sets.select(F.col("did").alias("id_a"), "tok")
+        b = sets.select(F.col("did").alias("id_b"), "tok")
+        inter = (
+            a.join(b, "tok")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnsRenamed({"did": "id_a", "set_size": "size_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"did": "id_b", "set_size": "size_b"}), "id_b")

@@ -26,10 +26,20 @@ _PRIORITY = "__merge_priority"
 _RN = "__merge_rn"
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
     """Whole-row MERGE: for each key, the source row wins if present,
     otherwise the target row is kept; source rows with no target match are
     inserted.  Schemas must be union-compatible by name.
+
+    ``order_cols`` breaks ties deterministically (descending) when a side
+    holds multiple rows per key; without it each side MUST be unique per key
+    (standard MERGE errors on multiple source matches — here the survivor
+    would be partitioning-dependent).
 
     Implemented as a priority union + one row_number per key — a single
     shuffle, versus a full-outer join's two, and the window sort is
@@ -38,7 +48,8 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     tagged = target.withColumn(_PRIORITY, F.lit(0)).unionByName(
         source.withColumn(_PRIORITY, F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(F.desc(_PRIORITY))
+    tiebreak = [F.desc(c) for c in (order_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(F.desc(_PRIORITY), *tiebreak)
     return (
         tagged.withColumn(_RN, F.row_number().over(w))
         .where(F.col(_RN) == 1)

@@ -33,8 +33,13 @@ BUCKETS = 10000  # basis points: rate_bp=2500 → 25% sample
 
 
 def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
-    """Deterministic bucket in [0, buckets) from a numeric key column."""
-    return (key.cast("bigint") * F.lit(KNUTH_A)) % F.lit(HASH_MOD) % F.lit(buckets)
+    """Deterministic bucket in [0, buckets) from a numeric key column.
+
+    Both modulo steps use pmod: Spark's ``%`` keeps the dividend's sign, so a
+    negative key would otherwise land in a negative bucket and silently pass
+    every ``bucket < rate_bp`` filter.
+    """
+    return F.pmod(F.pmod(key.cast("bigint") * F.lit(KNUTH_A), F.lit(HASH_MOD)), F.lit(buckets))
 
 
 def deterministic_sample(df: DataFrame, key_col: str, rate_bp: int) -> DataFrame:

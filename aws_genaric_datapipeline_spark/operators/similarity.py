@@ -99,13 +99,46 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
 def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, table: int = 0) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(v·h_i).  Vectors with
     high cosine land in the same bucket with prob (1 - θ/π)^num_planes.
-    ``table`` offsets the hyperplane family for OR-amplification."""
+    ``table`` offsets the hyperplane family for OR-amplification.
+
+    The plane is sliced to the vector's length: zip_with pads the shorter
+    array with nulls, which would null the whole bucket for vectors shorter
+    than ``dim`` (unused trailing plane dimensions are harmless)."""
+    n = F.least(F.size(vec), F.lit(dim))
     bucket = F.lit(0).cast("bigint")
     for p in range(num_planes):
         plane = F.array(*[F.lit(x) for x in _hyperplane(dim, table * num_planes + p)])
-        bit = (dot(vec, plane) > 0).cast("bigint")
+        bit = (dot(F.slice(vec, 1, n), F.slice(plane, 1, n)) > 0).cast("bigint")
         bucket = bucket + bit * F.lit(2**p).cast("bigint")
     return bucket
+
+
+def _lsh_buckets_udf(dim: int, num_planes: int, num_tables: int):
+    """Arrow-vectorized twin of lsh_bucket: per row, the bucket id in EVERY
+    table at once — one numpy matmul per batch against the (tables×planes)
+    hyperplane matrix, instead of tables×planes interpreted zip_with/
+    aggregate lambdas per row.  Bit-compatible with lsh_bucket (same
+    hyperplanes, same `> 0` sign convention, same short-vector slicing)."""
+    import numpy as np
+    import pandas as pd
+
+    pm = np.array(
+        [_hyperplane(dim, t * num_planes + p) for t in range(num_tables) for p in range(num_planes)],
+        dtype=np.float64,
+    )  # (tables·planes) × dim
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    def _buckets(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        d = min(mat.shape[1], dim)
+        proj = mat[:, :d] @ pm[:, :d].T
+        bits = (proj > 0).astype(np.int64).reshape(len(mat), num_tables, num_planes)
+        buckets = (bits * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return F.pandas_udf(_buckets, "array<bigint>")
 
 
 def lsh_bucketed_topk(
@@ -128,21 +161,12 @@ def lsh_bucketed_topk(
     equi-join on (table, bucket) — per-table candidate count drops
     ~2^num_planes-fold; tune (b, L) for the recall/cost point.
     """
+    buckets = _lsh_buckets_udf(dim, num_planes, num_tables)
     base = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("nid"),
         F.col("unit_vec").alias("nvec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("unit_vec"), dim, num_planes, table=t).alias("bucket"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("nid", "nvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        F.posexplode(buckets(F.col("unit_vec"))).alias("tbl", "bucket"),
+    )
     queries = base.where(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("query_id"), F.col("nvec").alias("qvec"), "tbl", "bucket"
     )
@@ -349,20 +373,46 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    exact: bool = False,
+    dim: int = 64,
+    num_planes: int = 5,
+    num_tables: int = 10,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
 
-    Brute-force O(N²/2) pair scan — the oracle-checkable baseline.  At scale
-    swap the crossJoin for the LSH bucket equi-join (same re-rank).
+    Default path: random-hyperplane LSH candidate generation (self
+    equi-join on (table, bucket) — the only shuffle carries ids + 64-bit
+    bucket keys), then exact cosine verification of candidates only.  Pair
+    recall ≈ 1-(1-p^b)^L with p = 1-θ/π — at near-duplicate thresholds
+    (≥0.9) the defaults give >0.999; at loose thresholds LSH misses pairs,
+    so thresholds well below ~0.8 belong on ``exact=True``.
+
+    ``exact=True``: brute-force O(N²/2) corpus×corpus crossJoin — the
+    oracle-checkable tier; would not survive corpus×corpus at 100 TB.
     """
     base = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("vid"), F.col("unit_vec").alias("uvec")
     )
-    a = base.select(F.col("vid").alias("id_a"), F.col("uvec").alias("vec_a"))
-    b = base.select(F.col("vid").alias("id_b"), F.col("uvec").alias("vec_b"))
+    if exact:
+        a = base.select(F.col("vid").alias("id_a"), F.col("uvec").alias("vec_a"))
+        b = base.select(F.col("vid").alias("id_b"), F.col("uvec").alias("vec_b"))
+        scored = a.crossJoin(b)
+    else:
+        buckets = _lsh_buckets_udf(dim, num_planes, num_tables)
+        bucketed = base.select(
+            "vid",
+            "uvec",
+            F.posexplode(buckets(F.col("uvec"))).alias("tbl", "bucket"),
+        )
+        a = bucketed.select(F.col("vid").alias("id_a"), F.col("uvec").alias("vec_a"), "tbl", "bucket")
+        b = bucketed.select(F.col("vid").alias("id_b"), F.col("uvec").alias("vec_b"), "tbl", "bucket")
+        scored = (
+            a.join(b, ["tbl", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        scored.where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",

@@ -291,16 +291,16 @@ def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("quality", k3),
         ("repetition", k4),
     ]
-    counts = [
-        df.agg(F.count(F.lit(1)).alias("n_kept")).select(
-            F.lit(name).alias("stage"), "n_kept"
-        )
-        for name, df in stages
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    return out
+    # Materialize the five stage counts sequentially: the persisted survivor
+    # frames fill on first use and are REUSED (a lazy union of the five
+    # aggregates would run its branches concurrently, racing the cache fill
+    # and recomputing the contamination subtree), then release the cache —
+    # long-lived drivers invoking this over many inputs must not accumulate
+    # disk-backed blocks.  The report itself is five scalars.
+    rows = [(name, df.count()) for name, df in stages]
+    k1.unpersist()
+    k2.unpersist()
+    return spark.createDataFrame(rows, "stage string, n_kept long")
 
 
 @query(

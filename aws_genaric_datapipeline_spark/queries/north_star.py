@@ -286,9 +286,30 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-pairs with cosine ≥ 0.4 (threshold sits above the
-    random-pair distribution of this corpus, max ≈ 0.51)."""
+    random-pair distribution of this corpus, max ≈ 0.51).
+
+    exact=True: at 0.4 — far below near-duplicate territory — hyperplane-LSH
+    recall cannot reach 1, so this oracle tier runs the brute-force path;
+    sim_lsh_near_pairs below exercises the scalable default."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    return S.cosine_near_pairs(embeddings, threshold=0.4)
+    return S.cosine_near_pairs(embeddings, threshold=0.4, exact=True)
+
+
+@query("sim_lsh_near_pairs", oracle=None, tags=("north-star", "similarity"))
+def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via the default LSH-candidate path
+    (self equi-join on (table, bucket), exact cosine verify on candidates —
+    no crossJoin; plan-gated in tests/test_plans.py, recall vs exact
+    asserted in tests/test_operators.py).
+
+    This corpus's pair-cosine tops out ≈0.51, so the threshold sits at 0.45
+    with a wide-OR family (3 planes × 12 tables → pair recall ≈0.98 at
+    p=0.649) to keep the result non-empty; production near-dup thresholds
+    (≥0.9) would use the deeper default family."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return S.cosine_near_pairs(
+        embeddings, threshold=0.45, num_planes=3, num_tables=12
+    )
 
 
 @query("sim_lsh_ann_topk", oracle=None, tags=("north-star", "similarity"))

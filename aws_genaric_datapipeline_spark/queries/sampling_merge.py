@@ -18,7 +18,8 @@ from aws_genaric_datapipeline_spark.operators.sampling import (
 from aws_genaric_datapipeline_spark.queries.registry import query
 from aws_genaric_datapipeline_spark.tables import load
 
-_HASH_SQL = "((doc_id * 2654435761) % 4294967296) % 10000"
+# Positive modulo to mirror Spark-side F.pmod (DuckDB % is signed like Spark's).
+_HASH_SQL = "((((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296) % 10000"
 
 
 @query(

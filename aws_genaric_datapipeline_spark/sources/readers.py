@@ -45,13 +45,14 @@ def validate_schema(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.select(*[F.col(f.name).cast(f.dataType) for f in declared.fields])
 
 
-def _jdbc_reader(spark: SparkSession, src: SourceSpec):
+def _jdbc_reader(spark: SparkSession, src: SourceSpec, dbtable: str | None = None):
     user = os.environ.get(src.user_env, "") if src.user_env else ""
     password = os.environ.get(src.password_env, "") if src.password_env else ""
     # Subquery-in-dbtable keeps view resolution DB-side, same mechanism the
     # reference used (raw_layer_job.py:128-130) — predicates/pruning still
     # push through it.
-    dbtable = f"(SELECT * FROM {src.view}) AS v" if src.view else src.options.get("dbtable", "")
+    if dbtable is None:
+        dbtable = f"(SELECT * FROM {src.view}) AS v" if src.view else src.options.get("dbtable", "")
     reader = (
         spark.read.format("jdbc")
         .option("url", src.url or "")
@@ -63,7 +64,24 @@ def _jdbc_reader(spark: SparkSession, src: SourceSpec):
         reader = reader.option("driver", src.driver)
     for k, v in src.options.items():
         reader = reader.option(k, v)
+    if dbtable:
+        reader = reader.option("dbtable", dbtable)
     return reader
+
+
+def _jdbc_bounds(spark: SparkSession, src: SourceSpec) -> tuple:
+    """Fetch (min, max) of the partition column with a DB-side aggregate.
+
+    V1 ``format("jdbc")`` does not push aggregates, so ``.load().agg(...)``
+    would stream the whole table through one connection.  Issuing the
+    min/max as a dbtable subquery makes the database compute it — one
+    two-column row crosses the wire.
+    """
+    inner = f"(SELECT * FROM {src.view}) AS v" if src.view else src.options.get("dbtable", "")
+    col = src.partition_column
+    bounds_tbl = f"(SELECT MIN({col}) AS lo, MAX({col}) AS hi FROM {inner}) AS b"
+    row = _jdbc_reader(spark, src, dbtable=bounds_tbl).load().collect()[0]
+    return row["lo"], row["hi"]
 
 
 def read_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
@@ -72,11 +90,8 @@ def read_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     if src.kind == "jdbc":
         reader = _jdbc_reader(spark, src)
         if src.partition_column:
-            # one pushdown round-trip for bounds, then a partitioned scan
-            bounds_df = _jdbc_reader(spark, src).load().agg(
-                F.min(src.partition_column).alias("lo"), F.max(src.partition_column).alias("hi")
-            )
-            lo, hi = bounds_df.collect()[0]
+            # one DB-side min/max round-trip for bounds, then a partitioned scan
+            lo, hi = _jdbc_bounds(spark, src)
             if lo is not None and hi is not None and lo != hi:
                 reader = (
                     reader.option("partitionColumn", src.partition_column)

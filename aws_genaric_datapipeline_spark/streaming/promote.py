@@ -27,10 +27,12 @@ def run_streaming_promoter(
     pipeline: Pipeline,
     checkpoint_dir: str,
     available_now: bool = True,
-) -> list[str]:
+):
     """Stream RAW_COMPLETED transitions into promote_batch calls.
 
-    Returns the batch ids promoted during this drain (available_now mode).
+    available_now=True drains pending batches and returns the promoted batch
+    ids (list[str]).  available_now=False starts a continuous promoter and
+    returns the live ``StreamingQuery`` so callers can await/monitor/stop it.
     """
     spark = pipeline.spark
     promoted: list[str] = []
@@ -64,5 +66,4 @@ def run_streaming_promoter(
         query = writer.trigger(availableNow=True).start()
         query.awaitTermination()
         return promoted
-    writer.start()
-    return promoted
+    return writer.start()

@@ -691,3 +691,93 @@ class TestApproxCuration:
         assert len(approx) <= 1.15 * len(exact) + 5
         inter = len(exact & approx)
         assert inter >= 0.85 * min(len(exact), len(approx))
+
+
+class TestScaleSafeDefaults:
+    """Round-2 posture fixes: the scale-safe path is the DEFAULT and matches
+    (or provably approximates) the exact tier."""
+
+    def test_jaccard_prefix_filter_is_exact(self, documents):
+        """Prefix filtering is a lossless candidate pruning: identical pairs
+        AND identical jaccard values vs the plain inverted-index join."""
+        pruned = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.jaccard_pairs(documents, n=3, threshold=0.5).collect()
+        }
+        brute = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.jaccard_pairs(
+                documents, n=3, threshold=0.5, prefix_filter=False
+            ).collect()
+        }
+        assert pruned == brute
+
+    def test_lsh_near_pairs_recall_and_subset(self, spark):
+        """Default (LSH-candidate) near-pairs: a subset of the exact pairs
+        with the same verified cosine values and >=90% recall at a
+        near-duplicate threshold — on a corpus CONSTRUCTED to contain true
+        near-duplicates (the driver embeddings corpus tops out at ~0.51
+        pair cosine, which would make this assertion vacuous)."""
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        vid = 0
+        for base_i in range(25):
+            base = [rng.gauss(0, 1) for _ in range(64)]
+            rows.append((vid, base)); vid += 1
+            # two perturbed near-duplicates of each base (cos ≈ 0.995)
+            for _ in range(2):
+                rows.append((vid, [x + rng.gauss(0, 0.07) for x in base])); vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in S.cosine_near_pairs(df, threshold=0.95, exact=True).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in S.cosine_near_pairs(df, threshold=0.95).collect()
+        }
+        assert len(exact) >= 25, "fixture must contain true near-duplicate pairs"
+        assert set(approx) <= set(exact), "LSH pairs must be exact-verified pairs"
+        for pair, sim in approx.items():
+            assert sim == exact[pair]
+        recall = len(approx) / len(exact)
+        assert recall >= 0.9, f"LSH near-pair recall {recall:.2f} < 0.9"
+
+    def test_hash_bucket_nonnegative_for_negative_keys(self, spark):
+        """pmod semantics: negative keys must land in [0, buckets) so
+        rate filters and train/holdout routing stay correct."""
+        from aws_genaric_datapipeline_spark.operators.sampling import (
+            BUCKETS,
+            hash_bucket,
+            train_holdout_split,
+        )
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame([(k,) for k in range(-500, 1)], ["k"])
+        stats = df.select(
+            F.min(hash_bucket(F.col("k"))).alias("lo"),
+            F.max(hash_bucket(F.col("k"))).alias("hi"),
+        ).collect()[0]
+        assert stats["lo"] >= 0 and stats["hi"] < BUCKETS
+        train, hold = train_holdout_split(df, "k", holdout_bp=2000)
+        n_train, n_hold = train.count(), hold.count()
+        assert n_train + n_hold == 501
+        assert 0 < n_hold < 501, "negative keys must split, not all route one way"
+
+    def test_merge_upsert_tiebreak_deterministic(self, spark):
+        """With duplicate source rows per key, order_cols picks one
+        deterministic survivor regardless of partitioning."""
+        from aws_genaric_datapipeline_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame([(1, "old", 0)], ["k", "v", "ts"])
+        source = spark.createDataFrame(
+            [(1, "s1", 10), (1, "s2", 20), (1, "s3", 15)], ["k", "v", "ts"]
+        )
+        for parts in (1, 7):
+            got = merge_upsert(
+                target.repartition(parts), source.repartition(parts), ["k"],
+                order_cols=["ts"],
+            ).collect()
+            assert [(r["k"], r["v"]) for r in got] == [(1, "s2")]
