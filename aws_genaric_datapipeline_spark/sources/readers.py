@@ -37,12 +37,19 @@ def validate_schema(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     declared = cfg.declared_struct()
     if declared is None:
         return df
-    missing = [f.name for f in declared.fields if f.name not in df.columns]
+    # Case-insensitive membership: JDBC sources fold identifier case per
+    # database (Derby/Oracle uppercase, Postgres lowercase); Spark resolves
+    # column references case-insensitively, and the alias pins the declared
+    # casing on the way out.
+    have = {c.lower() for c in df.columns}
+    missing = [f.name for f in declared.fields if f.name.lower() not in have]
     if missing:
         raise SchemaMismatchError(
             f"pipeline {cfg.job_src}: declared columns missing from source: {missing}"
         )
-    return df.select(*[F.col(f.name).cast(f.dataType) for f in declared.fields])
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+    )
 
 
 def _jdbc_reader(spark: SparkSession, src: SourceSpec, dbtable: str | None = None):
@@ -80,8 +87,9 @@ def _jdbc_bounds(spark: SparkSession, src: SourceSpec) -> tuple:
     inner = f"(SELECT * FROM {src.view}) AS v" if src.view else src.options.get("dbtable", "")
     col = src.partition_column
     bounds_tbl = f"(SELECT MIN({col}) AS lo, MAX({col}) AS hi FROM {inner}) AS b"
+    # positional access: databases fold the lo/hi alias case differently
     row = _jdbc_reader(spark, src, dbtable=bounds_tbl).load().collect()[0]
-    return row["lo"], row["hi"]
+    return row[0], row[1]
 
 
 def read_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
