@@ -2,11 +2,13 @@
 with typed metadata.
 
 The Spark-side contract is real and tested — schema, Arrow batch shape,
-partitioning, mapInPandas signatures.  The actual media decoding is STUBBED
-(image/audio libraries are not in this container): ``decode_media`` raises
-NotImplementedError unless ``fake=True``, which substitutes a deterministic
-byte-statistics "feature extractor" so the distributed plumbing can be
-exercised end to end.
+partitioning, mapInPandas signatures.  IMAGE decoding is real: the engine
+carries a pure numpy/stdlib PNG + PPM codec (operators/imagecodec.py), so
+``decode_media`` / ``resize_media`` operate on actual pixels with no image
+library in the container.  ``fake=True`` keeps the deterministic
+byte-statistics stand-in for non-image payloads and determinism tests.
+VIDEO frame seeking stays stubbed (no ffmpeg in the container):
+``sample_frames`` raises NotImplementedError unless ``fake=True``.
 
 Schema convention for a media table::
 
@@ -88,6 +90,22 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return out
 
 
+def _pixel_feature(img, dim: int) -> list[float]:
+    """Per-stripe mean luminance over ``dim`` horizontal stripes of the
+    decoded pixel array — a real (if simple) visual feature: deterministic,
+    resolution-independent, and sensitive to vertical image structure."""
+    import numpy as np
+
+    lum = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    h = lum.shape[0]
+    out = []
+    for i in range(dim):
+        lo = i * h // dim
+        hi = max(lo + 1, (i + 1) * h // dim)
+        out.append(round(float(lum[lo:hi].mean()) / 255.0, 6))
+    return out
+
+
 def decode_media(
     df: DataFrame,
     fake: bool = False,
@@ -101,25 +119,29 @@ def decode_media(
     different row count (frame sampling).  ``batch_hint`` caps rows per Arrow
     batch via spark.sql.execution.arrow.maxRecordsPerBatch on the session.
 
-    Without a real decoder installed this raises NotImplementedError at plan
-    *definition* time unless ``fake=True`` (deterministic byte-statistics
-    features), keeping the failure mode explicit rather than a mid-job
-    executor crash.
+    Default path: REAL image decode (PNG/PPM via operators/imagecodec.py)
+    with per-stripe luminance features over the decoded pixels.  A payload
+    that is not a decodable image raises ImageFormatError inside the task —
+    pass ``fake=True`` for the byte-statistics stand-in when payloads are
+    opaque non-image bytes (and for determinism tests).
     """
-    if not fake:
-        raise NotImplementedError(
-            "no media decoder available in this environment; pass fake=True "
-            "for the deterministic byte-statistics stand-in"
-        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_genaric_datapipeline_spark.operators.imagecodec import decode_image
+
         for pdf in batches:
+            feats = []
+            for b in pdf["media"]:
+                if fake:
+                    feats.append(_fake_feature(b or b"", feature_dim))
+                else:
+                    feats.append(_pixel_feature(decode_image(bytes(b)), feature_dim))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": [m["kind"] if m is not None else None for m in pdf["media_meta"]],
                     "n_bytes": [len(b) if b is not None else 0 for b in pdf["media"]],
-                    "feature": [_fake_feature(b or b"", feature_dim) for b in pdf["media"]],
+                    "feature": feats,
                 }
             )
 
@@ -138,27 +160,38 @@ def resize_media(
     that rewrites BOTH the blob and its typed metadata, so downstream
     metadata filters see the new dimensions without decoding.
 
-    Stub contract: the real implementation decodes + resamples (PIL /
-    libvips); ``fake=True`` substitutes a deterministic byte resample
-    (stride-sampled to width·height bytes) with the identical batch shape.
+    Default path: REAL resample — decode (PNG/PPM), nearest-neighbor
+    resize, re-encode as PNG (operators/imagecodec.py).  ``fake=True``
+    keeps the deterministic byte-stride stand-in for opaque payloads.
     """
-    if not fake:
-        raise NotImplementedError(
-            "no image library available in this environment; pass fake=True "
-            "for the deterministic byte-resample stand-in"
-        )
     n_out = max(1, width * height)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_genaric_datapipeline_spark.operators.imagecodec import (
+            decode_image,
+            encode_png,
+            resize_nearest,
+        )
+
         for pdf in batches:
             blobs = []
             metas = []
             for b, m in zip(pdf["media"], pdf["media_meta"]):
                 b = b or b""
-                step = max(1, len(b) // n_out)
-                blobs.append(bytes(b[::step][:n_out]))
+                if fake:
+                    step = max(1, len(b) // n_out)
+                    blobs.append(bytes(b[::step][:n_out]))
+                    new_mime = None
+                else:
+                    img = resize_nearest(decode_image(bytes(b)), width, height)
+                    if img.ndim == 3 and img.shape[2] not in (1, 3):
+                        img = img[:, :, :3]  # drop alpha for the RGB encoder
+                    blobs.append(encode_png(img))
+                    new_mime = "image/png"
                 m = dict(m) if m is not None else {}
                 m["width"], m["height"] = width, height
+                if new_mime:
+                    m["mime"] = new_mime
                 metas.append(m)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas})
 

@@ -244,9 +244,17 @@ def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the composition a pretraining ingest runs per batch — every
     stage is the exact operator verified individually by its own query.
-    Scale note: the dedup and decontamination survivor frames are
-    persisted (spillable) because three of the five counts consume them; a
-    production single-pass run would use observe() metrics instead.
+
+    SINGLE-PASS shape: instead of materializing survivor frames per stage
+    (five counting actions + persisted intermediates), every gate becomes a
+    per-document boolean — dedup survivor (fingerprint window), trigram
+    contamination (per-doc ratio, identical whichever superset it is
+    computed on), quality score (pure expression), repetition ratio — and
+    the five funnel counts are ONE conditional aggregation over the flag
+    frame.  One action, no caching, exchange reuse handles the shared
+    subtrees; per-doc signal frames join on doc_id ahead of the count.
+    At 100 TB this is the observe()-style pattern: counts ride the pass
+    that computes the flags, nothing is re-scanned per stage.
     """
     from pyspark.sql import Window
 
@@ -256,51 +264,50 @@ def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = documents.where(F.col("doc_id") % 20 == 0)
     corpus = documents.where(F.col("doc_id") % 20 != 0)
 
-    from pyspark import StorageLevel
-
     fp_w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
-    k1 = (
-        corpus.withColumn("rn", F.row_number().over(fp_w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    flagged = corpus.select(
+        "doc_id",
+        "text",
+        (F.row_number().over(fp_w) == 1).alias("is_k1"),
     )
 
     contam = (
-        D.contamination_overlap(k1, bench, n=3)
+        D.contamination_overlap(corpus, bench, n=3)
         .where(F.col("contamination_ratio") >= 0.02)
-        .select("doc_id")
+        .select("doc_id", F.lit(True).alias("is_contam"))
     )
-    # k2 feeds three downstream counts (itself, quality, repetition) and the
-    # contamination subtree above it is the expensive part — persist so the
-    # trigram explode + joins run once, not three times (8.3s -> ~3s at
-    # sf0.1).  MEMORY_AND_DISK: survivor frames spill, never OOM.
-    k2 = k1.join(contam, "doc_id", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
-    k3 = k2.where(X.quality_score_bp(F.col("text")) >= 70000)
-    survivors = (
-        X.repetition_stats(k3)
-        .where(F.col("dup_token_ratio") <= 0.65)
-        .select("doc_id")
+    rep = X.repetition_stats(corpus).select(
+        "doc_id", (F.col("dup_token_ratio") <= 0.65).alias("rep_ok")
     )
-    k4 = k3.join(survivors, "doc_id", "left_semi")
 
-    stages = [
-        ("input", corpus),
-        ("exact_dedup", k1),
-        ("decontaminate", k2),
-        ("quality", k3),
-        ("repetition", k4),
-    ]
-    # Materialize the five stage counts sequentially: the persisted survivor
-    # frames fill on first use and are REUSED (a lazy union of the five
-    # aggregates would run its branches concurrently, racing the cache fill
-    # and recomputing the contamination subtree), then release the cache —
-    # long-lived drivers invoking this over many inputs must not accumulate
-    # disk-backed blocks.  The report itself is five scalars.
-    rows = [(name, df.count()) for name, df in stages]
-    k1.unpersist()
-    k2.unpersist()
-    return spark.createDataFrame(rows, "stage string, n_kept long")
+    flags = (
+        flagged.join(contam, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .select(
+            F.col("is_k1"),
+            (F.col("is_k1") & ~F.coalesce("is_contam", F.lit(False))).alias("k2"),
+            "rep_ok",
+            (X.quality_score_bp(F.col("text")) >= 70000).alias("q_ok"),
+        )
+        .select(
+            "is_k1",
+            "k2",
+            (F.col("k2") & F.col("q_ok")).alias("k3"),
+            (F.col("k2") & F.col("q_ok") & F.coalesce("rep_ok", F.lit(False))).alias("k4"),
+        )
+    )
+    totals = flags.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("is_k1").cast("long")).alias("n_k1"),
+        F.sum(F.col("k2").cast("long")).alias("n_k2"),
+        F.sum(F.col("k3").cast("long")).alias("n_k3"),
+        F.sum(F.col("k4").cast("long")).alias("n_k4"),
+    )
+    return totals.selectExpr(
+        "stack(5, 'input', n_input, 'exact_dedup', n_k1, "
+        "'decontaminate', n_k2, 'quality', n_k3, 'repetition', n_k4) "
+        "AS (stage, n_kept)"
+    )
 
 
 @query(

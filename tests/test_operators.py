@@ -91,11 +91,71 @@ class TestSimilarity:
         assert rows == {(1, 2): 1.0}
 
 
+def _png_media_df(spark, n=12, w=16, h=12):
+    """Media table of REAL PNG payloads with deterministic pixel content."""
+    import numpy as np
+
+    from aws_genaric_datapipeline_spark.operators.imagecodec import encode_png
+
+    rows = []
+    for i in range(n):
+        img = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 3)) % 251).astype(np.uint8)
+        rows.append(
+            (i, encode_png(img),
+             {"kind": "image", "mime": "image/png", "width": w, "height": h,
+              "duration_ms": 0})
+        )
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
 class TestMultimodal:
-    def test_decode_requires_explicit_fake(self, documents):
-        media = M.attach_media(documents)
-        with pytest.raises(NotImplementedError):
-            M.decode_media(media)
+    def test_real_decode_rejects_non_image_bytes(self, documents):
+        """The real decode path must fail loudly on undecodable payloads,
+        not fabricate features (text bytes are not an image)."""
+        media = M.attach_media(documents.limit(3))
+        with pytest.raises(Exception, match="unrecognized image format"):
+            M.decode_media(media).collect()
+
+    def test_real_decode_png_features_match_pixels(self, spark):
+        """decode_media's default path decodes REAL PNG bytes and the
+        features equal stripe-luminance means of the original pixels."""
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.imagecodec import decode_png
+
+        media = _png_media_df(spark, n=8, w=16, h=12)
+        blob_by_id = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+        feats = {r["doc_id"]: r["feature"] for r in M.decode_media(media, feature_dim=4).collect()}
+        assert len(feats) == 8
+        for did, blob in blob_by_id.items():
+            img = decode_png(blob).astype(np.float64)
+            lum = img.mean(axis=2)
+            h = lum.shape[0]
+            expect = [round(float(lum[i * h // 4:max(i * h // 4 + 1, (i + 1) * h // 4)].mean()) / 255.0, 6)
+                      for i in range(4)]
+            assert feats[did] == expect
+
+    def test_real_resize_roundtrip(self, spark):
+        """resize_media's default path re-encodes decodable PNGs at the new
+        geometry — decode of the output must yield (h, w) pixels equal to a
+        nearest-neighbor resample of the input."""
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.imagecodec import (
+            decode_png,
+            resize_nearest,
+        )
+
+        media = _png_media_df(spark, n=6, w=16, h=12)
+        orig = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+        out = M.resize_media(media, 5, 4).collect()
+        assert len(out) == 6
+        for r in out:
+            assert r["media_meta"]["width"] == 5 and r["media_meta"]["height"] == 4
+            assert r["media_meta"]["mime"] == "image/png"
+            got = decode_png(bytes(r["media"]))
+            expect = resize_nearest(decode_png(orig[r["doc_id"]]), 5, 4)
+            assert np.array_equal(got, expect)
 
     def test_fake_decode_contract(self, documents):
         media = M.attach_media(documents.limit(20))
@@ -116,8 +176,6 @@ class TestMultimodal:
 
     def test_resize_updates_meta_and_blob(self, documents):
         media = M.attach_media(documents.limit(10))
-        with pytest.raises(NotImplementedError):
-            M.resize_media(media, 4, 4)
         out = M.resize_media(media, 4, 4, fake=True).collect()
         assert len(out) == 10
         for r in out:
@@ -781,3 +839,56 @@ class TestScaleSafeDefaults:
                 order_cols=["ts"],
             ).collect()
             assert [(r["k"], r["v"]) for r in got] == [(1, "s2")]
+
+
+class TestSkewPosture:
+    """VERDICT r01 item 8: prove the LSH candidate join survives a hot
+    band-bucket via salting — adversarial fixture with one bucket holding
+    ~100x the median bucket population."""
+
+    def test_salted_join_bounds_hot_bucket_fanout(self, spark):
+        from aws_genaric_datapipeline_spark.operators.skew import salted_join
+
+        # band-bucket table: bucket 0 is hot (600 docs), buckets 1..30 cold
+        hot = [(0, i) for i in range(600)]
+        cold = [(b, 1000 + b * 10 + j) for b in range(1, 31) for j in range(5)]
+        big = spark.createDataFrame(hot + cold, ["bucket", "did"])
+        small = spark.createDataFrame(
+            [(b, f"centroid_{b}") for b in range(31)], ["bkt", "payload"]
+        )
+        salt = 8
+        plain = {
+            (r["bucket"], r["did"], r["payload"])
+            for r in big.join(small, big["bucket"] == small["bkt"]).collect()
+        }
+        salted = salted_join(big, small, "bucket", "bkt", salt=salt)
+        got = {(r["bucket"], r["did"], r["payload"]) for r in salted.collect()}
+        assert got == plain, "salting must not change join results"
+
+    def test_salt_spreads_hot_key_rows_evenly(self, spark):
+        """The per-(key, salt) group is what one reducer task sees after
+        salting: for a hot key of N rows and S salts, every group must hold
+        well under N — bounded fan-out instead of one N-row task."""
+        import pyspark.sql.functions as F
+
+        n_hot, salt = 4000, 8
+        big = spark.createDataFrame([(0, i) for i in range(n_hot)], ["bucket", "did"])
+        salted = big.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+        )
+        sizes = [
+            r["n"] for r in salted.groupBy("bucket", "_salt").agg(F.count("*").alias("n")).collect()
+        ]
+        assert len(sizes) == salt, "hot key must scatter across every salt"
+        # xxhash64 scatter: no salt partition may exceed 2x the fair share
+        assert max(sizes) <= 2 * (n_hot // salt), f"hot-key fanout uneven: {sizes}"
+
+    def test_diag_key_skew_flags_the_hot_bucket(self, spark):
+        """diag_key_skew output is the operational trigger for salting: the
+        hot bucket must dominate its report."""
+        from aws_genaric_datapipeline_spark.operators.skew import heavy_hitters
+
+        hot = [(0,)] * 500 + [(b,) for b in range(1, 40) for _ in range(3)]
+        df = spark.createDataFrame(hot, ["bucket"])
+        hh = {r["bucket"]: r["exact_count"] for r in heavy_hitters(df, "bucket", k=5).collect()}
+        assert hh.get(0) == 500, f"hot bucket must surface as a heavy hitter: {hh}"
