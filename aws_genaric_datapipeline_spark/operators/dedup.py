@@ -216,6 +216,14 @@ def jaccard_pairs(
 
 
 # ----------------------------------------------------------------- MinHash LSH
+# Deterministic odd multipliers / offsets for the single-hash minhash family
+# h_i = a_i·h32 + b_i over a 32-bit base hash.  Bounded to 30 bits so every
+# product stays < 2^62 — safe under ANSI-mode bigint arithmetic (Spark 4
+# default, where silent wraparound became ARITHMETIC_OVERFLOW).
+_MH_A = [(0x9E3779B9 * (2 * i + 1)) % (1 << 30) | 1 for i in range(64)]
+_MH_B = [(0xBF58476D * (i + 1)) % (1 << 30) for i in range(64)]
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature (array<bigint>) from an array of shingles.
 
@@ -286,9 +294,18 @@ def minhash_lsh_pairs(
         .dropDuplicates(["did", "tok"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = sets.groupBy("did").agg(
+    # One xxhash64 per shingle, then num_hashes universal-hash derivations
+    # (h_i = a_i·h32 + b_i, odd a_i) — the standard single-hash minhash
+    # family.  Equivalent collision statistics to independent seeded hashes
+    # at a fraction of the per-row work and far smaller codegen (16 xxhash64
+    # calls per token -> 1 xxhash64 + 16 bigint mults).
+    h32 = F.shiftrightunsigned(F.xxhash64(F.col("tok")), 32)
+    sig = sets.withColumn("h", h32).groupBy("did").agg(
         F.array(
-            *[F.min(F.xxhash64(F.col("tok"), F.lit(i))) for i in range(num_hashes)]
+            *[
+                F.min(F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i]))
+                for i in range(num_hashes)
+            ]
         ).alias("sig")
     )
     banded = sig.select(

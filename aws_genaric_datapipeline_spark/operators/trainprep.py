@@ -1,0 +1,268 @@
+"""Training-data preparation operators: context-window chunking, sequence
+packing, unigram-LM perplexity scoring, corpus mixing, embedding
+compression.
+
+These are the steps between a curated corpus and a training run:
+
+- ``chunk_token_windows`` — split documents into overlapping token windows
+  sized for a model's context length.
+- ``pack_token_bins``     — assign documents to fixed token budgets
+  (sequence packing) with a deterministic running-sum rule.
+- ``unigram_logprob``     — corpus-unigram-LM negative log-likelihood per
+  document (the classic perplexity quality filter).
+- ``mix_ratios``          — per-stratum sampling rates that hit a target
+  corpus mixture.
+- ``quantize_int8``       — per-vector symmetric int8 quantization with
+  reconstruction-error reporting.
+- ``random_projection``   — deterministic Johnson-Lindenstrauss projection
+  to a lower dimension.
+
+Scale notes: chunking and quantization are narrow maps (no shuffle);
+packing is one window over the ordering key; the unigram LM is one
+aggregation to build the (broadcastable) vocabulary and one map-side join
+to score — nothing here materializes to the driver except the vocab table
+when it is broadcast.
+
+Reference parity: none of this exists in the reference (SURVEY.md §2b
+north-star rows) — it is the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from aws_genaric_datapipeline_spark.operators.text import tokens
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token windows: chunk i covers tokens [i·stride,
+    i·stride + size).  The final partial window is kept when it holds at
+    least one token not covered by a previous chunk (standard context-
+    window prep).  Pure array expressions — sequence + transform + explode,
+    no UDF, no shuffle; work is proportional to output tokens.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - size, 0) / stride); 0 when no tokens
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(
+        F.lit(1) + F.ceil((F.greatest(n - size, F.lit(0))) / F.lit(stride)).cast("int")
+    )
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(toks, i * stride + 1, size),
+            )
+        ).alias("chunk_idx", "chunk_toks"),
+    ).where(F.size("chunk_toks") > 0)
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.size("chunk_toks").alias("n_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+    )
+
+
+def pack_token_bins(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing: assign documents (ordered by id within a stratum)
+    to consecutive bins of at most ``budget`` tokens, greedily — a document
+    that would overflow the current bin starts the next one.  Deterministic
+    by construction (pure function of the id ordering), so packing is
+    reproducible across runs and engines.
+
+    The greedy rule is expressed as a running quantity: doc d starts a new
+    bin iff the running token total within its bin would exceed the budget.
+    An exact sequential greedy scan is inherently order-dependent; this
+    uses the bin_id = floor(cumulative_tokens / budget) relaxation — the
+    standard distributed approximation: same asymptotic packing density,
+    one window (single shuffle on the stratum key), no sequential pass.
+    Documents longer than the budget get their own bin id (they must be
+    chunked first — chunk_token_windows).
+
+    Returns (id, [stratum], n_tokens, bin_id).
+    """
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_toks = F.size(tokens(F.col(text_col)))
+    out = df.select(
+        *([F.col(strata_col)] if strata_col else []),
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+    ).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.lit(1)) / F.lit(budget)).cast("bigint"),
+    )
+    return out
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    precision: int = 4,
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus unigram
+    LM (add-nothing MLE over the full corpus) — the classic perplexity
+    quality filter: degenerate/boilerplate docs score low, rare-token noise
+    scores high; both tails get cut.
+
+    Scale: vocab = one groupBy over (token) → broadcast (vocabularies are
+    ~millions of rows, far under broadcast limits after hashing); scoring
+    is a map-side join + per-doc aggregation — one shuffle on doc id.
+
+    Returns (id, n_tokens, avg_neg_logprob) for docs with ≥1 token.
+    """
+    tok = df.select(F.col(id_col).alias("did"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("did", (-F.log(F.col("tf") / F.col("total"))).alias("nll"))
+    )
+    return scored.groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), precision).alias("avg_neg_logprob"),
+    ).select(F.col("did").alias(id_col), "n_tokens", "avg_neg_logprob")
+
+
+def mix_ratios(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-mixing plan: per stratum, the sampling rate (basis points)
+    that reshapes the corpus toward ``targets`` (shares summing to ≤1)
+    without upsampling — the stratum that binds at rate 1.0 anchors the
+    achievable total, everything else downsamples proportionally.
+
+    total_achievable = min over strata of n_s / share_s; then
+    rate_s = total_achievable · share_s / n_s  (≤ 1 by construction).
+
+    Returns (stratum, n_docs, rate_bp, n_kept) — n_kept = floor(n·rate).
+    Driver-sized aggregation (one row per stratum); the plan is then
+    applied with deterministic_sample / stratified_sample.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    share = F.lit(None).cast("double")
+    for value, s in targets.items():
+        share = F.when(F.col("stratum") == value, F.lit(float(s))).otherwise(share)
+    with_share = counts.withColumn("share", share).where(F.col("share").isNotNull())
+    # min over strata of n_s / share_s — a scalar; computed with one extra
+    # tiny aggregation and a cross join of the 1-row result (stratum counts
+    # are driver-sized by definition)
+    anchor = with_share.agg(F.min(F.col("n_docs") / F.col("share")).alias("anchor"))
+    return (
+        with_share.crossJoin(F.broadcast(anchor))
+        .select(
+            "stratum",
+            "n_docs",
+            F.floor(F.lit(10000) * F.col("anchor") * F.col("share") / F.col("n_docs"))
+            .cast("bigint")
+            .alias("rate_bp"),
+            F.floor(
+                F.col("n_docs")
+                * F.floor(F.lit(10000) * F.col("anchor") * F.col("share") / F.col("n_docs"))
+                / F.lit(10000)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    precision: int = 4,
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale).  Returns the quantized vector plus
+    reconstruction-error stats — the compression step before shipping
+    embeddings to an ANN index or feature store (4x smaller than float32).
+
+    Pure array expressions (transform/aggregate) — a narrow map, no
+    shuffle, fully pushed into the scan stage.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = max_abs / F.lit(127.0)
+    q = F.when(max_abs == 0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    )
+    err = F.when(max_abs == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(v, q, lambda x, qi: F.abs(x - qi.cast("double") * scale))
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("qvec"),
+        F.round(err, precision).alias("max_abs_err"),
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    pseudo-random Gaussian-ish projection (the same splitmix64 hyperplane
+    family as the LSH operators, scaled by 1/sqrt(out_dim)).  Distances are
+    preserved within (1±ε) w.h.p. — asserted against brute-force pairwise
+    distances in tests.
+
+    One Arrow-batched matmul per batch (the projection matrix rides in the
+    closure), no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from aws_genaric_datapipeline_spark.operators.similarity import _hyperplane
+
+    # components are ~uniform[-1,1] (variance 1/3), so the JL normalizer is
+    # sqrt(3/out_dim) — makes E[|Px|^2] = |x|^2 like a Gaussian projection
+    pm = np.array(
+        [_hyperplane(in_dim, 7919 + j) for j in range(out_dim)], dtype=np.float64
+    ) * np.sqrt(3.0 / out_dim)
+
+    def _proj(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        d = min(mat.shape[1], in_dim)
+        out = mat[:, :d] @ pm[:, :d].T
+        return pd.Series(list(out))
+
+    proj = F.pandas_udf(_proj, "array<double>")
+    return df.select(F.col(id_col), proj(F.col(vec_col)).alias("proj_vec"))

@@ -22,6 +22,7 @@ from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
     setops,
     streaming_windows,
     tpch,
+    training_prep,
     tpch_extra,
     tpch_final,
     tpch_partsupp,

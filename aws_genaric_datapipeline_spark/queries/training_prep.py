@@ -1,0 +1,176 @@
+"""Training-run preparation queries: context-window chunking, sequence
+packing, perplexity filtering, corpus mixing, embedding compression.
+
+The last mile between a curated corpus (corpus_curation.py) and a training
+job — every query is the exact operator from operators/trainprep.py with a
+DuckDB oracle where SQL can express it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_genaric_datapipeline_spark.operators import trainprep as P
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.tables import load
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+_CHUNK, _STRIDE = 20, 15
+
+
+@query(
+    "chunk_token_windows",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST(u.i AS INT) AS chunk_idx,
+                   list_slice(toks, u.i * {_STRIDE} + 1,
+                              u.i * {_STRIDE} + {_CHUNK}) AS ck
+            FROM t, UNNEST(range(0, greatest(1,
+                     1 + CAST(ceil(greatest(n - {_CHUNK}, 0) / CAST({_STRIDE} AS DOUBLE)) AS BIGINT)))) AS u(i)
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(ck) AS INT) AS n_tokens,
+               array_to_string(ck, ' ') AS chunk_text
+        FROM c WHERE len(ck) > 0
+    """,
+    tags=("north-star", "trainprep"),
+)
+def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping token windows of {size}/{stride}
+    = 20/15 per document — pure sequence/transform/explode array
+    expressions, no UDF, no shuffle (work ∝ output tokens)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return P.chunk_token_windows(documents, size=_CHUNK, stride=_STRIDE)
+
+
+@query(
+    "pack_token_bins",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, doc_id,
+                   CAST(len({_TOKS}) AS INT) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - 1) / CAST(1000 AS DOUBLE)) AS BIGINT)
+                   AS bin_id
+        FROM t
+    """,
+    tags=("north-star", "trainprep"),
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents (id-ordered within language) assigned to
+    consecutive 1000-token training bins via a running-sum window — one
+    shuffle on the stratum key, reproducible across engines."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return P.pack_token_bins(documents, budget=1000, strata_col="lang")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id AS did, s.tok
+            FROM documents, UNNEST({_TOKS}) AS s(tok)
+        ),
+        vocab AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM vocab)
+        SELECT did AS doc_id,
+               count(*) AS n_tokens,
+               round(avg(-ln(tf / total)), 4) AS avg_neg_logprob
+        FROM tok JOIN vocab USING (tok), tot
+        GROUP BY did
+    """,
+    tags=("north-star", "trainprep", "text"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: per-document mean negative log
+    probability under the corpus unigram LM.  Vocabulary is one aggregation
+    then broadcast; scoring joins map-side — one shuffle on doc id."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return P.unigram_logprob(documents)
+
+
+_MIX = {"en": 0.3, "zh": 0.25, "fr": 0.2, "de": 0.15, "es": 0.1}
+
+
+@query(
+    "curate_mix_ratios",
+    oracle=f"""
+        WITH c AS (SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY lang),
+        s AS (
+            SELECT stratum, n_docs,
+                   CASE stratum
+                        WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+                        WHEN 'zh' THEN CAST(0.25 AS DOUBLE)
+                        WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                        WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+                        WHEN 'es' THEN CAST(0.1 AS DOUBLE)
+                   END AS share
+            FROM c
+        ),
+        a AS (SELECT min(n_docs / share) AS anchor FROM s)
+        SELECT stratum, n_docs,
+               CAST(floor(10000 * anchor * share / n_docs) AS BIGINT) AS rate_bp,
+               CAST(floor(n_docs * floor(10000 * anchor * share / n_docs) / 10000) AS BIGINT)
+                   AS n_kept
+        FROM s, a
+    """,
+    tags=("north-star", "trainprep", "curation"),
+)
+def curate_mix_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing plan: per-language sampling rates hitting a target
+    mixture (en 30 / zh 25 / fr 20 / de 15 / es 10) without upsampling —
+    the binding stratum anchors the achievable corpus size.  Driver-sized
+    aggregation; applied downstream via stratified_sample."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return P.mix_ratios(documents, "lang", _MIX)
+
+
+@query(
+    "embed_int8_quantize",
+    oracle="""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        m AS (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) AS ma FROM v),
+        s AS (SELECT vec_id, e, ma, ma / 127.0 AS scale FROM m)
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               CASE WHEN ma = 0
+                    THEN list_transform(e, x -> CAST(0 AS INT))
+                    ELSE list_transform(e, x -> CAST(round(x / scale) AS INT))
+               END AS qvec,
+               CASE WHEN ma = 0 THEN 0.0
+                    ELSE round(list_max(list_transform(range(1, len(e) + 1),
+                         i -> abs(e[i] - round(e[i] / scale) * scale))), 4)
+               END AS max_abs_err
+        FROM s
+    """,
+    tags=("north-star", "trainprep", "similarity"),
+)
+def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column with
+    reconstruction-error reporting — 4x compression before ANN indexing.
+    Pure array expressions; narrow map, no shuffle."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return P.quantize_int8(embeddings)
+
+
+@query("embed_random_projection", oracle=None, tags=("north-star", "trainprep", "similarity"))
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection 64 → 16 dims (deterministic
+    splitmix64 hyperplanes, Arrow-batched matmul).  Distance preservation
+    vs brute force asserted in tests; driver records rows+schema."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    out = P.random_projection(embeddings, out_dim=16)
+    return out.select(
+        "vec_id", *[F.round(F.element_at("proj_vec", i + 1), 6).alias(f"p{i}") for i in range(4)]
+    )

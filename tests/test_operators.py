@@ -892,3 +892,91 @@ class TestSkewPosture:
         df = spark.createDataFrame(hot, ["bucket"])
         hh = {r["bucket"]: r["exact_count"] for r in heavy_hitters(df, "bucket", k=5).collect()}
         assert hh.get(0) == 500, f"hot bucket must surface as a heavy hitter: {hh}"
+
+
+class TestTrainPrep:
+    def test_chunk_windows_cover_all_tokens_exactly(self, spark):
+        """Every token index is covered; consecutive chunks overlap by
+        size-stride; no chunk exceeds size; reconstruction from stride
+        prefixes equals the original token stream."""
+        from aws_genaric_datapipeline_spark.operators.trainprep import chunk_token_windows
+
+        rows = [(1, " ".join(f"t{i}" for i in range(53))),
+                (2, " ".join(f"u{i}" for i in range(7))),
+                (3, "single")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = chunk_token_windows(df, size=20, stride=15).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: chunks at 0,15,30,45 -> 4 chunks; last holds 8 tokens
+        c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+        assert [r["n_tokens"] for r in c1] == [20, 20, 20, 8]
+        rebuilt = c1[0]["chunk_text"].split()[:15] + c1[1]["chunk_text"].split()[:15] \
+            + c1[2]["chunk_text"].split()[:15] + c1[3]["chunk_text"].split()
+        assert rebuilt == [f"t{i}" for i in range(53)]
+        assert [r["n_tokens"] for r in by_doc[2]] == [7]
+        assert [r["n_tokens"] for r in by_doc[3]] == [1]
+
+    def test_pack_bins_bounded_and_contiguous(self, spark):
+        """Bin totals stay within budget + max_doc_tokens (the floor
+        relaxation's bound) and bin ids are contiguous from 0 per stratum."""
+        from aws_genaric_datapipeline_spark.operators.trainprep import pack_token_bins
+
+        rows = [(i, "en", " ".join("w" for _ in range(30 + (i * 7) % 50))) for i in range(60)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        out = pack_token_bins(df, budget=200, strata_col="lang").collect()
+        totals, max_doc = {}, 0
+        for r in out:
+            totals[r["bin_id"]] = totals.get(r["bin_id"], 0) + r["n_tokens"]
+            max_doc = max(max_doc, r["n_tokens"])
+        assert sorted(totals) == list(range(len(totals))), "bins must be contiguous"
+        for b, tot in totals.items():
+            assert tot <= 200 + max_doc, f"bin {b} holds {tot} tokens"
+
+    def test_quantize_error_bounded_by_half_step(self, embeddings):
+        """Reconstruction error of round-to-nearest is at most scale/2."""
+        from aws_genaric_datapipeline_spark.operators.trainprep import quantize_int8
+
+        for r in quantize_int8(embeddings.limit(100)).collect():
+            # max_abs_err is reported rounded to 4dp — allow half that step
+            assert r["max_abs_err"] <= r["scale"] / 2 + 5.1e-5
+            assert all(-127 <= q <= 127 for q in r["qvec"])
+
+    def test_random_projection_preserves_distances(self, embeddings):
+        """JL property: projected pairwise distances stay within a modest
+        distortion band of the originals (64 -> 16 dims, 50 vectors)."""
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.trainprep import random_projection
+
+        sub = embeddings.limit(50)
+        orig = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in sub.collect()}
+        proj = {r["vec_id"]: np.array(r["proj_vec"]) for r in random_projection(sub, 16).collect()}
+        ids = sorted(orig)
+        ratios = []
+        for i in range(0, len(ids) - 1, 2):
+            a, b = ids[i], ids[i + 1]
+            d0 = np.linalg.norm(orig[a] - orig[b])
+            d1 = np.linalg.norm(proj[a] - proj[b])
+            if d0 > 0:
+                ratios.append(d1 / d0)
+        med = sorted(ratios)[len(ratios) // 2]
+        assert 0.6 < med < 1.4, f"median distance ratio {med:.2f} outside JL band"
+        assert all(0.3 < r < 1.9 for r in ratios), "individual pair distortion too large"
+
+    def test_mix_ratios_hit_targets_without_upsampling(self, documents):
+        """Rates never exceed 10000bp and the kept counts reproduce the
+        target mixture within floor rounding."""
+        from aws_genaric_datapipeline_spark.operators.trainprep import mix_ratios
+
+        targets = {"en": 0.3, "zh": 0.25, "fr": 0.2, "de": 0.15, "es": 0.1}
+        out = {r["stratum"]: r for r in mix_ratios(documents, "lang", targets).collect()}
+        assert set(out) == set(targets)
+        kept_total = sum(r["n_kept"] for r in out.values())
+        for lang, r in out.items():
+            assert 0 < r["rate_bp"] <= 10000
+            share = r["n_kept"] / kept_total
+            assert abs(share - targets[lang]) < 0.02, (lang, share)
+        # at least one stratum binds at (or within a floor step of) full keep
+        assert any(r["rate_bp"] >= 9999 for r in out.values())
