@@ -216,19 +216,22 @@ def jaccard_pairs(
 
 
 # ----------------------------------------------------------------- MinHash LSH
-# Deterministic odd multipliers / offsets for the single-hash minhash family
-# h_i = (a_i·h32 + b_i) mod p over a 32-bit base hash.  Bounded to 30 bits so
-# every product stays < 2^62 — safe under ANSI-mode bigint arithmetic (Spark 4
-# default, where silent wraparound became ARITHMETIC_OVERFLOW).  The modulo is
-# essential, not decorative: without it h_i is strictly monotone in h32, the
-# min over tokens is attained at the SAME token for every i, all signature
-# positions are perfectly correlated, and banded-LSH candidate probability
-# collapses from 1-(1-J^r)^b to exactly J.
-_MH_A = [(0x9E3779B9 * (2 * i + 1)) % (1 << 30) | 1 for i in range(64)]
-_MH_B = [(0xBF58476D * (i + 1)) % (1 << 30) for i in range(64)]
-# Mersenne prime 2^61 - 1: a_i·h32 + b_i < 2^62 fits bigint, and reducing mod
-# a prime > 2^32 makes each h_i an (approximately) independent universal hash.
-_MH_P = (1 << 61) - 1
+# Single-hash minhash family h_i(x) = (a_i·x + b_i) mod p over a 31-bit base
+# hash x, with the Mersenne prime p = 2^31 - 1 and a_i ∈ [1, p), b_i ∈ [0, p).
+# This is the textbook 2-universal (Carter–Wegman) construction: a_i·x < 2^62
+# fits bigint under ANSI mode (Spark 4 default, where silent wraparound became
+# ARITHMETIC_OVERFLOW), and because a_i·x spans up to ~2^62 ≈ 2^31·p the
+# product wraps mod p on the order of 2^31 times — every h_i is a genuinely
+# scrambled permutation of x, not a monotone ramp.  (An earlier revision used
+# p = 2^61-1 with a_i < 2^30; there a_i·x + b_i < 2^62 wraps AT MOST once and
+# for a_i < 2^29 never, leaving those positions monotone in x and the bands
+# built from them mutually correlated — banded-LSH candidate probability
+# collapsed toward J instead of 1-(1-J^r)^b.)  The modulo is essential: with
+# all positions monotone, the min over tokens is attained at the SAME token
+# for every i and all signature positions are perfectly correlated.
+_MH_P = (1 << 31) - 1
+_MH_A = [(0x9E3779B9 * (2 * i + 1)) % (_MH_P - 1) + 1 for i in range(64)]
+_MH_B = [(0xBF58476D * (i + 1)) % _MH_P for i in range(64)]
 
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
@@ -302,14 +305,15 @@ def minhash_lsh_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # One xxhash64 per shingle, then num_hashes universal-hash derivations
-    # (h_i = (a_i·h32 + b_i) mod p, odd a_i, p = 2^61-1) — the standard
+    # (h_i = (a_i·h31 + b_i) mod p, a_i ∈ [1,p), p = 2^31-1) — the standard
     # single-hash minhash family.  Equivalent collision statistics to
     # independent seeded hashes at a fraction of the per-row work and far
     # smaller codegen (16 xxhash64 calls per token -> 1 xxhash64 + 16 bigint
-    # mult-mods).  The mod-p breaks monotonicity in h32 so different i pick
-    # different argmin tokens (see _MH_P note above).
-    h32 = F.shiftrightunsigned(F.xxhash64(F.col("tok")), 32)
-    sig = sets.withColumn("h", h32).groupBy("did").agg(
+    # mult-mods).  The ~2^31 wraps of a_i·h31 mod p make each h_i a genuine
+    # 2-universal scramble so different i pick different argmin tokens
+    # (see _MH_P note above).
+    h31 = F.shiftrightunsigned(F.xxhash64(F.col("tok")), 33)
+    sig = sets.withColumn("h", h31).groupBy("did").agg(
         F.array(
             *[
                 F.min((F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_MH_P))
