@@ -108,9 +108,9 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact",
     oracle="""
         SELECT o_orderstatus,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total_dec,
-               min(CAST(o_totalprice AS DECIMAL(14,2))) AS min_dec,
-               max(CAST(o_totalprice AS DECIMAL(14,2))) AS max_dec
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_dec,
+               CAST(min(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS min_dec,
+               CAST(max(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS max_dec
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -119,13 +119,19 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decimal aggregation: cast to DECIMAL(14,2) before summing —
     order-independent exact totals (double sums drift in the last bits with
-    partition order; decimals don't).  The right money type at scale."""
+    partition order; decimals don't).  The right money type at scale.
+
+    The aggregation itself is exact decimal arithmetic; the final projection
+    casts to double purely for cross-engine comparison (Decimal scale
+    rendering differs between engines even when values are equal — the sums
+    fit well under 2^53 cents, so the double conversion is lossless on both
+    sides and rounds identically)."""
     (orders,) = load(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(14,2)")
     return orders.groupBy("o_orderstatus").agg(
-        F.sum(dec).cast("decimal(18,2)").alias("total_dec"),
-        F.min(dec).alias("min_dec"),
-        F.max(dec).alias("max_dec"),
+        F.sum(dec).cast("decimal(18,2)").cast("double").alias("total_dec"),
+        F.min(dec).cast("double").alias("min_dec"),
+        F.max(dec).cast("double").alias("max_dec"),
     )
 
 
