@@ -306,7 +306,7 @@ def winnow_fingerprints_udf(k: int = 25, w: int = 10):
     return _winnow
 
 
-def word_ngrams_udf(n: int):
+def word_ngrams_udf(n: int, distinct: bool = False):
     """Word n-gram shingles as an Arrow-batched pandas UDF.
 
     Semantics identical to ``word_ngrams`` (space-joined windows over
@@ -315,6 +315,11 @@ def word_ngrams_udf(n: int):
     interpreted per array element, measured ~3x slower end-to-end on the
     MinHash path at sf0.1.  Use the HOF form only where a column expression
     is required (oracle-SQL parity paths); use this in shingling hot paths.
+
+    ``distinct=True`` dedups shingles inside the batch (first occurrence
+    kept) — set-semantics consumers (Jaccard, decontamination) get distinct
+    (doc, gram) pairs straight off the map side, with no
+    ``dropDuplicates`` shuffle of gram strings at all.
     """
 
     import re
@@ -327,7 +332,8 @@ def word_ngrams_udf(n: int):
         w = [t for t in ws.split(s or "") if t]
         if len(w) < n:
             return []
-        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+        grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+        return list(dict.fromkeys(grams)) if distinct else grams
 
     @F.pandas_udf("array<string>")
     def _ngrams(texts: pd.Series) -> pd.Series:

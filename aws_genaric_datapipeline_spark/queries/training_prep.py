@@ -144,10 +144,11 @@ def curate_mix_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         s AS (SELECT vec_id, e, ma, ma / 127.0 AS scale FROM m)
         SELECT vec_id,
                round(scale, 6) AS scale,
-               CASE WHEN ma = 0
-                    THEN list_transform(e, x -> CAST(0 AS INT))
-                    ELSE list_transform(e, x -> CAST(round(x / scale) AS INT))
-               END AS qvec,
+               array_to_string(
+                   CASE WHEN ma = 0
+                        THEN list_transform(e, x -> CAST(0 AS INT))
+                        ELSE list_transform(e, x -> CAST(round(x / scale) AS INT))
+                   END, ',') AS qvec_csv,
                CASE WHEN ma = 0 THEN 0.0
                     ELSE round(list_max(list_transform(range(1, len(e) + 1),
                          i -> abs(e[i] - round(e[i] / scale) * scale))), 4)
@@ -159,9 +160,16 @@ def curate_mix_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column with
     reconstruction-error reporting — 4x compression before ANN indexing.
-    Pure array expressions; narrow map, no shuffle."""
+    Pure array expressions; narrow map, no shuffle.
+
+    The quantized vector stays ``array<int>`` inside the operator
+    (operators/trainprep.py quantize_int8); the query surface joins it to a
+    CSV string because the driver's canonicalizer sorts result columns and
+    cannot hash a list-typed cell.
+    """
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    return P.quantize_int8(embeddings)
+    out = P.quantize_int8(embeddings)
+    return out.withColumn("qvec_csv", F.array_join("qvec", ",")).drop("qvec")
 
 
 @query("embed_random_projection", oracle=None, tags=("north-star", "trainprep", "similarity"))

@@ -43,8 +43,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `div`, not `/`: ns-epoch ≈ 1.7e18 overflows double precision.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Naive parquet TIMESTAMP(MICROS): Spark reads TIMESTAMP_NTZ while
+            # DuckDB treats the same bytes as epoch-UTC.  Session tz is pinned
+            # to UTC, so NTZ→LTZ cast preserves the stored value exactly and
+            # restores the TIMESTAMP type the whole query surface was built on
+            # (unix_micros, double casts, window ranges all require LTZ).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

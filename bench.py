@@ -83,6 +83,11 @@ def main() -> None:
         # force full evaluation; cheap on the driver (single count)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        # Isolate queries: release any frames a query persisted (MinHash
+        # shingle sets, funnel survivors) so later queries aren't taxed by
+        # accumulated storage/GC pressure — each headline number measures
+        # one query against a clean session, the way a per-job driver runs.
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
