@@ -123,9 +123,12 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregation itself is exact decimal arithmetic; the final projection
     casts to double purely for cross-engine comparison (Decimal scale
-    rendering differs between engines even when values are equal — the sums
-    fit well under 2^53 cents, so the double conversion is lossless on both
-    sides and rounds identically)."""
+    rendering differs between engines even when values are equal).  The
+    double need not equal the decimal — the guarantee is that both engines
+    perform correctly-rounded decimal-to-double conversion of the SAME exact
+    value (the sums fit well under 2^53 cents), so the two doubles are
+    bit-identical.  Decimal output fidelity itself (scale-2 Decimal objects
+    from .collect()) is pinned by tests/test_queries_extra.py."""
     (orders,) = load(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(14,2)")
     return orders.groupBy("o_orderstatus").agg(

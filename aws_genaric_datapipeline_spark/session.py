@@ -64,7 +64,12 @@ def get_spark(
         # Arrow for any pandas_udf / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs every task inside the driver JVM: size the heap for
+        # 32 concurrent task slots (spark.memory.fraction 0.6 → ~0.5 GiB of
+        # execution memory per slot at 24g) or erratic GC pauses dominate
+        # bench timings.  On a real cluster executors get their own memory;
+        # this knob only shapes the single-JVM harness.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.maxMetadataStringLength", "500")
     )

