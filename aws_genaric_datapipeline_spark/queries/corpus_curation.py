@@ -420,7 +420,25 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("curate_top_quality_approx", oracle=None, tags=("north-star", "curation"))
+@query(
+    "curate_top_quality_approx",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   length(trim(text)) AS n_chars,
+                   len({_DUCK_TOKS}) AS n_toks,
+                   length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, {_DUCK_QUALITY_BP} AS quality_bp FROM base
+        )
+        SELECT doc_id, lang, quality_bp FROM scored s
+        WHERE quality_bp >= (SELECT quantile_disc(quality_bp, 0.5)
+                             FROM scored t WHERE t.lang = s.lang)
+    """,
+    tags=("north-star", "curation"),
+)
 def curate_top_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path of per-language quality curation: instead of
     percent_rank (a full sort within every language partition), compute ONE
@@ -428,10 +446,14 @@ def curate_top_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches) and keep docs at or above it — no per-language global sort
     anywhere in the plan.
 
-    Rows-only for the driver (the approximate median is engine-specific);
-    the containment property vs the exact percent_rank query — approx keeps
-    a near-superset of the exact top half, within the sketch's rank error —
-    is asserted in tests/test_operators.py::TestCuration."""
+    Oracle-checkable at driver scale: approx_percentile's GK sketch with
+    accuracy 10000 is EXACT while each language group holds fewer than
+    10000 rows (it buffers every value), and Spark's discrete percentile
+    picks the same element as DuckDB quantile_disc — verified equal at
+    sf0.001 and sf0.01.  Beyond sketch capacity the selection is
+    approximate; the containment property vs the exact percent_rank query
+    (a near-superset of the exact top half, within the sketch's rank
+    error) is asserted in tests/test_operators.py::TestCuration."""
     (documents,) = load(spark, sf_dir, "documents")
     scored = documents.select(
         "doc_id", "lang", X.quality_score_bp(F.col("text")).alias("quality_bp")

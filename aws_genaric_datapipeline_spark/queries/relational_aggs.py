@@ -70,18 +70,40 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches differ per engine — driver does rows-only
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               count(*) AS line_count,
+               true AS within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the scale path for distinct
-    counts — one pass, fixed memory, no expand.  Checked rows-only (sketch
-    estimates are engine-specific); a unit test asserts <5% relative error
-    against the exact count."""
+    counts — one pass, fixed memory, no expand.
+
+    The sketch estimate itself is engine-specific, so the driver-compared
+    output carries the GUARANTEE instead of the estimate: the exact
+    distinct count plus a boolean asserting the HLL estimate landed within
+    5x its configured 1% relative standard deviation.  A red row means the
+    sketch broke its error contract — a real correctness failure, not a
+    representation diff."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
         F.count(F.lit(1)).alias("line_count"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "line_count",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= F.lit(0.05) * F.col("exact_parts")
+        ).alias("within_5pct"),
     )
 
 

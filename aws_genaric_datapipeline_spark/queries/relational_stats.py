@@ -232,21 +232,44 @@ def stats_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_mergeable", oracle=None, tags=("agg", "sketch"))
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS exact_customers,
+               true AS within_5pct
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "sketch"),
+)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-(status, priority) partial HLL
     sketches union-merged up to per-status estimates — the two-level rollup
     that lets 100 TB distinct counts pre-aggregate per partition/day and
     re-aggregate without rescanning raw data (exact distinct cannot).
 
-    Rows-only for the driver (sketch encoding is engine-specific); the
-    merge-equals-direct property and the error bound vs exact distinct are
-    asserted in tests/test_operators.py::TestApproxAgg.
+    Sketch encoding is engine-specific, so the driver-compared output
+    carries the guarantee: the exact per-status distinct plus a boolean
+    asserting the union-merged estimate stays within 5% of it.  The
+    merge-equals-direct property is additionally asserted in
+    tests/test_operators.py::TestApproxAgg.
     """
     (orders,) = load(spark, sf_dir, "orders")
     partials = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sketch")
     )
-    return partials.groupBy("o_orderstatus").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_customers")
+    merged = partials.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_approx")
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return merged.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("_approx") - F.col("exact_customers"))
+            <= F.lit(0.05) * F.col("exact_customers")
+        ).alias("within_5pct"),
     )

@@ -175,10 +175,77 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embed_random_projection", oracle=None, tags=("north-star", "trainprep", "similarity"))
 def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss projection 64 → 16 dims (deterministic
-    splitmix64 hyperplanes, Arrow-batched matmul).  Distance preservation
-    vs brute force asserted in tests; driver records rows+schema."""
+    splitmix64 hyperplanes, Arrow-batched matmul).
+
+    Rows-only (the projected coordinates depend on the engine's hyperplane
+    hash); the distance-preservation contract is driver-verified by
+    embed_projection_distortion_check and pytest."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     out = P.random_projection(embeddings, out_dim=16)
     return out.select(
         "vec_id", *[F.round(F.element_at("proj_vec", i + 1), 6).alias(f"p{i}") for i in range(4)]
+    )
+
+
+_JL_PAIRS = [(1, 2), (3, 4), (5, 6), (7, 8), (9, 10),
+             (11, 12), (13, 14), (15, 16), (17, 18), (19, 20)]
+
+
+@query(
+    "embed_projection_distortion_check",
+    oracle=f"""
+        WITH pairs(id_a, id_b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _JL_PAIRS)})
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               round(list_distance(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) AS dist_orig,
+               true AS distortion_ok
+        FROM pairs
+        JOIN embeddings a ON a.vec_id = pairs.id_a
+        JOIN embeddings b ON b.vec_id = pairs.id_b
+    """,
+    tags=("north-star", "trainprep", "similarity"),
+)
+def embed_projection_distortion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable JL guarantee for embed_random_projection (VERDICT
+    r2 item 7: oracle the verification stage of engine-specific ops).
+
+    The oracle recomputes the EXACT original Euclidean distance for a fixed
+    pair sample in SQL; the engine emits that distance plus a boolean
+    asserting the 64→16 projected distance stays inside the same
+    per-pair distortion band the pytest contract pins ([0.3, 1.9] — the
+    hyperplanes are deterministic splitmix64, so the ratio is a fixed
+    property of the data, observed ~[0.7, 1.3]).  A red row means the
+    projection broke distance preservation."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    pairs = spark.createDataFrame(_JL_PAIRS, "id_a long, id_b long")
+    proj = P.random_projection(embeddings, out_dim=16)
+
+    def dist(va, vb):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(va, vb, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    orig = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    prj = proj.select("vec_id", F.col("proj_vec").alias("p"))
+    j = (
+        pairs.join(orig.withColumnsRenamed({"vec_id": "id_a", "v": "va"}), "id_a")
+        .join(orig.withColumnsRenamed({"vec_id": "id_b", "v": "vb"}), "id_b")
+        .join(prj.withColumnsRenamed({"vec_id": "id_a", "p": "pa"}), "id_a")
+        .join(prj.withColumnsRenamed({"vec_id": "id_b", "p": "pb"}), "id_b")
+    )
+    d0 = dist(F.col("va"), F.col("vb"))
+    d1 = dist(F.col("pa"), F.col("pb"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(d0, 4).alias("dist_orig"),
+        F.when(d0 == 0, F.lit(True))
+        .otherwise((d1 >= 0.3 * d0) & (d1 <= 1.9 * d0))
+        .alias("distortion_ok"),
     )
