@@ -340,3 +340,36 @@ def word_ngrams_udf(n: int, distinct: bool = False):
         return texts.map(one)
 
     return _ngrams
+
+
+# ------------------------------------------------------------- PII redaction
+# Patterns kept to the syntax subset shared by Java regex (Spark) and RE2
+# (DuckDB) so the oracle can replay the exact same substitutions: no
+# backrefs, no lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> tuple[Column, Column]:
+    """Training-data hygiene: replace emails, IPv4 addresses and NANP-style
+    phone numbers with typed placeholder tokens before the corpus reaches a
+    training run.
+
+    Returns ``(redacted_text, n_redactions)`` — both pure JVM regexp
+    expressions (whole-stage codegen, no Python), applied in declaration
+    order so overlapping matches resolve deterministically.  The count is
+    computed per pattern BEFORE that pattern's substitution (an email's
+    host part would otherwise be double-counted by the IP rule only if it
+    matched first — order is part of the contract).
+    """
+    red = text
+    n = F.lit(0).cast("bigint")
+    for _, pat, token in PII_PATTERNS:
+        n = n + F.coalesce(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))), F.lit(0)
+        ).cast("bigint")
+        red = F.regexp_replace(red, pat, token)
+    return red, n

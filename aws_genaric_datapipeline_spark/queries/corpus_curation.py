@@ -466,3 +466,82 @@ def curate_top_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quality_bp") >= F.col("thr"))
         .select("doc_id", "lang", "quality_bp")
     )
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' Contact user' || doc_id ||
+                   '@example.com or 192.168.' || (doc_id % 256) ||
+                   '.42 call 555-867-530' || (doc_id % 10) || '.' AS t0
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+                   regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM seeded
+        ),
+        s2 AS (
+            SELECT doc_id, c1,
+                   len(regexp_extract_all(t1,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS c2,
+                   regexp_replace(t1,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS t2
+            FROM s1
+        ),
+        s3 AS (
+            SELECT doc_id, c1, c2,
+                   len(regexp_extract_all(t2,
+                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS c3,
+                   regexp_replace(t2,
+                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+                       '<PHONE>', 'g') AS t3
+            FROM s2
+        )
+        SELECT doc_id,
+               CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions,
+               md5(t3) AS redacted_md5
+        FROM s3
+    """,
+    tags=("north-star", "curation", "text"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: typed PII redaction (emails, IPv4, phone
+    numbers → placeholder tokens) as pure JVM regexp expressions —
+    whole-stage codegen, narrow map, no shuffle, no Python.
+
+    The synthetic corpus carries no organic PII, so the query first seeds
+    each document with deterministic doc_id-derived PII (an email, an IP,
+    a phone number), then redacts; the oracle replays the exact same
+    seeding and pattern sequence in RE2 (the patterns stay inside the
+    Java-regex ∩ RE2 syntax subset — no backrefs/lookaround — precisely so
+    both engines substitute identically).  Output compares the redaction
+    COUNT and the md5 of the fully redacted text, so a single divergent
+    substitution anywhere in the corpus turns the row red."""
+    (documents,) = load(spark, sf_dir, "documents")
+    seeded = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".42 call 555-867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("."),
+        ).alias("t0"),
+    )
+    red, n = X.redact_pii(F.col("t0"))
+    return seeded.select(
+        "doc_id",
+        n.alias("n_redactions"),
+        F.md5(red).alias("redacted_md5"),
+    )
