@@ -238,3 +238,42 @@ class TestScaleSafeDefaultPlans:
         plan = explain_str(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound5Plans:
+    """Plan gates for round-5 additions/rewrites."""
+
+    def test_decontamination_single_pass_shape(self, spark):
+        """The single-pass rewrite: ONE corpus shingle scan feeding ONE
+        per-doc aggregation shuffle (plus the parallelism repartition);
+        benchmark grams broadcast.  A second Exchange over corpus grams
+        would mean the totals/hits two-scan shape regressed."""
+        from aws_genaric_datapipeline_spark.plans import explain_str, shuffle_count
+
+        df = QUERIES["decontaminate_ngram_overlap"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan
+        # Expected exchanges: corpus + benchmark parallelism repartitions,
+        # the benchmark-gram distinct (benchmark-sized, tiny), and the ONE
+        # corpus-sized shuffle — the per-doc aggregation.  A fifth Exchange
+        # means the two-scan totals⋈hits shape regressed.
+        assert shuffle_count(df) <= 4, plan
+        # corpus text must never shuffle: no Exchange may carry the text col
+        assert "Exchange hashpartitioning(tok" not in plan, plan
+
+    def test_pii_redact_no_shuffle_no_python(self, spark):
+        """PII redaction is a narrow JVM map: no Exchange, no Python eval."""
+        from aws_genaric_datapipeline_spark.plans import explain_str, shuffle_count
+
+        df = QUERIES["text_pii_redact"].fn(spark, SF)
+        plan = explain_str(df)
+        assert shuffle_count(df) == 0, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_ann_guarantees_no_cartesian(self, spark):
+        """The recall-contract query composes brute-force (broadcast) and
+        candidate-join paths; none of them may plan a CartesianProduct."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        df = QUERIES["sim_ann_recall_guarantees"].fn(spark, SF)
+        assert "CartesianProduct" not in explain_str(df)
