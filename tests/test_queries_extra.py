@@ -83,3 +83,21 @@ class TestDriverCacheHygiene:
                 "persisted RDDs survived clearCache — a cache-using operator "
                 "pins storage a long-lived driver can never release"
             )
+
+
+class TestEventsTimestampNormalization:
+    """The driver regenerates events.parquet between rounds with varying
+    timestamp physical types (TIMESTAMP(NANOS) in r1-r3, naive
+    TIMESTAMP(MICROS) from r4).  load() must always surface ts as
+    session-tz TIMESTAMP (LTZ, pinned UTC) — the whole query surface
+    (unix_micros, double casts, window ranges) is built on it, and r4's
+    bench crashed when NTZ leaked through."""
+
+    def test_events_ts_is_ltz_timestamp(self, spark, sf_dir):
+        (events,) = load(spark, sf_dir, "events")
+        assert dict(events.dtypes)["ts"] == "timestamp"
+        # and it is actually usable by the epoch helpers that crashed in r4
+        import pyspark.sql.functions as F
+
+        row = events.agg(F.min(F.unix_micros("ts")).alias("lo")).first()
+        assert row["lo"] is not None
