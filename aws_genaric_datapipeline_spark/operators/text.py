@@ -267,27 +267,16 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def winnow_fingerprints_udf(k: int = 25, w: int = 10):
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
-    rolling-hash every character k-gram, then keep the minimum hash of each
-    window of ``w`` consecutive k-gram hashes.  Guarantee: any substring
-    match of length >= w + k - 1 between two documents shares at least one
-    selected fingerprint, while only ~2/(w+1) of hashes are kept.
-
-    Returns an Arrow-batched pandas UDF ``text -> array<bigint>`` (sorted,
-    distinct).  Vectorized per document with numpy (strided windows + one
-    matmul per doc); a JVM higher-order-function formulation evaluates the
-    lambda interpreted per element — measured ~100x slower on the IVF path,
-    same story here.  Normalize text (normalize_text) before hashing so
-    case/whitespace don't break matches.
-    """
+def winnow_batch_fn(k: int = 25, w: int = 10):
+    """The plain (sessionless) batch kernel behind winnow_fingerprints_udf:
+    ``pd.Series[str|None] -> pd.Series[list[int]]``.  Split out so
+    property-based tests can hammer the guarantee without a SparkSession."""
     B = 1099511628211  # FNV-1a prime; arithmetic wraps mod 2^64
     powers = np.array(
         [pow(B, k - 1 - i, 2**64) for i in range(k)], dtype=np.uint64
     )
     sliding = np.lib.stride_tricks.sliding_window_view
 
-    @F.pandas_udf("array<bigint>")
     def _winnow(texts: pd.Series) -> pd.Series:
         # Batch the k-gram hashing across the WHOLE Arrow batch: one
         # concatenated buffer, one strided multiply-add — each document's
@@ -324,6 +313,23 @@ def winnow_fingerprints_udf(k: int = 25, w: int = 10):
         return pd.Series(out)
 
     return _winnow
+
+
+def winnow_fingerprints_udf(k: int = 25, w: int = 10):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    rolling-hash every character k-gram, then keep the minimum hash of each
+    window of ``w`` consecutive k-gram hashes.  Guarantee: any substring
+    match of length >= w + k - 1 between two documents shares at least one
+    selected fingerprint, while only ~2/(w+1) of hashes are kept.
+
+    Returns an Arrow-batched pandas UDF ``text -> array<bigint>`` (sorted,
+    distinct) over winnow_batch_fn's numpy kernel; a JVM
+    higher-order-function formulation evaluates the lambda interpreted per
+    element — measured ~100x slower on the IVF path, same story here.
+    Normalize text (normalize_text) before hashing so case/whitespace don't
+    break matches.
+    """
+    return F.pandas_udf("array<bigint>")(winnow_batch_fn(k, w))
 
 
 def word_ngrams_udf(n: int, distinct: bool = False):

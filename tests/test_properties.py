@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the pure-Python hot-path kernels.
+
+These run WITHOUT a SparkSession: the winnowing pandas UDF's inner batch
+function and the numpy PNG/PPM codec are plain functions, so hypothesis can
+hammer them with hundreds of adversarial inputs cheaply — the guarantees
+the distributed operators are built on get exercised far beyond the few
+fixed fixtures the Spark-level tests use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aws_genaric_datapipeline_spark.operators.imagecodec import (
+    decode_image,
+    encode_png,
+    encode_ppm,
+    resize_nearest,
+)
+from aws_genaric_datapipeline_spark.operators.text import winnow_batch_fn
+
+K, W = 25, 10
+_WINNOW_BATCH = winnow_batch_fn(k=K, w=W)
+
+
+def winnow(texts: list[str | None]) -> list[set[int]]:
+    return [set(v) for v in _WINNOW_BATCH(pd.Series(texts, dtype=object))]
+
+
+# Printable-ASCII docs; min length keeps the shared chunk ≥ w + k - 1.
+_doc = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=300,
+)
+_chunk = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=W + K - 1,
+    max_size=120,
+)
+
+
+class TestWinnowProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(prefix_a=_doc, prefix_b=_doc, shared=_chunk, suffix_a=_doc, suffix_b=_doc)
+    def test_shared_substring_guarantees_shared_fingerprint(
+        self, prefix_a, prefix_b, shared, suffix_a, suffix_b
+    ):
+        """Schleimer/Wilkerson/Aiken theorem 1: two documents sharing a
+        substring of length >= w + k - 1 share at least one selected
+        fingerprint, whatever surrounds it."""
+        a = prefix_a + shared + suffix_a
+        b = prefix_b + shared + suffix_b
+        fa, fb = winnow([a, b])
+        assert fa & fb, (a, b)
+
+    @settings(max_examples=100, deadline=None)
+    @given(doc=_doc)
+    def test_batched_equals_single(self, doc):
+        """Batching across documents must not change any document's
+        fingerprints (the batch-level hash array is sliced per doc)."""
+        alone = winnow([doc])[0]
+        packed = winnow(["x" * 40, doc, None, "", "y" * 300])
+        assert packed[1] == alone
+
+    @settings(max_examples=100, deadline=None)
+    @given(doc=st.text(min_size=1, max_size=200))
+    def test_fingerprints_are_deterministic_and_nonempty(self, doc):
+        f1, f2 = winnow([doc]), winnow([doc])
+        assert f1 == f2
+        assert f1[0], "non-empty doc must produce at least one fingerprint"
+
+
+_img = st.integers(min_value=1, max_value=24).flatmap(
+    lambda h: st.integers(min_value=1, max_value=24).flatmap(
+        lambda w: st.binary(min_size=h * w * 3, max_size=h * w * 3).map(
+            lambda raw: np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        )
+    )
+)
+
+
+class TestCodecProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(img=_img)
+    def test_png_roundtrip_lossless(self, img):
+        assert np.array_equal(decode_image(encode_png(img)), img)
+
+    @settings(max_examples=150, deadline=None)
+    @given(img=_img)
+    def test_ppm_roundtrip_lossless(self, img):
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+    @settings(max_examples=100, deadline=None)
+    @given(img=_img, w=st.integers(1, 16), h=st.integers(1, 16))
+    def test_resize_output_shape_and_palette(self, img, w, h):
+        out = resize_nearest(img, w, h)
+        assert out.shape == (h, w, 3)
+        # nearest-neighbor introduces no new colors
+        src = {tuple(p) for p in img.reshape(-1, 3)}
+        assert {tuple(p) for p in out.reshape(-1, 3)} <= src
