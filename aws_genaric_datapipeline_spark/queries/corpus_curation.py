@@ -545,3 +545,37 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_redactions"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+_BLOCKLIST = ("src0", "src7", "src14")
+
+
+@query(
+    "curate_source_blocklist",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE source NOT IN {_BLOCKLIST!r}
+        GROUP BY source
+    """,
+    tags=("north-star", "curation"),
+)
+def curate_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain blocklist filtering — the standard web-corpus hygiene
+    pass (robots exclusions, spam domains, takedown lists) expressed the
+    way it scales: the blocklist is a TABLE (here a 3-row literal frame
+    standing in for an external list of millions of domains) applied as a
+    broadcast LEFT ANTI join, never an IN-list compiled into the plan.
+    Survivor accounting (docs + tokens per source) feeds the mix report."""
+    (documents,) = load(spark, sf_dir, "documents")
+    blocklist = spark.createDataFrame([(s,) for s in _BLOCKLIST], "source string")
+    return (
+        documents.join(F.broadcast(blocklist), "source", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+    )
