@@ -98,8 +98,9 @@ def contamination_overlap(
 
     Scale: the benchmark n-gram set is tiny next to the corpus (eval sets
     are thousands of docs), so it is broadcast — the corpus side streams
-    map-side through the semi join with no shuffle of corpus text; the
-    only corpus shuffle carries (id, gram) pairs for the per-doc counts.
+    map-side through a broadcast left join with no shuffle of corpus text;
+    the only corpus shuffle carries (id, gram-hit) pairs for the per-doc
+    counts.
     At 100 TB, hash grams to xxhash64 before the join so the broadcast
     table and shuffle rows carry 8-byte keys instead of strings.
     """
