@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from aws_genaric_datapipeline_spark.operators.merge import merge_upsert, scd2_collapse
 from aws_genaric_datapipeline_spark.operators.sampling import (
     deterministic_sample,
+    hash_bucket,
     stratified_sample,
 )
 from aws_genaric_datapipeline_spark.queries.registry import query
@@ -42,6 +43,47 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (docs,) = load(spark, sf_dir, "documents")
     return deterministic_sample(docs, "doc_id", 2500).select("doc_id", "lang")
+
+
+@query(
+    "sample_train_valid_test",
+    oracle=f"""
+        WITH b AS (SELECT doc_id, lang, {_HASH_SQL} AS bucket FROM documents)
+        SELECT CASE WHEN bucket < 500 THEN 'test'
+                    WHEN bucket < 1500 THEN 'valid'
+                    ELSE 'train' END AS split,
+               lang,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc_id
+        FROM b
+        GROUP BY 1, 2
+    """,
+    tags=("sampling", "trainprep"),
+)
+def sample_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed three-way train/valid/test split (85/10/5 by hash
+    bucket): the same doc_id lands in the same split on every run, engine,
+    and partitioning — re-ingesting the corpus can never leak evaluation
+    rows into training.  Disjoint and exhaustive by construction (bucket
+    ranges partition [0, 10000)); the oracle reproduces the exact per-split
+    per-language census including min ids.
+
+    Scale: one narrow map for the bucket + one aggregation shuffle."""
+    (docs,) = load(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 500, F.lit("test"))
+        .when(b < 1500, F.lit("valid"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
 
 
 @query(
