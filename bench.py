@@ -53,6 +53,9 @@ HEADLINE = [
     "search_bm25",
     "decontaminate_ngram_overlap",
     "curate_funnel_report",
+    "text_pii_redact",
+    "curate_source_blocklist",
+    "sample_train_valid_test",
 ]
 
 
