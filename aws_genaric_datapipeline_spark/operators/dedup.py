@@ -305,20 +305,20 @@ def minhash_lsh_pairs(
     # — at sf0.1 the recompute costs less than the materialization.
     shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("did"),
-        word_ngrams_udf(shingle_n)(F.col(text_col)).alias("sh"),
+        word_ngrams_udf(shingle_n, distinct=True)(F.col(text_col)).alias("sh"),
     )
     # The distinct-shingle frame feeds three subtrees (signatures, set
     # sizes, pair intersections); persist it so the shingle UDF runs once,
     # not three times (measured 2x end-to-end at sf0.1).  MEMORY_AND_DISK:
     # at 100 TB the exploded frame exceeds memory and must spill, not OOM.
     # Stays cached for plan-identical reuse; evicted LRU or via
-    # spark.catalog.clearCache().
+    # spark.catalog.clearCache().  Distinctness comes from the in-batch
+    # dedup inside the shingle UDF, so no (did, tok) dropDuplicates
+    # shuffle of gram strings exists anywhere in this pipeline.
     from pyspark import StorageLevel
 
-    sets = (
-        shingled.select("did", F.explode("sh").alias("tok"))
-        .dropDuplicates(["did", "tok"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sets = shingled.select("did", F.explode("sh").alias("tok")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     # One xxhash64 per shingle, then num_hashes universal-hash derivations
     # (h_i = (a_i·h31 + b_i) mod p, a_i ∈ [1,p), p = 2^31-1) — the standard
