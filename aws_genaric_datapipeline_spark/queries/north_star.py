@@ -330,8 +330,8 @@ def sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via the default LSH-candidate path
     (self equi-join on (table, bucket), exact cosine verify on candidates —
-    no crossJoin; plan-gated in tests/test_plans.py, recall vs exact
-    asserted in tests/test_operators.py).
+    no crossJoin; plan-gated in tests/test_plans.py, recall contract
+    driver-checked via sim_ann_recall_guarantees and pytest).
 
     This corpus's pair-cosine tops out ≈0.51, so the threshold sits at 0.45
     with a wide-OR family (3 planes × 12 tables → pair recall ≈0.98 at
@@ -505,8 +505,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-5: corpus bucketed by nearest
     trained centroid, queries probe their nprobe nearest cells, exact
-    re-rank inside the probed cells (recall vs brute force asserted in
-    tests/test_operators.py)."""
+    re-rank inside the probed cells (recall contract driver-checked via
+    sim_ann_recall_guarantees and tests/test_operators.py)."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         embeddings, query_ids=[1, 2, 3, 4, 5], k=5, num_cells=16, nprobe=6
