@@ -375,6 +375,11 @@ def word_ngrams_udf(n: int, distinct: bool = False):
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # ssn (3-2-4) and card (4x4) run BEFORE phone (3-3-4): the groupings
+    # are mutually exclusive, but a 16-digit card must not be left for the
+    # phone rule to mangle a prefix of.
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
     ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
 )
 

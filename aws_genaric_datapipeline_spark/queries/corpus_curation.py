@@ -475,7 +475,9 @@ def curate_top_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    text || ' Contact user' || doc_id ||
                    '@example.com or 192.168.' || (doc_id % 256) ||
-                   '.42 call 555-867-530' || (doc_id % 10) || '.' AS t0
+                   '.42 call 555-867-530' || (doc_id % 10) ||
+                   ' ssn 219-09-900' || (doc_id % 10) ||
+                   ' card 4111-1111-1111-111' || (doc_id % 10) || '.' AS t0
             FROM documents
         ),
         s1 AS (
@@ -499,16 +501,34 @@ def curate_top_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         s3 AS (
             SELECT doc_id, c1, c2,
                    len(regexp_extract_all(t2,
-                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS c3,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS c3,
                    regexp_replace(t2,
-                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
-                       '<PHONE>', 'g') AS t3
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                       '<SSN>', 'g') AS t3
             FROM s2
+        ),
+        s4 AS (
+            SELECT doc_id, c1, c2, c3,
+                   len(regexp_extract_all(t3,
+                       '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b')) AS c4,
+                   regexp_replace(t3,
+                       '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b',
+                       '<CARD>', 'g') AS t4
+            FROM s3
+        ),
+        s5 AS (
+            SELECT doc_id, c1, c2, c3, c4,
+                   len(regexp_extract_all(t4,
+                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS c5,
+                   regexp_replace(t4,
+                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+                       '<PHONE>', 'g') AS t5
+            FROM s4
         )
         SELECT doc_id,
-               CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions,
-               md5(t3) AS redacted_md5
-        FROM s3
+               CAST(c1 + c2 + c3 + c4 + c5 AS BIGINT) AS n_redactions,
+               md5(t5) AS redacted_md5
+        FROM s5
     """,
     tags=("north-star", "curation", "text"),
 )
@@ -535,6 +555,10 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@example.com or 192.168."),
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".42 call 555-867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" ssn 219-09-900"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" card 4111-1111-1111-111"),
             (F.col("doc_id") % 10).cast("string"),
             F.lit("."),
         ).alias("t0"),
