@@ -29,18 +29,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"].fn(spark, SMOKE_SF_DIR)
 
 
-def _verification_priority() -> dict[str, tuple[int, int]]:
-    """(times_checked, last_round_checked) per query, from CORRECTNESS_r*.json.
+def _verification_priority() -> dict[str, tuple[bool, int, int]]:
+    """(last_was_ok, times_checked, last_round_checked) per query.
 
-    The driver verifies queries in dict order up to a per-round cap, so
-    ``queries()`` yields least-recently-verified entries first.  This rotates
+    Sourced from CORRECTNESS_r*.json.  The driver verifies queries in dict
+    order up to a per-round cap, so ``queries()`` yields entries whose most
+    recent driver row was an err/mismatch FIRST (so fixes get re-checked the
+    very next round), then least-recently-verified entries.  This rotates
     driver coverage across rounds until every registered query has a green row.
     """
     import json
     import re
 
     here = Path(__file__).resolve().parent
-    seen: dict[str, tuple[int, int]] = {}
+    seen: dict[str, tuple[bool, int, int]] = {}
     for path in sorted(here.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
         rnd = int(m.group(1)) if m else 0
@@ -48,19 +50,31 @@ def _verification_priority() -> dict[str, tuple[int, int]]:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
-        for name in rows:
-            count, _ = seen.get(name, (0, 0))
-            seen[name] = (count + 1, rnd)
+        for name, row in rows.items():
+            # "no_oracle" counts as green only while the query is still
+            # registered oracle-less; once an oracle is added the stale
+            # rows-only record should be re-verified first.
+            has_oracle_now = name in QUERIES and QUERIES[name].oracle is not None
+            ok_errs = (None,) if has_oracle_now else (None, "no_oracle")
+            ok = isinstance(row, dict) and (
+                row.get("err") in ok_errs
+                and row.get("rows_match", True) is not False
+                and row.get("schema_match", True) is not False
+                and row.get("hash_match", True) is not False
+            )
+            _, count, _ = seen.get(name, (True, 0, 0))
+            seen[name] = (ok, count + 1, rnd)
     return seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered least-recently-verified first (see _verification_priority).
+    Ordered: latest-row-was-err first, then least-recently-verified
+    (see _verification_priority).
     """
     seen = _verification_priority()
-    names = sorted(QUERIES, key=lambda n: (*seen.get(n, (0, 0)), n))
+    names = sorted(QUERIES, key=lambda n: (*seen.get(n, (True, 0, 0)), n))
     return {name: QUERIES[name].fn for name in names}
 
 
