@@ -62,17 +62,73 @@ def dedup_incremental(
     normalized-content fingerprint is absent from the corpus, then min-id
     dedup WITHIN the batch.  Returns (fp, id, dup_count) for survivors.
 
-    Scale: only 128-bit fingerprints + ids shuffle — the corpus text is
-    never re-read if the fingerprint projection is persisted at ingest
-    (that persisted frame IS the dedup index; store it bucketed by fp —
-    operators/bucketing.py — and the anti join becomes co-located with
-    zero shuffle on the corpus side).  The new batch is small relative to
-    the corpus, so the anti join should broadcast the BATCH side; Spark
-    only broadcasts the right side of left_anti, hence corpus-as-right
-    here relies on AQE to pick the cheap plan when the batch is tiny.
+    Scale: only 128-bit fingerprints + ids shuffle — but with both sides
+    as raw frames the anti join still shuffles the corpus fingerprints
+    (Spark only broadcasts the right side of left_anti, and corpus-as-
+    right relies on AQE to pick a cheap plan).  The 100 TB form is
+    write_fingerprint_index + dedup_incremental_indexed below: the corpus
+    fp projection is persisted BUCKETED BY fp at ingest, the batch
+    anti-joins co-located, and the corpus side never re-shuffles
+    (plan-gated in tests/test_plans.py::TestFingerprintIndex).  This
+    frame-to-frame variant remains for one-shot/oracle use.
     """
     fp = fingerprint(F.col(text_col)).alias("fp")
     seen = corpus_df.select(fp).dropDuplicates()
+    return (
+        new_df.select(fp, F.col(id_col))
+        .join(seen, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def write_fingerprint_index(
+    corpus_df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    num_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's distinct content fingerprints as a catalog
+    table BUCKETED BY fp — the dedup index dedup_incremental_indexed joins
+    against.
+
+    This is the scale-safe half of incremental dedup: the one shuffle of
+    corpus fingerprints (distinct + bucketed write) is paid ONCE at ingest;
+    every later batch anti-joins co-located against the bucket layout, so
+    the 100 TB corpus side never re-shuffles (plan-gated in
+    tests/test_plans.py::TestFingerprintIndex).  After promoting a batch,
+    append its surviving fingerprints with ``mode="append"`` — bucket
+    metadata lives in the metastore and appended files land in their fp
+    bucket, keeping the index join-ready without a rebuild.
+    """
+    from aws_genaric_datapipeline_spark.operators.bucketing import write_bucketed
+
+    fps = corpus_df.select(fingerprint(F.col(text_col)).alias("fp")).dropDuplicates()
+    write_bucketed(fps, table, ["fp"], num_buckets, mode=mode)
+
+
+def dedup_incremental_indexed(
+    spark,
+    new_df: DataFrame,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """dedup_incremental against a persisted bucketed fingerprint index
+    (write_fingerprint_index) instead of the raw corpus frame.
+
+    Same output contract as dedup_incremental — (fp, id, dup_count) for
+    batch survivors — but the anti join is CO-LOCATED with the index's
+    bucket layout: only the (small) batch side shuffles into the bucket
+    partitioning; the corpus side reads its buckets with zero Exchange,
+    independent of corpus size.  The post-join groupBy("fp") reuses the
+    join's fp partitioning, so the whole query is one batch-sized shuffle.
+    This is the form dedup_incremental's docstring promises at 100 TB,
+    made concrete instead of relying on AQE to broadcast the batch.
+    """
+    seen = spark.table(index_table)
+    fp = fingerprint(F.col(text_col)).alias("fp")
     return (
         new_df.select(fp, F.col(id_col))
         .join(seen, "fp", "left_anti")
@@ -268,68 +324,87 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 8,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash + banded LSH, verified with exact
-    Jaccard on candidates only.
+def _collapse_by_shingle_set(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dup pre-collapse for the sketch paths: group documents by
+    shingle-SET identity (xxhash64 of the sorted distinct-shingle array).
 
-    Stages (standard shingle→minhash→band→bucket-join):
-      1. signature: num_hashes seeded min-hashes over word n-gram shingles;
-      2. banding: split the signature into ``bands`` bands of r rows each;
-         band key = (band_idx, xxhash64(band values)).  Pair collision prob
-         ≈ 1-(1-J^r)^b — tune (b, r) to put the S-curve knee at ``threshold``;
-      3. candidates: self-join on band key (equi join — the only shuffle
-         that touches all docs, and it carries ids + 64-bit keys only);
-      4. verify: exact n-gram Jaccard on candidate pairs (bounded set).
+    Returns (members, sets):
+      members — (did, gid, nsh, skey), one row per non-empty document;
+                gid = min member id of its group, nsh = shingle-set size
+                (empty shingle sets pair with nothing in the uncollapsed
+                pipeline and are dropped with their explode);
+      sets    — (did, skey, tok): exploded per-doc distinct shingles of
+                ALL documents — the single persisted token frame every
+                downstream stage (signatures, verification, sizes) reuses.
 
-    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    Deliberately NO array-valued join or array persist anywhere: group
+    identity travels as one extra 8-byte column on the exploded frame, and
+    membership is recovered with scalar-only aggregations (the per-doc
+    groupBy carries one partially-aggregated row per doc).  Everything
+    derives from ONE shingled pass; persist it so the shingle UDF runs
+    once (measured 2x end-to-end at sf0.1).  MEMORY_AND_DISK: at 100 TB
+    the frame exceeds memory and must spill, not OOM.  Distinctness comes
+    from the in-batch dedup inside the shingle UDF, so no (did, tok)
+    dropDuplicates shuffle of gram strings exists anywhere in this
+    pipeline.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-    # Everything downstream (signatures, candidate verification, set sizes)
-    # derives from ONE exploded-distinct shingle frame.  The min-hash over
-    # distinct shingles equals the min-hash over the raw array (duplicates
-    # never change a min), and computing it as groupBy-min aggregates makes
-    # it partial-merged map-side instead of a per-row 16-transform array
-    # scan.  The shingle projection is still re-evaluated per consuming
-    # subtree (exchange reuse does not dedup across different downstream
-    # partitionings); if that ever dominates, persist/localCheckpoint `sets`
-    # — at sf0.1 the recompute costs less than the materialization.
-    shingled = ensure_parallelism(df).select(
-        F.col(id_col).alias("did"),
-        word_ngrams_udf(shingle_n, distinct=True)(F.col(text_col)).alias("sh"),
-    )
-    # The distinct-shingle frame feeds three subtrees (signatures, set
-    # sizes, pair intersections); persist it so the shingle UDF runs once,
-    # not three times (measured 2x end-to-end at sf0.1).  MEMORY_AND_DISK:
-    # at 100 TB the exploded frame exceeds memory and must spill, not OOM.
-    # Stays cached for plan-identical reuse; evicted LRU or via
-    # spark.catalog.clearCache().  Distinctness comes from the in-batch
-    # dedup inside the shingle UDF, so no (did, tok) dropDuplicates
-    # shuffle of gram strings exists anywhere in this pipeline.
     from pyspark import StorageLevel
 
-    sets = shingled.select("did", F.explode("sh").alias("tok")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sets = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("did"),
+            word_ngrams_udf(shingle_n, distinct=True)(F.col(text_col)).alias("sh"),
+        )
+        .select(
+            "did",
+            F.xxhash64(F.sort_array("sh")).alias("skey"),
+            F.explode("sh").alias("tok"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # One xxhash64 per shingle, then num_hashes universal-hash derivations
-    # (h_i = (a_i·h31 + b_i) mod p, a_i ∈ [1,p), p = 2^31-1) — the standard
-    # single-hash minhash family.  Equivalent collision statistics to
-    # independent seeded hashes at a fraction of the per-row work and far
-    # smaller codegen (16 xxhash64 calls per token -> 1 xxhash64 + 16 bigint
-    # mult-mods).  The ~2^31 wraps of a_i·h31 mod p make each h_i a genuine
-    # 2-universal scramble so different i pick different argmin tokens
-    # (see _MH_P note above).
+    # tokens are distinct per doc, so count(*) == set size
+    per_doc = sets.groupBy("did", "skey").agg(F.count(F.lit(1)).alias("nsh"))
+    groups = per_doc.groupBy("skey").agg(F.min("did").alias("gid"))
+    members = (
+        per_doc.join(groups, "skey")
+        .select("did", "gid", "nsh", "skey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return members, sets
+
+
+def _band_candidates(
+    sets: DataFrame,
+    members: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_band_width: int | None,
+) -> DataFrame:
+    """Group-representative LSH candidate pairs (id_a < id_b, both group
+    ids) from the exploded-shingle frame: minhash signatures as
+    groupBy-min partial aggregates PER SET KEY, banded keys, equi
+    self-join on (band, band-hash).
+
+    Aggregating by skey instead of doc id is what makes the exact-dup
+    collapse free: an m-duplicate cluster's m× token rows partial-merge
+    map-side into one signature row, and the band self-join sees one
+    representative — no array join, no representative filter pass.
+
+    One xxhash64 per shingle, then num_hashes universal-hash derivations
+    (h_i = (a_i·h31 + b_i) mod p, a_i ∈ [1,p), p = 2^31-1) — the standard
+    single-hash minhash family.  Equivalent collision statistics to
+    independent seeded hashes at a fraction of the per-row work and far
+    smaller codegen (16 xxhash64 calls per token -> 1 xxhash64 + 16 bigint
+    mult-mods).  The ~2^31 wraps of a_i·h31 mod p make each h_i a genuine
+    2-universal scramble so different i pick different argmin tokens
+    (see _MH_P note above).
+    """
+    r = num_hashes // bands
     h31 = F.shiftrightunsigned(F.xxhash64(F.col("tok")), 33)
-    sig = sets.withColumn("h", h31).groupBy("did").agg(
+    gsig = sets.withColumn("h", h31).groupBy("skey").agg(
         F.array(
             *[
                 F.min((F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_MH_P))
@@ -337,6 +412,10 @@ def minhash_lsh_pairs(
             ]
         ).alias("sig")
     )
+    # one row per group: its representative doc id (candidates must carry
+    # doc ids so verification can join per-doc token rows)
+    rep_map = members.where(F.col("did") == F.col("gid")).select("skey", "gid")
+    sig = gsig.join(rep_map, "skey").select(F.col("gid").alias("did"), "sig")
     banded = sig.select(
         "did",
         F.explode(
@@ -351,16 +430,91 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("did", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    cand = (
+    if max_band_width is not None:
+        narrow = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("bw"))
+            .where(F.col("bw") <= max_band_width)
+            .select("band", "bh")
+        )
+        banded = banded.join(narrow, ["band", "bh"], "left_semi")
+    return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
         .where(F.col("x.did") < F.col("y.did"))
         .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
         .dropDuplicates()
     )
+
+
+def minhash_band_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """The UNVERIFIED candidate stage of minhash_lsh_pairs, at group-
+    representative granularity — exposed so tests (and capacity planning)
+    can assert candidate fan-out directly: an m-document exact-dup cluster
+    must contribute ONE representative, not m² candidate rows.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    members, sets = _collapse_by_shingle_set(df, id_col, text_col, shingle_n)
+    return _band_candidates(sets, members, num_hashes, bands, max_band_width)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    Jaccard on candidates only.
+
+    Stages (standard shingle→minhash→band→bucket-join):
+      0. exact-dup pre-collapse: group documents by shingle-SET identity
+         (xxhash64 of the sorted distinct-shingle array) and run the sketch
+         on one representative per group.  An m-document exact-dup cluster
+         — the web-scale boilerplate case — contributes ONE row per band
+         bucket instead of m, so the band self-join stays O(groups·bands)
+         where the naive form is O(m²·bands) in that one bucket.  Intra-
+         group pairs are emitted directly with jaccard = 1.0 (identical
+         sets), and verified cross-group pairs are expanded to member
+         pairs (J(a, b) = J(rep_a, rep_b) when a, b duplicate their reps);
+         the final pair set is IDENTICAL to the uncollapsed one.
+      1. signature: num_hashes seeded min-hashes over word n-gram shingles;
+      2. banding: split the signature into ``bands`` bands of r rows each;
+         band key = (band_idx, xxhash64(band values)).  Pair collision prob
+         ≈ 1-(1-J^r)^b — tune (b, r) to put the S-curve knee at ``threshold``;
+      3. candidates: self-join on band key (equi join — the only shuffle
+         that touches all docs, and it carries ids + 64-bit keys only).
+         ``max_band_width`` (optional) drops band buckets wider than the
+         cap before the self-join — the same left-semi hot-bucket guard as
+         winnow_near_pairs.  With the exact-dup collapse in front, a wide
+         bucket means >cap DISTINCT near-identical contents; capping
+         trades recall on such boilerplate clusters for a hard bound on
+         candidate fan-out.  Default None: exact recall semantics.
+      4. verify: exact n-gram Jaccard on candidate pairs (bounded set).
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    members, sets = _collapse_by_shingle_set(df, id_col, text_col, shingle_n)
+    cand = _band_candidates(sets, members, num_hashes, bands, max_band_width)
     # verification: exact Jaccard restricted to candidate pairs (the same
-    # `sets` frame — its exchange is reused, not recomputed)
-    sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
+    # `sets` frame — its exchange is reused, not recomputed).  Candidates
+    # carry representative doc ids, whose own token rows sit in `sets`.
+    sizes = members.select("did", F.col("nsh").alias("set_size"))
     # equi-join on (id_b, tok): the intersection is computed pair-wise with
     # hash joins only — never materializing |A|×|B| token combinations.
     inter = (
@@ -369,7 +523,7 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    rep_pairs = (
         inter.join(sizes.withColumnsRenamed({"did": "id_a", "set_size": "size_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"did": "id_b", "set_size": "size_b"}), "id_b")
         .select(
@@ -383,6 +537,33 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # Expand representative pairs back to member pairs.  Both joins and the
+    # intra-group self-join produce exactly the TRUE output pairs — the
+    # O(m²) of an m-doc dup cluster reappears only here, as result rows any
+    # pair-emitting algorithm must write.  Empty shingle sets are excluded
+    # from the intra emission: such docs never acquire a signature in the
+    # uncollapsed pipeline (explode drops them), so they pair with nothing.
+    cross = (
+        rep_pairs.join(members.select(F.col("gid").alias("id_a"), F.col("did").alias("da")), "id_a")
+        .join(members.select(F.col("gid").alias("id_b"), F.col("did").alias("db")), "id_b")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    nonempty = members.where(F.col("nsh") > 0)
+    intra = (
+        nonempty.select(F.col("gid"), F.col("did").alias("da"))
+        .join(nonempty.select(F.col("gid"), F.col("did").alias("db")), "gid")
+        .where(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # -------------------------------------------------------------------- SimHash
@@ -485,10 +666,12 @@ def winnow_near_pairs(
     )
 
     winnow = winnow_fingerprints_udf(k, w)
-    fps = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), F.explode(winnow(normalize_text(F.col(text_col)))).alias("fp"))
-        .distinct()
+    # No (id, fp) distinct here: the winnow kernel emits np.unique per doc,
+    # so exploded pairs are distinct by construction — the dropped
+    # .distinct() was a full extra shuffle of every fingerprint row.
+    fps = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow(normalize_text(F.col(text_col)))).alias("fp"),
     )
     doc_freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     rare = fps.join(doc_freq.where(F.col("df") <= max_doc_freq), "fp", "left_semi")

@@ -42,6 +42,52 @@ class TestDedupSketches:
             recall = len(lsh & exact) / len(exact)
             assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 ({len(exact)} true pairs)"
 
+    def test_minhash_exact_dup_cluster_candidates_stay_linear(self, spark):
+        """An m-doc exact-duplicate cluster must NOT produce O(m²·bands)
+        band-bucket candidates: the shingle-set pre-collapse reduces the
+        cluster to one representative, so the candidate stage sees group
+        pairs only (here: at most C(3,2) = 3, for m = 60)."""
+        m = 60
+        rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(m)]
+        rows += [(100 + i, "the quick brown fox jumps over the lazy dog today") for i in range(3)]
+        rows += [(200, "completely unrelated text with distinct words only here")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        cand = D.minhash_band_candidates(df, shingle_n=3)
+        # 3 distinct near-identical contents -> <= 3 group-level candidate
+        # pairs; the naive per-document form would emit >= C(60,2) = 1770.
+        assert cand.count() <= 3
+
+    def test_minhash_dup_cluster_pairs_match_exact(self, spark):
+        """The collapsed pipeline must emit the IDENTICAL pair set as exact
+        Jaccard on a corpus with an exact-dup cluster: intra-cluster pairs
+        at jaccard 1.0 plus expanded cross pairs."""
+        rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(5)]
+        rows += [(10, "alpha beta gamma delta epsilon zeta eta iota")]
+        rows += [(20, "unrelated words entirely different from the others")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.jaccard_pairs(df, n=3, threshold=0.5).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.minhash_lsh_pairs(df, shingle_n=3, threshold=0.5).collect()
+        }
+        assert set(lsh) <= set(exact)
+        for i in range(5):
+            for j in range(i + 1, 5):
+                assert lsh[(i, j)] == 1.0
+        for pair, jac in lsh.items():
+            assert jac == exact[pair]
+
+    def test_minhash_band_width_cap_drops_wide_buckets(self, spark):
+        """max_band_width=1 leaves no bucket with 2+ members, so the
+        candidate stage must come back empty (recall traded explicitly)."""
+        rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(2)]
+        rows += [(10, "alpha beta gamma delta epsilon zeta eta iota")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        assert D.minhash_band_candidates(df, max_band_width=1).count() == 0
+
     def test_simhash_identical_docs_collide(self, spark):
         rows = [(1, "alpha beta gamma delta epsilon zeta"),
                 (2, "alpha beta gamma delta epsilon zeta"),

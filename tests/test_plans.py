@@ -108,6 +108,45 @@ class TestPartitionPruning:
         )
 
 
+class TestFingerprintIndex:
+    def test_indexed_anti_join_shuffles_batch_side_only(self, spark):
+        """dedup_incremental_indexed vs a bucketed fp index: the 100 TB
+        corpus side must read co-located with ZERO Exchange — the whole
+        plan's only shuffle is the (small) batch fp projection landing in
+        the bucket partitioning, which the post-join groupBy reuses."""
+        from aws_genaric_datapipeline_spark.operators.dedup import (
+            dedup_incremental,
+            dedup_incremental_indexed,
+            write_fingerprint_index,
+        )
+        from aws_genaric_datapipeline_spark.plans import shuffle_count
+
+        (documents,) = load(spark, SF, "documents")
+        batch = documents.where(F.col("doc_id") % 5 == 0)
+        corpus = documents.where(F.col("doc_id") % 5 != 0)
+        write_fingerprint_index(corpus, "fp_index_test", num_buckets=8)
+        try:
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                out = dedup_incremental_indexed(spark, batch, "fp_index_test")
+                assert shuffle_count(out) == 1, (
+                    "indexed anti join must shuffle only the batch side"
+                )
+                got = {
+                    (r["fp"], r["doc_id"], r["dup_count"]) for r in out.collect()
+                }
+                want = {
+                    (r["fp"], r["doc_id"], r["dup_count"])
+                    for r in dedup_incremental(batch, corpus).collect()
+                }
+                assert got == want, "indexed path must match the frame-to-frame path"
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS fp_index_test")
+
+
 class TestBucketedJoin:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
         """Co-bucketed tables join without any shuffle: the write pre-paid it."""
