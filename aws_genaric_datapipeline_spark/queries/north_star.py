@@ -19,6 +19,25 @@ from aws_genaric_datapipeline_spark.operators import text as X
 from aws_genaric_datapipeline_spark.queries.registry import query
 from aws_genaric_datapipeline_spark.tables import load
 
+def _lsh_buckets_cte(num_planes: int, num_tables: int, dim: int = 64) -> str:
+    """UNION ALL branches computing every (table, hyperplane-sign bucket)
+    row from LITERAL plane constants — the same deterministic splitmix64
+    family (similarity._hyperplane) the engine uses, inlined into SQL.
+    The engine buckets unit vectors; sign(dot(unit, h)) == sign(dot(raw, h))
+    (positive scaling; zero-norm vectors yield dot 0 either way), so the
+    oracle buckets the raw doubles.  Expects a CTE ``base(vec_id, v)``."""
+    from aws_genaric_datapipeline_spark.operators.similarity import _hyperplane
+
+    branches = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(num_planes):
+            lit = "[" + ", ".join(repr(x) for x in _hyperplane(dim, t * num_planes + p)) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+        branches.append(f"SELECT vec_id, v, {t} AS tbl, " + " + ".join(bits) + " AS bucket FROM base")
+    return " UNION ALL ".join(branches)
+
+
 # DuckDB fragments shared by several oracles.
 _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 _DUCK_TRIGRAMS = (
@@ -261,9 +280,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the true pairs by construction — tests assert lsh ⊆ exact), and on
     this corpus the seeded deterministic banding recovers EVERY true ≥0.8
     pair at both driver scales (verified sf0.001 + sf0.01), so subset +
-    full recall = equality and the exact oracle is valid here.  The
-    general probabilistic-recall contract (≥0.8) stays pinned in
-    tests/test_operators.py::test_minhash_lsh_recall_vs_exact.
+    full recall = equality and the exact oracle is valid here.  Exact-dup
+    pairs (J = 1.0) are now GUARANTEED found — the shingle-set pre-collapse
+    emits them deterministically, no sketch involved — so the only
+    probabilistic surface is cross-content pairs with 0.8 ≤ J < 1.
+    KNOWN FALSE-FAILURE MODE: the driver regenerates the corpus between
+    rounds; 16-hash/8-band recall at J ≈ 0.8 is ~1-(1-0.8²)^8 ≈ 0.9998 per
+    pair, so a regenerated corpus can legitimately contain a missed pair
+    and flip this row red with fully correct code.  If that happens once,
+    re-verify with tests/test_operators.py::test_minhash_lsh_recall_vs_exact
+    (the ≥0.8-recall contract) rather than chasing a bug.
     """
     (documents,) = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(documents, shingle_n=3, num_hashes=16, bands=8, threshold=0.8)
@@ -326,12 +352,37 @@ def sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_pairs(embeddings, threshold=0.4, exact=True)
 
 
-@query("sim_lsh_near_pairs", oracle=None, tags=("north-star", "similarity"))
+@query(
+    "sim_lsh_near_pairs",
+    oracle=f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        buck AS ({{_LSH_NP_BUCKETS}}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buck a JOIN buck b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(x.v, y.v), 4) AS cosine_sim
+        FROM cand
+        JOIN base x ON x.vec_id = cand.id_a
+        JOIN base y ON y.vec_id = cand.id_b
+        WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.45
+    """.replace("{_LSH_NP_BUCKETS}", _lsh_buckets_cte(num_planes=3, num_tables=12)),
+    tags=("north-star", "similarity"),
+)
 def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via the default LSH-candidate path
     (self equi-join on (table, bucket), exact cosine verify on candidates —
     no crossJoin; plan-gated in tests/test_plans.py, recall contract
     driver-checked via sim_ann_recall_guarantees and pytest).
+
+    FULLY oracle-checked (was rows-only through r05): the hyperplanes are
+    deterministic splitmix64 constants, so the oracle replays the ENTIRE
+    sketch — the same 12×3 plane literals, sign-bit buckets, (table,
+    bucket) candidate join and exact-cosine verification — in DuckDB
+    (_lsh_buckets_cte above).  Candidate generation, not just the
+    verification stage, is therefore engine-vs-oracle checked.
 
     This corpus's pair-cosine tops out ≈0.51, so the threshold sits at 0.45
     with a wide-OR family (3 planes × 12 tables → pair recall ≈0.98 at
@@ -354,6 +405,8 @@ def sim_ivf_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     The index is cached under .cache/ keyed by corpus dir; first invocation
     builds it (that cost belongs to ingest, not query — bench.py pre-builds
     in warmup so the recorded number is query-side only)."""
+    import hashlib
+    import shutil
     from pathlib import Path
 
     from aws_genaric_datapipeline_spark.operators.similarity import (
@@ -362,26 +415,70 @@ def sim_ivf_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    # Key the cached index by corpus dir AND source-file identity: the test
-    # corpus can be regenerated in place (same path, new content), and a
-    # stale index would silently return wrong neighbors.
+    # Key the cached index by corpus dir AND a CONTENT digest of the source
+    # parquet (head + tail + size — the footer at the tail carries row-group
+    # stats, so regenerated data changes the digest): the test corpus can be
+    # regenerated in place, and stat metadata (mtime, size) survives
+    # cp -p/tar restores with different content — the exact staleness the
+    # cache must catch.  Stale ivf_* entries for the same corpus dir are
+    # pruned on rebuild so regenerations don't strand indexes forever.
     src = Path(sf_dir) / "embeddings.parquet"
-    st = src.stat()
-    tag = f"{Path(sf_dir).name or 'sf'}_{int(st.st_mtime)}_{st.st_size}"
-    index_path = str(Path(__file__).resolve().parents[2] / ".cache" / f"ivf_{tag}")
-    if not (Path(index_path) / "centroids" / "_SUCCESS").exists():
-        ivf_build_index(embeddings, index_path, num_cells=16, iters=1)
+    digest = hashlib.md5()
+    with open(src, "rb") as fh:
+        digest.update(fh.read(65536))
+        size = src.stat().st_size
+        if size > 131072:
+            fh.seek(-65536, 2)
+        digest.update(fh.read(65536))
+    digest.update(str(size).encode())
+    corpus = Path(sf_dir).name or "sf"
+    cache_root = Path(__file__).resolve().parents[2] / ".cache"
+    index_path = cache_root / f"ivf_{corpus}_{digest.hexdigest()[:16]}"
+    if not (index_path / "centroids" / "_SUCCESS").exists():
+        for stale in cache_root.glob(f"ivf_{corpus}*"):
+            if stale.name != index_path.name:
+                shutil.rmtree(stale, ignore_errors=True)
+        ivf_build_index(embeddings, str(index_path), num_cells=16, iters=1)
+    index_path = str(index_path)
     queries_df = embeddings.where(F.col("vec_id").isin([1, 2, 3, 4, 5]))
     return ivf_query_index(spark, index_path, queries_df, k=5, nprobe=4)
 
 
-@query("sim_lsh_ann_topk", oracle=None, tags=("north-star", "similarity"))
+@query(
+    "sim_lsh_ann_topk",
+    oracle="""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        buck AS ({_LSH_TK_BUCKETS}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM buck q JOIN buck b
+              ON q.tbl = b.tbl AND q.bucket = b.bucket AND b.vec_id <> q.vec_id
+            WHERE q.vec_id IN (1, 2, 3, 4, 5)
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(x.v, y.v), 4) AS cosine_sim
+            FROM cand
+            JOIN base x ON x.vec_id = cand.query_id
+            JOIN base y ON y.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 5
+    """.replace("{_LSH_TK_BUCKETS}", _lsh_buckets_cte(num_planes=4, num_tables=8)),
+    tags=("north-star", "similarity"),
+)
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-5.
 
-    Rows-only (bucket assignment is engine-specific); the recall contract
-    is driver-verified by sim_ann_recall_guarantees (lsh_topk row) and
-    pytest."""
+    FULLY oracle-checked (was rows-only through r05): the deterministic
+    splitmix64 hyperplanes are inlined as SQL literals, so DuckDB replays
+    bucket assignment (8 tables × 4 sign bits), the (table, bucket)
+    candidate join, exact-cosine re-rank and the top-5 window — the whole
+    approximate pipeline, not just a recall bound.  The recall contract
+    additionally stays driver-verified by sim_ann_recall_guarantees
+    (lsh_topk row) and pytest."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_topk(
         embeddings, query_ids=[1, 2, 3, 4, 5], k=5, num_planes=4, num_tables=8

@@ -172,13 +172,40 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("qvec_csv", F.array_join("qvec", ",")).drop("qvec")
 
 
-@query("embed_random_projection", oracle=None, tags=("north-star", "trainprep", "similarity"))
+def _jl_projection_oracle(out_dim: int = 16, n_emit: int = 4, in_dim: int = 64) -> str:
+    """Oracle SQL replaying the JL projection's first ``n_emit`` output
+    coordinates with LITERAL matrix constants: the engine's projection rows
+    are _hyperplane(64, 7919+j) scaled by sqrt(3/out_dim) — deterministic
+    integer mixing, no RNG state — so the exact float64 row values are
+    reproducible here and the matmul becomes a list_dot_product per row."""
+    import math
+
+    from aws_genaric_datapipeline_spark.operators.similarity import _hyperplane
+
+    s = math.sqrt(3.0 / out_dim)
+    cols = []
+    for j in range(n_emit):
+        lit = "[" + ", ".join(repr(x * s) for x in _hyperplane(in_dim, 7919 + j)) + "]"
+        cols.append(
+            f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {lit}), 6) AS p{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@query(
+    "embed_random_projection",
+    oracle=_jl_projection_oracle(),
+    tags=("north-star", "trainprep", "similarity"),
+)
 def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss projection 64 → 16 dims (deterministic
     splitmix64 hyperplanes, Arrow-batched matmul).
 
-    Rows-only (the projected coordinates depend on the engine's hyperplane
-    hash); the distance-preservation contract is driver-verified by
+    FULLY oracle-checked (was rows-only through r05): the projection
+    matrix is deterministic (splitmix64 rows scaled by sqrt(3/16)), so the
+    oracle inlines the exact float64 matrix literals and recomputes the
+    emitted coordinates as dot products in DuckDB.  The JL
+    distance-preservation contract additionally stays driver-verified by
     embed_projection_distortion_check and pytest."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     out = P.random_projection(embeddings, out_dim=16)
