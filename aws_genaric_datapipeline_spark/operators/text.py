@@ -267,7 +267,7 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def winnow_batch_fn(k: int = 25, w: int = 10):
+def winnow_batch_fn(k: int = 25, w: int = 10, slab_chars: int = 4 << 20):
     """The plain (sessionless) batch kernel behind winnow_fingerprints_udf:
     ``pd.Series[str|None] -> pd.Series[list[int]]``.  Split out so
     property-based tests can hammer the guarantee without a SparkSession."""
@@ -277,21 +277,29 @@ def winnow_batch_fn(k: int = 25, w: int = 10):
     )
     sliding = np.lib.stride_tricks.sliding_window_view
 
-    def _winnow(texts: pd.Series) -> pd.Series:
-        # Batch the k-gram hashing across the WHOLE Arrow batch: one
-        # concatenated buffer, one strided multiply-add — each document's
-        # hash run is then a zero-copy slice (windows inside
-        # [off, off+len-k] touch only that document's bytes, so slicing the
-        # batch-level hash array is exactly the per-doc computation).  The
-        # earlier per-doc formulation paid ~10 numpy dispatches per ~300-char
-        # document; on 5k-doc batches the batched hash pass is ~40% faster
-        # end-to-end at sf0.1.
-        bufs = [s.encode("utf-8") if s is not None else b"" for s in texts]
+    # Peak Python-worker memory is bounded by slab, not by the Arrow batch:
+    # documents are processed in groups of whole docs totalling ≤ _SLAB_CHARS
+    # bytes, and the k-gram hash pass is a Horner recurrence (k fused
+    # multiply-adds over the slab's hash array) instead of materializing a
+    # (chars × k) uint64 window matrix — ~16 B per input character in
+    # flight vs ~200 B for the matrix form, and independent of document
+    # length or arrow.maxRecordsPerBatch.  Boundary safety is structural:
+    # per-doc hash runs only read windows inside [off, off+len-k], which
+    # never span documents, so slabbing whole docs is exactly the per-doc
+    # computation (property tests pin batch == single-doc and
+    # multi-slab == one-slab).
+    _SLAB_CHARS = slab_chars
+
+    def _winnow_slab(bufs: list[bytes]) -> list[list[int]]:
         lens = np.array([len(b) for b in bufs], dtype=np.int64)
         cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-        if cat.size >= k:
+        n_h = cat.size - k + 1
+        if n_h > 0:
+            H = np.zeros(n_h, dtype=np.uint64)
             with np.errstate(over="ignore"):
-                H = (sliding(cat, k).astype(np.uint64) * powers).sum(axis=1)
+                for j in range(k):
+                    H *= np.uint64(B)
+                    H += cat[j : j + n_h]
         else:
             H = np.empty(0, dtype=np.uint64)
         offs = np.zeros(len(bufs) + 1, dtype=np.int64)
@@ -310,6 +318,19 @@ def winnow_batch_fn(k: int = 25, w: int = 10):
             h = H[offs[i] : offs[i] + length - k + 1]
             mins = h.min() if h.size < w else sliding(h, w).min(axis=1)
             out.append(np.unique(np.atleast_1d(mins).view(np.int64)).tolist())
+        return out
+
+    def _winnow(texts: pd.Series) -> pd.Series:
+        bufs = [s.encode("utf-8") if s is not None else b"" for s in texts]
+        out: list[list[int]] = []
+        i, n = 0, len(bufs)
+        while i < n:
+            j, tot = i, 0
+            while j < n and (j == i or tot + len(bufs[j]) <= _SLAB_CHARS):
+                tot += len(bufs[j])
+                j += 1
+            out.extend(_winnow_slab(bufs[i:j]))
+            i = j
         return pd.Series(out)
 
     return _winnow

@@ -73,6 +73,18 @@ class TestWinnowProperties:
         assert f1 == f2
         assert f1[0], "non-empty doc must produce at least one fingerprint"
 
+    @settings(max_examples=50, deadline=None)
+    @given(docs=st.lists(_doc | st.none(), min_size=1, max_size=8))
+    def test_multi_slab_equals_one_slab(self, docs):
+        """The bounded-memory slab split must be invisible: a slab cap that
+        forces one doc per slab yields the same fingerprints as the
+        unbounded batch kernel."""
+        import pandas as pd
+
+        tiny = winnow_batch_fn(k=K, w=W, slab_chars=1)(pd.Series(docs)).tolist()
+        big = winnow_batch_fn(k=K, w=W)(pd.Series(docs)).tolist()
+        assert tiny == big
+
 
 _img = st.integers(min_value=1, max_value=24).flatmap(
     lambda h: st.integers(min_value=1, max_value=24).flatmap(
