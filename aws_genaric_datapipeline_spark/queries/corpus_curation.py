@@ -473,7 +473,7 @@ def curate_top_quality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH seeded AS (
             SELECT doc_id,
-                   text || ' Contact user' || doc_id ||
+                   coalesce(text, '') || ' Contact user' || doc_id ||
                    '@example.com or 192.168.' || (doc_id % 256) ||
                    '.42 call 555-867-530' || (doc_id % 10) ||
                    ' ssn 219-09-900' || (doc_id % 10) ||
@@ -548,8 +548,11 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     seeded = documents.select(
         "doc_id",
+        # coalesce: a NULL text must still seed-and-redact (the oracle's ||
+        # would otherwise propagate NULL while the engine counts 0 — a
+        # driver mismatch on any future NULL-text corpus row)
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" Contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com or 192.168."),
