@@ -5,10 +5,12 @@ The Spark-side contract is real and tested — schema, Arrow batch shape,
 partitioning, mapInPandas signatures.  IMAGE decoding is real: the engine
 carries a pure numpy/stdlib PNG + PPM codec (operators/imagecodec.py), so
 ``decode_media`` / ``resize_media`` operate on actual pixels with no image
-library in the container.  ``fake=True`` keeps the deterministic
-byte-statistics stand-in for non-image payloads and determinism tests.
-VIDEO frame seeking stays stubbed (no ffmpeg in the container):
-``sample_frames`` raises NotImplementedError unless ``fake=True``.
+library in the container.  VIDEO frame sampling is real for Y4M
+(YUV4MPEG2) payloads via the pure numpy parser (operators/videocodec.py):
+``sample_frames`` seeks by offset arithmetic, decodes YUV→RGB and emits
+PNG frames; compressed containers (mp4/webm) would need ffmpeg and raise
+VideoFormatError.  ``fake=True`` keeps the deterministic byte-statistics
+stand-in for opaque payloads and determinism tests.
 
 Schema convention for a media table::
 
@@ -221,29 +223,51 @@ def sample_frames(
     input row emits a variable number of frame rows (bounded by
     ``max_frames``), and the output schema is unrelated to the input's.
 
-    Stub contract: real implementation seeks/decodes with ffmpeg;
-    ``fake=True`` slices the payload into deterministic chunks, one per
-    sampled timestamp up to media_meta.duration_ms.
+    Default path: REAL decode for Y4M (YUV4MPEG2) payloads via the pure
+    numpy parser (operators/videocodec.py) — frame seeking is offset
+    arithmetic over the fixed frame size, sampled timestamps map to frame
+    indexes through the stream's own frame rate, and each emitted ``frame``
+    is the decoded RGB frame re-encoded as PNG (operators/imagecodec.py).
+    A payload that is not a Y4M stream raises VideoFormatError inside the
+    task (no ffmpeg in the container for compressed containers —
+    mp4/webm would slot in here behind the same interface).  ``fake=True``
+    keeps the deterministic chunk-sampling stand-in for opaque payloads:
+    one byte-stripe per sampled timestamp up to media_meta.duration_ms.
     """
-    if not fake:
-        raise NotImplementedError(
-            "no video decoder available in this environment; pass fake=True "
-            "for the deterministic chunk-sampling stand-in"
-        )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_genaric_datapipeline_spark.operators.imagecodec import encode_png
+        from aws_genaric_datapipeline_spark.operators.videocodec import (
+            decode_y4m_frame,
+            parse_y4m,
+        )
+
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
             for did, b, m in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
                 b = b or b""
-                duration = (m or {}).get("duration_ms") or 0
-                n = min(max_frames, max(1, duration // every_ms + 1)) if b else 0
-                for i in range(n):
-                    stripe = max(1, len(b) // max(n, 1))
+                if fake:
+                    duration = (m or {}).get("duration_ms") or 0
+                    n = min(max_frames, max(1, duration // every_ms + 1)) if b else 0
+                    for i in range(n):
+                        stripe = max(1, len(b) // max(n, 1))
+                        out["doc_id"].append(did)
+                        out["frame_idx"].append(i)
+                        out["ts_ms"].append(i * every_ms)
+                        out["frame"].append(bytes(b[i * stripe : (i + 1) * stripe] or b[-stripe:]))
+                    continue
+                if not b:
+                    continue
+                info = parse_y4m(bytes(b))
+                for i in range(max_frames):
+                    ts = i * every_ms
+                    src = ts * info["fps_num"] // (1000 * info["fps_den"])
+                    if src >= info["n_frames"]:
+                        break
                     out["doc_id"].append(did)
                     out["frame_idx"].append(i)
-                    out["ts_ms"].append(i * every_ms)
-                    out["frame"].append(bytes(b[i * stripe : (i + 1) * stripe] or b[-stripe:]))
+                    out["ts_ms"].append(ts)
+                    out["frame"].append(encode_png(decode_y4m_frame(bytes(b), src, info)))
             yield pd.DataFrame(out)
 
     from aws_genaric_datapipeline_spark.operators.partitioning import ensure_parallelism

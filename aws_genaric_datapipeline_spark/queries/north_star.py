@@ -598,6 +598,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "ts_ms")
 
 
+@query(
+    "multimodal_video_frames",
+    oracle="""
+        SELECT doc_id,
+               CAST(t.i AS INT) AS frame_idx,
+               CAST(t.i * 1000 AS INT) AS ts_ms,
+               CAST(floor(1.164383 * ((doc_id * 7 + t.i * 13) % 200) + 0.5) AS INT) AS lum
+        FROM documents,
+             UNNEST(range(0, least(4, ((length(text) * 7) % 20000) // 1000 + 1))) AS t(i)
+        WHERE length(text) > 0
+    """,
+    tags=("north-star", "multimodal"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end to end: per document, synthesize a Y4M
+    (YUV4MPEG2) stream of solid-gray frames (level 16 + (doc_id·7 + i·13)
+    mod 200, frame count from text length as in multimodal_frame_sample),
+    then run sample_frames' DEFAULT (non-fake) path — pure numpy Y4M
+    parsing, offset-arithmetic frame seeking, BT.601 YUV→RGB with half-up
+    rounding, PNG re-encode (operators/videocodec.py + imagecodec.py) —
+    and PNG-decode each emitted frame back to its luminance.  The whole
+    decode chain is bit-reproducible, so the oracle recomputes the decoded
+    gray value in SQL from the same double constants: a single wrong byte
+    anywhere in parse → seek → color-convert → encode → decode turns the
+    row red."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    (documents,) = load(spark, sf_dir, "documents")
+
+    H, W = 8, 12
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.videocodec import encode_y4m_mono
+
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "media": [], "media_meta": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n_chars = len(text) if text is not None else 0
+                if n_chars == 0:
+                    continue
+                n = min(4, ((n_chars * 7) % 20000) // 1000 + 1)
+                frames = [
+                    np.full((H, W), 16 + (int(did) * 7 + i * 13) % 200, dtype=np.uint8)
+                    for i in range(n)
+                ]
+                rows["doc_id"].append(did)
+                rows["media"].append(encode_y4m_mono(frames, fps_num=1))
+                rows["media_meta"].append(
+                    {"kind": "video", "mime": "video/x-yuv4mpeg", "width": W,
+                     "height": H, "duration_ms": n * 1000}
+                )
+            yield pd.DataFrame(rows)
+
+    def _lum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_genaric_datapipeline_spark.operators.imagecodec import decode_image
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "lum": [int(decode_image(bytes(b))[0, 0, 0]) for b in pdf["frame"]],
+                }
+            )
+
+    media = documents.select("doc_id", "text").mapInPandas(_render, schema=M.MEDIA_SCHEMA)
+    frames = M.sample_frames(media, every_ms=1000, max_frames=4)
+    return frames.mapInPandas(
+        _lum, schema="doc_id long, frame_idx int, ts_ms int, lum int"
+    )
+
+
 @query("sim_ivf_topk", oracle=None, tags=("north-star", "similarity"))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-5: corpus bucketed by nearest

@@ -236,8 +236,10 @@ class TestMultimodal:
                       "width": 0, "height": 0, "duration_ms": 9000}),
         ]
         media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
-        with pytest.raises(NotImplementedError):
-            M.sample_frames(media)
+        # default path is the REAL Y4M decoder now: opaque non-video bytes
+        # fail inside the task (tests/test_videocodec.py covers the real path)
+        with pytest.raises(Exception, match="YUV4MPEG2|VideoFormatError"):
+            M.sample_frames(media).collect()
         out = M.sample_frames(media, every_ms=1000, max_frames=4, fake=True).collect()
         by_doc = {}
         for r in out:
