@@ -232,7 +232,14 @@ def jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 4 decimals.
     """
-    sets = _token_sets(df, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    # The exploded-shingle frame feeds five subtrees (document frequencies,
+    # the prefix projection, both intersection sides, set sizes); persist it
+    # so the shingle UDF and explode run once, not five times — measured
+    # ~2x end-to-end at sf0.1 on the threshold-0.5 graph-edge build.
+    # MEMORY_AND_DISK: at 100 TB the frame must spill, not OOM.
+    sets = _token_sets(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
     if prefix_filter:
         from pyspark.sql import Window

@@ -54,6 +54,11 @@ def connected_components(
     has not converged after ``max_iters`` rounds (pointer jumping makes
     that ~2^25-diameter territory, i.e. never for real data).
     """
+    # Materialize the input FIRST: the caller's edge frame is typically an
+    # expensive pipeline (e.g. an exact-Jaccard self-join), and fwd/rev
+    # below reference it twice — checkpointing up front evaluates it once
+    # and symmetrization runs over the materialized rows.
+    edges = edges.localCheckpoint(eager=True)
     fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
     rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     sym = fwd.unionByName(rev).where(F.col("node") != F.col("nbr")).distinct()
@@ -164,7 +169,7 @@ def pagerank(
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
@@ -172,15 +177,18 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # Periodic (not per-round) lineage cut: e/outdeg/nodes are already
+        # checkpointed leaves, so the only thing that grows is the rank
+        # chain — a few joins per round.  Materializing every round costs a
+        # full job per iteration (~0.3 s each on local[32]); every 8th
+        # keeps the plan shallow at a fraction of that.
+        if (i + 1) % 8 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

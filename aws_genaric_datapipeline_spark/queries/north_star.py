@@ -901,7 +901,9 @@ def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_genaric_datapipeline_spark.operators.graph import pagerank
 
     (documents,) = load(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5)
+    # materialize the expensive exact-Jaccard edge build once — the
+    # symmetrizing union below references it twice
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5).localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
