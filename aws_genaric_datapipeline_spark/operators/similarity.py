@@ -194,8 +194,14 @@ def ivf_train_centroids(
 ) -> DataFrame:
     """Train IVF cell centroids: deterministic seeding + Lloyd iterations.
 
-    Seeds are the ``num_cells`` corpus vectors with the smallest xxhash64 of
-    their id (reproducible, no RNG state).  Each Lloyd step is one
+    Seeds are the ``num_cells`` corpus vectors with the smallest Knuth
+    multiplicative scramble of their id — ((id mod 2^31)·2654435761)
+    mod 2^32, ties broken by id.  Reproducible with no RNG state AND
+    expressible in plain integer SQL (unlike the earlier xxhash64 pick),
+    which is what lets the sim_ivf_* oracles replay the entire training
+    pass in DuckDB.  The inner product stays below 2^63 by reducing the id
+    mod 2^31 first, so ANSI-mode bigint arithmetic never overflows at any
+    id scale.  Each Lloyd step is one
     distributed pass over the corpus: assign every vector to its max-dot
     cell (vectorized, see _assign_cells), then recompute each cell's mean
     vector with one applyInPandas per cell — a single shuffle keyed by
@@ -220,9 +226,13 @@ def ivf_train_centroids(
     # Seed from RAW vectors (hash-ordered TakeOrdered, pure JVM — no reason
     # to run the normalization UDF over the whole corpus just to pick
     # num_cells rows); normalize the handful driver-side.
+    scramble = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     seeds = (
-        df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
+        df.select(F.col(vec_col).alias("v"), F.col(id_col).alias("sid"))
+        .orderBy(scramble, F.col("sid"))
         .limit(num_cells)
         .collect()
     )

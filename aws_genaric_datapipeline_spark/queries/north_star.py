@@ -19,6 +19,92 @@ from aws_genaric_datapipeline_spark.operators import text as X
 from aws_genaric_datapipeline_spark.queries.registry import query
 from aws_genaric_datapipeline_spark.tables import load
 
+def _ivf_oracle_sql(nprobe: int, num_cells: int = 16, k: int = 5, dim: int = 64) -> str:
+    """Oracle SQL replaying the ENTIRE IVF pipeline (similarity.py
+    ivf_train_centroids + _assign_cells + top-k re-rank) in DuckDB:
+
+      seeds    — the num_cells vectors with the smallest Knuth scramble
+                 ((id mod 2^31)·2654435761 mod 2^32, tie on id), unit-
+                 normalized, cell_id = seed rank (exactly the engine's
+                 deterministic seeding, now integer-SQL-expressible);
+      assign0  — every unit vector to its max-dot seed (tie: lower cell);
+      cunit    — one Lloyd step: per-cell element-wise mean (positional
+                 unnest + list(... ORDER BY pos)), re-normalized;
+      assign1  — corpus re-assigned to the trained centroids (nprobe=1);
+      qprobe   — query vectors 1..5 probe their nprobe nearest cells;
+      scored   — exact cosine re-rank inside probed cells, top-k window.
+
+    Float caveat: both engines compute the same double arithmetic in
+    different summation orders (~1e-16); a mismatch requires a Voronoi
+    boundary or a round-to-4 boundary within that noise — the same
+    negligible class as every other float oracle here."""
+    scr = "((vec_id % 2147483648) * 2654435761) % 4294967296"
+    return f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        unit AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                        ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   END AS u
+            FROM base
+        ),
+        seeds AS (
+            SELECT u AS su, cell_id FROM (
+                SELECT u, row_number() OVER (ORDER BY {scr}, vec_id) - 1 AS cell_id
+                FROM unit)
+            WHERE cell_id < {num_cells}
+        ),
+        assign0 AS (
+            SELECT vec_id, u, cell_id FROM (
+                SELECT un.vec_id, un.u, s.cell_id,
+                       row_number() OVER (PARTITION BY un.vec_id
+                           ORDER BY list_dot_product(un.u, s.su) DESC, s.cell_id) AS rn
+                FROM unit un CROSS JOIN seeds s)
+            WHERE rn = 1
+        ),
+        cmeans AS (
+            SELECT cell_id, g.pos AS pos, avg(u[g.pos]) AS m
+            FROM assign0, UNNEST(generate_series(1, {dim})) AS g(pos)
+            GROUP BY 1, 2
+        ),
+        cvecs AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM cmeans GROUP BY cell_id),
+        cunit AS (
+            SELECT cell_id,
+                   CASE WHEN sqrt(list_dot_product(cv, cv)) = 0 THEN cv
+                        ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+                   END AS cu
+            FROM cvecs
+        ),
+        assign1 AS (
+            SELECT vec_id, u, cell_id FROM (
+                SELECT un.vec_id, un.u, c.cell_id,
+                       row_number() OVER (PARTITION BY un.vec_id
+                           ORDER BY list_dot_product(un.u, c.cu) DESC, c.cell_id) AS rn
+                FROM unit un CROSS JOIN cunit c)
+            WHERE rn = 1
+        ),
+        qprobe AS (
+            SELECT vec_id AS query_id, u AS qu, cell_id FROM (
+                SELECT un.vec_id, un.u, c.cell_id,
+                       row_number() OVER (PARTITION BY un.vec_id
+                           ORDER BY list_dot_product(un.u, c.cu) DESC, c.cell_id) AS rn
+                FROM unit un CROSS JOIN cunit c
+                WHERE un.vec_id IN (1, 2, 3, 4, 5))
+            WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT DISTINCT query_id, n.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qu, n.u), 4) AS cosine_sim
+            FROM qprobe q
+            JOIN assign1 n ON n.cell_id = q.cell_id AND n.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= {k}
+    """
+
+
 def _lsh_buckets_cte(num_planes: int, num_tables: int, dim: int = 64) -> str:
     """UNION ALL branches computing every (table, hyperplane-sign bucket)
     row from LITERAL plane constants — the same deterministic splitmix64
@@ -394,13 +480,24 @@ def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_query_only", oracle=None, tags=("north-star", "similarity"))
+@query(
+    "sim_ivf_query_only",
+    oracle=_ivf_oracle_sql(nprobe=4),
+    tags=("north-star", "similarity"),
+)
 def sim_ivf_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION ANN shape: query a PERSISTED IVF index (built once per
     corpus at ingest, amortized over every query) instead of re-training
     per call like sim_ivf_topk's self-contained benchmark.  The probed-cell
     filter is a parquet partition filter (plan-gated in TestIvfIndex), so
     scan cost tracks nprobe/num_cells of the corpus.
+
+    FULLY oracle-checked (was rows-only through r05): the Knuth-scramble
+    seeding made the whole training pass integer-SQL-expressible, so the
+    oracle replays seed pick → Lloyd step → cell assignment → probe →
+    re-rank in DuckDB (_ivf_oracle_sql) — a stale or corrupted persisted
+    index turns the row red, which is exactly the failure the content-
+    digest cache key guards against.
 
     The index is cached under .cache/ keyed by corpus dir; first invocation
     builds it (that cost belongs to ingest, not query — bench.py pre-builds
@@ -433,7 +530,9 @@ def sim_ivf_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest.update(str(size).encode())
     corpus = Path(sf_dir).name or "sf"
     cache_root = Path(__file__).resolve().parents[2] / ".cache"
-    index_path = cache_root / f"ivf_{corpus}_{digest.hexdigest()[:16]}"
+    # v2: algorithm version (Knuth-scramble seeding) — an index trained by
+    # an older build must not be served after an algorithm change
+    index_path = cache_root / f"ivf_{corpus}_v2_{digest.hexdigest()[:16]}"
     if not (index_path / "centroids" / "_SUCCESS").exists():
         for stale in cache_root.glob(f"ivf_{corpus}*"):
             if stale.name != index_path.name:
@@ -675,12 +774,21 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk", oracle=None, tags=("north-star", "similarity"))
+@query(
+    "sim_ivf_topk",
+    oracle=_ivf_oracle_sql(nprobe=6),
+    tags=("north-star", "similarity"),
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-5: corpus bucketed by nearest
     trained centroid, queries probe their nprobe nearest cells, exact
-    re-rank inside the probed cells (recall contract driver-checked via
-    sim_ann_recall_guarantees and tests/test_operators.py)."""
+    re-rank inside the probed cells.
+
+    FULLY oracle-checked (was rows-only through r05): deterministic
+    Knuth-scramble seeding lets the oracle replay the entire train →
+    assign → probe → re-rank pipeline in DuckDB (_ivf_oracle_sql); the
+    recall contract additionally stays driver-checked via
+    sim_ann_recall_guarantees and tests/test_operators.py."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         embeddings, query_ids=[1, 2, 3, 4, 5], k=5, num_cells=16, nprobe=6
