@@ -387,7 +387,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only: the 64-bit seeded fingerprint is engine-specific and, unlike
     MinHash, carries no exact-verification stage whose output SQL could
-    reproduce; collision/precision properties are pytest-pinned."""
+    reproduce; collision/precision properties are pytest-pinned and the
+    banding's pigeonhole completeness (every hamming<=3 pair emitted) is
+    driver-checked each round by dedup_sketch_guarantees."""
     (documents,) = load(spark, sf_dir, "documents")
     return D.simhash_near_pairs(documents)
 
@@ -938,7 +940,9 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by shared winnowing fingerprints (rolling-hash
     k-grams, min-per-window — the MOSS algorithm).  Engine-specific hash →
     rows-only here; precision vs exact Jaccard and the substring-match
-    guarantee are asserted in tests/test_operators.py::TestWinnowing.
+    guarantee are asserted in tests/test_operators.py::TestWinnowing, and
+    the w+k-1 substring guarantee is additionally driver-checked each
+    round by dedup_sketch_guarantees (oracle-verified anchor set).
     """
     (documents,) = load(spark, sf_dir, "documents")
     return D.winnow_near_pairs(documents)
@@ -1019,3 +1023,113 @@ def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").cast("bigint").alias("node"), F.round("rank", 6).alias("rank")
     )
+
+
+@query(
+    "dedup_sketch_guarantees",
+    oracle="""
+        WITH nd AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+            FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT DISTINCT doc_id AS did, substr(nt, CAST(t.i AS INT), 34) AS gram
+            FROM nd, UNNEST(range(1, greatest(length(nt) - 32, 1))) AS t(i)
+            WHERE length(nt) >= 34
+        ),
+        gp AS (
+            SELECT DISTINCT a.did AS id_a, b.did AS id_b
+            FROM g a JOIN g b ON a.gram = b.gram AND a.did < b.did
+        )
+        SELECT 'winnow_substring_recall' AS method,
+               (SELECT count(*) FROM gp) AS n_anchor, true AS contract_ok
+        UNION ALL
+        SELECT 'simhash_hamming_complete',
+               (SELECT count(*) FROM gp), true
+    """,
+    tags=("north-star", "dedup"),
+)
+def dedup_sketch_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable DETERMINISTIC contracts for the two sketch paths
+    whose pair outputs stay rows-only (engine-seeded hashes aren't
+    SQL-reproducible) — the dedup analog of sim_ann_recall_guarantees:
+
+      winnow_substring_recall — the winnowing guarantee (Schleimer et al.,
+        SIGMOD'03): any pair of documents whose NORMALIZED texts share a
+        substring of length >= w + k - 1 = 34 must share at least one
+        selected fingerprint.  The guaranteed-pair set is exactly the
+        pairs sharing a 34-character gram, which BOTH engines compute
+        independently (Spark: substring-window explode; DuckDB: substr/UNNEST)
+        — so n_anchor is fully oracle-checked, and contract_ok asserts
+        winnow_near_pairs(min_shared=1, no df cap) covers every such pair.
+
+      simhash_hamming_complete — the pigeonhole contract of the 4x16-bit
+        banding: EVERY pair at hamming distance <= 3 must be emitted by
+        simhash_near_pairs.  Ground truth is a brute-force all-pairs
+        hamming scan over the 64-bit signature frame (8 bytes/row — a
+        documented audit-tier crossJoin like the brute cosine oracle
+        tiers, never a production path; the production operator is the
+        banded equi-join it audits).
+
+    Unlike the probabilistic ANN recall bounds, both contracts are exact
+    consequences of the algorithms — a red row is an implementation bug,
+    not corpus noise, on ANY driver-regenerated corpus."""
+    from aws_genaric_datapipeline_spark.operators.text import normalize_text
+
+    (documents,) = load(spark, sf_dir, "documents")
+    docs = documents.where(F.col("text").isNotNull())
+
+    # -- winnow: guaranteed pairs = pairs sharing a normalized 34-char gram
+    t = 34  # w + k - 1 for the default winnow_near_pairs(k=25, w=10)
+    nd = docs.select("doc_id", normalize_text(F.col("text")).alias("nt"))
+    grams = nd.where(F.length("nt") >= t).select(
+        F.col("doc_id").alias("did"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("nt") - (t - 1)),
+                    lambda i: F.col("nt").substr(i, F.lit(t)),
+                )
+            )
+        ).alias("gram"),
+    )
+    gp = (
+        grams.select(F.col("did").alias("id_a"), "gram")
+        .join(grams.select(F.col("did").alias("id_b"), "gram"), "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)  # feeds both the count and the anti-join
+    )
+    wp = D.winnow_near_pairs(docs, min_shared=1, max_doc_freq=1 << 40).select(
+        "id_a", "id_b"
+    )
+    n_anchor = gp.agg(F.count(F.lit(1)).alias("n_anchor"))
+    w_missing = gp.join(wp, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missing")
+    )
+    w_row = n_anchor.crossJoin(w_missing).select(
+        F.lit("winnow_substring_recall").alias("method"),
+        "n_anchor",
+        (F.col("n_missing") == 0).alias("contract_ok"),
+    )
+
+    # -- simhash: brute-force hamming<=3 ground truth vs the banded operator
+    sig = D.simhash(docs)
+    ham = (
+        sig.select(F.col("did").alias("id_a"), F.col("simhash").alias("sh_a"))
+        .crossJoin(sig.select(F.col("did").alias("id_b"), F.col("simhash").alias("sh_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    sp = D.simhash_near_pairs(docs).select("id_a", "id_b")
+    s_missing = ham.join(sp, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missing")
+    )
+    s_row = n_anchor.crossJoin(s_missing).select(
+        F.lit("simhash_hamming_complete").alias("method"),
+        "n_anchor",
+        (F.col("n_missing") == 0).alias("contract_ok"),
+    )
+    return w_row.unionAll(s_row)
