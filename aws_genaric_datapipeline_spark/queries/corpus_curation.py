@@ -606,3 +606,147 @@ def curate_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(X.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+_TOKEN_BUDGET = 800
+
+
+@query(
+    "curate_token_budget_per_source",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   length(trim(text)) AS n_chars,
+                   len({_DUCK_TOKS}) AS n_toks,
+                   length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+                   {_DUCK_QUALITY_BP} AS quality_bp
+            FROM base
+        ),
+        filled AS (
+            SELECT *,
+                   coalesce(sum(n_toks) OVER (PARTITION BY source
+                       ORDER BY quality_bp DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM scored
+        )
+        SELECT source,
+               CAST(count(*) FILTER (cum_before < {_TOKEN_BUDGET}) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (cum_before >= {_TOKEN_BUDGET}) AS BIGINT) AS n_dropped,
+               CAST(coalesce(sum(n_toks) FILTER (cum_before < {_TOKEN_BUDGET}), 0) AS BIGINT)
+                   AS tokens_kept
+        FROM filled
+        GROUP BY source
+    """,
+    tags=("north-star", "curation"),
+)
+def curate_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing under a per-source token budget: fill each source's
+    quota greedily with its highest-quality documents (integer quality_bp,
+    doc_id tie-break) until the budget is exhausted — the canonical "cap
+    low-quality bulk sources, keep all of scarce good ones" mixing rule of
+    pretraining recipes.  A document is admitted iff the tokens of
+    strictly-better documents haven't already reached the budget (the last
+    admitted doc may overflow it — greedy fill, not bin packing; exact
+    packing is pack_token_bins).
+
+    Deterministic and bit-reproducible: integer scores + unique tie-break
+    mean re-runs and engine changes keep the identical document set.
+
+    Scale: one shuffle on source for the running-sum window; per-source
+    ordering is the same work a per-source top-k does.  If one source
+    dwarfs the rest (web crawl vs curated sets), the window sort is
+    per-partition-key and AQE splits skewed partitions; the admitted
+    prefix could also be found with an approx-quantile cutoff on
+    quality_bp to avoid the full per-source sort at 100 TB."""
+    from pyspark.sql import Window
+
+    (documents,) = load(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id",
+        "source",
+        X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        X.quality_score_bp(F.col("text")).alias("quality_bp"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_bp"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = scored.withColumn(
+        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    )
+    kept = F.col("cum_before") < _TOKEN_BUDGET
+    return filled.groupBy("source").agg(
+        F.count_if(kept).alias("n_kept"),
+        F.count_if(~kept).alias("n_dropped"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_toks"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
+@query(
+    "report_cross_source_dup_rates",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b,
+                   round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.did
+            JOIN sizes sb ON inter.id_b = sb.did
+            WHERE round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) >= 0.5
+        )
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(jaccard), 4) AS avg_jaccard
+        FROM pairs
+        JOIN documents da ON da.doc_id = pairs.id_a
+        JOIN documents db ON db.doc_id = pairs.id_b
+        GROUP BY 1, 2
+    """,
+    tags=("north-star", "curation", "dedup"),
+)
+def report_cross_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: where do near-duplicates COME FROM?
+    Near-dup pairs (exact trigram-Jaccard >= 0.5) attributed to their
+    source pair — mirrored crawls and syndicated content show up as hot
+    cross-source cells, while a hot diagonal cell means a source
+    re-crawls its own pages.  This report is how a pipeline decides
+    WHICH source to blocklist or down-weight, upstream of the doc-level
+    dedup that merely removes the symptoms.
+
+    Scale: the pair frame carries only (id, id, jaccard); the two source
+    lookups are joins against the slim (doc_id, source) projection —
+    at web scale that projection is broadcast-size per shuffle partition
+    and the group-by key space is |sources|^2, tiny."""
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5)
+    src = documents.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "sa"}), "id_a")
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "sb"}), "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+    )

@@ -1133,3 +1133,111 @@ def dedup_sketch_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_missing") == 0).alias("contract_ok"),
     )
     return w_row.unionAll(s_row)
+
+
+@query(
+    "dedup_keep_best_canonical",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.did
+            JOIN sizes sb ON inter.id_b = sb.did
+            WHERE round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        comp AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+        base AS (
+            SELECT doc_id,
+                   length(trim(text)) AS n_chars,
+                   len({_DUCK_TOKS}) AS n_toks,
+                   length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id,
+                   {_DUCK_QUALITY_BP} AS quality_bp
+            FROM base d LEFT JOIN comp c ON c.node = d.doc_id
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality_bp DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY cluster_id) AS csz
+            FROM scored
+        )
+        SELECT doc_id, cluster_id, quality_bp,
+               CAST(csz - 1 AS BIGINT) AS n_pruned
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("north-star", "dedup", "curation"),
+)
+def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup ENDGAME a pretraining pipeline actually runs:
+    near-dup pairs (exact trigram-Jaccard >= 0.5) -> transitive clusters
+    (distributed connected components) -> keep the HIGHEST-QUALITY member
+    of each cluster (integer quality_bp, doc_id tie-break) instead of
+    min-id's arbitrary pick; singletons survive as their own canonical.
+    Returns one row per surviving document with how many near-dups it
+    absorbed — the frame downstream training reads.
+
+    Composition of three individually-verified operators (jaccard_pairs,
+    dedup_cluster_assignments, quality_score_bp); the oracle replays the
+    whole funnel declaratively (recursive-CTE closure + window arg-max).
+
+    Scale: pair build is the prefix-filtered SSJoin; components are
+    hash-min pointer-jumping (O(log d) rounds, keys-only shuffles); the
+    final arg-max is one window over (cluster_id) — clusters are small by
+    construction, so no skew concern.  Only ids, 64-bit scores and labels
+    shuffle after the first projection."""
+    from pyspark.sql import Window
+
+    from aws_genaric_datapipeline_spark.operators.graph import (
+        dedup_cluster_assignments,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5)
+    clusters = dedup_cluster_assignments(pairs).select("doc_id", "cluster_id")
+    scored = documents.select(
+        "doc_id", X.quality_score_bp(F.col("text")).alias("quality_bp")
+    )
+    labeled = scored.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("bigint").alias("cluster_id"),
+        "quality_bp",
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = labeled.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality_bp"), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("csz"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id",
+        "cluster_id",
+        "quality_bp",
+        (F.col("csz") - 1).cast("bigint").alias("n_pruned"),
+    )
