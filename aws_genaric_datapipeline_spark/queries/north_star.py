@@ -818,21 +818,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "kind", "n_bytes")
 
 
-@query("multimodal_real_decode", oracle=None, tags=("north-star", "multimodal"))
+_MM_SUM_SQL = (
+    "CAST(list_sum(list_transform(range(1, 145), "
+    "j -> unicode(substr(tile, {off} + CAST(j AS INT), 1)))) AS BIGINT) AS s{i}"
+)
+
+
+@query(
+    "multimodal_real_decode",
+    oracle=f"""
+        WITH a AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+              AND octet_length(encode(text)) = length(text)
+        ),
+        t AS (
+            SELECT doc_id,
+                   substr(repeat(text, CAST(576 // length(text) AS INT) + 1),
+                          1, 576) AS tile
+            FROM a
+        )
+        SELECT doc_id,
+               {_MM_SUM_SQL.format(off=0, i=0)},
+               {_MM_SUM_SQL.format(off=144, i=1)},
+               {_MM_SUM_SQL.format(off=288, i=2)},
+               {_MM_SUM_SQL.format(off=432, i=3)}
+        FROM t
+    """,
+    tags=("north-star", "multimodal"),
+)
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end to end: per document, render its text bytes as
-    a deterministic 16×12 RGB image, PNG-encode (operators/imagecodec.py —
-    pure numpy/zlib, no image library), then run decode_media's DEFAULT
+    """REAL image decode end to end, FULLY oracle-checked (rows-only
+    through r05): per document, render its text bytes as a deterministic
+    16×12 RGB image, PNG-encode (operators/imagecodec.py — pure
+    numpy/zlib, no image library), then run decode_media's DEFAULT
     (non-fake) path: PNG decode + stripe-luminance features over actual
-    pixels, Arrow-batched through mapInPandas.  PNG being lossless, the
-    features are pure functions of the text — pixel-exactness is asserted
-    in tests/test_operators.py::TestMultimodal and tests/test_imagecodec.py;
-    the driver records rows+schema (features aren't SQL-expressible)."""
+    pixels, Arrow-batched through mapInPandas.
+
+    PNG being lossless, each stripe's luminance is a pure function of the
+    text bytes — so the oracle recomputes it WITHOUT any codec: tile the
+    document's characters to 576, sum the 144 codepoints of each of the 4
+    stripes (both engines restricted to ASCII documents, where codepoint
+    == UTF-8 byte — today that's every generated document, and the filter
+    keeps the oracle exact if a regenerated corpus ever adds non-ASCII).
+    The engine maps its decoded float features back to the integer byte
+    sums (s_i = round(f_i·144·255); the 6-dp rounding error of f_i is
+    ≤0.018 ≪ 0.5, so the integers are EXACT) — a hash-match therefore
+    proves the whole encode→decode→feature path bit-reproducibly, with no
+    float-boundary caveat.  Pixel-exactness is additionally asserted in
+    tests/test_operators.py::TestMultimodal and tests/test_imagecodec.py."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     (documents,) = load(spark, sf_dir, "documents")
+    documents = documents.where(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
 
     H, W = 12, 16
 
@@ -865,11 +909,12 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = M.decode_media(media, feature_dim=4)
     return feats.select(
         "doc_id",
-        "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", 2), 6).alias("f1"),
-        F.round(F.element_at("feature", 3), 6).alias("f2"),
-        F.round(F.element_at("feature", 4), 6).alias("f3"),
+        *[
+            F.round(F.element_at("feature", i + 1) * (144 * 255))
+            .cast("bigint")
+            .alias(f"s{i}")
+            for i in range(4)
+        ],
     )
 
 

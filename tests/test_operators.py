@@ -1028,3 +1028,57 @@ class TestTrainPrep:
             assert abs(share - targets[lang]) < 0.02, (lang, share)
         # at least one stratum binds at (or within a floor step of) full keep
         assert any(r["rate_bp"] >= 9999 for r in out.values())
+
+
+class TestJaccardPrefixFilters:
+    """Soundness of the PPJoin-family candidate filters (length +
+    positional) added to jaccard_pairs: they may only PRUNE false
+    candidates, never drop a true pair — checked on boundary-exact
+    fixtures and against the unfiltered inverted-index path."""
+
+    def test_boundary_jaccard_exactly_at_threshold_survives(self, spark):
+        # B's shingles are a strict subset of A's with |B| = |A∩B| and
+        # J = |B| / |A| = 5/10 = 0.5 — exactly the threshold, and exactly
+        # the length-filter boundary |B| = t·|A|.  The epsilon slack must
+        # keep it.
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10))),
+             (2, " ".join(f"t{i}" for i in range(5))),
+             (3, "x0 x1 x2 x3")],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.jaccard_pairs(df, n=1, threshold=0.5).collect()
+        }
+        assert pairs.get((1, 2)) == 0.5
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_prefix_path_equals_unfiltered_path(self, documents):
+        for t in (0.5, 0.8):
+            fast = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in D.jaccard_pairs(documents, n=3, threshold=t).collect()
+            }
+            ref = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in D.jaccard_pairs(
+                    documents, n=3, threshold=t, prefix_filter=False
+                ).collect()
+            }
+            assert fast == ref, f"threshold {t}: prefix path diverged"
+
+    def test_positional_filter_keeps_single_window_overlap(self, spark):
+        # Two docs identical except their last word: J = (n-1)/(n+1) for
+        # unigrams; with n = 9 that's 0.8 — at threshold 0.8 the required
+        # overlap α is maximal relative to the prefixes (prefix length 2),
+        # stressing the positional bound's >= comparison.
+        base = " ".join(f"q{i}" for i in range(8))
+        df = spark.createDataFrame(
+            [(1, base + " enda"), (2, base + " endb")], ["doc_id", "text"]
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.jaccard_pairs(df, n=1, threshold=0.8).collect()
+        }
+        assert pairs == {(1, 2): 0.8}
