@@ -750,3 +750,87 @@ def report_cross_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
         )
     )
+
+
+_PRIORITY_K = 50
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   length(trim(text)) AS n_chars,
+                   len({_DUCK_TOKS}) AS n_toks,
+                   length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        ),
+        pri AS (
+            SELECT doc_id, source,
+                   CAST({_DUCK_QUALITY_BP} + 1 AS BIGINT) AS w,
+                   CAST({_DUCK_QUALITY_BP} + 1 AS DOUBLE)
+                       / CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE)
+                       AS priority
+            FROM base
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+            FROM pri
+        ),
+        tau AS (SELECT priority AS t FROM ranked WHERE rn = {_PRIORITY_K + 1})
+        SELECT doc_id, source, w, priority,
+               greatest(CAST(w AS DOUBLE), coalesce((SELECT t FROM tau), 0))
+                   AS w_hat
+        FROM ranked WHERE rn <= {_PRIORITY_K}
+    """,
+    tags=("north-star", "curation", "sampling"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted PRIORITY SAMPLING (Duffield/Lund/Thorup,
+    JACM'07): draw a size-k sample where a document's inclusion odds are
+    proportional to its weight (here quality_bp + 1), with the
+    Horvitz-Thompson estimator weight w_hat = max(w, tau) attached so any
+    downstream sum over the sample is unbiased for the corpus sum.
+
+    priority = w / u with u the content-addressed Knuth hash of doc_id
+    (operators/sampling.py scheme) — NO RNG, so the sample is identical
+    across runs, partitionings and engines.  Cross-engine exactness is by
+    construction: the key is ONE IEEE-754 division of two integers (both
+    exactly representable as doubles), which is correctly rounded on every
+    conforming engine — no libm transcendentals, so Spark's and DuckDB's
+    key bits are identical and the top-k boundary cannot flip.
+
+    Scale: the top-(k+1) runs as TakeOrdered (distributed partial top-k,
+    no global sort, no single-partition window); tau is derived from the
+    driver-scale (k+1)-row frame and joined back as a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    from aws_genaric_datapipeline_spark.operators.sampling import HASH_MOD, KNUTH_A
+
+    k = _PRIORITY_K
+    (documents,) = load(spark, sf_dir, "documents")
+    w_col = (X.quality_score_bp(F.col("text")) + 1).cast("bigint")
+    h1 = F.pmod(F.col("doc_id").cast("bigint") * F.lit(KNUTH_A), F.lit(HASH_MOD)) + 1
+    pri = documents.select(
+        "doc_id",
+        "source",
+        w_col.alias("w"),
+        (w_col.cast("double") / h1.cast("double")).alias("priority"),
+    )
+    # distributed top-(k+1); the window below ranks only these k+1 rows
+    topk1 = pri.orderBy(F.desc("priority"), "doc_id").limit(k + 1)
+    ranked = topk1.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("priority"), "doc_id"))
+    )
+    tau = ranked.where(F.col("rn") == k + 1).select(F.col("priority").alias("t"))
+    return (
+        ranked.where(F.col("rn") <= k)
+        .join(tau, F.lit(True), "left")
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            "priority",
+            F.greatest(F.col("w").cast("double"), F.coalesce("t", F.lit(0.0))).alias("w_hat"),
+        )
+    )

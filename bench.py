@@ -58,6 +58,8 @@ HEADLINE = [
     "sample_train_valid_test",
     "dedup_connected_clusters",
     "graph_pagerank_centrality",
+    "dedup_keep_best_canonical",
+    "curate_token_budget_per_source",
 ]
 
 
