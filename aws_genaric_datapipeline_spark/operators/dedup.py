@@ -556,21 +556,35 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     members, sets = _collapse_by_shingle_set(df, id_col, text_col, shingle_n)
     cand = _band_candidates(sets, members, num_hashes, bands, max_band_width)
-    # verification: exact Jaccard restricted to candidate pairs (the same
-    # `sets` frame — its exchange is reused, not recomputed).  Candidates
-    # carry representative doc ids, whose own token rows sit in `sets`.
-    sizes = members.select("did", F.col("nsh").alias("set_size"))
-    # equi-join on (id_b, tok): the intersection is computed pair-wise with
-    # hash joins only — never materializing |A|×|B| token combinations.
-    inter = (
-        cand.join(sets.select(F.col("did").alias("id_a"), "tok"), "id_a")
-        .join(sets.select(F.col("did").alias("id_b"), "tok"), ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # verification: exact Jaccard restricted to candidate pairs, computed
+    # against per-representative sorted token ARRAYS (one row per pair with
+    # JVM array_intersect) instead of exploding |A| token rows per pair
+    # through a shuffle — same switch as jaccard_pairs, and only group
+    # REPRESENTATIVES need arrays (a left-semi against the rep map), so the
+    # array build aggregates the persisted `sets` frame once.
+    rep_ids = members.where(F.col("did") == F.col("gid")).select("did")
+    rep_arrays = (
+        sets.join(rep_ids, "did", "left_semi")
+        .groupBy("did")
+        .agg(
+            F.sort_array(F.collect_list("tok")).alias("toks"),
+            F.count(F.lit(1)).alias("set_size"),
+        )
     )
     rep_pairs = (
-        inter.join(sizes.withColumnsRenamed({"did": "id_a", "set_size": "size_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"did": "id_b", "set_size": "size_b"}), "id_b")
+        cand.join(
+            rep_arrays.withColumnsRenamed(
+                {"did": "id_a", "toks": "toks_a", "set_size": "size_a"}
+            ),
+            "id_a",
+        )
+        .join(
+            rep_arrays.withColumnsRenamed(
+                {"did": "id_b", "toks": "toks_b", "set_size": "size_b"}
+            ),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")))
         .select(
             "id_a",
             "id_b",
