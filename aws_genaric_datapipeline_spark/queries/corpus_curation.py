@@ -834,3 +834,94 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("w").cast("double"), F.coalesce("t", F.lit(0.0))).alias("w_hat"),
         )
     )
+
+
+_SEG_WORDS = 10
+_SEG_MAX_DF = 1  # keep segments appearing in <= this many distinct docs
+
+
+@query(
+    "text_segment_dedup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, CAST(g.i AS INT) AS idx,
+                   array_to_string(
+                       list_slice(toks, (g.i - 1) * {_SEG_WORDS} + 1,
+                                  g.i * {_SEG_WORDS}), ' ') AS seg
+            FROM t, UNNEST(range(1,
+                CAST(ceil(len(toks) / {_SEG_WORDS}.0) AS INT) + 1)) AS g(i)
+        ),
+        freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(count(*) FILTER (f.df > {_SEG_MAX_DF}) AS BIGINT) AS n_dropped,
+               md5(coalesce(
+                   string_agg(s.seg, ' ' ORDER BY s.idx)
+                       FILTER (f.df <= {_SEG_MAX_DF}), '')) AS cleaned_md5
+        FROM segs s JOIN freq f ON f.seg = s.seg
+        GROUP BY s.doc_id
+    """,
+    tags=("north-star", "text", "curation", "dedup"),
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (CCNet-style line-level) dedup: split every document
+    into aligned 10-word segments, count each distinct segment's
+    document frequency across the corpus, drop segments appearing in more
+    than one document (boilerplate: headers, footers, licence blocks,
+    syndicated fragments), and reassemble the surviving text in order.
+    This removes REPEATED PASSAGES from otherwise-unique documents — the
+    complement of document-level dedup, and the pass (per CCNet/RefinedWeb)
+    that removes more tokens than whole-doc dedup on web corpora.
+
+    The md5 of each reassembled document verifies the entire
+    split -> frequency -> filter -> ordered-reassembly machinery, not just
+    the counts.
+
+    Scale: two shuffles — segment-frequency groupBy (segment strings;
+    hash them to 64-bit first at 100 TB) and the per-doc reassembly
+    groupBy.  The in-order rebuild is collect_list of (idx, seg) structs +
+    array_sort, so no window and no per-doc sort pass; segment-frequency
+    skew (a boilerplate segment in millions of docs) is bounded because
+    the JOIN carries only (seg, df) — the hot key fans out rows but each
+    carries an 8-byte count, and the df > cap verdict could equally ride a
+    broadcast of the (tiny) over-cap segment list."""
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n_seg = F.ceil(F.size(toks) / F.lit(_SEG_WORDS)).cast("int")
+    # guard: sequence(1, 0) ramps DOWN in Spark, so a token-less document
+    # must map to an empty index array, not posexplode of [1, 0]
+    idx_arr = F.when(n_seg >= 1, F.sequence(F.lit(1), n_seg)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx_arr,
+                lambda i: F.array_join(
+                    F.slice(toks, (i - 1) * _SEG_WORDS + 1, _SEG_WORDS), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    ).select("doc_id", (F.col("pos") + 1).alias("idx"), "seg")
+    freq = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("df"))
+    marked = segs.join(freq, "seg")
+    keep = F.col("df") <= _SEG_MAX_DF
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count_if(~keep).alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("idx", "seg")))
+                    ),
+                    lambda s: s.seg,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
