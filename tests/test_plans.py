@@ -316,3 +316,54 @@ class TestRound5Plans:
 
         df = QUERIES["sim_ann_recall_guarantees"].fn(spark, SF)
         assert "CartesianProduct" not in explain_str(df)
+
+
+class TestRound6Plans:
+    """Plan gates for round-6 additions."""
+
+    def test_priority_sample_is_take_ordered(self, spark):
+        """The weighted priority sample must plan the distributed top-k
+        (TakeOrderedAndProject), NOT a global Sort + single-partition
+        window over the corpus."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        plan = explain_str(QUERIES["sample_weighted_priority"].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, plan
+        # a global sort would shuffle into range partitions before sorting
+        assert "Exchange rangepartitioning" not in plan, plan
+
+    def test_segment_dedup_two_corpus_shuffles(self, spark):
+        """Segment dedup: segment-frequency groupBy + per-doc reassembly
+        (plus the frequency join's exchanges); no window, no Python eval."""
+        from aws_genaric_datapipeline_spark.plans import explain_str, shuffle_count
+
+        df = QUERIES["text_segment_dedup"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "Window" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert shuffle_count(df) <= 4, plan
+
+    def test_jaccard_verify_has_no_exploded_intersection(self, spark):
+        """The PPJoin rewrite verifies candidates against per-doc token
+        ARRAYS: the plan must contain array_intersect and must not re-join
+        exploded token rows on (id, tok) pairs after candidate gen."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        plan = explain_str(QUERIES["dedup_jaccard_trigram"].fn(spark, SF))
+        assert "array_intersect" in plan, plan
+
+    def test_keep_best_canonical_no_cartesian(self, spark):
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        plan = explain_str(QUERIES["dedup_keep_best_canonical"].fn(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_token_budget_single_source_shuffle(self, spark):
+        """Greedy budget fill: the running-sum window and the per-source
+        aggregate both key on source — one corpus shuffle (plus the
+        parallelism repartition)."""
+        from aws_genaric_datapipeline_spark.plans import shuffle_count
+
+        df = QUERIES["curate_token_budget_per_source"].fn(spark, SF)
+        assert shuffle_count(df) <= 2
