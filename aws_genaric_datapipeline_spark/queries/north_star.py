@@ -1286,3 +1286,142 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_bp",
         (F.col("csz") - 1).cast("bigint").alias("n_pruned"),
     )
+
+
+@query(
+    "dedup_semantic_embeddings",
+    oracle="""
+        WITH RECURSIVE base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        unit AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                        ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   END AS u
+            FROM base
+        ),
+        buck AS ({_LSH_SD_BUCKETS}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buck a JOIN buck b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM cand
+            JOIN base x ON x.vec_id = cand.id_a
+            JOIN base y ON y.vec_id = cand.id_b
+            WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.45
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        comp AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+        cm AS (
+            SELECT cid, g.pos AS pos, avg(u[g.pos]) AS m
+            FROM comp
+            JOIN unit ON unit.vec_id = comp.node,
+            UNNEST(generate_series(1, 64)) AS g(pos)
+            GROUP BY 1, 2
+        ),
+        cvecs AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+        scored AS (
+            SELECT comp.node AS vid, comp.cid,
+                   round(list_dot_product(u, cv), 4) AS centrality,
+                   count(*) OVER (PARTITION BY comp.cid) AS csz
+            FROM comp
+            JOIN unit ON unit.vec_id = comp.node
+            JOIN cvecs ON cvecs.cid = comp.cid
+        )
+        SELECT CAST(vid AS BIGINT) AS vec_id,
+               CAST(cid AS BIGINT) AS cluster_id,
+               CAST(csz AS BIGINT) AS cluster_size,
+               centrality
+        FROM (SELECT *, row_number() OVER (PARTITION BY cid
+                  ORDER BY centrality DESC, vid) AS rn FROM scored)
+        WHERE rn = 1
+    """.replace("{_LSH_SD_BUCKETS}", _lsh_buckets_cte(num_planes=3, num_tables=12)),
+    tags=("north-star", "similarity", "dedup", "graph"),
+)
+def dedup_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023): embedding
+    near-duplicate pairs -> transitive clusters -> keep the member MOST
+    SIMILAR TO ITS CLUSTER CENTROID (round-4 dot with the mean unit
+    vector, vec_id tie-break) — text-level dedup misses paraphrases and
+    re-encodings; this catches them from the embedding geometry.
+
+    Composition of verified operators: hyperplane-LSH near-pairs (the
+    scalable candidate path of sim_lsh_near_pairs), distributed connected
+    components (operators/graph.py), positional-mean centroids, zip_with
+    dot re-rank.  The oracle replays EVERYTHING declaratively: the same
+    36 splitmix64 hyperplane literals, (table, bucket) candidate join,
+    exact-cosine verification, recursive-CTE closure, per-cluster
+    positional centroid means and the centrality arg-max — candidate
+    generation included, not just verification.  Ranking compares ROUNDED
+    centrality (+ id tie-break) on both engines, so cross-engine float
+    noise (~1e-16 summation-order) cannot flip the survivor except on an
+    exact round-4 boundary — the same negligible class as the IVF oracle.
+
+    Scale: pairs/components shuffle ids + 64-bit keys only; the centroid
+    stage shuffles (cluster, pos, x) narrow rows — at 100 TB the explode
+    is dim x members rows, the same shape embed_label_centroids plan-gates;
+    clusters are near-dup sized (small), so the final window has no skew."""
+    from pyspark.sql import Window
+
+    from aws_genaric_datapipeline_spark.operators.graph import connected_components
+    from aws_genaric_datapipeline_spark.operators.similarity import with_unit_vectors
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_pairs(
+        embeddings, threshold=0.45, num_planes=3, num_tables=12
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    unit = with_unit_vectors(embeddings, "embedding").select(
+        F.col("vec_id"), F.col("unit_vec")
+    )
+    members = comp.join(unit, comp["node"] == unit["vec_id"]).select(
+        "vec_id", F.col("component").alias("cluster_id"), "unit_vec"
+    )
+    pe = members.select(
+        "cluster_id", F.posexplode("unit_vec").alias("pos", "x")
+    )
+    cvecs = (
+        pe.groupBy("cluster_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cv")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("unit_vec", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = members.join(cvecs, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        F.round(dot, 4).alias("centrality"),
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w.orderBy(F.desc("centrality"), "vec_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("csz"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "vec_id",
+        "cluster_id",
+        F.col("csz").cast("bigint").alias("cluster_size"),
+        "centrality",
+    )
