@@ -60,6 +60,9 @@ HEADLINE = [
     "graph_pagerank_centrality",
     "dedup_keep_best_canonical",
     "curate_token_budget_per_source",
+    "text_segment_dedup",
+    "sample_weighted_priority",
+    "dedup_semantic_embeddings",
 ]
 
 
