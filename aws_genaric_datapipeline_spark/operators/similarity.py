@@ -501,3 +501,39 @@ def ivf_query_index(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+def ivf_append_batch(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a persisted IVF index: assign an ingest
+    batch's vectors to the EXISTING trained centroids and append them to
+    the per-cell parquet layout — no retraining, no rewrite of the
+    standing corpus.
+
+    This is how IVF indexes live in production: centroids are trained
+    once (or re-trained rarely, offline) and every ingest batch is a
+    fixed-centroid assignment — one map pass over the batch plus a
+    partitioned append, so index maintenance cost tracks the BATCH size
+    while the 100 TB standing index is untouched.  Because assignment is
+    a pure function of (vector, centroids), the appended index is
+    byte-for-byte the index a single build pass would produce with the
+    same centroids over the union corpus — pinned by
+    tests/test_operators.py::TestIvfIndex::test_append_equals_union_build,
+    so queries see appended vectors with identical semantics.
+
+    Centroid drift: if the corpus distribution shifts, rebuild with
+    ivf_build_index (the cache key in queries/north_star.py demonstrates
+    content-keyed invalidation); appending never degrades correctness —
+    only cell balance — because queries re-rank with exact dot products.
+    """
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    base = _unit_vectors_np(new_df, id_col, vec_col)
+    assigned = _assign_cells(base, centroids, nprobe=1)
+    assigned.select("vid", "uvec", "cell_id").write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(f"{index_path}/cells")

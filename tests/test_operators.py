@@ -563,6 +563,52 @@ class TestIvfIndex:
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "cell_id" in plan
 
+    def test_append_equals_union_build(self, spark, tmp_path):
+        """Incremental maintenance: building on corpus A then appending
+        batch B must produce EXACTLY the query results of a single build
+        pass that assigns A∪B with the same centroids — assignment is a
+        pure function of (vector, centroids), so the appended index is
+        semantically identical and ingest cost tracks the batch."""
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            _assign_cells,
+            _unit_vectors_np,
+            ivf_append_batch,
+            ivf_build_index,
+            ivf_query_index,
+        )
+
+        (emb,) = load(spark, SF, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 5 != 0)
+        batch = emb.where(F.col("vec_id") % 5 == 0)
+
+        idx = str(tmp_path / "ivf_inc")
+        ivf_build_index(corpus, idx, num_cells=8, iters=1)
+        ivf_append_batch(spark, batch, idx)
+
+        # reference: same centroids, one assignment pass over the union
+        ref = str(tmp_path / "ivf_ref")
+        centroids = spark.read.parquet(f"{idx}/centroids")
+        assigned = _assign_cells(_unit_vectors_np(emb, "vec_id", "embedding"), centroids)
+        assigned.select("vid", "uvec", "cell_id").write.partitionBy("cell_id").parquet(
+            f"{ref}/cells"
+        )
+        centroids.write.parquet(f"{ref}/centroids")
+
+        qids = [0, 7, 21, 42]
+        qdf = emb.where(F.col("vec_id").isin(qids))
+        got = {
+            (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+            for r in ivf_query_index(spark, idx, qdf, k=5, nprobe=4).collect()
+        }
+        want = {
+            (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+            for r in ivf_query_index(spark, ref, qdf, k=5, nprobe=4).collect()
+        }
+        assert got == want
+        # appended vectors are really in the index: batch ids can be neighbors
+        all_pairs = ivf_query_index(spark, idx, qdf, k=50, nprobe=8).collect()
+        assert any(r["neighbor_id"] % 5 == 0 for r in all_pairs)
+
 
 class TestConnectedComponents:
     def test_chain_clique_and_singleton(self, spark):
