@@ -64,11 +64,22 @@ def connected_components(
     sym = fwd.unionByName(rev).where(F.col("node") != F.col("nbr")).distinct()
     sym = sym.localCheckpoint(eager=True)
 
-    labels = sym.select("node").distinct()
+    # Initialize with the FIRST hash-min pass fused in: label(v) =
+    # min(v, min(neighbors(v))).  One aggregation over the (already
+    # materialized) edge list replaces what would otherwise be the loop's
+    # first full round (join + union + aggregate + jump + two checkpoints)
+    # — on near-dup graphs, whose clusters are small, this converges most
+    # components immediately and the loop's job is just confirmation.
+    labels = sym.groupBy("node").agg(F.least(F.col("node"), F.min("nbr")).alias("label"))
     if nodes is not None:
-        extra = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-        labels = labels.unionByName(extra).distinct()
-    labels = labels.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+        extra = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .distinct()
+            .join(labels.select("node"), "node", "left_anti")
+            .withColumn("label", F.col("node"))
+        )
+        labels = labels.unionByName(extra)
+    labels = labels.localCheckpoint(eager=True)
 
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
