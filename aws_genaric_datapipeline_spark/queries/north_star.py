@@ -980,17 +980,99 @@ def curate_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_winnow_pairs", oracle=None, tags=("north-star", "dedup"))
+def _winnow_oracle_sql(
+    k: int = 25, w: int = 10, min_shared: int = 2, max_doc_freq: int = 50
+) -> str:
+    """Oracle SQL replaying the ENTIRE winnowing pipeline bit-for-bit in
+    DuckDB (operators/text.py winnow_batch_fn + operators/dedup.py
+    winnow_near_pairs):
+
+      h64  — the base-B polynomial k-gram rolling hash over the NORMALIZED
+             text's bytes, B = FNV-1a prime, arithmetic wrapping mod 2^64:
+             an exact-HUGEINT Horner list_reduce per position (list_sum
+             degrades to DOUBLE and loses the low bits — measured);
+      wmin — min hash of each window of w consecutive positions (ROWS
+             frame), kernel semantics for short hash runs included (a doc
+             with fewer than w k-gram positions yields its global min);
+      fps  — distinct per-doc fingerprints, re-signed to int64 exactly as
+             numpy's .view(int64);
+      df cap + shared-fingerprint pair counts as in winnow_near_pairs.
+
+    Both engines restrict to ASCII documents whose normalized text has at
+    least k characters (codepoint == UTF-8 byte, no sub-k partial-hash
+    branch), which today is every generated document."""
+    u64 = 18446744073709551616
+    return f"""
+        WITH nd AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+            FROM documents
+            WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)
+        ),
+        docs AS (SELECT doc_id, nt, length(nt) AS n FROM nd WHERE length(nt) >= {k}),
+        pos AS (
+            SELECT doc_id, n, nt, CAST(t.i AS INT) AS p
+            FROM docs, UNNEST(range(1, n - {k} + 2)) AS t(i)
+        ),
+        h64 AS (
+            SELECT doc_id, n, p,
+                   list_reduce(
+                       list_prepend(0::HUGEINT,
+                           list_transform(range(0, {k}),
+                               j -> CAST(unicode(substr(nt, p + CAST(j AS INT), 1))
+                                         AS HUGEINT))),
+                       (acc, c) -> (acc * {1099511628211} + c) % {u64}::HUGEINT) AS hu
+            FROM pos
+        ),
+        wmin AS (
+            SELECT doc_id, n, p,
+                   min(hu) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m
+            FROM h64
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id,
+                   CAST(CASE WHEN m < {u64 // 2}::HUGEINT THEN m
+                        ELSE m - {u64}::HUGEINT END AS BIGINT) AS fp
+            FROM wmin
+            WHERE p <= greatest(n - {k} + 1 - {w} + 1, 1)
+        ),
+        freq AS (SELECT fp, count(*) AS dfreq FROM fps GROUP BY fp),
+        rare AS (
+            SELECT fps.doc_id, fps.fp FROM fps JOIN freq USING (fp)
+            WHERE dfreq <= {max_doc_freq}
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """
+
+
+@query("dedup_winnow_pairs", oracle=_winnow_oracle_sql(), tags=("north-star", "dedup"))
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by shared winnowing fingerprints (rolling-hash
-    k-grams, min-per-window — the MOSS algorithm).  Engine-specific hash →
-    rows-only here; precision vs exact Jaccard and the substring-match
-    guarantee are asserted in tests/test_operators.py::TestWinnowing, and
-    the w+k-1 substring guarantee is additionally driver-checked each
-    round by dedup_sketch_guarantees (oracle-verified anchor set).
-    """
+    k-grams, min-per-window — the MOSS algorithm).
+
+    FULLY oracle-checked (rows-only through r06-early): the rolling hash
+    is a base-B polynomial mod 2^64 over the normalized text's bytes, so
+    DuckDB replays the whole sketch — hash, window minima, distinct
+    fingerprints, document-frequency cap and shared-pair counts — in
+    exact HUGEINT arithmetic (_winnow_oracle_sql).  Both engines restrict
+    to ASCII docs with >= k normalized chars (every generated doc today;
+    keeps codepoint == byte and skips the sub-k partial-hash branch under
+    corpus regeneration).  Precision vs exact Jaccard and the substring
+    guarantee remain pytest-pinned (TestWinnowing) and driver-checked
+    (dedup_sketch_guarantees)."""
     (documents,) = load(spark, sf_dir, "documents")
-    return D.winnow_near_pairs(documents)
+    from aws_genaric_datapipeline_spark.operators.text import normalize_text
+
+    docs = documents.where(
+        F.col("text").isNotNull()
+        & (F.octet_length("text") == F.length("text"))
+        & (F.length(normalize_text(F.col("text"))) >= 25)
+    )
+    return D.winnow_near_pairs(docs)
 
 
 def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
