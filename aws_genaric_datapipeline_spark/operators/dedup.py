@@ -634,17 +634,32 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     64 conditional-sum aggregates — a single shuffle on doc id; near-dup
     lookup then bands the 64 bits into 4×16-bit chunks (pigeonhole: hamming
     distance ≤3 ⇒ at least one identical chunk).
+
+    The per-token 64 bits are the first 16 hex digits of md5(token),
+    consumed as two 32-bit halves.  md5 — not xxhash64 — deliberately:
+    it is ENGINE-PORTABLE (bit-identical in Spark, DuckDB, Python), which
+    makes the whole sketch oracle-replayable (dedup_simhash_pairs carries
+    a full DuckDB oracle) at equal JVM cost class (one digest per token,
+    commons-codec md5 vs xxhash64 — both stream-speed next to the
+    64-aggregate reduction that dominates this pass).
     """
+    h_hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    h_lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint")
     tok = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("did"), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h_hi", h_hi)
+        .withColumn("h_lo", h_lo)
     )
+
+    def _bit(i: int) -> Column:
+        if i < 32:
+            return F.shiftright(F.col("h_lo"), i).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("h_hi"), i - 32).bitwiseAND(F.lit(1))
+
     bit_sums = tok.groupBy("did").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
             for i in range(bits)
         ]
     )

@@ -1,10 +1,13 @@
 """North-star operator queries: dedup, similarity search, text analysis,
 multimodal plumbing (SURVEY.md §2b bottom rows + BASELINE.json north_star).
 
-Oracle-checkable wherever the operator is SQL-expressible (DuckDB list/
-lambda functions cover shingling, Jaccard and cosine); hash-seeded sketches
-(MinHash, SimHash, hyperplane LSH) are engine-specific → rows-only here,
-with recall asserted against the exact operators in tests/test_operators.py.
+Every query here is oracle-checked — including the sketch paths: the
+hash families were chosen engine-portable (universal-hash minhash over a
+31-bit base, splitmix64 hyperplane literals, integer-SQL k-means seeding,
+a mod-2^64 polynomial rolling hash, md5-derived simhash bits), so DuckDB
+replays candidate generation itself, not just the verification stage;
+recall/guarantee contracts are additionally asserted in
+tests/test_operators.py and the *_guarantees queries.
 """
 
 from __future__ import annotations
@@ -381,15 +384,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(documents, shingle_n=3, num_hashes=16, bands=8, threshold=0.8)
 
 
-@query("dedup_simhash_pairs", oracle=None, tags=("north-star", "dedup"))
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id AS did, t.tok
+            FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+        ),
+        th AS (
+            SELECT did,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+                   ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+            FROM tok
+        ),
+        bits AS (
+            SELECT did, CAST(g.i AS INT) AS bit,
+                   sum(CASE WHEN (CASE WHEN g.i < 32 THEN h_lo >> CAST(g.i AS INT)
+                                  ELSE h_hi >> CAST(g.i - 32 AS INT) END) & 1 = 1
+                       THEN 1 ELSE -1 END) AS s
+            FROM th, UNNEST(range(0, 64)) AS g(i)
+            GROUP BY 1, 2
+        ),
+        sim AS (
+            SELECT did,
+                   CAST(CASE WHEN t >= 9223372036854775808::HUGEINT
+                        THEN t - 18446744073709551616::HUGEINT ELSE t END AS BIGINT)
+                       AS simhash
+            FROM (SELECT did,
+                         coalesce(sum(CASE WHEN s > 0
+                             THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END), 0) AS t
+                  FROM bits GROUP BY did)
+        )
+        SELECT a.did AS id_a, b.did AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.did < b.did
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("north-star", "dedup"),
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup candidates (hamming ≤ 3 via 16-bit chunk banding).
 
-    Rows-only: the 64-bit seeded fingerprint is engine-specific and, unlike
-    MinHash, carries no exact-verification stage whose output SQL could
-    reproduce; collision/precision properties are pytest-pinned and the
-    banding's pigeonhole completeness (every hamming<=3 pair emitted) is
-    driver-checked each round by dedup_sketch_guarantees."""
+    FULLY oracle-checked (the last rows-only query through r06): the
+    per-token bits are md5 halves — engine-portable — so DuckDB recomputes
+    every document's 64-bit fingerprint exactly (±1 bit sums in integer
+    arithmetic, HUGEINT re-signing) and emits the BRUTE-FORCE hamming≤3
+    pair set.  The engine runs the banded equi-join; equality against the
+    brute-force oracle therefore proves the banding's pigeonhole
+    completeness (no hamming≤3 pair missed) AND soundness (nothing else
+    emitted) on every driver corpus — the contract dedup_sketch_guarantees
+    asserts as a boolean, here checked pair-by-pair."""
     (documents,) = load(spark, sf_dir, "documents")
     return D.simhash_near_pairs(documents)
 
