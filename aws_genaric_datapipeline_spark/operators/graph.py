@@ -79,7 +79,9 @@ def connected_components(
             .withColumn("label", F.col("node"))
         )
         labels = labels.unionByName(extra)
-    labels = labels.localCheckpoint(eager=True)
+    # Lazy checkpoint: the convergence aggregate below is the action that
+    # materializes it, so init costs ONE job, not checkpoint-job + sum-job.
+    labels = labels.localCheckpoint(eager=False)
 
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
@@ -92,19 +94,27 @@ def connected_components(
             .unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            # materialize before the self-join below: a self-join over the
-            # union+aggregate subtree trips Catalyst constraint inference
-            # (AttributeMap miss in InferFiltersFromConstraints); a
-            # checkpointed leaf sidesteps it and caps lineage anyway
-            .localCheckpoint(eager=True)
         )
-        # path halving: label <- label(label).  Every label value is itself
-        # a node in the table (labels start as node ids and only copy
-        # existing values), so the self-join is total; coalesce is belt.
+        # Path halving, THROUGH THE PREVIOUS round's table: label <-
+        # prev_label(label).  Every label value is a node id present in the
+        # table (labels start as ids and only copy existing values), so the
+        # join is total; coalesce is belt.  Jumping via the stale table
+        # instead of `merged` itself is still a sound accelerator — labels
+        # only decrease, and any copy of an existing label preserves the
+        # invariant — and it buys the round's whole cost model: no
+        # mid-round checkpoint of `merged` (the old self-join also tripped
+        # Catalyst constraint inference on the union+aggregate subtree),
+        # and the round's single lazy checkpoint is materialized by the
+        # convergence aggregate.  One job per round, vs three.
+        #
+        # Convergence is unaffected: a round that leaves sum(label) fixed
+        # means hash-min changed nothing, so labels are edge-constant —
+        # every edge (u,v) has label(u) == label(v) — and since labels
+        # propagate only inside a component from init values ≤ the member
+        # ids, the constant is the component minimum: the true fixpoint.
         jumped = (
-            merged.alias("m")
-            .join(
-                merged.select(
+            merged.join(
+                labels.select(
                     F.col("node").alias("label"), F.col("label").alias("ll")
                 ),
                 "label",
@@ -115,7 +125,7 @@ def connected_components(
                 F.coalesce(F.least("label", "ll"), F.col("label")).alias("label"),
             )
         )
-        labels = jumped.localCheckpoint(eager=True)
+        labels = jumped.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("component"))

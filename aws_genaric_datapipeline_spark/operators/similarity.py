@@ -406,30 +406,39 @@ def cosine_near_pairs(
     if exact:
         a = base.select(F.col("vid").alias("id_a"), F.col("uvec").alias("vec_a"))
         b = base.select(F.col("vid").alias("id_b"), F.col("uvec").alias("vec_b"))
-        scored = a.crossJoin(b)
+        scored = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
+        # Candidate generation shuffles KEYS ONLY: (tbl, bucket, vid).  The
+        # unit vectors (dim doubles ≈ 0.5 KB each) must not ride through the
+        # per-bucket self-join or the pair dedup — a bucket of m vectors
+        # emits O(m²) candidate rows per table, and carrying both vectors
+        # widens that shuffle ~40× (measured 12→2 s on the sf0.1 semantic-
+        # dedup edge build).  Vectors re-enter AFTER dedup, via two joins
+        # against the corpus-sized base frame, one row per verified pair.
         buckets = _lsh_buckets_udf(dim, num_planes, num_tables)
         bucketed = base.select(
-            "vid",
-            "uvec",
-            F.posexplode(buckets(F.col("uvec"))).alias("tbl", "bucket"),
+            "vid", F.posexplode(buckets(F.col("uvec"))).alias("tbl", "bucket")
         )
-        a = bucketed.select(F.col("vid").alias("id_a"), F.col("uvec").alias("vec_a"), "tbl", "bucket")
-        b = bucketed.select(F.col("vid").alias("id_b"), F.col("uvec").alias("vec_b"), "tbl", "bucket")
-        scored = (
+        a = bucketed.select(F.col("vid").alias("id_a"), "tbl", "bucket")
+        b = bucketed.select(F.col("vid").alias("id_b"), "tbl", "bucket")
+        cand = (
             a.join(b, ["tbl", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b")
+            .dropDuplicates()
         )
-    return (
-        scored.where(F.col("id_a") < F.col("id_b"))
-        .select(
+        scored = cand.join(
+            base.select(F.col("vid").alias("id_a"), F.col("uvec").alias("vec_a")),
             "id_a",
+        ).join(
+            base.select(F.col("vid").alias("id_b"), F.col("uvec").alias("vec_b")),
             "id_b",
-            F.round(dot(F.col("vec_a"), F.col("vec_b")), 4).alias("cosine_sim"),
         )
-        .where(F.col("cosine_sim") >= threshold)
-    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        F.round(dot(F.col("vec_a"), F.col("vec_b")), 4).alias("cosine_sim"),
+    ).where(F.col("cosine_sim") >= threshold)
 
 
 # ------------------------------------------------------ persisted IVF index
