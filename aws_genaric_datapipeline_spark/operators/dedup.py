@@ -213,6 +213,7 @@ def jaccard_pairs(
     n: int = 1,
     threshold: float = 0.5,
     prefix_filter: bool = True,
+    hash_tokens: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
 
@@ -229,6 +230,20 @@ def jaccard_pairs(
 
     ``prefix_filter=False`` keeps the plain inverted-index join (every
     shingle a join key) — only sensible for tiny oracle-tier inputs.
+
+    ``hash_tokens=True`` replaces each shingle with its ``xxhash64`` right
+    after shingling, so every downstream shuffle — document frequencies,
+    the prefix window, the candidate self-join key, the verify arrays —
+    carries 8-byte longs instead of multi-word gram strings (~3-4× fewer
+    shuffle bytes, and array_intersect/sort on longs instead of strings).
+    Candidate COMPLETENESS is unaffected (equal grams hash equal; a
+    collision can only merge keys, never separate them).  Verification
+    counts intersections of hashed sets, so the result is exact modulo a
+    64-bit collision among distinct corpus shingles — P ≈ d²/2⁶⁵, ~4e-9
+    for the 2.6e5 distinct trigrams at sf0.1 — the same negligible-class
+    caveat the IVF oracle documents for float rounding.  Leave False where
+    the output is billed as the exact ground-truth tier
+    (dedup_jaccard_trigram, the MinHash recall oracle).
 
     Candidate pruning stacks three sound filters from the PPJoin family
     (Xiao et al., WWW'08) on the prefix self-join:
@@ -256,25 +271,37 @@ def jaccard_pairs(
     # persist it so the shingle UDF and explode run once, not five times —
     # measured ~2x end-to-end at sf0.1 on the threshold-0.5 graph-edge
     # build.  MEMORY_AND_DISK: at 100 TB the frame must spill, not OOM.
-    sets = _token_sets(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
-    tok_arrays = sets.groupBy("did").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+    sets = _token_sets(df, id_col, text_col, n)
+    if hash_tokens:
+        sets = sets.select("did", F.xxhash64("tok").alias("tok"))
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     eps = 1e-9
     if prefix_filter:
-        from pyspark.sql import Window
-
+        # ONE per-document aggregation replaces four exchanges of the older
+        # shape (separate set-size agg, rank window, verify-array agg, and
+        # the final size joins): sorting the (tok_df, tok) structs in-array
+        # IS the prefix rank, the array length IS the set size, and a
+        # transform projects the verify array — so `docs` carries
+        # everything each later stage needs, keyed by document.
         doc_freq = sets.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
-        w_rank = Window.partitionBy("did").orderBy("tok_df", "tok")
-        prefix = (
+        docs = (
             sets.join(doc_freq, "tok")
-            .withColumn("tok_rank", F.row_number().over(w_rank))
-            .join(sizes, "did")
-            .where(
-                F.col("tok_rank")
-                <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+            .groupBy("did")
+            .agg(F.array_sort(F.collect_list(F.struct("tok_df", "tok"))).alias("arr"))
+            .select(
+                "did",
+                F.size("arr").alias("sz"),
+                F.transform("arr", lambda s: s["tok"]).alias("toks"),
+                "arr",
             )
-            .select("did", "tok", F.col("tok_rank").alias("pos"), F.col("set_size").alias("sz"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        plen = (
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        ).cast("int")
+        prefix = docs.select(
+            "did", "sz", F.posexplode(F.slice("arr", F.lit(1), plen)).alias("pos0", "s")
+        ).select("did", F.col("s.tok").alias("tok"), (F.col("pos0") + 1).alias("pos"), "sz")
         a = prefix.select(
             F.col("did").alias("id_a"), "tok", F.col("pos").alias("pos_a"), F.col("sz").alias("sz_a")
         )
@@ -295,41 +322,48 @@ def jaccard_pairs(
                 F.lit(1) + F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
                 >= alpha
             )
-            .select("id_a", "id_b")
-            .dropDuplicates()
+            # sz_a/sz_b are functionally dependent on the ids, so keeping
+            # them through the pair dedup is free and saves re-joining
+            # sizes after verification
+            .select("id_a", "id_b", "sz_a", "sz_b")
+            .dropDuplicates(["id_a", "id_b"])
         )
+        verify_arrays = docs.select("did", "toks")
     else:
         a = sets.select(F.col("did").alias("id_a"), "tok")
         b = sets.select(F.col("did").alias("id_b"), "tok")
+        sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("set_size"))
         cand = (
             a.join(b, "tok")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .dropDuplicates()
+            .join(sizes.withColumnsRenamed({"did": "id_a", "set_size": "sz_a"}), "id_a")
+            .join(sizes.withColumnsRenamed({"did": "id_b", "set_size": "sz_b"}), "id_b")
+        )
+        verify_arrays = sets.groupBy("did").agg(
+            F.sort_array(F.collect_list("tok")).alias("toks")
         )
     inter = (
-        cand.join(tok_arrays.withColumnsRenamed({"did": "id_a", "toks": "toks_a"}), "id_a")
-        .join(tok_arrays.withColumnsRenamed({"did": "id_b", "toks": "toks_b"}), "id_b")
+        cand.join(verify_arrays.withColumnsRenamed({"did": "id_a", "toks": "toks_a"}), "id_a")
+        .join(verify_arrays.withColumnsRenamed({"did": "id_b", "toks": "toks_b"}), "id_b")
         .select(
             "id_a",
             "id_b",
             F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+            "sz_a",
+            "sz_b",
         )
     )
-    return (
-        inter.join(sizes.withColumnsRenamed({"did": "id_a", "set_size": "size_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"did": "id_b", "set_size": "size_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
-                4,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+            4,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 # ----------------------------------------------------------------- MinHash LSH

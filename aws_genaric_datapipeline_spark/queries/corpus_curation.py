@@ -736,7 +736,7 @@ def report_cross_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame
     at web scale that projection is broadcast-size per shuffle partition
     and the group-by key space is |sources|^2, tiny."""
     (documents,) = load(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5)
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5, hash_tokens=True)
     src = documents.select("doc_id", "source")
     return (
         pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "sa"}), "id_a")

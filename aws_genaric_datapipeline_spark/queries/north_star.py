@@ -331,7 +331,7 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (documents,) = load(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5)
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5, hash_tokens=True)
     return dedup_cluster_assignments(pairs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
@@ -1186,7 +1186,7 @@ def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     # materialize the expensive exact-Jaccard edge build once — the
     # symmetrizing union below references it twice
-    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5).localCheckpoint(eager=True)
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5, hash_tokens=True).localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -1388,7 +1388,7 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (documents,) = load(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5)
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5, hash_tokens=True)
     clusters = dedup_cluster_assignments(pairs).select("doc_id", "cluster_id")
     scored = documents.select(
         "doc_id", X.quality_score_bp(F.col("text")).alias("quality_bp")

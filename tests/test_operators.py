@@ -1114,6 +1114,23 @@ class TestJaccardPrefixFilters:
             }
             assert fast == ref, f"threshold {t}: prefix path diverged"
 
+    def test_hashed_tokens_path_equals_string_path(self, documents):
+        """hash_tokens=True must reproduce the string-shingle pair set and
+        jaccard values exactly on a real corpus (collisions among distinct
+        trigrams are the only divergence class, P ~ d²/2⁶⁵)."""
+        for t in (0.5, 0.8):
+            hashed = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in D.jaccard_pairs(
+                    documents, n=3, threshold=t, hash_tokens=True
+                ).collect()
+            }
+            ref = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in D.jaccard_pairs(documents, n=3, threshold=t).collect()
+            }
+            assert hashed == ref, f"threshold {t}: hashed-token path diverged"
+
     def test_positional_filter_keeps_single_window_overlap(self, spark):
         # Two docs identical except their last word: J = (n-1)/(n+1) for
         # unigrams; with n = 9 that's 0.8 — at threshold 0.8 the required
