@@ -472,17 +472,26 @@ def _band_candidates(
     map-side into one signature row, and the band self-join sees one
     representative — no array join, no representative filter pass.
 
-    One xxhash64 per shingle, then num_hashes universal-hash derivations
+    One md5 per shingle, then num_hashes universal-hash derivations
     (h_i = (a_i·h31 + b_i) mod p, a_i ∈ [1,p), p = 2^31-1) — the standard
     single-hash minhash family.  Equivalent collision statistics to
-    independent seeded hashes at a fraction of the per-row work and far
-    smaller codegen (16 xxhash64 calls per token -> 1 xxhash64 + 16 bigint
-    mult-mods).  The ~2^31 wraps of a_i·h31 mod p make each h_i a genuine
-    2-universal scramble so different i pick different argmin tokens
-    (see _MH_P note above).
+    independent seeded hashes at a fraction of the per-row work (one
+    digest per token + 16 bigint mult-mods).  The ~2^31 wraps of a_i·h31
+    mod p make each h_i a genuine 2-universal scramble so different i pick
+    different argmin tokens (see _MH_P note above).
+
+    The base hash is the top 31 bits of md5's first word — ENGINE-PORTABLE
+    (bit-identical in Spark, DuckDB, Python), like the simhash bits below:
+    every downstream value (signatures, band keys, candidate set) is then
+    SQL-replayable, so dedup_minhash_lsh carries a full pipeline-replay
+    oracle with NO recall assumption.  Band keys are md5-derived too
+    (first 15 hex digits of the comma-joined band slice → 60-bit key) for
+    the same reason.
     """
     r = num_hashes // bands
-    h31 = F.shiftrightunsigned(F.xxhash64(F.col("tok")), 33)
+    h31 = F.shiftright(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"), 1
+    )
     gsig = sets.withColumn("h", h31).groupBy("skey").agg(
         F.array(
             *[
@@ -502,7 +511,25 @@ def _band_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ",",
+                                        *[
+                                            F.col("sig")[b * r + j].cast("string")
+                                            for j in range(r)
+                                        ],
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("bigint")
+                        .alias("bh"),
                     )
                     for b in range(bands)
                 ]

@@ -339,47 +339,89 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_replay_oracle(num_hashes: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
+    """DuckDB replay of the ENTIRE MinHash-LSH pipeline — shingle-set
+    collapse, md5-31-bit base hash, the (a_i·h+b_i) mod p signature mins,
+    md5-60-bit band keys, the band self-join, exact verification on
+    representatives, and member expansion — bit-for-bit the computation in
+    operators/dedup.py:minhash_lsh_pairs.  No recall assumption anywhere:
+    the oracle finds exactly the pairs the engine's banding finds."""
+    r = num_hashes // bands
+    sig_mins = ", ".join(
+        f"min((h31 * {D._MH_A[i]} + {D._MH_B[i]}) % {D._MH_P}) AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT did, {b} AS band, ('0x' || substr(md5("
+        + " || ',' || ".join(f"CAST(s{b * r + j} AS VARCHAR)" for j in range(r))
+        + "), 1, 15))::BIGINT AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id AS did, list_sort(list_distinct({_DUCK_TRIGRAMS})) AS sh
+            FROM documents
+            WHERE len({_DUCK_TRIGRAMS}) > 0
+        ),
+        grp AS (SELECT did, sh, min(did) OVER (PARTITION BY sh) AS gid FROM docs),
+        reps AS (SELECT did, sh FROM grp WHERE did = gid),
+        tok AS (SELECT did, t.tok FROM reps, UNNEST(sh) AS t(tok)),
+        h AS (SELECT did, ('0x' || substr(md5(tok), 1, 8))::BIGINT // 2 AS h31 FROM tok),
+        sig AS (SELECT did, {sig_mins} FROM h GROUP BY did),
+        banded AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT x.did AS id_a, y.did AS id_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bh = y.bh AND x.did < y.did
+        ),
+        ver AS (
+            SELECT id_a, id_b,
+                   round(len(list_intersect(a.sh, b.sh)) /
+                         CAST(len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                         4) AS jaccard
+            FROM cand
+            JOIN reps a ON a.did = cand.id_a
+            JOIN reps b ON b.did = cand.id_b
+        ),
+        keep AS (SELECT * FROM ver WHERE jaccard >= {threshold}),
+        mem AS (SELECT did, gid FROM grp),
+        cross_pairs AS (
+            SELECT least(ma.did, mb.did) AS id_a,
+                   greatest(ma.did, mb.did) AS id_b, v.jaccard
+            FROM keep v
+            JOIN mem ma ON ma.gid = v.id_a
+            JOIN mem mb ON mb.gid = v.id_b
+        ),
+        intra AS (
+            SELECT a.did AS id_a, b.did AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+            FROM mem a JOIN mem b ON a.gid = b.gid AND a.did < b.did
+        )
+        SELECT id_a, id_b, jaccard FROM cross_pairs
+        UNION ALL
+        SELECT id_a, id_b, jaccard FROM intra
+    """
+
+
 @query(
     "dedup_minhash_lsh",
-    oracle=f"""
-        WITH sh AS (
-            SELECT DISTINCT doc_id AS did, s.tok
-            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
-        ),
-        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
-        inter AS (
-            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
-            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
-            GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON inter.id_a = sa.did
-        JOIN sizes sb ON inter.id_b = sb.did
-        WHERE n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE) >= 0.8
-    """,
+    oracle=_minhash_replay_oracle(num_hashes=16, bands=8, threshold=0.8),
     tags=("north-star", "dedup"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 8-band LSH candidates, exact-Jaccard-verified ≥0.8.
 
-    Oracle = the exact trigram-Jaccard ≥0.8 pair set (same SQL as
-    dedup_jaccard_trigram): every emitted pair is exact-verified (a subset
-    of the true pairs by construction — tests assert lsh ⊆ exact), and on
-    this corpus the seeded deterministic banding recovers EVERY true ≥0.8
-    pair at both driver scales (verified sf0.001 + sf0.01), so subset +
-    full recall = equality and the exact oracle is valid here.  Exact-dup
-    pairs (J = 1.0) are now GUARANTEED found — the shingle-set pre-collapse
-    emits them deterministically, no sketch involved — so the only
-    probabilistic surface is cross-content pairs with 0.8 ≤ J < 1.
-    KNOWN FALSE-FAILURE MODE: the driver regenerates the corpus between
-    rounds; 16-hash/8-band recall at J ≈ 0.8 is ~1-(1-0.8²)^8 ≈ 0.9998 per
-    pair, so a regenerated corpus can legitimately contain a missed pair
-    and flip this row red with fully correct code.  If that happens once,
-    re-verify with tests/test_operators.py::test_minhash_lsh_recall_vs_exact
-    (the ≥0.8-recall contract) rather than chasing a bug.
-    """
+    Oracle = a full DuckDB replay of the pipeline itself (see
+    _minhash_replay_oracle): the base shingle hash is the top 31 bits of
+    md5's first word and band keys are md5-derived 60-bit values — both
+    ENGINE-PORTABLE, so the oracle reproduces signatures, band buckets,
+    candidates, verification, and member expansion bit-for-bit.  This
+    removes the earlier exact-pair-set oracle's false-failure mode (a
+    regenerated corpus where 16-hash/8-band banding legitimately misses a
+    true J ≈ 0.8 pair would have flipped the row red with correct code);
+    recall quality remains separately pinned by
+    tests/test_operators.py::test_minhash_lsh_recall_vs_exact and the lsh
+    ⊆ exact subset contract."""
     (documents,) = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(documents, shingle_n=3, num_hashes=16, bands=8, threshold=0.8)
 
