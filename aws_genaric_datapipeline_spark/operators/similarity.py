@@ -546,3 +546,195 @@ def ivf_append_batch(
     assigned.select("vid", "uvec", "cell_id").write.mode("append").partitionBy(
         "cell_id"
     ).parquet(f"{index_path}/cells")
+
+
+# ------------------------------------------------------ product quantization
+def pq_train_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+):
+    """Train PQ codebooks (Jégou et al., TPAMI 2011: "Product Quantization
+    for Nearest Neighbor Search"): split each unit vector into
+    ``num_subspaces`` contiguous sub-vectors and k-means each subspace
+    independently into ``num_codes`` centroids.
+
+    Returns a numpy array of shape (num_subspaces, num_codes, dim/M) —
+    driver-sized BY CONSTRUCTION (8·16·8 doubles = 8 KB), the PQ analog of
+    the IVF centroid table.
+
+    Determinism mirrors ivf_train_centroids so the whole training pass is
+    SQL-replayable: seeds are the ``num_codes`` corpus vectors with the
+    smallest Knuth scramble ((id mod 2^31)·2654435761 mod 2^32, tie on
+    id) — the SAME seed rows for every subspace — followed by exactly one
+    Lloyd step (argmin-L2 assignment, ties to the lower code id, then the
+    per-(subspace, code) element-wise mean).
+
+    Distribution shape: one mapInPandas pass over the corpus emits
+    PER-BATCH partial sums — (subspace, code, pos, psum, pcnt) rows, at
+    most M·ks·d per batch — and one aggregation reduces them; the corpus
+    itself never shuffles.  At 100 TB that is the map-side-combine shape
+    of any global mean.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = dim // num_subspaces
+    scramble = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    seed_rows = (
+        df.select(F.col(vec_col).alias("v"), F.col(id_col).alias("sid"))
+        .orderBy(scramble, F.col("sid"))
+        .limit(num_codes)
+        .collect()
+    )
+    seed_mat = []
+    for r in seed_rows:
+        v = np.asarray(list(r["v"]), dtype=np.float64)
+        n = np.linalg.norm(v)
+        seed_mat.append(v / n if n > 0 else v)
+    # (M, ks, d): subspace m's seed c = sub-vector m of global seed c
+    seeds = np.stack(seed_mat).reshape(num_codes, num_subspaces, d).transpose(1, 0, 2)
+
+    base = _unit_vectors_np(df, id_col, vec_col)
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["uvec"].to_numpy()).reshape(-1, num_subspaces, d)
+            out = {"m": [], "code": [], "pos": [], "psum": [], "pcnt": []}
+            for m in range(num_subspaces):
+                sub = mat[:, m, :]  # batch × d
+                d2 = ((sub[:, None, :] - seeds[m][None, :, :]) ** 2).sum(axis=2)
+                codes = np.argmin(d2, axis=1)  # ties -> lower code (argmin is first)
+                for c in np.unique(codes):
+                    sel = sub[codes == c]
+                    for pos in range(d):
+                        out["m"].append(m)
+                        out["code"].append(int(c))
+                        out["pos"].append(pos)
+                        out["psum"].append(float(sel[:, pos].sum()))
+                        out["pcnt"].append(int(len(sel)))
+            yield pd.DataFrame(out)
+
+    agg = (
+        base.mapInPandas(
+            _partials, "m int, code int, pos int, psum double, pcnt bigint"
+        )
+        .groupBy("m", "code", "pos")
+        .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
+        .collect()
+    )
+    codebook = seeds.copy()  # codes with no assigned vectors keep their seed
+    for r in agg:
+        codebook[r["m"], r["code"], r["pos"]] = r["s"] / r["n"]
+    return codebook
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, codes) — each unit vector compressed to one code per subspace
+    (argmin L2 against the trained codebook, ties to the lower code id).
+
+    64 doubles (512 B) become M small ints (codes fit a byte at ks ≤ 256)
+    — the ~64× compression that lets a 100 TB embedding corpus's codes
+    live in memory.  The codebook rides into the Arrow batch as a numpy
+    closure; encoding is a map pass, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    M, ks, d = codebook.shape
+
+    def _enc(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(v.to_numpy()).reshape(-1, M, d)
+        out = np.empty((len(mat), M), dtype=np.int32)
+        for m in range(M):
+            d2 = ((mat[:, m, None, :] - codebook[m][None, :, :]) ** 2).sum(axis=2)
+            out[:, m] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    enc = F.pandas_udf(_enc, "array<int>")
+    base = _unit_vectors_np(df, id_col, vec_col)
+    return base.select("vid", enc(F.col("uvec")).alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes: score(q, x) ≈ Σ_m 〈q_m, codebook[m][code_m(x)]〉 — the query
+    keeps its exact sub-vectors, the corpus contributes only its codes,
+    and each query's M×ks lookup table of partial dots is built once.
+
+    The 100 TB shape: the codebook (8 KB) and per-query LUTs (M·ks
+    doubles) broadcast; scoring reads 1 byte per (vector, subspace) and
+    never touches the original embeddings — the scan is over the
+    compressed codes column.  Returns (query_id, neighbor_id, approx_sim)
+    with approx_sim = round(ADC estimate, 4), ranked (approx_sim DESC,
+    neighbor_id) per query, self-matches excluded.  Fully deterministic —
+    seeded training, stable argmin ties — and SQL-replayable end to end
+    (queries/north_star.py sim_pq_topk carries the full-pipeline oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    codebook = pq_train_codebooks(df, id_col, vec_col, num_subspaces, num_codes, dim)
+    M, ks, d = codebook.shape
+    codes = pq_encode(df, codebook, id_col, vec_col)
+
+    base = _unit_vectors_np(df, id_col, vec_col)
+    qrows = sorted(
+        (r["vid"], np.asarray(list(r["uvec"]), dtype=np.float64))
+        for r in base.where(F.col("vid").isin(query_ids)).collect()
+    )
+    # luts[i]: M × ks partial dots for query i
+    qids = np.array([q for q, _ in qrows], dtype=np.int64)
+    luts = np.stack(
+        [
+            np.einsum("md,mkd->mk", qv.reshape(M, d), codebook)
+            for _, qv in qrows
+        ]
+    )  # Q × M × ks
+
+    def _score(c):
+        if len(c) == 0:
+            return pd.Series([], dtype=object)
+        cm = np.vstack(c.to_numpy())  # batch × M
+        # batch × Q: sum over subspaces of lut[q, m, code]
+        s = luts[:, np.arange(M)[None, :], cm[:, :]].sum(axis=2).T
+        return pd.Series(list(s))
+
+    score = F.pandas_udf(_score, "array<double>")
+    scored = (
+        codes.select("vid", F.posexplode(score(F.col("codes"))).alias("qi", "s"))
+        .select(
+            F.element_at(F.lit(qids.tolist()), F.col("qi") + 1)
+            .cast("bigint")
+            .alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.round("s", 4).alias("approx_sim"),
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")

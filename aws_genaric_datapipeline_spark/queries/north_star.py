@@ -883,6 +883,115 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle_sql(
+    num_subspaces: int = 8, num_codes: int = 16, dim: int = 64, k: int = 5
+) -> str:
+    """Oracle SQL replaying the ENTIRE product-quantization pipeline
+    (similarity.py pq_train_codebooks + pq_encode + pq_topk ADC) in
+    DuckDB: Knuth-scramble seed pick, per-subspace argmin-L2 Lloyd step
+    (ties to the lower code), re-encode against the trained codebooks,
+    per-query M×ks lookup tables from EXACT query sub-vectors, and the
+    summed ADC score ranked (round-4 DESC, neighbor id).  Same float
+    caveat class as _ivf_oracle_sql: a mismatch needs an argmin or
+    round-4 boundary inside ~1e-16 summation noise."""
+    m_, d = num_subspaces, dim // num_subspaces
+    scr = "((vec_id % 2147483648) * 2654435761) % 4294967296"
+    return f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        unit AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                        ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   END AS u
+            FROM base
+        ),
+        seeds AS (
+            SELECT u AS su, code FROM (
+                SELECT u, row_number() OVER (ORDER BY {scr}, vec_id) - 1 AS code
+                FROM unit)
+            WHERE code < {num_codes}
+        ),
+        sp AS (SELECT CAST(g.m AS INT) AS m FROM UNNEST(generate_series(0, {m_ - 1})) AS g(m)),
+        sub AS (
+            SELECT vec_id, m, list_slice(u, m * {d} + 1, m * {d} + {d}) AS s
+            FROM unit, sp
+        ),
+        sseed AS (
+            SELECT code, m, list_slice(su, m * {d} + 1, m * {d} + {d}) AS s
+            FROM seeds, sp
+        ),
+        assign0 AS (
+            SELECT vec_id, m, code FROM (
+                SELECT c.vec_id, c.m, s.code,
+                       row_number() OVER (PARTITION BY c.vec_id, c.m
+                           ORDER BY list_distance(c.s, s.s), s.code) AS rn
+                FROM sub c JOIN sseed s ON s.m = c.m)
+            WHERE rn = 1
+        ),
+        cm AS (
+            SELECT a.m, a.code, g.pos AS pos, avg(c.s[g.pos]) AS v
+            FROM assign0 a
+            JOIN sub c ON c.vec_id = a.vec_id AND c.m = a.m,
+            UNNEST(generate_series(1, {d})) AS g(pos)
+            GROUP BY 1, 2, 3
+        ),
+        cb0 AS (SELECT m, code, list(v ORDER BY pos) AS cv FROM cm GROUP BY m, code),
+        cb AS (
+            SELECT s.m, s.code, coalesce(c.cv, s.s) AS cv
+            FROM sseed s LEFT JOIN cb0 c ON c.m = s.m AND c.code = s.code
+        ),
+        enc AS (
+            SELECT vec_id, m, code FROM (
+                SELECT c.vec_id, c.m, b.code,
+                       row_number() OVER (PARTITION BY c.vec_id, c.m
+                           ORDER BY list_distance(c.s, b.cv), b.code) AS rn
+                FROM sub c JOIN cb b ON b.m = c.m)
+            WHERE rn = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, b.m, b.code, list_dot_product(q.s, b.cv) AS pdot
+            FROM sub q JOIN cb b ON b.m = q.m
+            WHERE q.vec_id IN (1, 2, 3, 4, 5)
+        ),
+        scored AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   round(sum(l.pdot), 4) AS approx_sim
+            FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+            WHERE e.vec_id <> l.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx_sim DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= {k}
+    """
+
+
+@query(
+    "sim_pq_topk",
+    oracle=_pq_oracle_sql(),
+    tags=("north-star", "similarity"),
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5 (Jégou et al. 2011): unit
+    vectors compressed to one byte-sized code per subspace (8 subspaces ×
+    16 codes over 64 dims ≈ 64× compression), queries score the corpus by
+    asymmetric distance computation — exact query sub-vectors against a
+    per-query M×ks lookup table of codebook partial dots, summed over
+    subspaces.
+
+    This is the missing compression tier between brute-force cosine and
+    the IVF/LSH candidate generators: at 100 TB the codes column (1/64th
+    of the embeddings) is what scans, and IVF-PQ composes the two (probe
+    cells, ADC inside).  FULLY oracle-checked: deterministic seeding and
+    one Lloyd step make training, encoding, LUT build, and ADC ranking
+    SQL-replayable (_pq_oracle_sql), verified bit-identical at sf0.001
+    and sf0.01.  Recall vs exact top-k is pinned separately in
+    tests/test_operators.py::TestProductQuantization."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return S.pq_topk(embeddings, query_ids=[1, 2, 3, 4, 5], k=5)
+
+
 @query(
     "multimodal_features",
     oracle="""

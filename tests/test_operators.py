@@ -129,6 +129,48 @@ class TestSimilarity:
         full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
         assert full_pairs == exact_pairs, "nprobe=num_cells must equal brute force"
 
+    def test_pq_encode_shape_and_range(self, embeddings):
+        import numpy as np
+
+        cb = S.pq_train_codebooks(embeddings, num_subspaces=8, num_codes=16)
+        assert cb.shape == (8, 16, 8)
+        rows = S.pq_encode(embeddings, cb).collect()
+        assert all(len(r["codes"]) == 8 for r in rows)
+        codes = np.array([r["codes"] for r in rows])
+        assert codes.min() >= 0 and codes.max() < 16
+
+    def test_pq_topk_deterministic(self, embeddings):
+        qids = [1, 2, 3]
+        a = sorted(tuple(r) for r in S.pq_topk(embeddings, qids, k=5).collect())
+        b = sorted(tuple(r) for r in S.pq_topk(embeddings, qids, k=5).collect())
+        assert a == b and len(a) == 15
+
+    def test_pq_retrieves_query_cluster(self, spark):
+        """ADC over PQ codes must retrieve neighbors from the query's own
+        cluster on clustered data.  (WITHIN-cluster ranking is beyond PQ
+        resolution by construction — same-cluster vectors quantize to the
+        same codes and tie — so the contract is cluster membership, the
+        granularity PQ is built for, not exact rank agreement.)"""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        cents = rng.normal(size=(20, 64))
+        rows, vid = [], 0
+        for c in range(20):
+            for _ in range(25):
+                v = cents[c] + 0.15 * rng.normal(size=64)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qids = [0, 30, 60, 90, 120]
+        got = S.pq_topk(df, qids, k=5).collect()
+        assert len(got) == 25
+        for r in got:
+            assert r["neighbor_id"] // 25 == r["query_id"] // 25, (
+                f"PQ neighbor {r['neighbor_id']} outside query "
+                f"{r['query_id']}'s cluster"
+            )
+
     def test_cosine_self_similarity(self, spark):
         df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
                                    ["vec_id", "embedding"])
