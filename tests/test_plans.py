@@ -367,3 +367,39 @@ class TestRound6Plans:
 
         df = QUERIES["curate_token_budget_per_source"].fn(spark, SF)
         assert shuffle_count(df) <= 2
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_join_injects_bloom_filter(self, spark):
+        """The session enables runtime bloom-filter row pruning
+        (session.py): a selective dim-side filter on a shuffle join must
+        inject bloom_filter_agg on the build side and a might_contain
+        filter into the fact side's scan subtree — at 100 TB this is the
+        biggest row-level win on selective fact⋈dim joins.  The
+        application-side scan threshold defaults to 10 GB (cluster-scale);
+        the test lowers it so the sf-scale fixture crosses it, and pins
+        that the INJECTION machinery is live — the cluster defaults stay
+        untouched in session.py."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.tables import load
+
+        overrides = {
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k) for k in overrides}
+        try:
+            for k, v in overrides.items():
+                spark.conf.set(k, v)
+            orders, lineitem = load(spark, SF, "orders", "lineitem")
+            sel = orders.where(F.col("o_orderpriority") == "1-URGENT")
+            j = lineitem.join(
+                sel, lineitem["l_orderkey"] == sel["o_orderkey"]
+            ).agg(F.sum("l_quantity"))
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in plan, plan
+            assert "might_contain" in plan, plan
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
