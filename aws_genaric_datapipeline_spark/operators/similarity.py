@@ -738,3 +738,77 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (coarse inverted-file
+    probing × product-quantized scoring).  Queries probe their ``nprobe``
+    nearest trained cells and ADC-score ONLY those cells' vectors from
+    their PQ codes — candidate count scales with nprobe/num_cells of the
+    corpus AND each candidate costs one byte per subspace, so at 100 TB
+    the scan is nprobe/num_cells of a 64×-compressed codes column.
+
+    This is the raw-vector IVF+PQ variant (codebooks trained on the
+    vectors themselves, not the per-cell residuals — residual PQ encodes
+    tighter but its codebooks depend on the coarse assignment, which
+    would couple the two training replays; the raw variant keeps both
+    pipelines independently deterministic and SQL-replayable).  Both
+    trainers share the Knuth-scramble seeding; the full composition is
+    oracle-replayed by queries/north_star.py _ivfpq_oracle_sql.
+    """
+    import numpy as np
+    import pandas as pd
+
+    centroids = ivf_train_centroids(df, id_col, vec_col, num_cells, iters=1)
+    base = _unit_vectors_np(df, id_col, vec_col)
+    corpus_cells = _assign_cells(base, centroids, nprobe=1).select("vid", "cell_id")
+    codebook = pq_train_codebooks(df, id_col, vec_col, num_subspaces, num_codes, dim)
+    M, ks, d = codebook.shape
+    coded = pq_encode(df, codebook, id_col, vec_col).join(corpus_cells, "vid")
+
+    qbase = base.where(F.col("vid").isin(query_ids))
+    probed = _assign_cells(qbase, centroids, nprobe=nprobe).select(
+        F.col("vid").alias("query_id"), "cell_id"
+    )
+    qrows = sorted(
+        (r["vid"], np.asarray(list(r["uvec"]), dtype=np.float64))
+        for r in qbase.collect()
+    )
+    qidx = {q: i for i, (q, _) in enumerate(qrows)}
+    luts = np.stack(
+        [np.einsum("md,mkd->mk", qv.reshape(M, d), codebook) for _, qv in qrows]
+    )  # Q × M × ks
+
+    def _score(qid, c):
+        if len(c) == 0:
+            return pd.Series([], dtype="float64")
+        cm = np.vstack(c.to_numpy())  # batch × M
+        qi = qid.map(qidx).to_numpy(dtype=np.int64)
+        s = luts[qi[:, None], np.arange(M)[None, :], cm].sum(axis=1)
+        return pd.Series(s)
+
+    score = F.pandas_udf(_score, "double")
+    scored = (
+        F.broadcast(probed)
+        .join(coded, "cell_id")
+        .where(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(score(F.col("query_id"), F.col("codes")), 4).alias("approx_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")

@@ -967,6 +967,161 @@ def _pq_oracle_sql(
     """
 
 
+def _ivfpq_oracle_sql(
+    nprobe: int = 4,
+    num_cells: int = 16,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+) -> str:
+    """Oracle SQL replaying the composed IVF-PQ pipeline: the IVF coarse
+    training/assignment/probing CTEs of _ivf_oracle_sql joined with the
+    PQ codebook/encode/LUT CTEs of _pq_oracle_sql, with ADC scoring
+    restricted to (query, cell)-matched candidates.  Same float caveat
+    class as its two parents."""
+    m_, d = num_subspaces, dim // num_subspaces
+    scr = "((vec_id % 2147483648) * 2654435761) % 4294967296"
+    return f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        unit AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                        ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   END AS u
+            FROM base
+        ),
+        -- IVF coarse quantizer (as _ivf_oracle_sql)
+        iseeds AS (
+            SELECT u AS su, cell_id FROM (
+                SELECT u, row_number() OVER (ORDER BY {scr}, vec_id) - 1 AS cell_id
+                FROM unit)
+            WHERE cell_id < {num_cells}
+        ),
+        iassign0 AS (
+            SELECT vec_id, u, cell_id FROM (
+                SELECT un.vec_id, un.u, s.cell_id,
+                       row_number() OVER (PARTITION BY un.vec_id
+                           ORDER BY list_dot_product(un.u, s.su) DESC, s.cell_id) AS rn
+                FROM unit un CROSS JOIN iseeds s)
+            WHERE rn = 1
+        ),
+        icm AS (
+            SELECT cell_id, g.pos AS pos, avg(u[g.pos]) AS m
+            FROM iassign0, UNNEST(generate_series(1, {dim})) AS g(pos)
+            GROUP BY 1, 2
+        ),
+        icvecs AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM icm GROUP BY cell_id),
+        icunit AS (
+            SELECT cell_id,
+                   CASE WHEN sqrt(list_dot_product(cv, cv)) = 0 THEN cv
+                        ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+                   END AS cu
+            FROM icvecs
+        ),
+        iassign1 AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT un.vec_id, c.cell_id,
+                       row_number() OVER (PARTITION BY un.vec_id
+                           ORDER BY list_dot_product(un.u, c.cu) DESC, c.cell_id) AS rn
+                FROM unit un CROSS JOIN icunit c)
+            WHERE rn = 1
+        ),
+        qprobe AS (
+            SELECT vec_id AS query_id, cell_id FROM (
+                SELECT un.vec_id, c.cell_id,
+                       row_number() OVER (PARTITION BY un.vec_id
+                           ORDER BY list_dot_product(un.u, c.cu) DESC, c.cell_id) AS rn
+                FROM unit un CROSS JOIN icunit c
+                WHERE un.vec_id IN (1, 2, 3, 4, 5))
+            WHERE rn <= {nprobe}
+        ),
+        -- PQ fine quantizer (as _pq_oracle_sql)
+        pseeds AS (
+            SELECT u AS su, code FROM (
+                SELECT u, row_number() OVER (ORDER BY {scr}, vec_id) - 1 AS code
+                FROM unit)
+            WHERE code < {num_codes}
+        ),
+        sp AS (SELECT CAST(g.m AS INT) AS m FROM UNNEST(generate_series(0, {m_ - 1})) AS g(m)),
+        sub AS (
+            SELECT vec_id, m, list_slice(u, m * {d} + 1, m * {d} + {d}) AS s
+            FROM unit, sp
+        ),
+        sseed AS (
+            SELECT code, m, list_slice(su, m * {d} + 1, m * {d} + {d}) AS s
+            FROM pseeds, sp
+        ),
+        passign0 AS (
+            SELECT vec_id, m, code FROM (
+                SELECT c.vec_id, c.m, s.code,
+                       row_number() OVER (PARTITION BY c.vec_id, c.m
+                           ORDER BY list_distance(c.s, s.s), s.code) AS rn
+                FROM sub c JOIN sseed s ON s.m = c.m)
+            WHERE rn = 1
+        ),
+        pcm AS (
+            SELECT a.m, a.code, g.pos AS pos, avg(c.s[g.pos]) AS v
+            FROM passign0 a
+            JOIN sub c ON c.vec_id = a.vec_id AND c.m = a.m,
+            UNNEST(generate_series(1, {d})) AS g(pos)
+            GROUP BY 1, 2, 3
+        ),
+        pcb0 AS (SELECT m, code, list(v ORDER BY pos) AS cv FROM pcm GROUP BY m, code),
+        pcb AS (
+            SELECT s.m, s.code, coalesce(c.cv, s.s) AS cv
+            FROM sseed s LEFT JOIN pcb0 c ON c.m = s.m AND c.code = s.code
+        ),
+        enc AS (
+            SELECT vec_id, m, code FROM (
+                SELECT c.vec_id, c.m, b.code,
+                       row_number() OVER (PARTITION BY c.vec_id, c.m
+                           ORDER BY list_distance(c.s, b.cv), b.code) AS rn
+                FROM sub c JOIN pcb b ON b.m = c.m)
+            WHERE rn = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, b.m, b.code, list_dot_product(q.s, b.cv) AS pdot
+            FROM sub q JOIN pcb b ON b.m = q.m
+            WHERE q.vec_id IN (1, 2, 3, 4, 5)
+        ),
+        -- composition: ADC only inside probed cells
+        scored AS (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   round(sum(l.pdot), 4) AS approx_sim
+            FROM enc e
+            JOIN iassign1 n ON n.vec_id = e.vec_id
+            JOIN qprobe p ON p.cell_id = n.cell_id
+            JOIN lut l ON l.query_id = p.query_id AND l.m = e.m AND l.code = e.code
+            WHERE e.vec_id <> l.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx_sim DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= {k}
+    """
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle_sql(nprobe=4),
+    tags=("north-star", "similarity"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 — the production ANN composition (coarse
+    inverted-file probing × product-quantized ADC scoring, the FAISS
+    IVFPQ recipe on raw vectors): queries probe 4 of 16 trained cells and
+    score only those cells' vectors from their one-byte-per-subspace
+    codes.  At 100 TB the scan is nprobe/num_cells of a 64×-compressed
+    codes column — candidate count AND bytes-per-candidate both cut.
+    FULLY oracle-checked (_ivfpq_oracle_sql replays both trainers, the
+    cell assignment/probing, encoding, LUTs, and the cell-restricted ADC
+    ranking)."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(embeddings, query_ids=[1, 2, 3, 4, 5], k=5, nprobe=4)
+
+
 @query(
     "sim_pq_topk",
     oracle=_pq_oracle_sql(),

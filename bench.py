@@ -41,6 +41,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_ivf_query_only",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "q8_market_share",
     "q13_customer_distribution",
     "q18_large_volume_customers",

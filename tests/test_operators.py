@@ -171,6 +171,23 @@ class TestSimilarity:
                 f"{r['query_id']}'s cluster"
             )
 
+    def test_ivfpq_subset_of_pq_and_deterministic(self, embeddings):
+        """IVF-PQ restricts ADC to probed cells: with identical PQ
+        training, every (query, neighbor, score) it emits must carry the
+        SAME ADC score pq_topk computes for that pair (k widened so
+        ranking cutoffs don't interfere), and the composition is
+        deterministic."""
+        qids = [1, 2, 3, 4, 5]
+        full = {
+            (r["query_id"], r["neighbor_id"]): r["approx_sim"]
+            for r in S.pq_topk(embeddings, qids, k=10**6).collect()
+        }
+        a = sorted(tuple(r) for r in S.ivfpq_topk(embeddings, qids, k=5).collect())
+        b = sorted(tuple(r) for r in S.ivfpq_topk(embeddings, qids, k=5).collect())
+        assert a == b and len(a) == 25
+        for q, n, s in a:
+            assert full[(q, n)] == s, f"ADC score mismatch for {(q, n)}"
+
     def test_cosine_self_similarity(self, spark):
         df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
                                    ["vec_id", "embedding"])
