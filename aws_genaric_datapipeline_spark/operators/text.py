@@ -425,3 +425,111 @@ def redact_pii(text: Column) -> tuple[Column, Column]:
         ).cast("bigint")
         red = F.regexp_replace(red, pat, token)
     return red, n
+
+
+# ------------------------------------------------------- subword tokenization
+# Fixed, corpus-independent vocabulary for greedy longest-match (maximal
+# munch) subword tokenization — the WordPiece/BPE-apply shape: singles
+# guarantee every alphanumeric character tokenizes, multi-character entries
+# absorb common English fragments, anything else becomes <unk>.  A literal
+# tuple so BOTH engines consume the exact same vocabulary (the DuckDB
+# oracle inlines it as VALUES rows).
+SUBWORD_VOCAB: tuple[str, ...] = tuple(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)]
+    + [
+        "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+        "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+        "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+        "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+        "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur",
+        "the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her",
+        "ter", "hat", "tha", "ere", "ate", "his", "con", "res", "ver",
+        "all", "ons", "ted", "tion", "atio",
+    ]
+)
+SUBWORD_MAX_LEN = max(len(t) for t in SUBWORD_VOCAB)
+SUBWORD_UNK = "<unk>"
+
+
+def subword_tokenize(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Greedy longest-match subword tokenization against the fixed
+    SUBWORD_VOCAB — the deterministic core of a BPE/WordPiece *apply*
+    pass (vocab application, not vocab training): lowercase, split on
+    ASCII whitespace, then per word repeatedly emit the LONGEST vocab
+    entry prefixing the remainder (a character outside the vocabulary
+    emits <unk> and advances one position).
+
+    Returns (id, n_words, n_subwords, subword_stream) where
+    ``subword_stream`` is every subword of the document joined by single
+    spaces in order — hashing it checks the full segmentation, which is
+    how the driver query pins the semantics against the DuckDB replay.
+
+    Engine shape: one Arrow-batched pandas UDF with a per-batch
+    distinct-word memo (segmentation is a pure function of the word, and
+    real corpora repeat words heavily), then JVM-side md5/aggregation.
+    The greedy loop is pure python-per-WORD, not per character pair —
+    maximal munch needs backtracking-free linear scanning that SQL
+    higher-order functions cannot express without quadratic explodes; the
+    oracle replays it with a precomputed best-match table + recursive
+    pointer chase.  At 100 TB the vocab is a broadcast constant and the
+    pass is map-side only.
+    """
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from aws_genaric_datapipeline_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    vocab = set(SUBWORD_VOCAB)
+    maxlen = SUBWORD_MAX_LEN
+
+    def segment_word(w: str) -> list[str]:
+        out, i, n = [], 0, len(w)
+        while i < n:
+            for l in range(min(maxlen, n - i), 0, -1):
+                if w[i : i + l] in vocab:
+                    out.append(w[i : i + l])
+                    i += l
+                    break
+            else:
+                out.append(SUBWORD_UNK)
+                i += 1
+        return out
+
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def one(text: str | None, memo: dict) -> tuple[int, int, str]:
+        words = [w for w in ws.split((text or "").lower()) if w]
+        toks: list[str] = []
+        for w in words:
+            got = memo.get(w)
+            if got is None:
+                got = segment_word(w)
+                memo[w] = got
+            toks.extend(got)
+        return len(words), len(toks), " ".join(toks)
+
+    @F.pandas_udf("struct<n_words: bigint, n_subwords: bigint, stream: string>")
+    def _tok(texts: pd.Series) -> pd.DataFrame:
+        memo: dict = {}
+        rows = [one(t, memo) for t in texts]
+        return pd.DataFrame(rows, columns=["n_words", "n_subwords", "stream"])
+
+    out = ensure_parallelism(df).select(
+        F.col(id_col), _tok(F.col(text_col)).alias("t")
+    )
+    return out.select(
+        id_col,
+        F.col("t.n_words").alias("n_words"),
+        F.col("t.n_subwords").alias("n_subwords"),
+        F.col("t.stream").alias("subword_stream"),
+    )

@@ -339,6 +339,89 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _subword_oracle_sql() -> str:
+    """DuckDB replay of greedy longest-match subword tokenization
+    (operators/text.py subword_tokenize): the literal SUBWORD_VOCAB as a
+    VALUES table, a precomputed best-match-length table per (distinct
+    word, position), a recursive pointer chase that emits the maximal
+    munch segmentation (<unk> on no match), and per-document reassembly
+    in word order.  md5 of the full subword stream pins the entire
+    segmentation, not just counts."""
+    vals = ", ".join(f"('{t}')" for t in X.SUBWORD_VOCAB)
+    return f"""
+        WITH RECURSIVE vocab(tok) AS (VALUES {vals}),
+        words AS (
+            SELECT doc_id, CAST(t.i AS INT) AS widx, l[CAST(t.i AS INT)] AS word
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l FROM documents),
+                 UNNEST(range(1, len(l) + 1)) AS t(i)
+            WHERE l[CAST(t.i AS INT)] <> ''
+        ),
+        dw AS (SELECT DISTINCT word FROM words),
+        pos AS (
+            SELECT word, CAST(t.i AS INT) AS p
+            FROM dw, UNNEST(range(1, length(word) + 1)) AS t(i)
+        ),
+        bm AS (
+            SELECT p.word, p.p, coalesce(max(length(v.tok)), 0) AS bl
+            FROM pos p LEFT JOIN vocab v
+              ON length(v.tok) <= length(p.word) - p.p + 1
+             AND substr(p.word, p.p, length(v.tok)) = v.tok
+            GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT word, 1 AS p, '' AS toks FROM dw
+            UNION ALL
+            SELECT s.word,
+                   s.p + CASE WHEN b.bl = 0 THEN 1 ELSE b.bl END,
+                   s.toks || CASE WHEN s.toks = '' THEN '' ELSE ' ' END ||
+                       CASE WHEN b.bl = 0 THEN '<unk>'
+                            ELSE substr(s.word, s.p, b.bl) END
+            FROM seg s JOIN bm b ON b.word = s.word AND b.p = s.p
+            WHERE s.p <= length(s.word)
+        ),
+        done AS (
+            SELECT word, toks,
+                   CAST(length(toks) - length(replace(toks, ' ', '')) + 1 AS BIGINT) AS ntoks
+            FROM seg WHERE p > length(word)
+        ),
+        per_doc AS (
+            SELECT w.doc_id AS did,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(d.ntoks) AS BIGINT) AS n_subwords,
+                   string_agg(d.toks, ' ' ORDER BY w.widx) AS stream
+            FROM words w JOIN done d ON d.word = w.word
+            GROUP BY 1
+        )
+        SELECT doc_id,
+               coalesce(p.n_words, 0) AS n_words,
+               coalesce(p.n_subwords, 0) AS n_subwords,
+               md5(coalesce(p.stream, '')) AS stream_md5
+        FROM documents LEFT JOIN per_doc p ON p.did = documents.doc_id
+    """
+
+
+@query(
+    "text_subword_tokenize",
+    oracle=_subword_oracle_sql(),
+    tags=("north-star", "text"),
+)
+def text_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization — the deterministic BPE/WordPiece APPLY pass a
+    training pipeline runs to count real tokens (vs the regex estimate in
+    text_token_stats): greedy longest-match against the fixed
+    SUBWORD_VOCAB, <unk> for out-of-vocabulary characters.  md5 of the
+    full subword stream is oracle-checked, so the segmentation itself —
+    maximal munch order included — is verified bit-for-bit against the
+    DuckDB recursive replay (verified sf0.001 + sf0.01)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return X.subword_tokenize(documents).select(
+        "doc_id",
+        "n_words",
+        "n_subwords",
+        F.md5("subword_stream").alias("stream_md5"),
+    )
+
+
 def _minhash_replay_oracle(num_hashes: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
     """DuckDB replay of the ENTIRE MinHash-LSH pipeline — shingle-set
     collapse, md5-31-bit base hash, the (a_i·h+b_i) mod p signature mins,

@@ -92,3 +92,42 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction)."""
     (events,) = load(spark, sf_dir, "events")
     return session_windows(events)
+
+
+@query(
+    "stream_join_click_view",
+    oracle="""
+        SELECT v.user_id AS user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               v.ts AS view_ts,
+               c.ts AS click_ts
+        FROM events v
+        JOIN events c
+          ON c.user_id = v.user_id
+         AND v.event_type = 'view'
+         AND c.event_type = 'click'
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL '1 hour'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution shape), batch-executed:
+    each click pairs with the same user's views from the preceding hour.
+    The exact operator the streaming job runs (streaming/windows.py
+    join_click_after_view — watermark + time-range bound state eviction);
+    batch/stream equivalence of the pair set is pinned by
+    tests/test_streaming.py::TestStreamStreamJoin, and the oracle checks
+    the interval-join semantics both modes share."""
+    from aws_genaric_datapipeline_spark.streaming.windows import (
+        join_click_after_view,
+    )
+    import pyspark.sql.functions as F
+
+    (events,) = load(spark, sf_dir, "events")
+    return join_click_after_view(
+        events.where(F.col("event_type") == "view"),
+        events.where(F.col("event_type") == "click"),
+        max_lag="1 hour",
+    )

@@ -1204,3 +1204,37 @@ class TestJaccardPrefixFilters:
             for r in D.jaccard_pairs(df, n=1, threshold=0.8).collect()
         }
         assert pairs == {(1, 2): 0.8}
+
+
+class TestSubwordTokenize:
+    def _streams(self, spark, texts):
+        from aws_genaric_datapipeline_spark.operators.text import subword_tokenize
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        return {
+            r["doc_id"]: (r["n_words"], r["n_subwords"], r["subword_stream"])
+            for r in subword_tokenize(df).collect()
+        }
+
+    def test_maximal_munch_prefers_longest(self, spark):
+        # "the" is in vocab as a 3-gram: maximal munch must emit it whole,
+        # not th+e or t+he; "theat" = the + at (greedy), never th+ea+t.
+        got = self._streams(spark, ["the", "theat"])
+        assert got[0] == (1, 1, "the")
+        assert got[1] == (1, 2, "the at")
+
+    def test_unk_and_case_and_whitespace(self, spark):
+        # '@' is out-of-vocab → <unk>; uppercase folds; multi-whitespace
+        # splits like the ASCII \s+ tokenizer; None/empty → zero counts.
+        got = self._streams(spark, ["A@b", "  x \t y  ", None, ""])
+        assert got[0] == (1, 3, "a <unk> b")
+        assert got[1] == (2, 2, "x y")
+        assert got[2] == (0, 0, "")
+        assert got[3] == (0, 0, "")
+
+    def test_counts_consistent_with_stream(self, spark):
+        got = self._streams(spark, ["the quick brown fox", "ingestion"])
+        for n_words, n_subwords, stream in got.values():
+            assert n_subwords == (len(stream.split(" ")) if stream else 0)
