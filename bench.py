@@ -65,6 +65,8 @@ HEADLINE = [
     "text_segment_dedup",
     "sample_weighted_priority",
     "dedup_semantic_embeddings",
+    "text_subword_tokenize",
+    "stream_join_click_view",
 ]
 
 

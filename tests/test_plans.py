@@ -403,3 +403,26 @@ class TestRuntimeBloomFilter:
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
+
+
+class TestPqPlans:
+    def test_pq_topk_no_cartesian_scoring(self, spark):
+        """ADC scoring is a map pass over the codes column (LUT rides as a
+        numpy closure): no cartesian/BNL join anywhere, and the only wide
+        operation is the per-query top-k window."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        plan = explain_str(QUERIES["sim_pq_topk"].fn(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ivfpq_probe_join_is_broadcast(self, spark):
+        """The probe frame (|Q|·nprobe rows) must broadcast against the
+        coded corpus — the cell-restricted candidate join is the only
+        corpus-wide join and it must not shuffle the corpus by cell."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        plan = explain_str(QUERIES["sim_ivfpq_topk"].fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
