@@ -925,3 +925,75 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+@query(
+    "decontaminate_semantic",
+    oracle="""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        unit AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                        ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   END AS u
+            FROM base
+        ),
+        bench AS (SELECT vec_id AS bid, u AS bu FROM unit WHERE vec_id % 20 = 0),
+        corpus AS (SELECT vec_id, u FROM unit WHERE vec_id % 20 <> 0),
+        scored AS (
+            SELECT c.vec_id, b.bid,
+                   round(list_dot_product(c.u, b.bu), 4) AS sim
+            FROM corpus c CROSS JOIN bench b
+        ),
+        best AS (
+            SELECT vec_id, bid AS nearest_benchmark_id, sim AS max_sim
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, bid) AS rn FROM scored)
+            WHERE rn = 1
+        )
+        SELECT vec_id, nearest_benchmark_id, max_sim
+        FROM best WHERE max_sim >= 0.45
+    """,
+    tags=("north-star", "curation", "similarity"),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set leakage detection — the embedding-side complement
+    of decontaminate_ngram_overlap: n-gram overlap misses paraphrased or
+    re-encoded benchmark text, but a contaminated document still sits next
+    to its benchmark source in embedding space.  Flags corpus vectors
+    whose max cosine against the held-out benchmark slice (vec_id % 20 = 0
+    stands in for the benchmark set) reaches 0.45, with the argmax
+    benchmark id (ties to the lower id).
+
+    Scale shape: the benchmark side is SMALL BY DEFINITION (eval sets are
+    thousands of rows, the corpus is billions), so this is a broadcast
+    crossJoin — the corpus streams through one map pass of |bench| dot
+    products per row and the only shuffle is the per-document argmax.
+    Exact, no sketch: at 100 TB the benchmark matrix rides into the
+    executors whole, which is the same posture as the n-gram variant's
+    broadcast gram set."""
+    from aws_genaric_datapipeline_spark.operators.similarity import dot, with_unit_vectors
+    from pyspark.sql import Window
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    unit = with_unit_vectors(embeddings, "embedding")
+    bench = unit.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("unit_vec").alias("bu")
+    )
+    corpus = unit.where(F.col("vec_id") % 20 != 0).select(
+        "vec_id", F.col("unit_vec").alias("cu")
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id", "bid", F.round(dot(F.col("cu"), F.col("bu")), 4).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("bid"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("bid").alias("nearest_benchmark_id"),
+            F.col("sim").alias("max_sim"),
+        )
+    )
+    return best.where(F.col("max_sim") >= 0.45)

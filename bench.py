@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_semantic_embeddings",
     "text_subword_tokenize",
     "stream_join_click_view",
+    "decontaminate_semantic",
 ]
 
 
