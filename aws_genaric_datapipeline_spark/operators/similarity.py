@@ -1,14 +1,22 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers, per SURVEY.md §2b / the north-star spec:
+Tiers, per SURVEY.md §2b / the north-star spec:
 
 - ``cosine_topk``      — exact brute-force top-k (the baseline/oracle path).
 - ``lsh_bucketed_topk``— random-hyperplane LSH candidate generation, exact
-                         re-rank within buckets (the 100 TB path).
-- ``cosine_near_pairs``— embedding near-duplicate pairs above a threshold.
+                         re-rank within buckets.
+- ``cosine_near_pairs``— embedding near-duplicate pairs above a threshold
+                         (keys-only LSH candidate shuffle).
+- ``ivf_topk`` / ``ivf_build_index`` / ``ivf_query_index`` — inverted-file
+                         ANN: trained coarse cells, partition-pruned probes.
+- ``pq_*`` / ``ivfpq_topk`` — product quantization (per-subspace codebooks,
+                         ADC scoring, ~64× compression) and the composed
+                         IVF-PQ production recipe.
 
-All vector math is JVM-side (`zip_with`/`aggregate` higher-order functions):
-dot products and norms never leave Tungsten, no Python in the loop.
+Relational math is JVM-side (`zip_with`/`aggregate` higher-order
+functions); the dense batch kernels (bucketing, cell assignment, PQ
+encode/ADC) are Arrow-batched numpy closures — the one place pandas UDFs
+beat built-in expressions, each justified in its docstring.
 """
 
 from __future__ import annotations
@@ -281,6 +289,12 @@ def _unit_vectors_np(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         return pd.Series(list(mat))
 
     unit = F.pandas_udf(_norm, "array<double>")
+    # Deliberately NO ensure_parallelism here: the numpy kernels behind the
+    # IVF/PQ tiers are batch-matmuls that finish in milliseconds at fixture
+    # scale, and a repartition of the wide vector column costs more than
+    # the extra task slots recover (measured 2-3x slower across all four
+    # ANN bench entries with the repartition in).  At cluster scale the
+    # parquet source already supplies many splits.
     return df.select(F.col(id_col).alias("vid"), unit(F.col(vec_col)).alias("uvec"))
 
 
