@@ -152,7 +152,16 @@ class Pipeline:
         overwrite makes re-promoting a batch idempotent instead of appending
         duplicate files (reference bug 2).
         """
-        raw = self.spark.read.parquet(self.cfg.raw_path).where(F.col(PART_KEY) == batch_id)
+        # mergeSchema: batches can gain columns over the table's lifetime
+        # (schema evolution); the filtered read must surface THIS batch's
+        # full schema even when Spark's default footer sampling picks an
+        # older batch's file for the schema.  Partition pruning still
+        # applies — merging unions footers, it does not widen the scan.
+        raw = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.cfg.raw_path)
+            .where(F.col(PART_KEY) == batch_id)
+        )
         obs = Observation(f"promote-{batch_id}")
         try:
             prepared = self.transform(raw).observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -204,10 +213,16 @@ class Pipeline:
 
     # ---------------------------------------------------------------- access
     def raw(self) -> DataFrame:
-        return self.spark.read.parquet(self.cfg.raw_path)
+        """Whole raw table, schema-evolution-aware: mergeSchema unions every
+        batch's footer, so columns added by later batches appear (null for
+        older rows) instead of silently depending on which file Spark
+        samples.  At 100 TB, footer merging across all batches is the
+        path-based cost of evolution — register the table in the catalog
+        (catalog.py) with a declared schema to skip it on hot paths."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.cfg.raw_path)
 
     def prepared(self) -> DataFrame:
-        return self.spark.read.parquet(self.cfg.prepared_path)
+        return self.spark.read.option("mergeSchema", "true").parquet(self.cfg.prepared_path)
 
 
 # Template registry: the engine analog of the reference's template dispatch

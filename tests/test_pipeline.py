@@ -314,3 +314,41 @@ class TestConfigDrivenQuality:
         b2 = p.ingest(good, batch_id="20260101000000000002")
         assert p.promote() == [b2]
         assert spark.read.parquet(cfg.prepared_path).count() == 2
+
+
+class TestSchemaEvolution:
+    def test_batch_with_new_column_promotes_and_reads_back(self, spark, cfg):
+        """Schema evolution across batches: a later batch adds a column.
+        The promote read must surface the NEW batch's full schema (not
+        whichever file footer Spark samples), and whole-table reads must
+        union schemas with nulls for pre-evolution rows."""
+        pipe = Pipeline(spark, cfg)
+        old = spark.createDataFrame(
+            [(f"a{i}", f"b{i}", f"c{i}") for i in range(10)], ["a", "b", "c"]
+        )
+        b1 = pipe.ingest(old, batch_id="b1")
+        new = spark.createDataFrame(
+            [(f"a{i}", f"b{i}", f"c{i}", i) for i in range(10)],
+            ["a", "b", "c", "score"],
+        )
+        b2 = pipe.ingest(new, batch_id="b2")
+        pipe.promote()
+
+        raw = pipe.raw()
+        assert "score" in raw.columns
+        assert raw.where(F.col("ETL_PART_KEY") == b1).where(
+            F.col("score").isNotNull()
+        ).count() == 0
+        assert raw.where(F.col("ETL_PART_KEY") == b2).where(
+            F.col("score").isNull()
+        ).count() == 0
+
+        prepared = pipe.prepared()
+        assert "score" in prepared.columns
+        assert prepared.where(F.col("ETL_PART_KEY") == b2).count() == 10
+        assert (
+            prepared.where(F.col("ETL_PART_KEY") == b2)
+            .agg(F.sum("score"))
+            .collect()[0][0]
+            == sum(range(10))
+        )
