@@ -65,3 +65,50 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt") * F.col("n_keys") / F.col("n_rows").cast("double"), 4
         ).alias("skew_factor"),
     )
+
+
+_PROFILE_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+
+
+@query(
+    "diag_table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+    tags=("diagnostics",),
+)
+def diag_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling — the stats pass a pipeline runs
+    after ingest to drive planning (broadcast thresholds, skew checks,
+    partition sizing) and data-quality review: per column, row/null/
+    distinct counts and min/max (stringified for a uniform long-format
+    row).  ONE distributed aggregate computes every metric (Catalyst
+    expands the multi-distinct into a single pass over the scan); the
+    per-column long format comes from exploding the collected struct —
+    no per-column scans, no driver loops."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    metrics = []
+    for c in _PROFILE_COLS:
+        metrics.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            ).alias(c)
+        )
+    wide = lineitem.agg(*metrics)
+    return wide.select(
+        F.explode(F.array(*[F.col(c) for c in _PROFILE_COLS])).alias("p")
+    ).select("p.*")
