@@ -91,24 +91,33 @@ def diag_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     after ingest to drive planning (broadcast thresholds, skew checks,
     partition sizing) and data-quality review: per column, row/null/
     distinct counts and min/max (stringified for a uniform long-format
-    row).  ONE distributed aggregate computes every metric (Catalyst
-    expands the multi-distinct into a single pass over the scan); the
-    per-column long format comes from exploding the collected struct —
-    no per-column scans, no driver loops."""
+    row).  TWO distributed aggregates: the multi-distinct runs ALONE
+    (Catalyst's Expand rewrite replicates every carried column into each
+    distinct projection, so fusing min/max/count into the same aggregate
+    measured ~4× slower than two passes at sf0.1), and the plain
+    min/max/null pass is a single partial+final reduce; their 1-row
+    results cross-join and explode into the long format — no per-column
+    scans, no driver loops."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    metrics = []
-    for c in _PROFILE_COLS:
-        metrics.append(
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_nulls"),
-                F.countDistinct(c).cast("bigint").alias("n_distinct"),
-                F.min(c).cast("string").alias("min_value"),
-                F.max(c).cast("string").alias("max_value"),
-            ).alias(c)
+    distincts = lineitem.agg(
+        *[F.countDistinct(c).cast("bigint").alias(f"nd_{c}") for c in _PROFILE_COLS]
+    )
+    plains = lineitem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[(F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nn_{c}") for c in _PROFILE_COLS],
+        *[F.min(c).cast("string").alias(f"mn_{c}") for c in _PROFILE_COLS],
+        *[F.max(c).cast("string").alias(f"mx_{c}") for c in _PROFILE_COLS],
+    )
+    wide = distincts.crossJoin(plains)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_value"),
+            F.col(f"mx_{c}").alias("max_value"),
         )
-    wide = lineitem.agg(*metrics)
-    return wide.select(
-        F.explode(F.array(*[F.col(c) for c in _PROFILE_COLS])).alias("p")
-    ).select("p.*")
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

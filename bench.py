@@ -68,6 +68,7 @@ HEADLINE = [
     "text_subword_tokenize",
     "stream_join_click_view",
     "decontaminate_semantic",
+    "diag_table_profile",
 ]
 
 
