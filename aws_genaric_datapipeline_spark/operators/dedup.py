@@ -26,6 +26,11 @@ from aws_genaric_datapipeline_spark.operators.text import (
 )
 
 
+# Frames persisted by the previous jaccard_pairs call, released on the next
+# call (see jaccard_pairs) so long-lived sessions don't accumulate cache.
+_JACCARD_LIVE: list = []
+
+
 # ---------------------------------------------------------------- exact dedup
 def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Exact dedup on full rows or a column subset (hash-based groupBy)."""
@@ -271,10 +276,19 @@ def jaccard_pairs(
     # persist it so the shingle UDF and explode run once, not five times —
     # measured ~2x end-to-end at sf0.1 on the threshold-0.5 graph-edge
     # build.  MEMORY_AND_DISK: at 100 TB the frame must spill, not OOM.
+    # Cache lifetime: the frames stay persisted so the RETURNED plan stays
+    # cheap to re-materialize, but each new jaccard_pairs call releases the
+    # previous call's frames — a long-lived session (bench loop, multi-query
+    # driver) holds at most one call's cache, not an unbounded accumulation.
+    # Unpersisting never affects correctness, only re-computation cost of a
+    # stale handle.
+    while _JACCARD_LIVE:
+        _JACCARD_LIVE.pop().unpersist(blocking=False)
     sets = _token_sets(df, id_col, text_col, n)
     if hash_tokens:
         sets = sets.select("did", F.xxhash64("tok").alias("tok"))
     sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    _JACCARD_LIVE.append(sets)
     eps = 1e-9
     if prefix_filter:
         # ONE per-document aggregation replaces four exchanges of the older
@@ -296,6 +310,7 @@ def jaccard_pairs(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        _JACCARD_LIVE.append(docs)
         plen = (
             F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         ).cast("int")

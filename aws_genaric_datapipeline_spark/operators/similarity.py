@@ -721,6 +721,10 @@ def pq_topk(
         (r["vid"], np.asarray(list(r["uvec"]), dtype=np.float64))
         for r in base.where(F.col("vid").isin(query_ids)).collect()
     )
+    if not qrows:  # none of the requested ids exist: empty result, not np.stack([])
+        return df.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, approx_sim double"
+        )
     # luts[i]: M × ks partial dots for query i
     qids = np.array([q for q, _ in qrows], dtype=np.int64)
     luts = np.stack(
@@ -799,6 +803,10 @@ def ivfpq_topk(
         (r["vid"], np.asarray(list(r["uvec"]), dtype=np.float64))
         for r in qbase.collect()
     )
+    if not qrows:  # none of the requested ids exist: empty result, not np.stack([])
+        return df.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, approx_sim double"
+        )
     qidx = {q: i for i, (q, _) in enumerate(qrows)}
     luts = np.stack(
         [np.einsum("md,mkd->mk", qv.reshape(M, d), codebook) for _, qv in qrows]

@@ -505,7 +505,10 @@ def subword_tokenize(
 
     import re
 
-    ws = re.compile(r"\s+", re.ASCII)
+    # Explicit class, NOT \s: Python-ASCII \s includes \x0b (vertical tab)
+    # while RE2 (the DuckDB oracle's engine) excludes it — the explicit
+    # class is the engine-identical whitespace definition on both sides.
+    ws = re.compile(r"[ \t\n\r\f\v]+")
 
     def one(text: str | None, memo: dict) -> tuple[int, int, str]:
         words = [w for w in ws.split((text or "").lower()) if w]

@@ -153,13 +153,20 @@ class Pipeline:
         duplicate files (reference bug 2).
         """
         # mergeSchema: batches can gain columns over the table's lifetime
-        # (schema evolution); the filtered read must surface THIS batch's
-        # full schema even when Spark's default footer sampling picks an
-        # older batch's file for the schema.  Partition pruning still
-        # applies — merging unions footers, it does not widen the scan.
+        # (schema evolution); the read must surface THIS batch's full schema
+        # even when Spark's default footer sampling picks one file arbitrarily.
+        # Scope the read to the batch's own partition directory (basePath
+        # keeps PART_KEY as a column): merging then unions only THIS batch's
+        # footers, so (a) a type conflict between two UNRELATED batches can't
+        # fail this batch's promotion, and (b) re-promoting an old batch
+        # after the table gained columns reproduces its ORIGINAL schema
+        # instead of null-filling later batches' columns into its output —
+        # the idempotent re-promote contract.  The residual .where is a
+        # constant partition filter (free) guarding glob chars in batch_id.
         raw = (
             self.spark.read.option("mergeSchema", "true")
-            .parquet(self.cfg.raw_path)
+            .option("basePath", self.cfg.raw_path)
+            .parquet(f"{self.cfg.raw_path}/{PART_KEY}={batch_id}")
             .where(F.col(PART_KEY) == batch_id)
         )
         obs = Observation(f"promote-{batch_id}")

@@ -352,7 +352,9 @@ def _subword_oracle_sql() -> str:
         WITH RECURSIVE vocab(tok) AS (VALUES {vals}),
         words AS (
             SELECT doc_id, CAST(t.i AS INT) AS widx, l[CAST(t.i AS INT)] AS word
-            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l FROM documents),
+            -- explicit class, not \\s: RE2 \\s excludes \\x0b while the
+            -- engine's Python regex includes it; this class matches both
+            FROM (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\r\\f\\v]+') AS l FROM documents),
                  UNNEST(range(1, len(l) + 1)) AS t(i)
             WHERE l[CAST(t.i AS INT)] <> ''
         ),
