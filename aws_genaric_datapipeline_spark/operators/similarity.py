@@ -121,17 +121,27 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, table: int = 0) -> Co
     return bucket
 
 
-def _lsh_buckets_udf(dim: int, num_planes: int, num_tables: int):
+def _lsh_buckets_udf(dim: int, num_planes: int, num_tables: int, stride: int | None = None):
     """Arrow-vectorized twin of lsh_bucket: per row, the bucket id in EVERY
     table at once — one numpy matmul per batch against the (tables×planes)
     hyperplane matrix, instead of tables×planes interpreted zip_with/
     aggregate lambdas per row.  Bit-compatible with lsh_bucket (same
-    hyperplanes, same `> 0` sign convention, same short-vector slicing)."""
+    hyperplanes, same `> 0` sign convention, same short-vector slicing).
+
+    ``stride`` fixes the hyperplane-family allocation per table (plane p of
+    table t is global plane t·stride + p) independently of how many planes
+    are USED.  The corpus-adaptive path passes stride=LSH_MAX_PLANES so a
+    derived num_planes changes only how many of table t's fixed planes
+    contribute bits — the plane literals themselves stay constant and thus
+    SQL-replayable (the oracle inlines the same splitmix64 constants).
+    Default (None) keeps the legacy dense allocation t·num_planes + p used
+    by the pinned-parameter queries."""
     import numpy as np
     import pandas as pd
 
+    stride = num_planes if stride is None else stride
     pm = np.array(
-        [_hyperplane(dim, t * num_planes + p) for t in range(num_tables) for p in range(num_planes)],
+        [_hyperplane(dim, t * stride + p) for t in range(num_tables) for p in range(num_planes)],
         dtype=np.float64,
     )  # (tables·planes) × dim
     weights = (1 << np.arange(num_planes)).astype(np.int64)
@@ -392,6 +402,84 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
 
 
+# Fixed hyperplane-allocation stride (and plane-count ceiling) for the
+# corpus-adaptive LSH family: table t owns global planes [t·8, t·8+8) forever,
+# an adaptive num_planes just uses the first np of them.
+LSH_MAX_PLANES = 8
+
+
+def adaptive_num_planes(
+    corpus_count: int,
+    target_bucket_size: int = 64,
+    min_planes: int = 3,
+    max_planes: int = LSH_MAX_PLANES,
+) -> int:
+    """Size the hyperplane count from the corpus: planes = clamp(
+    ceil(log2(N / target_bucket_size)), min, max) — 2^planes buckets per
+    table puts the EXPECTED bucket width at ~target_bucket_size, so the
+    per-bucket self-join emits ~N·target/2 candidate rows per table:
+    O(N·bucket_size), linear in N, instead of the O(N²/2^planes) a FIXED
+    plane count degrades to as the corpus grows (the round-6 scale gap:
+    8 buckets/table is fine at 2k vectors and quadratic death at 200M).
+
+    Recall tradeoff is inherent to LSH: each extra plane multiplies
+    per-table collision probability by p = 1-θ/π, so tables must grow like
+    1/p^planes to hold recall at a loose threshold; at near-duplicate
+    thresholds (≥0.9, p ≥ 0.85) the decay is mild and the default table
+    counts keep recall >0.95 across the clamp range.  Deterministic —
+    pure integer function of the count — hence replayable in the DuckDB
+    oracle as the same formula over COUNT(*).
+    """
+    import math
+
+    n = max(int(corpus_count), 1)
+    raw = math.ceil(math.log2(n / float(target_bucket_size)))
+    return max(min_planes, min(max_planes, raw))
+
+
+def lsh_candidate_pairs(
+    base: DataFrame,
+    num_planes: int,
+    num_tables: int,
+    dim: int = 64,
+    stride: int | None = None,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """LSH candidate (id_a < id_b) pairs from a (vid, uvec) frame — the
+    keys-only candidate stage shared by cosine_near_pairs and the
+    adaptive-sizing tests.  The shuffle carries (tbl, bucket, vid) rows
+    only; vectors never ride through the self-join.
+
+    ``max_bucket_width`` drops (table, bucket) groups wider than the cap
+    before the self-join — the embedding-side analog of MinHash's
+    max_band_width band guard: a degenerate bucket (hash skew, a mega
+    boilerplate cluster, an adversarial corpus) would otherwise emit
+    O(width²) rows.  Dropping is sound for CANDIDATE generation (recall
+    only: a pair sharing a dropped bucket can still collide in another
+    table) and keeps worst-case per-bucket cost bounded by cap²/2.
+    """
+    buckets = _lsh_buckets_udf(dim, num_planes, num_tables, stride=stride)
+    bucketed = base.select(
+        "vid", F.posexplode(buckets(F.col("uvec"))).alias("tbl", "bucket")
+    )
+    if max_bucket_width is not None:
+        narrow = (
+            bucketed.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("bw"))
+            .where(F.col("bw") <= max_bucket_width)
+            .select("tbl", "bucket")
+        )
+        bucketed = bucketed.join(narrow, ["tbl", "bucket"], "left_semi")
+    a = bucketed.select(F.col("vid").alias("id_a"), "tbl", "bucket")
+    b = bucketed.select(F.col("vid").alias("id_b"), "tbl", "bucket")
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
 def cosine_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -401,6 +489,9 @@ def cosine_near_pairs(
     dim: int = 64,
     num_planes: int = 5,
     num_tables: int = 10,
+    target_bucket_size: int | None = None,
+    corpus_count: int | None = None,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
 
@@ -413,6 +504,16 @@ def cosine_near_pairs(
 
     ``exact=True``: brute-force O(N²/2) corpus×corpus crossJoin — the
     oracle-checkable tier; would not survive corpus×corpus at 100 TB.
+
+    ``target_bucket_size`` switches on CORPUS-ADAPTIVE plane sizing:
+    num_planes is derived as adaptive_num_planes(N, target_bucket_size)
+    with N = ``corpus_count`` if given (pass the known table cardinality to
+    skip the count job) else one metadata-cheap df.count().  Adaptive mode
+    allocates hyperplanes at the fixed LSH_MAX_PLANES stride so the plane
+    literals per table never depend on the derived count — the oracle
+    replays the identical family and derives the same count from COUNT(*).
+    ``max_bucket_width`` (either mode) is the skew guard — see
+    lsh_candidate_pairs.
     """
     base = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("vid"), F.col("unit_vec").alias("uvec")
@@ -429,17 +530,18 @@ def cosine_near_pairs(
         # widens that shuffle ~40× (measured 12→2 s on the sf0.1 semantic-
         # dedup edge build).  Vectors re-enter AFTER dedup, via two joins
         # against the corpus-sized base frame, one row per verified pair.
-        buckets = _lsh_buckets_udf(dim, num_planes, num_tables)
-        bucketed = base.select(
-            "vid", F.posexplode(buckets(F.col("uvec"))).alias("tbl", "bucket")
-        )
-        a = bucketed.select(F.col("vid").alias("id_a"), "tbl", "bucket")
-        b = bucketed.select(F.col("vid").alias("id_b"), "tbl", "bucket")
-        cand = (
-            a.join(b, ["tbl", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates()
+        stride = None
+        if target_bucket_size is not None:
+            n = corpus_count if corpus_count is not None else df.count()
+            num_planes = adaptive_num_planes(n, target_bucket_size)
+            stride = LSH_MAX_PLANES
+        cand = lsh_candidate_pairs(
+            base,
+            num_planes,
+            num_tables,
+            dim=dim,
+            stride=stride,
+            max_bucket_width=max_bucket_width,
         )
         scored = cand.join(
             base.select(F.col("vid").alias("id_a"), F.col("uvec").alias("vec_a")),
@@ -725,8 +827,21 @@ def pq_topk(
         return df.sparkSession.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, approx_sim double"
         )
+    return _adc_topk_all(codes, qrows, codebook, k)
+
+
+def _adc_topk_all(codes: DataFrame, qrows, codebook, k: int) -> DataFrame:
+    """ADC top-k of every query against EVERY stored code row: per-query
+    M×ks LUTs broadcast in the UDF closure; one posexplode emits (query,
+    score) per (vector, query) — shared by pq_topk (fresh encode) and
+    pq_query_index (persisted codes)."""
+    import numpy as np
+    import pandas as pd
+
+    M = codebook.shape[0]
     # luts[i]: M × ks partial dots for query i
     qids = np.array([q for q, _ in qrows], dtype=np.int64)
+    d = codebook.shape[2]
     luts = np.stack(
         [
             np.einsum("md,mkd->mk", qv.reshape(M, d), codebook)
@@ -807,6 +922,20 @@ def ivfpq_topk(
         return df.sparkSession.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, approx_sim double"
         )
+    return _adc_topk_probed(probed, coded, qrows, codebook, k)
+
+
+def _adc_topk_probed(
+    probed: DataFrame, coded: DataFrame, qrows, codebook, k: int
+) -> DataFrame:
+    """ADC top-k restricted to probed cells: broadcast the (query, cell)
+    probe table, join the codes of those cells only, score each candidate
+    with ITS query's LUT (qid-indexed in the UDF closure) — shared by
+    ivfpq_topk (fresh build) and ivfpq_query_index (persisted codes)."""
+    import numpy as np
+    import pandas as pd
+
+    M, _ks, d = codebook.shape
     qidx = {q: i for i, (q, _) in enumerate(qrows)}
     luts = np.stack(
         [np.einsum("md,mkd->mk", qv.reshape(M, d), codebook) for _, qv in qrows]
@@ -834,3 +963,154 @@ def ivfpq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+# ----------------------------------------------- persisted PQ / IVF-PQ indexes
+def _write_codebook(spark, codebook, path: str) -> None:
+    """Persist a trained (M, ks, d) codebook as narrow parquet rows
+    (m, code, pos, val) — engine-portable, humanly inspectable, and tiny
+    (M·ks·d doubles; 1k rows at the defaults)."""
+    M, ks, d = codebook.shape
+    rows = [
+        (m, c, p, float(codebook[m, c, p]))
+        for m in range(M)
+        for c in range(ks)
+        for p in range(d)
+    ]
+    spark.createDataFrame(rows, "m int, code int, pos int, val double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def _read_codebook(spark, path: str):
+    """Load a persisted codebook back into the (M, ks, d) numpy array."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).collect()
+    M = max(r["m"] for r in rows) + 1
+    ks = max(r["code"] for r in rows) + 1
+    d = max(r["pos"] for r in rows) + 1
+    cb = np.zeros((M, ks, d), dtype=np.float64)
+    for r in rows:
+        cb[r["m"], r["code"], r["pos"]] = r["val"]
+    return cb
+
+
+def pq_build_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+) -> None:
+    """Build and persist a PQ index: trained codebooks + the corpus's codes
+    column.  The amortized half of PQ — the production FAISS recipe: train
+    once at ingest, store 1 byte/subspace per vector (the ~64× compression
+    that lets a 100 TB embedding corpus's codes live hot), and every query
+    is then an ADC scan of STORED codes — no re-training, no re-encoding,
+    and the original embeddings are never read again on the query path.
+
+    Because training and encoding are deterministic (Knuth-scramble seeds,
+    stable argmin ties — pq_train_codebooks), the persisted index is
+    byte-equivalent to what any fresh pq_topk run derives, so the
+    full-pipeline PQ oracle also checks queries served from the index
+    (queries/north_star.py sim_pq_query_only).
+    """
+    codebook = pq_train_codebooks(df, id_col, vec_col, num_subspaces, num_codes, dim)
+    codes = pq_encode(df, codebook, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(f"{index_path}/codes")
+    _write_codebook(df.sparkSession, codebook, f"{index_path}/codebook")
+
+
+def pq_query_index(
+    spark,
+    index_path: str,
+    query_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Query a persisted PQ index: load the (tiny) codebook, build each
+    query's M×ks LUT from its EXACT sub-vectors, ADC-scan the stored codes.
+    Scan cost: 1 byte per (stored vector, subspace) — the compressed codes
+    column is the only corpus-sized input."""
+    codebook = _read_codebook(spark, f"{index_path}/codebook")
+    codes = spark.read.parquet(f"{index_path}/codes")
+    import numpy as np
+
+    qbase = _unit_vectors_np(query_vectors, id_col, vec_col)
+    qrows = sorted(
+        (r["vid"], np.asarray(list(r["uvec"]), dtype=np.float64))
+        for r in qbase.collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, approx_sim double"
+        )
+    return _adc_topk_all(codes, qrows, codebook, k)
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+) -> None:
+    """Build and persist an IVF-PQ index: coarse centroids + PQ codebooks +
+    the codes column partitioned BY CELL on disk.  The full production ANN
+    layout — queries probe nprobe cells (parquet partition pruning on
+    cell_id, as ivf_query_index) and ADC-scan only those cells' 1-byte-per-
+    subspace codes: scan cost is nprobe/num_cells of a 64×-compressed
+    column.  Both trainers are deterministic, so index-served results are
+    byte-equal to a fresh ivfpq_topk run (the replayed oracle covers both).
+    """
+    centroids = ivf_train_centroids(df, id_col, vec_col, num_cells, iters=1)
+    base = _unit_vectors_np(df, id_col, vec_col)
+    cellmap = _assign_cells(base, centroids, nprobe=1).select("vid", "cell_id")
+    codebook = pq_train_codebooks(df, id_col, vec_col, num_subspaces, num_codes, dim)
+    coded = pq_encode(df, codebook, id_col, vec_col).join(cellmap, "vid")
+    coded.write.mode("overwrite").partitionBy("cell_id").parquet(f"{index_path}/codes")
+    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    _write_codebook(df.sparkSession, codebook, f"{index_path}/codebook")
+
+
+def ivfpq_query_index(
+    spark,
+    index_path: str,
+    query_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: assign queries to their nprobe
+    nearest cells (one broadcast pass over the centroid table), read ONLY
+    those cells' code partitions (Catalyst prunes the rest at file
+    listing), ADC-score with per-query LUTs, exact window top-k."""
+    import numpy as np
+
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    codebook = _read_codebook(spark, f"{index_path}/codebook")
+    coded = spark.read.parquet(f"{index_path}/codes")
+    qbase = _unit_vectors_np(query_vectors, id_col, vec_col)
+    probed = _assign_cells(qbase, centroids, nprobe=nprobe).select(
+        F.col("vid").alias("query_id"), "cell_id"
+    )
+    qrows = sorted(
+        (r["vid"], np.asarray(list(r["uvec"]), dtype=np.float64))
+        for r in qbase.collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, approx_sim double"
+        )
+    wanted = [r["cell_id"] for r in probed.select("cell_id").distinct().collect()]
+    return _adc_topk_probed(
+        probed, coded.where(F.col("cell_id").isin(wanted)), qrows, codebook, k
+    )

@@ -127,6 +127,62 @@ def _lsh_buckets_cte(num_planes: int, num_tables: int, dim: int = 64) -> str:
     return " UNION ALL ".join(branches)
 
 
+def _lsh_buckets_adaptive_cte(
+    num_tables: int,
+    target_bucket_size: int,
+    min_planes: int = 3,
+    max_planes: int = 8,
+    dim: int = 64,
+    max_bucket_width: int | None = None,
+) -> str:
+    """CTE chain replaying the CORPUS-ADAPTIVE bucket stage
+    (similarity.adaptive_num_planes + lsh_candidate_pairs): derive the
+    plane count from COUNT(*) with the same clamp(ceil(log2(N/target)))
+    formula, compute every table's FULL max_planes-bit bucket from the
+    fixed-stride literals (plane p of table t = global plane
+    t·max_planes + p — identical constants to the engine's stride
+    allocation), mask to the derived low np bits (bucket % 2^np ==
+    bucketing with the first np planes), and optionally apply the
+    bucket-width skew guard.  Emits CTEs ending in ``buck(vec_id, v, tbl,
+    bucket)``; splice after a CTE ``base(vec_id, v)``."""
+    from aws_genaric_datapipeline_spark.operators.similarity import _hyperplane
+
+    branches = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(max_planes):
+            lit = "[" + ", ".join(repr(x) for x in _hyperplane(dim, t * max_planes + p)) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+        branches.append(
+            f"SELECT vec_id, v, {t} AS tbl, " + " + ".join(bits) + " AS fullbucket FROM base"
+        )
+    raw = " UNION ALL ".join(branches)
+    ctes = f"""
+        nplanes AS (
+            SELECT LEAST({max_planes}, GREATEST({min_planes},
+                CAST(CEIL(LOG2(GREATEST(COUNT(*), 1)
+                     / CAST({target_bucket_size} AS DOUBLE))) AS INT))) AS np
+            FROM base
+        ),
+        rawbuck AS ({raw}),
+        maskbuck AS (
+            SELECT vec_id, v, tbl,
+                   fullbucket % CAST(POW(2, np) AS BIGINT) AS bucket
+            FROM rawbuck, nplanes
+        )"""
+    if max_bucket_width is None:
+        return ctes + ",\n        buck AS (SELECT * FROM maskbuck)"
+    return ctes + f""",
+        bwidth AS (
+            SELECT tbl, bucket, COUNT(*) AS w FROM maskbuck GROUP BY 1, 2
+        ),
+        buck AS (
+            SELECT m.vec_id, m.v, m.tbl, m.bucket
+            FROM maskbuck m JOIN bwidth USING (tbl, bucket)
+            WHERE bwidth.w <= {max_bucket_width}
+        )"""
+
+
 # DuckDB fragments shared by several oracles.
 _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 _DUCK_TRIGRAMS = (
@@ -675,23 +731,43 @@ def sim_ivf_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     The index is cached under .cache/ keyed by corpus dir; first invocation
     builds it (that cost belongs to ingest, not query — bench.py pre-builds
     in warmup so the recorded number is query-side only)."""
-    import hashlib
-    import shutil
-    from pathlib import Path
-
     from aws_genaric_datapipeline_spark.operators.similarity import (
         ivf_build_index,
         ivf_query_index,
     )
 
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    # Key the cached index by corpus dir AND a CONTENT digest of the source
-    # parquet (head + tail + size — the footer at the tail carries row-group
-    # stats, so regenerated data changes the digest): the test corpus can be
-    # regenerated in place, and stat metadata (mtime, size) survives
-    # cp -p/tar restores with different content — the exact staleness the
-    # cache must catch.  Stale ivf_* entries for the same corpus dir are
-    # pruned on rebuild so regenerations don't strand indexes forever.
+    index_path = _ensure_corpus_index(
+        sf_dir,
+        "ivf",
+        "v2",  # algorithm version (Knuth-scramble seeding) — an index
+        # trained by an older build must not be served after a change
+        "centroids",
+        lambda p: ivf_build_index(embeddings, p, num_cells=16, iters=1),
+    )
+    queries_df = embeddings.where(F.col("vec_id").isin([1, 2, 3, 4, 5]))
+    return ivf_query_index(spark, index_path, queries_df, k=5, nprobe=4)
+
+
+def _ensure_corpus_index(
+    sf_dir: str, prefix: str, version: str, probe_subdir: str, build
+) -> str:
+    """Build-once cache for persisted ANN indexes under .cache/.
+
+    Key = corpus dir name + a CONTENT digest of the source parquet (head +
+    tail + size — the footer at the tail carries row-group stats, so
+    regenerated data changes the digest): the test corpus can be
+    regenerated in place, and stat metadata (mtime, size) survives
+    cp -p/tar restores with different content — the exact staleness the
+    cache must catch.  Stale {prefix}_* entries for the same corpus dir are
+    pruned on rebuild so regenerations don't strand indexes forever.
+    ``version`` bumps on algorithm changes; ``probe_subdir`` is the
+    sub-path whose _SUCCESS marker proves a complete build; ``build`` is
+    called with the index path on miss."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
     src = Path(sf_dir) / "embeddings.parquet"
     digest = hashlib.md5()
     with open(src, "rb") as fh:
@@ -703,17 +779,13 @@ def sim_ivf_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest.update(str(size).encode())
     corpus = Path(sf_dir).name or "sf"
     cache_root = Path(__file__).resolve().parents[2] / ".cache"
-    # v2: algorithm version (Knuth-scramble seeding) — an index trained by
-    # an older build must not be served after an algorithm change
-    index_path = cache_root / f"ivf_{corpus}_v2_{digest.hexdigest()[:16]}"
-    if not (index_path / "centroids" / "_SUCCESS").exists():
-        for stale in cache_root.glob(f"ivf_{corpus}*"):
+    index_path = cache_root / f"{prefix}_{corpus}_{version}_{digest.hexdigest()[:16]}"
+    if not (index_path / probe_subdir / "_SUCCESS").exists():
+        for stale in cache_root.glob(f"{prefix}_{corpus}*"):
             if stale.name != index_path.name:
                 shutil.rmtree(stale, ignore_errors=True)
-        ivf_build_index(embeddings, str(index_path), num_cells=16, iters=1)
-    index_path = str(index_path)
-    queries_df = embeddings.where(F.col("vec_id").isin([1, 2, 3, 4, 5]))
-    return ivf_query_index(spark, index_path, queries_df, k=5, nprobe=4)
+        build(str(index_path))
+    return str(index_path)
 
 
 @query(
@@ -1230,6 +1302,64 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py::TestProductQuantization."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return S.pq_topk(embeddings, query_ids=[1, 2, 3, 4, 5], k=5)
+
+
+@query(
+    "sim_pq_query_only",
+    oracle=_pq_oracle_sql(),
+    tags=("north-star", "similarity"),
+)
+def sim_pq_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized PQ path — query a PERSISTED PQ index (codebooks +
+    codes column built once per corpus at ingest) instead of re-training
+    and re-encoding per call like sim_pq_topk's self-contained benchmark.
+    This is the production FAISS recipe: the query-side cost is the LUT
+    build (M×ks dots per query) plus an ADC scan of STORED 1-byte codes —
+    the original embeddings are never read on the query path.
+
+    Deterministic training makes the persisted index byte-equivalent to a
+    fresh build, so the SAME full-pipeline PQ oracle checks index-served
+    results — a stale or corrupted persisted index turns the row red,
+    exactly the failure the content-digest cache key guards against.
+    First invocation builds the index (ingest-side cost; bench.py
+    pre-builds in warmup so the recorded number is query-side only)."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    index_path = _ensure_corpus_index(
+        sf_dir,
+        "pq",
+        "v1",
+        "codes",
+        lambda p: S.pq_build_index(embeddings, p),
+    )
+    queries_df = embeddings.where(F.col("vec_id").isin([1, 2, 3, 4, 5]))
+    return S.pq_query_index(spark, index_path, queries_df, k=5)
+
+
+@query(
+    "sim_ivfpq_query_only",
+    oracle=_ivfpq_oracle_sql(nprobe=4),
+    tags=("north-star", "similarity"),
+)
+def sim_ivfpq_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized IVF-PQ path — query a PERSISTED IVF-PQ index (coarse
+    centroids + PQ codebooks + the codes column partitioned by cell on
+    disk).  Queries probe 4 of 16 cells; the cell filter is a parquet
+    PARTITION filter on the index layout, so the scan reads
+    nprobe/num_cells of a 64×-compressed codes column — the full
+    production ANN cost shape, amortizing BOTH trainings that
+    sim_ivfpq_topk pays per call.  Same oracle as the fresh-build tier
+    (deterministic trainers ⇒ index-served ≡ fresh), so index integrity
+    is value-checked, not assumed."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    index_path = _ensure_corpus_index(
+        sf_dir,
+        "ivfpq",
+        "v1",
+        "centroids",
+        lambda p: S.ivfpq_build_index(embeddings, p, num_cells=16),
+    )
+    queries_df = embeddings.where(F.col("vec_id").isin([1, 2, 3, 4, 5]))
+    return S.ivfpq_query_index(spark, index_path, queries_df, k=5, nprobe=4)
 
 
 @query(
@@ -1818,7 +1948,7 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                    END AS u
             FROM base
         ),
-        buck AS ({_LSH_SD_BUCKETS}),
+        {_LSH_SD_BUCKETS},
         cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
             FROM buck a JOIN buck b
@@ -1865,7 +1995,12 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT *, row_number() OVER (PARTITION BY cid
                   ORDER BY centrality DESC, vid) AS rn FROM scored)
         WHERE rn = 1
-    """.replace("{_LSH_SD_BUCKETS}", _lsh_buckets_cte(num_planes=3, num_tables=12)),
+    """.replace(
+        "{_LSH_SD_BUCKETS}",
+        _lsh_buckets_adaptive_cte(
+            num_tables=12, target_bucket_size=64, max_bucket_width=256
+        ),
+    ),
     tags=("north-star", "similarity", "dedup", "graph"),
 )
 def dedup_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1875,14 +2010,19 @@ def dedup_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, vec_id tie-break) — text-level dedup misses paraphrases and
     re-encodings; this catches them from the embedding geometry.
 
-    Composition of verified operators: hyperplane-LSH near-pairs (the
-    scalable candidate path of sim_lsh_near_pairs), distributed connected
-    components (operators/graph.py), positional-mean centroids, zip_with
-    dot re-rank.  The oracle replays EVERYTHING declaratively: the same
-    36 splitmix64 hyperplane literals, (table, bucket) candidate join,
-    exact-cosine verification, recursive-CTE closure, per-cluster
-    positional centroid means and the centrality arg-max — candidate
-    generation included, not just verification.  Ranking compares ROUNDED
+    Composition of verified operators: CORPUS-ADAPTIVE hyperplane-LSH
+    near-pairs (num_planes derived from the corpus count so expected
+    bucket width stays ~64 at any scale — round 6's fixed 8-buckets/table
+    was the one quadratic-at-scale shape left; the 256-wide bucket guard
+    bounds adversarial skew), distributed connected components
+    (operators/graph.py), positional-mean centroids, zip_with dot
+    re-rank.  The oracle replays EVERYTHING declaratively: the same
+    fixed-stride splitmix64 hyperplane literals, the clamp(ceil(log2(
+    N/64))) plane-count formula over COUNT(*), the low-bit bucket mask,
+    the width guard, (table, bucket) candidate join, exact-cosine
+    verification, recursive-CTE closure, per-cluster positional centroid
+    means and the centrality arg-max — candidate generation included, not
+    just verification.  Ranking compares ROUNDED
     centrality (+ id tie-break) on both engines, so cross-engine float
     noise (~1e-16 summation-order) cannot flip the survivor except on an
     exact round-4 boundary — the same negligible class as the IVF oracle.
@@ -1898,7 +2038,11 @@ def dedup_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (embeddings,) = load(spark, sf_dir, "embeddings")
     pairs = S.cosine_near_pairs(
-        embeddings, threshold=0.45, num_planes=3, num_tables=12
+        embeddings,
+        threshold=0.45,
+        num_tables=12,
+        target_bucket_size=64,
+        max_bucket_width=256,
     ).select("id_a", "id_b")
     comp = connected_components(pairs, src="id_a", dst="id_b")
     unit = with_unit_vectors(embeddings, "embedding").select(

