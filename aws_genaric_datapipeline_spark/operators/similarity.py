@@ -1114,3 +1114,48 @@ def ivfpq_query_index(
     return _adc_topk_probed(
         probed, coded.where(F.col("cell_id").isin(wanted)), qrows, codebook, k
     )
+
+
+def pq_append_batch(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a persisted PQ index: encode an ingest
+    batch against the EXISTING trained codebooks and append its codes —
+    no retraining, no rewrite of the standing codes column.  Mirrors
+    ivf_append_batch: encoding is a pure function of (vector, codebook),
+    so the appended index equals a single encode pass over the union
+    corpus with the same codebooks (pinned by TestPqIndex), and
+    maintenance cost tracks the BATCH.  Codebook drift (corpus
+    distribution shift) degrades ADC fidelity, never correctness of the
+    stored codes; rebuild offline with pq_build_index when recall decays.
+    """
+    codebook = _read_codebook(spark, f"{index_path}/codebook")
+    pq_encode(new_df, codebook, id_col, vec_col).write.mode("append").parquet(
+        f"{index_path}/codes"
+    )
+
+
+def ivfpq_append_batch(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a persisted IVF-PQ index: assign the batch
+    to the existing coarse centroids, encode against the existing
+    codebooks, append to the per-cell partitioned codes layout.  Both
+    steps are pure functions of (vector, trained artifacts), so appended
+    == union-built with the same artifacts; per-batch cost is one map
+    pass plus a partitioned append, independent of the standing corpus.
+    """
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    codebook = _read_codebook(spark, f"{index_path}/codebook")
+    base = _unit_vectors_np(new_df, id_col, vec_col)
+    cellmap = _assign_cells(base, centroids, nprobe=1).select("vid", "cell_id")
+    coded = pq_encode(new_df, codebook, id_col, vec_col).join(cellmap, "vid")
+    coded.write.mode("append").partitionBy("cell_id").parquet(f"{index_path}/codes")

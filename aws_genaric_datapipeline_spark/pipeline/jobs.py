@@ -220,16 +220,23 @@ class Pipeline:
 
     # ---------------------------------------------------------------- access
     def raw(self) -> DataFrame:
-        """Whole raw table, schema-evolution-aware: mergeSchema unions every
-        batch's footer, so columns added by later batches appear (null for
-        older rows) instead of silently depending on which file Spark
-        samples.  At 100 TB, footer merging across all batches is the
-        path-based cost of evolution — register the table in the catalog
-        (catalog.py) with a declared schema to skip it on hot paths."""
-        return self.spark.read.option("mergeSchema", "true").parquet(self.cfg.raw_path)
+        """Whole raw table, schema-evolution-aware: columns added by later
+        batches appear (null for older rows), numeric widenings (int→bigint
+        across batches) reconcile to the widest type, and genuinely
+        incompatible drift raises SchemaMismatchError naming the column —
+        instead of mergeSchema's opaque merge failure or silently depending
+        on which file Spark samples (sources/readers.py read_evolved).  At
+        100 TB, per-batch footer probing is the control-plane cost of
+        evolution — register the table in the catalog (catalog.py) with a
+        declared schema to skip it on hot paths."""
+        from aws_genaric_datapipeline_spark.sources.readers import read_evolved
+
+        return read_evolved(self.spark, self.cfg.raw_path, PART_KEY)
 
     def prepared(self) -> DataFrame:
-        return self.spark.read.option("mergeSchema", "true").parquet(self.cfg.prepared_path)
+        from aws_genaric_datapipeline_spark.sources.readers import read_evolved
+
+        return read_evolved(self.spark, self.cfg.prepared_path, PART_KEY)
 
 
 # Template registry: the engine analog of the reference's template dispatch

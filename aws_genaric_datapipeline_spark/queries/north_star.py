@@ -2086,3 +2086,124 @@ def dedup_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("csz").cast("bigint").alias("cluster_size"),
         "centrality",
     )
+
+
+@query(
+    "text_unigram_logprob_quality",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(c) AS n FROM tc),
+        perdoc AS (
+            SELECT t.doc_id, COUNT(*) AS cnt,
+                   round(avg(ln(tc.c / (SELECT n FROM tot))), 4) AS alp
+            FROM toks t JOIN tc ON tc.tok = t.tok
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.cnt, 0) AS BIGINT) AS n_tokens,
+               p.alp AS avg_logprob
+        FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    """,
+    tags=("north-star", "text"),
+)
+def text_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring — the perplexity-proxy
+    filter of CCNet-style curation (Wenzek et al. 2020 use a KenLM
+    n-gram model; the unigram MLE is its deterministic, SQL-replayable
+    core): train token log-probabilities on the corpus itself (one
+    count aggregation), score every document by the MEAN log-prob of
+    its tokens.  Very negative scores = rare-token-heavy documents
+    (gibberish, OCR noise, exotic boilerplate) — the usual cut is a
+    percentile threshold downstream.  Empty documents surface with
+    n_tokens = 0 and NULL score (no silent drop).
+
+    Scale shape: the model IS a (token, count) aggregate — vocabulary-
+    sized, not corpus-sized; the scoring join shuffles on token where
+    stopword keys are hot, which AQE skew-join splits (or broadcast the
+    model when the vocabulary fits, the common case).  Every value is a
+    count ratio — exact in doubles below 2^53 — so the only cross-
+    engine noise is ln()/summation-order ulps, absorbed by round-4.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.agg(F.sum("c").alias("n"))
+    perdoc = (
+        toks.join(tc, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("lp"), 4).alias("alp"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.col("alp").alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "report_source_kl_divergence",
+    oracle=f"""
+        WITH toks AS (SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents),
+        sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (SELECT source, SUM(c) AS n FROM sc GROUP BY 1),
+        cc AS (SELECT tok, SUM(c) AS c2 FROM sc GROUP BY 1),
+        ct AS (SELECT SUM(c2) AS n2 FROM cc)
+        SELECT sc.source,
+               CAST(st.n AS BIGINT) AS n_tokens,
+               round(SUM((sc.c / st.n) * ln((sc.c / st.n)
+                     / (cc.c2 / (SELECT n2 FROM ct)))), 4) AS kl_nats
+        FROM sc JOIN st USING (source) JOIN cc USING (tok)
+        GROUP BY sc.source, st.n
+    """,
+    tags=("north-star", "text", "diagnostics"),
+)
+def report_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+    token distributions, in nats — the data-mixing diagnostic that flags a
+    source whose language diverges from the blend (domain shift, encoding
+    rot, a scraper gone wrong) before it skews training.  KL is finite by
+    construction here: every source token occurs in the corpus
+    distribution (P ≪ Q), so no smoothing is needed.
+
+    Scale shape: everything reduces to (source, token) and (token) count
+    aggregates — two shuffles over token keys, vocabulary-sized outputs,
+    corpus never re-shuffled; the final per-source sum is a handful of
+    rows.  Same float-parity posture as the unigram scorer (exact count
+    ratios; round-4 absorbs ln/summation ulps).
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = documents.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = sc.groupBy("tok").agg(F.sum("c").alias("c2"))
+    ct = cc.agg(F.sum("c2").alias("n2"))
+    p = F.col("c") / F.col("n")
+    q = F.col("c2") / F.col("n2")
+    return (
+        sc.join(st, "source")
+        .join(cc, "tok")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_nats"))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "kl_nats",
+        )
+    )

@@ -127,3 +127,87 @@ def read_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     else:
         raise ValueError(f"unknown source kind: {src.kind}")
     return validate_schema(df, cfg)
+
+
+# -------------------------------------------------- schema-evolution reads
+# Sanctioned widenings for cross-batch type drift, the standard parquet
+# evolution set: within the integral chain, within the float chain, and
+# integral→double (SQL type-precedence promotion).  Everything else —
+# string vs int, struct shape changes, decimal drift — is a REAL
+# incompatibility and must fail loudly, not null-fill.
+_INT_CHAIN = ["tinyint", "smallint", "int", "bigint"]
+_FLT_CHAIN = ["float", "double"]
+
+
+def _widen(a: str, b: str) -> str | None:
+    """Widest common type of two simpleString type names, else None."""
+    if a == b:
+        return a
+    if a in _INT_CHAIN and b in _INT_CHAIN:
+        return max(a, b, key=_INT_CHAIN.index)
+    if a in _FLT_CHAIN and b in _FLT_CHAIN:
+        return max(a, b, key=_FLT_CHAIN.index)
+    if (a in _INT_CHAIN and b in _FLT_CHAIN) or (a in _FLT_CHAIN and b in _INT_CHAIN):
+        return "double"
+    return None
+
+
+def read_evolved(spark: SparkSession, path: str, part_key: str) -> DataFrame:
+    """Whole-table read across schema-evolved batch partitions.
+
+    Spark's ``mergeSchema`` unions footers but REFUSES type conflicts —
+    a table whose later batches widened a column (int→bigint, the most
+    common parquet evolution) becomes unreadable as a whole.  This read
+    reconciles per-partition schemas explicitly:
+
+    - added columns: union (null for batches that predate them) — same
+      semantics mergeSchema gives;
+    - widened types (_widen): every batch CAST to the widest observed
+      type, so int and bigint batches coexist losslessly;
+    - anything else: SchemaMismatchError naming the column and both
+      types — the silent gap SURVEY §1.2 calls out (the reference
+      inferred per-run and never reconciled).
+
+    Cost shape: one footer-only schema probe per batch PARTITION (control-
+    plane count, not data), then one read per partition unioned by name —
+    each branch is still a full distributed parquet scan with pruning
+    intact, and Catalyst collapses the union into parallel file groups.
+    Falls back to a plain mergeSchema read when the layout has no
+    ``part_key=`` directories (nothing to reconcile).
+    """
+    from pathlib import Path as _P
+
+    parts = sorted(p for p in _P(path).glob(f"{part_key}=*") if p.is_dir())
+    if not parts:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    branches = []
+    target: dict[str, str] = {}
+    for p in parts:
+        df = spark.read.option("basePath", path).parquet(str(p))
+        branches.append(df)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if f.name not in target:
+                target[f.name] = t
+                continue
+            w = _widen(target[f.name], t)
+            if w is None:
+                raise SchemaMismatchError(
+                    f"column {f.name!r}: incompatible types across batches "
+                    f"under {path}: {target[f.name]} vs {t} "
+                    f"(batch {p.name}); only additive columns and numeric "
+                    f"widenings are reconcilable"
+                )
+            target[f.name] = w
+    out = None
+    for df in branches:
+        casted = df.select(
+            *[
+                F.col(c).cast(target[c]).alias(c)
+                for c in df.columns
+            ]
+        )
+        out = casted if out is None else out.unionByName(
+            casted, allowMissingColumns=True
+        )
+    return out

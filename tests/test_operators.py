@@ -1407,3 +1407,54 @@ class TestPqIndex:
         )
         assert got.count() == 0
         assert got.columns == ["query_id", "neighbor_id", "approx_sim"]
+
+    def test_pq_append_equals_union_encode(self, spark, tmp_path):
+        """Incremental PQ maintenance: build on corpus A, append batch B —
+        query results must equal an index whose codes were encoded in one
+        pass over A∪B with the SAME codebooks (encoding is a pure function
+        of vector × codebook)."""
+        (emb,) = load(spark, SF, "embeddings")
+        a = emb.where(F.col("vec_id") % 2 == 0)
+        b = emb.where(F.col("vec_id") % 2 == 1)
+        idx = str(tmp_path / "pq_inc")
+        S.pq_build_index(a, idx)
+        S.pq_append_batch(spark, b, idx)
+
+        ref = str(tmp_path / "pq_ref")
+        S.pq_build_index(a, ref)  # same training corpus A -> same codebooks
+        cb = S._read_codebook(spark, f"{ref}/codebook")
+        S.pq_encode(emb, cb).write.mode("overwrite").parquet(f"{ref}/codes")
+
+        qids = [2, 3, 5, 8]
+        qdf = emb.where(F.col("vec_id").isin(qids))
+        got = sorted(map(tuple, S.pq_query_index(spark, idx, qdf, k=5).collect()))
+        want = sorted(map(tuple, S.pq_query_index(spark, ref, qdf, k=5).collect()))
+        assert got == want
+
+    def test_ivfpq_append_equals_union_build(self, spark, tmp_path):
+        (emb,) = load(spark, SF, "embeddings")
+        a = emb.where(F.col("vec_id") % 2 == 0)
+        b = emb.where(F.col("vec_id") % 2 == 1)
+        idx = str(tmp_path / "ivfpq_inc")
+        S.ivfpq_build_index(a, idx, num_cells=8)
+        S.ivfpq_append_batch(spark, b, idx)
+
+        ref = str(tmp_path / "ivfpq_ref")
+        S.ivfpq_build_index(a, ref, num_cells=8)
+        cb = S._read_codebook(spark, f"{ref}/codebook")
+        cents = spark.read.parquet(f"{ref}/centroids")
+        base = S._unit_vectors_np(emb, "vec_id", "embedding")
+        cellmap = S._assign_cells(base, cents, nprobe=1).select("vid", "cell_id")
+        S.pq_encode(emb, cb).join(cellmap, "vid").write.mode(
+            "overwrite"
+        ).partitionBy("cell_id").parquet(f"{ref}/codes")
+
+        qids = [2, 3, 5, 8]
+        qdf = emb.where(F.col("vec_id").isin(qids))
+        got = sorted(
+            map(tuple, S.ivfpq_query_index(spark, idx, qdf, k=5, nprobe=3).collect())
+        )
+        want = sorted(
+            map(tuple, S.ivfpq_query_index(spark, ref, qdf, k=5, nprobe=3).collect())
+        )
+        assert got == want

@@ -352,3 +352,71 @@ class TestSchemaEvolution:
             .collect()[0][0]
             == sum(range(10))
         )
+
+    def test_widened_type_across_batches_reconciles(self, spark, cfg):
+        """int→bigint widening across batches: mergeSchema alone refuses
+        the footer conflict; read_evolved must reconcile to the widest
+        type and union losslessly (the most common parquet evolution)."""
+        pipe = Pipeline(spark, cfg)
+        small = spark.createDataFrame(
+            [(f"a{i}", f"b{i}", f"c{i}", i) for i in range(5)],
+            "a string, b string, c string, score int",
+        )
+        pipe.ingest(small, batch_id="b1")
+        big = spark.createDataFrame(
+            [(f"a{i}", f"b{i}", f"c{i}", 10_000_000_000 + i) for i in range(5)],
+            "a string, b string, c string, score bigint",
+        )
+        pipe.ingest(big, batch_id="b2")
+
+        raw = pipe.raw()
+        assert dict(raw.dtypes)["score"] == "bigint"
+        assert raw.count() == 10
+        got = raw.agg(F.sum("score")).collect()[0][0]
+        assert got == sum(range(5)) + sum(10_000_000_000 + i for i in range(5))
+        # old-batch values survive the widening cast intact
+        assert (
+            raw.where(F.col("ETL_PART_KEY") == "b1").agg(F.sum("score")).collect()[0][0]
+            == sum(range(5))
+        )
+
+    def test_incompatible_type_across_batches_raises(self, spark, cfg):
+        """string vs int on the same column is NOT evolution — the whole-
+        table read must raise SchemaMismatchError naming the column, never
+        null-fill or pick a footer at random (SURVEY §1.2's silent gap)."""
+        pipe = Pipeline(spark, cfg)
+        pipe.ingest(
+            spark.createDataFrame(
+                [("a0", "b0", "c0", 1)], "a string, b string, c string, score int"
+            ),
+            batch_id="b1",
+        )
+        pipe.ingest(
+            spark.createDataFrame(
+                [("a1", "b1", "c1", "high")],
+                "a string, b string, c string, score string",
+            ),
+            batch_id="b2",
+        )
+        with pytest.raises(SchemaMismatchError, match="score"):
+            pipe.raw()
+
+    def test_incompatible_batch_does_not_block_other_promotes(self, spark, cfg):
+        """promote_batch reads only ITS batch partition: a type conflict
+        between two other batches cannot fail an unrelated promotion."""
+        pipe = Pipeline(spark, cfg)
+        pipe.ingest(
+            spark.createDataFrame(
+                [("a0", "b0", "c0", 1)], "a string, b string, c string, score int"
+            ),
+            batch_id="b1",
+        )
+        pipe.ingest(
+            spark.createDataFrame(
+                [("a1", "b1", "c1", "high")],
+                "a string, b string, c string, score string",
+            ),
+            batch_id="b2",
+        )
+        assert pipe.promote_batch("b1") == 1
+        assert pipe.promote_batch("b2") == 1
