@@ -131,3 +131,26 @@ def stream_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.where(F.col("event_type") == "click"),
         max_lag="1 hour",
     )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+        SELECT DISTINCT user_id, event_type,
+               date_trunc('minute', ts) AS minute
+        FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once event dedup (debounce to one row per
+    (user, type, minute)), batch-executed: the SAME operator the streaming
+    job runs via dropDuplicatesWithinWatermark — watermark-evicted per-key
+    state, so streaming memory is bounded by the duplicate horizon, not
+    stream length.  Batch/stream survivor-set equivalence is pinned by
+    tests/test_streaming.py::TestStreamingDedup; the oracle checks the
+    key-set semantics both modes share."""
+    from aws_genaric_datapipeline_spark.streaming.windows import debounce_dedup
+
+    (events,) = load(spark, sf_dir, "events")
+    return debounce_dedup(events)

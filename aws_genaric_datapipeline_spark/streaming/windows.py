@@ -170,3 +170,39 @@ def join_click_after_view(
     return v.join(c, cond, "inner").select(
         F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
     )
+
+
+def debounce_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """First-occurrence deduplication of (user_id, event_type, minute) keys
+    — the streaming exactly-once event-dedup shape a training-data ingest
+    runs in front of every downstream consumer: at-least-once upstreams
+    (replayed Kafka ranges, retried webhooks) emit duplicates that would
+    double-count into features and corpora.
+
+    Streaming mode uses ``dropDuplicatesWithinWatermark``: per-key state is
+    EVICTED once the watermark passes the key's event time, so state is
+    bounded by the duplicate-arrival horizon (the watermark) instead of
+    growing with the whole stream — the property plain ``dropDuplicates``
+    lacks in streaming (its state never expires).  A duplicate arriving
+    within the watermark of its first occurrence is dropped; one arriving
+    later than the watermark re-emits (the documented at-most-horizon
+    contract — size the watermark to the upstream's replay window).
+
+    Batch mode is the same projection + ``dropDuplicates``; the output is
+    the KEY COLUMNS ONLY, so the survivor set is deterministic in both
+    modes and a plain SELECT DISTINCT replays it (queries/streaming_windows
+    stream_dedup_events carries the oracle; batch/stream equivalence is
+    pinned by tests/test_streaming.py::TestStreamingDedup)."""
+    keyed = events.select(
+        "ts",
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+    )
+    if events.isStreaming:
+        dd = keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "minute"]
+        )
+    else:
+        dd = keyed.dropDuplicates(["user_id", "event_type", "minute"])
+    return dd.select("user_id", "event_type", "minute")

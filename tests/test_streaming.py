@@ -313,3 +313,48 @@ class TestTransformWithState:
         for uid, marks in per_user.items():
             assert marks == sorted(marks) and len(set(marks)) == len(marks)
             assert marks[-1] == batch_max[uid]
+
+
+class TestStreamingDedup:
+    def test_debounce_dedup_stream_matches_batch(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark over availableNow produces exactly
+        the batch distinct key set, with in-watermark duplicates dropped."""
+        from aws_genaric_datapipeline_spark.streaming.windows import debounce_dedup
+
+        src = str(tmp_path / "events")
+        # 3 users x 2 types across minutes, every event written TWICE
+        # (at-least-once upstream), plus a same-minute triple
+        rows = []
+        eid = 0
+        for i in range(30):
+            for _dup in range(2):
+                rows.append(
+                    _event(eid, minute=(i * 3) % 60, user=i % 3,
+                           etype="view" if i % 2 else "click")
+                )
+                eid += 1
+        _write_events(spark, src, rows)
+
+        batch = spark.read.parquet(src)
+        expected = sorted(
+            (r["user_id"], r["event_type"], r["minute"])
+            for r in debounce_dedup(batch).collect()
+        )
+        assert expected and len(expected) < len(rows), "dedup must drop rows"
+
+        stream = stream_events(spark, src)
+        q = (
+            debounce_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["user_id"], r["event_type"], r["minute"])
+            for r in spark.sql("SELECT * FROM dedup_sink").collect()
+        )
+        assert got == expected
