@@ -437,6 +437,27 @@ def adaptive_num_planes(
     return max(min_planes, min(max_planes, raw))
 
 
+def adaptive_num_cells(
+    corpus_count: int, min_cells: int = 4, max_cells: int = 1 << 18
+) -> int:
+    """Size the IVF coarse quantizer from the corpus: cells = clamp to
+    [min, max] of the power of two nearest √N — the standard FAISS sizing
+    (cells ≈ √N balances the two scan legs: queries probe
+    nprobe·N/cells candidates after a cells-sized centroid argmax, and
+    √N minimizes cells + N/cells).  A FIXED cell count has the same
+    failure mode the fixed LSH plane count had: at 1000× vectors each
+    cell holds 1000× more, and probe cost grows linearly with the corpus
+    instead of with √N.  Deterministic integer function of the count —
+    usable at build time (ivf_build_index/ivfpq_build_index take the
+    result as num_cells) without touching query-side replayability, since
+    the trained centroids are persisted with the index."""
+    import math
+
+    n = max(int(corpus_count), 1)
+    cells = 1 << round(math.log2(math.sqrt(n))) if n > 1 else min_cells
+    return max(min_cells, min(max_cells, cells))
+
+
 def lsh_candidate_pairs(
     base: DataFrame,
     num_planes: int,

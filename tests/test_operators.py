@@ -1458,3 +1458,27 @@ class TestPqIndex:
             map(tuple, S.ivfpq_query_index(spark, ref, qdf, k=5, nprobe=3).collect())
         )
         assert got == want
+
+
+class TestAdaptiveCells:
+    def test_sqrt_n_sizing(self):
+        ap = S.adaptive_num_cells
+        assert ap(1) == 4            # floor clamp
+        assert ap(256) == 16         # sqrt(256) = 16 exactly
+        assert ap(1_000_000) == 1024 # sqrt(1e6) = 1000 -> nearest pow2
+        assert ap(10**14) == 1 << 18 # ceiling clamp
+        # monotone non-decreasing over decades
+        vals = [ap(10**k) for k in range(0, 12)]
+        assert vals == sorted(vals)
+
+    def test_build_accepts_adaptive_cells(self, spark, tmp_path):
+        (emb,) = load(spark, SF, "embeddings")
+        n = emb.count()
+        cells = S.adaptive_num_cells(n)
+        idx = str(tmp_path / "ivf_ad")
+        S.ivf_build_index(emb, idx, num_cells=cells)
+        got = S.ivf_query_index(
+            spark, idx, emb.where(F.col("vec_id").isin([1, 2])), k=3,
+            nprobe=min(4, cells),
+        )
+        assert got.groupBy("query_id").count().count() == 2

@@ -426,3 +426,68 @@ class TestPqPlans:
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound7Plans:
+    """Plan gates for round-7 additions."""
+
+    def test_unigram_quality_no_cartesian_and_jvm_only(self, spark):
+        """Unigram-LM scoring: the corpus-total frame is a broadcast 1-row
+        crossJoin (never a cartesian of data), the scoring join is hash on
+        token, and the whole pipeline stays JVM-side (no Python eval)."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        plan = explain_str(QUERIES["text_unigram_logprob_quality"].fn(spark, SF))
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    def test_source_kl_vocab_sized_aggregates(self, spark):
+        """KL drift: every shuffle is over (source[, token]) aggregate keys
+        — vocabulary-sized frames — and the corpus-total is a broadcast
+        1-row crossJoin; no Python eval."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        df = QUERIES["report_source_kl_divergence"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    def test_stream_dedup_batch_single_exchange(self, spark):
+        """Batch-mode debounce dedup is one hash aggregate over the key —
+        a single corpus exchange (plus AQE reads), no window, no join."""
+        from aws_genaric_datapipeline_spark.plans import explain_str, shuffle_count
+
+        df = QUERIES["stream_dedup_events"].fn(spark, SF)
+        plan = explain_str(df)
+        assert shuffle_count(df) <= 1, plan
+        assert "Window" not in plan and "Join" not in plan, plan
+
+    def test_adaptive_lsh_candidates_shuffle_keys_only(self, spark):
+        """The SemDeDup candidate self-join must not carry unit vectors:
+        the exploded (tbl, bucket, vid) frame joins on (tbl, bucket) with
+        id-only payloads; vectors re-enter per verified pair."""
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            LSH_MAX_PLANES,
+            lsh_candidate_pairs,
+            with_unit_vectors,
+        )
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        (emb,) = load(spark, SF, "embeddings")
+        base = with_unit_vectors(emb, "embedding").select(
+            F.col("vec_id").alias("vid"), F.col("unit_vec").alias("uvec")
+        )
+        cand = lsh_candidate_pairs(
+            base, 5, 12, stride=LSH_MAX_PLANES, max_bucket_width=256
+        )
+        plan = explain_str(cand)
+        # every hash-partitioned exchange (the candidate-join shuffles) must
+        # carry only key/id columns — never the wide vector payload (the
+        # round-robin input repartitions before bucketing are exempt: they
+        # move the corpus once, pre-explosion)
+        for seg in plan.split("Exchange")[1:]:
+            head = seg[:400]
+            if "hashpartitioning" in head:
+                assert "uvec" not in head and "embedding" not in head, head
+        # the join itself: hash join on (tbl, bucket), never nested-loop
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
