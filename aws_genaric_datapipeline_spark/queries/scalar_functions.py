@@ -396,3 +396,102 @@ def func_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("k_sum"))
     )
+
+
+@query(
+    "func_try_arithmetic",
+    oracle="""
+        WITH per AS (
+            SELECT user_id, event_type, value,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'view')  AS BIGINT) AS views,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS clicks,
+                   round(SUM(value / NULLIF(k, 0)), 4) AS risky_ratio_sum
+            FROM per GROUP BY user_id
+        )
+        SELECT user_id, views, clicks,
+               round(clicks / NULLIF(views, 0), 4) AS click_rate,
+               risky_ratio_sum
+        FROM agg
+    """,
+    tags=("functions", "ansi"),
+)
+def func_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic with the try_* family — Spark 4 runs ANSI mode
+    by DEFAULT, so a plain value/0 THROWS mid-job instead of returning
+    null (the silent pre-4 behavior): production aggregations over dirty
+    denominators must reach for try_divide, which yields NULL exactly
+    where legacy mode yielded null but without disabling overflow
+    protection everywhere else.  Two real shapes: a row-level ratio
+    against a sometimes-zero JSON field (NULLs skip the SUM, matching
+    SQL aggregate semantics) and an aggregate-level conversion rate for
+    users with zero views.  The oracle replays NULL-on-zero with
+    NULLIF denominators — the portable spelling of the same semantics.
+    All JVM expressions, whole-stage codegen intact."""
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    per = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.try_divide(F.col("value"), k).alias("vk"),
+    )
+    agg = per.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.round(F.sum("vk"), 4).alias("risky_ratio_sum"),
+    )
+    return agg.select(
+        "user_id",
+        "views",
+        "clicks",
+        F.round(F.try_divide(F.col("clicks"), F.col("views")), 4).alias("click_rate"),
+        "risky_ratio_sum",
+    )
+
+
+@query(
+    "func_url_parse",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/doc/' || doc_id
+                       || '?lang=' || lang AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, 'lang=([^&#]*)', 1) AS lang_param
+        FROM u
+    """,
+    tags=("functions", "string"),
+)
+def func_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the parse_url built-in — the source-
+    attribution / host-level-dedup key extraction every web-scraped
+    corpus runs (host grouping for per-domain rate stats, path for
+    near-dup URL canonicalization, query params for tracking-noise
+    stripping).  The URL is constructed deterministically from table
+    columns so the oracle replays HOST/PATH/QUERY(lang) with anchored
+    regexes — the portable spelling of the same decomposition.  JVM
+    expression, codegen intact; at scale this is a map-only projection."""
+    (documents,) = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return documents.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
