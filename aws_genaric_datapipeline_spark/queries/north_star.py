@@ -2121,11 +2121,14 @@ def text_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = 0 and NULL score (no silent drop).
 
     Scale shape: the model IS a (token, count) aggregate — vocabulary-
-    sized, not corpus-sized; the scoring join shuffles on token where
-    stopword keys are hot, which AQE skew-join splits (or broadcast the
-    model when the vocabulary fits, the common case).  Every value is a
-    count ratio — exact in doubles below 2^53 — so the only cross-
-    engine noise is ln()/summation-order ulps, absorbed by round-4.
+    sized, not corpus-sized — and it BROADCASTS into the scoring join, so
+    the corpus never shuffles on token (whose stopword keys are the
+    textbook skew case) and scoring is map-side.  If a corpus's
+    vocabulary ever exceeds the broadcast threshold, drop the hint and
+    let AQE skew-join split the hot keys — same result, one extra
+    shuffle.  Every value is a count ratio — exact in doubles below
+    2^53 — so the only cross-engine noise is ln()/summation-order ulps,
+    absorbed by round-4.
     """
     (documents,) = load(spark, sf_dir, "documents")
     toks = documents.select(
@@ -2134,7 +2137,7 @@ def text_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = tc.agg(F.sum("c").alias("n"))
     perdoc = (
-        toks.join(tc, "tok")
+        toks.join(F.broadcast(tc), "tok")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
         .groupBy("doc_id")

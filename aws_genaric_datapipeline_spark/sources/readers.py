@@ -173,7 +173,12 @@ def read_evolved(spark: SparkSession, path: str, part_key: str) -> DataFrame:
     each branch is still a full distributed parquet scan with pruning
     intact, and Catalyst collapses the union into parallel file groups.
     Falls back to a plain mergeSchema read when the layout has no
-    ``part_key=`` directories (nothing to reconcile).
+    ``part_key=`` directories (nothing to reconcile).  Partition discovery
+    here is filesystem-path based (local/NFS layouts — this repo's
+    deployment); an object-store table (s3://...) takes the fallback
+    branch — route those through a catalog-registered table whose
+    partitions the metastore enumerates, the same reconciliation applied
+    per metastore partition.
     """
     from pathlib import Path as _P
 

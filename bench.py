@@ -73,6 +73,8 @@ HEADLINE = [
     "sim_lsh_near_pairs",
     "sim_pq_query_only",
     "sim_ivfpq_query_only",
+    "text_unigram_logprob_quality",
+    "stream_dedup_events",
 ]
 
 

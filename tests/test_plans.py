@@ -432,12 +432,18 @@ class TestRound7Plans:
     """Plan gates for round-7 additions."""
 
     def test_unigram_quality_no_cartesian_and_jvm_only(self, spark):
-        """Unigram-LM scoring: the corpus-total frame is a broadcast 1-row
-        crossJoin (never a cartesian of data), the scoring join is hash on
-        token, and the whole pipeline stays JVM-side (no Python eval)."""
-        from aws_genaric_datapipeline_spark.plans import explain_str
+        """Unigram-LM scoring: the vocabulary-sized model BROADCASTS into
+        the scoring join (the corpus never shuffles on skewed token keys),
+        the corpus-total frame is a broadcast 1-row crossJoin (never a
+        cartesian of data), and the whole pipeline stays JVM-side."""
+        from aws_genaric_datapipeline_spark.plans import (
+            explain_str,
+            has_broadcast_hash_join,
+        )
 
-        plan = explain_str(QUERIES["text_unigram_logprob_quality"].fn(spark, SF))
+        df = QUERIES["text_unigram_logprob_quality"].fn(spark, SF)
+        plan = explain_str(df)
+        assert has_broadcast_hash_join(df), plan
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
