@@ -1482,3 +1482,36 @@ class TestAdaptiveCells:
             nprobe=min(4, cells),
         )
         assert got.groupBy("query_id").count().count() == 2
+
+
+class TestAdaptiveLshRecall:
+    def test_planted_near_dups_recovered(self, spark):
+        """Recall contract at near-duplicate thresholds: with planes sized
+        adaptively for the corpus, planted high-cosine pairs (≥0.9) are
+        recovered at ≥90% — the regime the LSH defaults are built for
+        (1-(1-p^b)^L with p ≥ 0.9 at these angles)."""
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        dim, n_noise, n_pairs = 16, 1500, 40
+        rows = []
+        for i in range(n_noise):
+            rows.append((i, [float(x) for x in rng.normal(size=dim)]))
+        planted = []
+        for j in range(n_pairs):
+            v = rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            w = v + rng.normal(size=dim) * 0.05  # cosine ≈ 0.99
+            a, b = 100_000 + 2 * j, 100_000 + 2 * j + 1
+            rows.append((a, [float(x) for x in v]))
+            rows.append((b, [float(x) for x in w]))
+            planted.append((a, b))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in S.cosine_near_pairs(
+                df, threshold=0.9, dim=dim, num_tables=10, target_bucket_size=64
+            ).collect()
+        }
+        hits = sum(1 for p in planted if p in got)
+        assert hits / n_pairs >= 0.9, (hits, n_pairs)

@@ -114,3 +114,36 @@ class TestCodecProperties:
         # nearest-neighbor introduces no new colors
         src = {tuple(p) for p in img.reshape(-1, 3)}
         assert {tuple(p) for p in out.reshape(-1, 3)} <= src
+
+
+class TestAdaptiveSizingProperties:
+    @given(n=st.integers(min_value=1, max_value=10**15))
+    @settings(max_examples=200, deadline=None)
+    def test_adaptive_planes_bounded_and_monotone_step(self, n):
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            LSH_MAX_PLANES,
+            adaptive_num_planes,
+        )
+
+        p = adaptive_num_planes(n)
+        assert 3 <= p <= LSH_MAX_PLANES
+        # monotone: more data never means fewer planes
+        assert adaptive_num_planes(n * 2) >= p
+        # bucket-width invariant inside the unclamped band: expected width
+        # N/2^p stays within [target/2, target] up to the ceil step
+        target = 64
+        if p not in (3, LSH_MAX_PLANES):
+            assert n / (1 << p) <= target + 1e-9
+
+    @given(n=st.integers(min_value=1, max_value=10**15))
+    @settings(max_examples=200, deadline=None)
+    def test_adaptive_cells_bounded_and_monotone(self, n):
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            adaptive_num_cells,
+        )
+
+        c = adaptive_num_cells(n)
+        assert 4 <= c <= 1 << 18
+        assert adaptive_num_cells(n * 2) >= c
+        # power of two
+        assert c & (c - 1) == 0
