@@ -168,6 +168,8 @@ def lsh_bucketed_topk(
     dim: int = 64,
     num_planes: int = 6,
     num_tables: int = 8,
+    target_bucket_size: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH buckets,
     exact cosine re-rank on the candidate union.
@@ -178,8 +180,19 @@ def lsh_bucketed_topk(
     1-(1-p^b)^L).  The corpus-wide crossJoin of cosine_topk becomes an
     equi-join on (table, bucket) — per-table candidate count drops
     ~2^num_planes-fold; tune (b, L) for the recall/cost point.
+
+    ``target_bucket_size`` switches on corpus-adaptive plane sizing (same
+    contract as cosine_near_pairs: count-derived planes at the fixed
+    LSH_MAX_PLANES stride), keeping per-query candidate counts
+    ~num_tables·target_bucket_size at ANY corpus size instead of growing
+    as N/2^planes.
     """
-    buckets = _lsh_buckets_udf(dim, num_planes, num_tables)
+    stride = None
+    if target_bucket_size is not None:
+        n = corpus_count if corpus_count is not None else df.count()
+        num_planes = adaptive_num_planes(n, target_bucket_size)
+        stride = LSH_MAX_PLANES
+    buckets = _lsh_buckets_udf(dim, num_planes, num_tables, stride=stride)
     base = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("nid"),
         F.col("unit_vec").alias("nvec"),

@@ -1515,3 +1515,22 @@ class TestAdaptiveLshRecall:
         }
         hits = sum(1 for p in planted if p in got)
         assert hits / n_pairs >= 0.9, (hits, n_pairs)
+
+
+class TestAdaptiveLshTopk:
+    def test_adaptive_topk_returns_neighbors_with_recall(self, spark):
+        (emb,) = load(spark, SF, "embeddings")
+        qids = [1, 2, 3, 4, 5]
+        got = S.lsh_bucketed_topk(
+            emb, query_ids=qids, k=5, num_tables=12, target_bucket_size=64
+        )
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert set(by_q) == set(qids)
+        exact = S.cosine_topk(emb, qids, k=5)
+        exact_by_q = {}
+        for r in exact.collect():
+            exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(by_q.get(q, set()) & exact_by_q[q]) for q in qids)
+        assert hits / (5 * len(qids)) >= 0.4, by_q
