@@ -834,3 +834,168 @@ def winnow_near_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+# ------------------------------------------- incremental MinHash near-dup index
+def _doc_band_keys(sets: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Per-DOCUMENT fused band keys (did, bkey) from an exploded distinct-
+    shingle frame: the same md5-31-bit base hash + Carter-Wegman signature
+    + md5-60-bit band-slice keys as _band_candidates, with (band, slice)
+    fused into ONE xxhash64 column so a persisted index can bucket on a
+    single key and every band join is co-located on it.  A fused-key
+    collision across bands (~2^-64) can only ADD a candidate pair —
+    verification is exact, so results never change."""
+    r = num_hashes // bands
+    h31 = F.shiftright(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"), 1
+    )
+    sig = sets.withColumn("h", h31).groupBy("did").agg(
+        F.array(
+            *[
+                F.min((F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % F.lit(_MH_P))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig")
+    )
+    return sig.select(
+        "did",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ",",
+                                        *[
+                                            F.col("sig")[b * r + j].cast("string")
+                                            for j in range(r)
+                                        ],
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bkey"),
+    )
+
+
+def _hashed_token_arrays(sets: DataFrame) -> DataFrame:
+    """(did, toks) with the sorted xxhash64'd distinct-shingle array — the
+    compact verify-side representation (8 B per shingle; equal grams hash
+    equal, and a 64-bit collision among distinct corpus shingles is the
+    documented negligible class)."""
+    return (
+        sets.select("did", F.xxhash64("tok").alias("tok"))
+        .groupBy("did")
+        .agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+    )
+
+
+def minhash_build_index(
+    corpus_df: DataFrame,
+    bands_table: str,
+    toks_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    num_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's MinHash band keys + verify arrays as bucketed
+    catalog tables — the NEAR-duplicate analog of write_fingerprint_index:
+    sketch the 100 TB corpus ONCE at ingest, then dedup every incoming
+    batch against it without re-reading or re-shuffling corpus text.
+
+    Two tables: ``bands_table`` (did, bkey) bucketed by the fused band key
+    — the candidate join side — and ``toks_table`` (did, toks) bucketed by
+    did — the exact-Jaccard verification side, joined only for candidate
+    docs.  After promoting a batch, append ITS rows with ``mode="append"``
+    (bucket metadata lives in the metastore; appended files land in their
+    buckets), keeping the index join-ready with per-batch cost — the same
+    maintenance contract as the ANN index appends.
+    """
+    from aws_genaric_datapipeline_spark.operators.bucketing import write_bucketed
+
+    sets = _token_sets(corpus_df, id_col, text_col, shingle_n)
+    write_bucketed(
+        _doc_band_keys(sets, num_hashes, bands),
+        bands_table,
+        ["bkey"],
+        num_buckets,
+        mode=mode,
+    )
+    write_bucketed(
+        _hashed_token_arrays(sets), toks_table, ["did"], num_buckets, mode=mode
+    )
+
+
+def minhash_query_index(
+    spark,
+    new_df: DataFrame,
+    bands_table: str,
+    toks_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs between an incoming batch and the standing
+    corpus index: (batch_id, corpus_id, jaccard) for exact Jaccard ≥
+    threshold among banded-LSH candidates — the INCREMENTAL near-dedup
+    pass a training pipeline runs per ingest batch, at per-batch cost.
+
+    Shuffle shape: the batch side (keys + its own token arrays) shuffles
+    into the index's bucket layouts; the corpus side reads its band and
+    verify buckets CO-LOCATED — zero Exchange on the 100 TB side for both
+    the candidate join and the verification join (plan-gated in
+    tests/test_plans.py::TestMinhashIndex).  Use the same (num_hashes,
+    bands, shingle_n) the index was built with."""
+    bsets = _token_sets(new_df, id_col, text_col, shingle_n)
+    bkeys = _doc_band_keys(bsets, num_hashes, bands).withColumnsRenamed(
+        {"did": "batch_id"}
+    )
+    cand = (
+        bkeys.join(spark.table(bands_table), "bkey")
+        .select("batch_id", F.col("did").alias("corpus_id"))
+        .dropDuplicates()
+    )
+    btoks = _hashed_token_arrays(bsets).withColumnsRenamed(
+        {"did": "batch_id", "toks": "toks_b"}
+    )
+    ctoks = spark.table(toks_table).withColumnsRenamed(
+        {"did": "corpus_id", "toks": "toks_a"}
+    )
+    inter = (
+        cand.withColumnsRenamed({"corpus_id": "did"})
+        .join(ctoks.withColumnsRenamed({"corpus_id": "did"}), "did")
+        .withColumnsRenamed({"did": "corpus_id"})
+        .join(btoks, "batch_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("ni"),
+            F.size("toks_a").alias("sa"),
+            F.size("toks_b").alias("sb"),
+        )
+    )
+    return inter.select(
+        "batch_id",
+        "corpus_id",
+        F.round(
+            F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")).cast("double"), 4
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)

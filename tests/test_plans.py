@@ -497,3 +497,47 @@ class TestRound7Plans:
                 assert "uvec" not in head and "embedding" not in head, head
         # the join itself: hash join on (tbl, bucket), never nested-loop
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+class TestMinhashIndex:
+    def test_incremental_near_dedup_matches_one_shot_and_is_bucketed(self, spark):
+        """minhash_query_index vs a persisted band/verify index: the
+        cross-(batch, corpus) near-dup pairs must equal the one-shot
+        minhash_lsh_pairs over the union corpus, and both index scans must
+        engage their bucket layouts (the corpus side never re-shuffles)."""
+        from aws_genaric_datapipeline_spark.operators.dedup import (
+            minhash_build_index,
+            minhash_lsh_pairs,
+            minhash_query_index,
+        )
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        (documents,) = load(spark, SF, "documents")
+        batch = documents.where(F.col("doc_id") % 5 == 0)
+        corpus = documents.where(F.col("doc_id") % 5 != 0)
+        minhash_build_index(corpus, "mh_bands_t", "mh_toks_t")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = minhash_query_index(
+                spark, batch, "mh_bands_t", "mh_toks_t", threshold=0.8
+            )
+            got = {
+                (r["batch_id"], r["corpus_id"], r["jaccard"]) for r in out.collect()
+            }
+            want = set()
+            for r in minhash_lsh_pairs(
+                documents, shingle_n=3, threshold=0.8
+            ).collect():
+                a, b = r["id_a"], r["id_b"]
+                if a % 5 == 0 and b % 5 != 0:
+                    want.add((a, b, r["jaccard"]))
+                elif b % 5 == 0 and a % 5 != 0:
+                    want.add((b, a, r["jaccard"]))
+            assert got == want, (got - want, want - got)
+            plan = explain_str(out)
+            assert plan.count("Bucketed: true") == 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS mh_bands_t")
+            spark.sql("DROP TABLE IF EXISTS mh_toks_t")
