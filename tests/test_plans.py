@@ -541,3 +541,40 @@ class TestMinhashIndex:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS mh_bands_t")
             spark.sql("DROP TABLE IF EXISTS mh_toks_t")
+
+    def test_index_append_equals_full_build(self, spark):
+        """Maintenance contract: building on corpus A then appending batch
+        B's rows (mode='append') serves queries identically to an index
+        built on A∪B in one pass — band keys and verify arrays are pure
+        per-doc functions, so appends never need a rebuild."""
+        from aws_genaric_datapipeline_spark.operators.dedup import (
+            minhash_build_index,
+            minhash_query_index,
+        )
+
+        (documents,) = load(spark, SF, "documents")
+        a = documents.where(F.col("doc_id") % 3 == 0)
+        b = documents.where(F.col("doc_id") % 3 == 1)
+        probe = documents.where(F.col("doc_id") % 3 == 2)
+        try:
+            minhash_build_index(a, "mh_b_inc", "mh_t_inc")
+            minhash_build_index(b, "mh_b_inc", "mh_t_inc", mode="append")
+            minhash_build_index(
+                a.unionByName(b), "mh_b_full", "mh_t_full"
+            )
+            got = {
+                (r["batch_id"], r["corpus_id"], r["jaccard"])
+                for r in minhash_query_index(
+                    spark, probe, "mh_b_inc", "mh_t_inc", threshold=0.7
+                ).collect()
+            }
+            want = {
+                (r["batch_id"], r["corpus_id"], r["jaccard"])
+                for r in minhash_query_index(
+                    spark, probe, "mh_b_full", "mh_t_full", threshold=0.7
+                ).collect()
+            }
+            assert got == want
+        finally:
+            for t in ("mh_b_inc", "mh_t_inc", "mh_b_full", "mh_t_full"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
