@@ -1193,3 +1193,105 @@ def ivfpq_append_batch(
     cellmap = _assign_cells(base, centroids, nprobe=1).select("vid", "cell_id")
     coded = pq_encode(new_df, codebook, id_col, vec_col).join(cellmap, "vid")
     coded.write.mode("append").partitionBy("cell_id").parquet(f"{index_path}/codes")
+
+
+# ------------------------------------------ incremental embedding LSH index
+def lsh_build_index(
+    corpus_df: DataFrame,
+    buckets_table: str,
+    vecs_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 10,
+    num_planes: int | None = None,
+    target_bucket_size: int = 64,
+    dim: int = 64,
+    num_buckets: int = 8,
+    mode: str = "overwrite",
+) -> int:
+    """Persist the corpus's hyperplane-LSH buckets + unit vectors as
+    bucketed catalog tables — the EMBEDDING analog of minhash_build_index:
+    bucket the 100 TB embedding corpus once at ingest, then find each
+    incoming batch's semantic near-duplicates against it at per-batch cost
+    (the incremental SemDeDup ingest gate).
+
+    ``num_planes=None`` derives the count adaptively from the corpus
+    (adaptive_num_planes at the fixed LSH_MAX_PLANES stride).  RETURNS the
+    plane count used — appends and queries must reuse it (bucket ids are a
+    function of it), so callers thread it through; passing a different
+    count against a standing index would silently mis-bucket, which is why
+    query/append take it explicitly rather than re-deriving from a corpus
+    that has since grown.
+
+    Tables: ``buckets_table`` (vid, bkey) with bkey = xxhash64(tbl,
+    bucket), bucketed by bkey (candidate join side — a fused-key collision
+    across tables can only ADD a candidate; verification is exact);
+    ``vecs_table`` (vid, uvec) bucketed by vid (exact-cosine re-rank side,
+    joined only for candidate ids).  Append a promoted batch's rows with
+    ``mode="append"`` — per-batch maintenance, no rebuild.
+    """
+    from aws_genaric_datapipeline_spark.operators.bucketing import write_bucketed
+
+    if num_planes is None:
+        num_planes = adaptive_num_planes(corpus_df.count(), target_bucket_size)
+    base = with_unit_vectors(corpus_df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("unit_vec").alias("uvec")
+    )
+    buckets = _lsh_buckets_udf(dim, num_planes, num_tables, stride=LSH_MAX_PLANES)
+    keys = base.select(
+        "vid", F.posexplode(buckets(F.col("uvec"))).alias("tbl", "bucket")
+    ).select("vid", F.xxhash64("tbl", "bucket").alias("bkey"))
+    write_bucketed(keys, buckets_table, ["bkey"], num_buckets, mode=mode)
+    write_bucketed(
+        base, vecs_table, ["vid"], num_buckets, mode=mode
+    )
+    return num_planes
+
+
+def lsh_query_index(
+    spark,
+    new_df: DataFrame,
+    buckets_table: str,
+    vecs_table: str,
+    num_planes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 10,
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic near-duplicates between an incoming embedding batch and
+    the standing corpus index: (batch_id, corpus_id, cosine_sim) with
+    exact cosine ≥ threshold among LSH candidates — the per-ingest-batch
+    SemDeDup check, at per-batch cost.
+
+    Shuffle shape mirrors minhash_query_index: the batch's keys and unit
+    vectors shuffle into the index's bucket layouts; the corpus bucket and
+    vector tables read CO-LOCATED (zero corpus-side Exchange, plan-gated
+    in tests/test_plans.py::TestLshIndex).  ``num_planes`` must be the
+    value lsh_build_index returned for this index."""
+    base = with_unit_vectors(new_df, vec_col).select(
+        F.col(id_col).alias("batch_id"), F.col("unit_vec").alias("bvec")
+    )
+    buckets = _lsh_buckets_udf(dim, num_planes, num_tables, stride=LSH_MAX_PLANES)
+    bkeys = base.select(
+        "batch_id", F.posexplode(buckets(F.col("bvec"))).alias("tbl", "bucket")
+    ).select("batch_id", F.xxhash64("tbl", "bucket").alias("bkey"))
+    cand = (
+        bkeys.join(spark.table(buckets_table), "bkey")
+        .select("batch_id", F.col("vid").alias("corpus_id"))
+        .dropDuplicates()
+    )
+    cvecs = spark.table(vecs_table).withColumnsRenamed({"uvec": "cvec"})
+    scored = (
+        cand.withColumnsRenamed({"corpus_id": "vid"})
+        .join(cvecs, "vid")
+        .withColumnsRenamed({"vid": "corpus_id"})
+        .join(base, "batch_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(_pair_dot()(F.col("bvec"), F.col("cvec")), 4).alias("cosine_sim"),
+        )
+    )
+    return scored.where(F.col("cosine_sim") >= threshold)

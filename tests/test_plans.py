@@ -578,3 +578,55 @@ class TestMinhashIndex:
         finally:
             for t in ("mh_b_inc", "mh_t_inc", "mh_b_full", "mh_t_full"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestLshIndex:
+    def test_incremental_semantic_near_dup_matches_direct(self, spark):
+        """lsh_query_index vs a persisted bucket/vector index: the
+        cross-(batch, corpus) near-pairs must equal cosine_near_pairs over
+        the union (same planes/stride) restricted to cross pairs, and both
+        index scans must engage their bucket layouts."""
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            cosine_near_pairs,
+            lsh_build_index,
+            lsh_query_index,
+        )
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        (emb,) = load(spark, SF, "embeddings")
+        batch = emb.where(F.col("vec_id") % 4 == 0)
+        corpus = emb.where(F.col("vec_id") % 4 != 0)
+        planes = lsh_build_index(
+            corpus, "lsh_b_t", "lsh_v_t", num_tables=12, target_bucket_size=64
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = lsh_query_index(
+                spark, batch, "lsh_b_t", "lsh_v_t", planes,
+                num_tables=12, threshold=0.45,
+            )
+            got = {
+                (r["batch_id"], r["corpus_id"], r["cosine_sim"])
+                for r in out.collect()
+            }
+            # direct path over the union corpus with identical parameters;
+            # corpus_count pinned so the derived plane count matches the
+            # index's (built on the corpus split alone)
+            want = set()
+            for r in cosine_near_pairs(
+                emb, threshold=0.45, num_tables=12,
+                target_bucket_size=64, corpus_count=corpus.count(),
+            ).collect():
+                a, b = r["id_a"], r["id_b"]
+                if a % 4 == 0 and b % 4 != 0:
+                    want.add((a, b, r["cosine_sim"]))
+                elif b % 4 == 0 and a % 4 != 0:
+                    want.add((b, a, r["cosine_sim"]))
+            assert got == want, (got - want, want - got)
+            plan = explain_str(out)
+            assert plan.count("Bucketed: true") == 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS lsh_b_t")
+            spark.sql("DROP TABLE IF EXISTS lsh_v_t")
