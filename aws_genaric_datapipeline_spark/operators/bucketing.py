@@ -36,7 +36,26 @@ def write_bucketed(
     fits an executor's memory (the whole bucket is one task's input when
     bucketed joins kick in); powers of two keep future bucket coalescing
     exact.
+
+    Orphan-location recovery (overwrite mode): with an ephemeral metastore
+    (in-memory Derby — tests, the driver harness), a previous SESSION's
+    managed-table directory survives under the warehouse while its catalog
+    entry died with the session; the next ``saveAsTable`` then throws
+    LOCATION_ALREADY_EXISTS even in overwrite mode.  Overwrite means the
+    caller wants a fresh table, so the stale managed location is removed
+    first.  Persistent-metastore deployments never orphan locations and
+    skip this path (the catalog entry exists, overwrite handles it).
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        import shutil
+        from pathlib import Path
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        root = Path(wh.removeprefix("file:"))
+        loc = root / table.rsplit(".", 1)[-1].lower()
+        if root.is_dir() and loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

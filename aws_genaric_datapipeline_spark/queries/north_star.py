@@ -134,6 +134,7 @@ def _lsh_buckets_adaptive_cte(
     max_planes: int = 8,
     dim: int = 64,
     max_bucket_width: int | None = None,
+    count_where: str = "",
 ) -> str:
     """CTE chain replaying the CORPUS-ADAPTIVE bucket stage
     (similarity.adaptive_num_planes + lsh_candidate_pairs): derive the
@@ -162,7 +163,7 @@ def _lsh_buckets_adaptive_cte(
             SELECT LEAST({max_planes}, GREATEST({min_planes},
                 CAST(CEIL(LOG2(GREATEST(COUNT(*), 1)
                      / CAST({target_bucket_size} AS DOUBLE))) AS INT))) AS np
-            FROM base
+            FROM base {count_where}
         ),
         rawbuck AS ({raw}),
         maskbuck AS (
@@ -2209,4 +2210,159 @@ def report_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_tokens"),
             "kl_nats",
         )
+    )
+
+
+def _minhash_index_oracle(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.8, split_mod: int = 5
+) -> str:
+    """DuckDB replay of the INCREMENTAL MinHash index path
+    (operators/dedup.py minhash_build_index + minhash_query_index): per-doc
+    signatures (no group collapse — the index stores every doc), the same
+    md5-31-bit base hash / Carter-Wegman mins / md5-60-bit band keys, the
+    batch×corpus band join, and exact-Jaccard verification.  The engine
+    fuses (band, bh) into one xxhash64 key for single-column bucketing and
+    verifies on xxhash64'd shingle arrays; both differ from this replay
+    only by 64-bit-collision classes that are documented-negligible (a
+    fused-key collision can only add a candidate; verification values are
+    identical modulo distinct-shingle hash collisions)."""
+    r = num_hashes // bands
+    sig_mins = ", ".join(
+        f"min((h31 * {D._MH_A[i]} + {D._MH_B[i]}) % {D._MH_P}) AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT did, {b} AS band, ('0x' || substr(md5("
+        + " || ',' || ".join(f"CAST(s{b * r + j} AS VARCHAR)" for j in range(r))
+        + "), 1, 15))::BIGINT AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id AS did, list_sort(list_distinct({_DUCK_TRIGRAMS})) AS sh
+            FROM documents
+            WHERE len({_DUCK_TRIGRAMS}) > 0
+        ),
+        tok AS (SELECT did, t.tok FROM docs, UNNEST(sh) AS t(tok)),
+        h AS (SELECT did, ('0x' || substr(md5(tok), 1, 8))::BIGINT // 2 AS h31 FROM tok),
+        sig AS (SELECT did, {sig_mins} FROM h GROUP BY did),
+        banded AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT b.did AS batch_id, c.did AS corpus_id
+            FROM banded b JOIN banded c
+              ON b.band = c.band AND b.bh = c.bh
+            WHERE b.did % {split_mod} = 0 AND c.did % {split_mod} <> 0
+        ),
+        ver AS (
+            SELECT batch_id, corpus_id,
+                   round(len(list_intersect(a.sh, b.sh)) /
+                         CAST(len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                         4) AS jaccard
+            FROM cand
+            JOIN docs b ON b.did = cand.batch_id
+            JOIN docs a ON a.did = cand.corpus_id
+        )
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(corpus_id AS BIGINT) AS corpus_id,
+               jaccard
+        FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_minhash_index_oracle(),
+    tags=("north-star", "dedup", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-duplicate dedup: sketch the standing corpus once
+    into a persisted, bucketed MinHash index (band keys + verify arrays),
+    then near-dedup an incoming batch against it at per-batch cost — the
+    ingest-gate shape a 100 TB pipeline actually runs, where re-sketching
+    the corpus per batch (what one-shot dedup_minhash_lsh would cost) is
+    a non-starter.  Corpus = doc_id % 5 != 0, batch = the rest; returns
+    (batch_id, corpus_id, jaccard ≥ 0.8) cross-pairs.
+
+    Both index scans read co-located with ZERO corpus-side Exchange
+    (plan-gated in tests/test_plans.py::TestMinhashIndex, with one-shot
+    equivalence and append==rebuild contracts).  The oracle replays the
+    full per-doc sketch — base hashes, signature mins, band keys, the
+    batch×corpus band join, exact verification — so the index path's
+    VALUES are driver-checked, not just its plan shape.  The in-query
+    index build is the ingest-side cost made visible; production pays it
+    once and appends per batch (mode="append")."""
+    (documents,) = load(spark, sf_dir, "documents")
+    corpus = documents.where(F.col("doc_id") % 5 != 0)
+    batch = documents.where(F.col("doc_id") % 5 == 0)
+    D.minhash_build_index(corpus, "mh_inc_bands_idx", "mh_inc_toks_idx")
+    return D.minhash_query_index(
+        spark, batch, "mh_inc_bands_idx", "mh_inc_toks_idx", threshold=0.8
+    )
+
+
+@query(
+    "dedup_incremental_semantic",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        {_LSH_INC_BUCKETS},
+        cand AS (
+            SELECT DISTINCT b.vec_id AS batch_id, c.vec_id AS corpus_id
+            FROM buck b JOIN buck c
+              ON b.tbl = c.tbl AND b.bucket = c.bucket
+            WHERE b.vec_id % 4 = 0 AND c.vec_id % 4 <> 0
+        )
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(corpus_id AS BIGINT) AS corpus_id,
+               round(list_cosine_similarity(x.v, y.v), 4) AS cosine_sim
+        FROM cand
+        JOIN base x ON x.vec_id = cand.batch_id
+        JOIN base y ON y.vec_id = cand.corpus_id
+        WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.45
+    """.replace(
+        "{_LSH_INC_BUCKETS}",
+        _lsh_buckets_adaptive_cte(
+            num_tables=12,
+            target_bucket_size=64,
+            count_where="WHERE vec_id % 4 <> 0",
+        ),
+    ),
+    tags=("north-star", "similarity", "dedup", "incremental"),
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic near-dup gate: bucket the standing embedding
+    corpus once into a persisted LSH index (fused bucket keys + unit
+    vectors, both bucketed tables), then check an incoming embedding
+    batch against it at per-batch cost — the ingest-side SemDeDup check
+    that never re-shuffles the corpus (zero corpus-side Exchange,
+    plan-gated with direct-path equivalence in
+    tests/test_plans.py::TestLshIndex).  Corpus = vec_id % 4 != 0, batch
+    = the rest; plane count is derived adaptively FROM THE CORPUS (the
+    oracle's nplanes CTE counts the same filtered set) and threaded to
+    the query path, since bucket ids are a function of it.  Returns
+    (batch_id, corpus_id, cosine ≥ 0.45) cross-pairs; candidate
+    generation AND verification are value-replayed by the oracle (fused
+    xxhash64 bucket keys differ from the replay only by the documented
+    2^-64 add-a-candidate collision class).  The in-query build is the
+    ingest cost made visible; production builds once and appends."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    corpus = embeddings.where(F.col("vec_id") % 4 != 0)
+    batch = embeddings.where(F.col("vec_id") % 4 == 0)
+    planes = S.lsh_build_index(
+        corpus,
+        "lsh_inc_buckets_idx",
+        "lsh_inc_vecs_idx",
+        num_tables=12,
+        target_bucket_size=64,
+    )
+    return S.lsh_query_index(
+        spark,
+        batch,
+        "lsh_inc_buckets_idx",
+        "lsh_inc_vecs_idx",
+        planes,
+        num_tables=12,
+        threshold=0.45,
     )

@@ -75,6 +75,8 @@ HEADLINE = [
     "sim_ivfpq_query_only",
     "text_unigram_logprob_quality",
     "stream_dedup_events",
+    "dedup_incremental_minhash",
+    "dedup_incremental_semantic",
 ]
 
 
