@@ -999,3 +999,103 @@ def minhash_query_index(
             F.col("ni") / (F.col("sa") + F.col("sb") - F.col("ni")).cast("double"), 4
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------- incremental SimHash index
+def simhash_build_index(
+    corpus_df: DataFrame,
+    chunks_table: str,
+    sigs_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's SimHash fingerprints + banded chunk keys as
+    bucketed catalog tables — the third incremental near-dup index
+    alongside minhash_build_index (shingle-set Jaccard) and
+    similarity.lsh_build_index (embedding cosine): SimHash is the cheap
+    token-distribution sketch (one 64-bit word per doc) whose banding
+    finds hamming ≤ 3 pairs by pigeonhole.
+
+    ``chunks_table`` (did, ckey) with ckey = xxhash64(chunk_idx, 16-bit
+    chunk value), bucketed by ckey (candidate join side — a fused-key
+    collision only adds a candidate; the hamming filter is exact);
+    ``sigs_table`` (did, simhash) bucketed by did (verification side).
+    Append a promoted batch's rows with ``mode="append"`` — per-batch
+    maintenance, no rebuild (both values are pure per-doc functions).
+    """
+    from aws_genaric_datapipeline_spark.operators.bucketing import write_bucketed
+
+    sig = simhash(corpus_df, id_col, text_col)
+    chunks = sig.select(
+        "did",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(c),
+                        F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ckey"),
+    )
+    write_bucketed(chunks, chunks_table, ["ckey"], num_buckets, mode=mode)
+    write_bucketed(sig, sigs_table, ["did"], num_buckets, mode=mode)
+
+
+def simhash_query_index(
+    spark,
+    new_df: DataFrame,
+    chunks_table: str,
+    sigs_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicates between an incoming batch and the standing
+    corpus index: (batch_id, corpus_id, hamming ≤ max_hamming) — the
+    cheapest per-batch near-dup screen (64 bits per corpus doc; candidate
+    join on banded chunk keys, exact XOR-popcount verification).
+
+    Shuffle shape mirrors the other index queries: batch keys and
+    signatures shuffle into the index's bucket layouts; the corpus chunk
+    and signature tables read CO-LOCATED — zero corpus-side Exchange
+    (plan-gated in tests/test_plans.py::TestSimhashIndex)."""
+    bsig = simhash(new_df, id_col, text_col).withColumnsRenamed(
+        {"did": "batch_id", "simhash": "sh_b"}
+    )
+    bchunks = bsig.select(
+        "batch_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(c),
+                        F.shiftright(F.col("sh_b"), c * 16).bitwiseAND(F.lit(0xFFFF)),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ckey"),
+    )
+    cand = (
+        bchunks.join(spark.table(chunks_table), "ckey")
+        .select("batch_id", F.col("did").alias("corpus_id"))
+        .dropDuplicates()
+    )
+    csigs = spark.table(sigs_table).withColumnsRenamed({"simhash": "sh_a"})
+    scored = (
+        cand.withColumnsRenamed({"corpus_id": "did"})
+        .join(csigs, "did")
+        .withColumnsRenamed({"did": "corpus_id"})
+        .join(bsig, "batch_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+    )
+    return scored.where(F.col("hamming") <= max_hamming)

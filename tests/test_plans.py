@@ -630,3 +630,41 @@ class TestLshIndex:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS lsh_b_t")
             spark.sql("DROP TABLE IF EXISTS lsh_v_t")
+
+
+class TestSimhashIndex:
+    def test_incremental_simhash_matches_one_shot_and_is_bucketed(self, spark):
+        from aws_genaric_datapipeline_spark.operators.dedup import (
+            simhash_build_index,
+            simhash_near_pairs,
+            simhash_query_index,
+        )
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        (documents,) = load(spark, SF, "documents")
+        batch = documents.where(F.col("doc_id") % 4 == 0)
+        corpus = documents.where(F.col("doc_id") % 4 != 0)
+        simhash_build_index(corpus, "sh_c_t", "sh_s_t")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = simhash_query_index(
+                spark, batch, "sh_c_t", "sh_s_t", max_hamming=6
+            )
+            got = {
+                (r["batch_id"], r["corpus_id"], r["hamming"]) for r in out.collect()
+            }
+            want = set()
+            for r in simhash_near_pairs(documents, max_hamming=6).collect():
+                a, b = r["id_a"], r["id_b"]
+                if a % 4 == 0 and b % 4 != 0:
+                    want.add((a, b, r["hamming"]))
+                elif b % 4 == 0 and a % 4 != 0:
+                    want.add((b, a, r["hamming"]))
+            assert got == want, (got - want, want - got)
+            plan = explain_str(out)
+            assert plan.count("Bucketed: true") == 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS sh_c_t")
+            spark.sql("DROP TABLE IF EXISTS sh_s_t")
