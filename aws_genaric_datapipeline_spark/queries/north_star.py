@@ -2366,3 +2366,65 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=12,
         threshold=0.45,
     )
+
+
+@query(
+    "dedup_incremental_simhash",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id AS did, t.tok
+            FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+        ),
+        th AS (
+            SELECT did,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+                   ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+            FROM tok
+        ),
+        bits AS (
+            SELECT did, CAST(g.i AS INT) AS bit,
+                   sum(CASE WHEN (CASE WHEN g.i < 32 THEN h_lo >> CAST(g.i AS INT)
+                                  ELSE h_hi >> CAST(g.i - 32 AS INT) END) & 1 = 1
+                       THEN 1 ELSE -1 END) AS s
+            FROM th, UNNEST(range(0, 64)) AS g(i)
+            GROUP BY 1, 2
+        ),
+        sim AS (
+            SELECT did,
+                   CAST(CASE WHEN t >= 9223372036854775808::HUGEINT
+                        THEN t - 18446744073709551616::HUGEINT ELSE t END AS BIGINT)
+                       AS simhash
+            FROM (SELECT did,
+                         coalesce(sum(CASE WHEN s > 0
+                             THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END), 0) AS t
+                  FROM bits GROUP BY did)
+        )
+        SELECT b.did AS batch_id, a.did AS corpus_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sim b JOIN sim a
+          ON b.did % 4 = 0 AND a.did % 4 <> 0
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("north-star", "dedup", "incremental"),
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SimHash screen: fingerprint the standing corpus once
+    into a persisted banded index, then hamming-screen an incoming batch
+    against it — the cheapest per-batch near-dup gate (64 bits per corpus
+    doc, zero corpus-side Exchange; plan-gated with one-shot equivalence
+    in tests/test_plans.py::TestSimhashIndex).  Corpus = doc_id % 4 != 0,
+    batch = the rest; returns (batch_id, corpus_id, hamming ≤ 3).
+
+    The oracle recomputes every fingerprint from md5 token halves and
+    emits the BRUTE-FORCE cross-pair hamming set — equality proves the
+    index's banding pigeonhole-complete and its verification sound on
+    every driver corpus, the same contract dedup_simhash_pairs pins for
+    the one-shot path.  In-query build = visible ingest cost; production
+    appends per batch."""
+    (documents,) = load(spark, sf_dir, "documents")
+    corpus = documents.where(F.col("doc_id") % 4 != 0)
+    batch = documents.where(F.col("doc_id") % 4 == 0)
+    D.simhash_build_index(corpus, "sh_inc_chunks_idx", "sh_inc_sigs_idx")
+    return D.simhash_query_index(
+        spark, batch, "sh_inc_chunks_idx", "sh_inc_sigs_idx", max_hamming=3
+    )
