@@ -195,6 +195,113 @@ def contamination_overlap(
     )
 
 
+def bloom_decontaminate(
+    corpus_df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 2,
+) -> DataFrame:
+    """contamination_overlap's 100 TB form: the benchmark n-gram set is
+    compressed into a Bloom-filter bitset so the broadcast payload is
+    ``num_bits/8`` bytes — CONSTANT in benchmark size — instead of the full
+    gram-string table, and corpus membership tests are pure JVM bit
+    arithmetic instead of a hash join.
+
+    Build: every distinct benchmark n-gram sets ``num_hashes`` bit
+    positions derived from consecutive 8-hex-digit windows of md5(gram)
+    (engine-portable — the DuckDB oracle replays the identical positions),
+    OR-folded per 64-bit word and assembled into one array<long> row.
+    Probe: each distinct corpus (doc, gram) recomputes its positions and is
+    flagged iff ALL are set — true Bloom semantics, so false positives at
+    the expected (1 - e^(-kn/m))^k rate are part of the CONTRACT, not a
+    bug; the oracle replays them bit-for-bit via a semi-join on the
+    distinct inserted positions.
+
+    Returns flagged docs only: (id, n_flagged, n_grams, flagged_ratio).
+    Like contamination_overlap this is a screening pass — at 100 TB run the
+    Bloom screen first (no benchmark-side join state on executors), then
+    exact-verify the tiny flagged slice with contamination_overlap.
+
+    ``num_hashes`` ≤ 4 (md5 yields four disjoint 8-hex windows).
+    """
+    if not 1 <= num_hashes <= 4:
+        raise ValueError("num_hashes must be in 1..4 (md5 has 4 hex windows)")
+    nwords = (num_bits + 63) // 64
+
+    def positions(tok: Column) -> list[Column]:
+        return [
+            F.conv(F.substring(F.md5(tok), 1 + 8 * j, 8), 16, 10).cast("bigint")
+            % num_bits
+            for j in range(num_hashes)
+        ]
+
+    bench_pos = (
+        _token_sets(benchmark_df, id_col, text_col, n)
+        .select(F.explode(F.array(*positions(F.col("tok")))).alias("p"))
+        .select(
+            F.shiftright("p", 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+    )
+    # Two-level fold: per-word bit_or (partial+final hash agg), then one row
+    # holding the dense array<long> bitset — the only driver-sized object.
+    bitset = (
+        bench_pos.groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word"), F.col("mask")))
+            ).alias("m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nwords - 1)),
+                lambda w: F.coalesce(
+                    F.try_element_at(F.col("m"), w), F.lit(0).cast("bigint")
+                ),
+            ).alias("bits")
+        )
+    )
+    probe = (
+        _token_sets(corpus_df, id_col, text_col, n)
+        .crossJoin(F.broadcast(bitset))
+        .select(
+            "did",
+            "bits",
+            *[p.alias(f"p{j}") for j, p in enumerate(positions(F.col("tok")))],
+        )
+    )
+    member = None
+    for j in range(num_hashes):
+        # bits[w] is 0-based array indexing; bit test via mask AND.
+        hit = F.expr(
+            f"(bits[CAST(shiftright(p{j}, 6) AS INT)]"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 64 AS INT))) != 0"
+        )
+        member = hit if member is None else (member & hit)
+    return (
+        probe.groupBy("did")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(member).alias("n_flagged"),
+        )
+        .where(F.col("n_flagged") > 0)
+        .select(
+            F.col("did").alias(id_col),
+            "n_flagged",
+            "n_grams",
+            F.round(
+                F.col("n_flagged") / F.col("n_grams").cast("double"), 4
+            ).alias("flagged_ratio"),
+        )
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard (exact)
 def _token_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, token) pairs with distinct n-gram shingles per document."""

@@ -63,6 +63,56 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_bloom",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        bench AS (SELECT DISTINCT tok FROM sh WHERE did % 20 = 0),
+        bits AS (
+            SELECT DISTINCT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1048576
+                AS p FROM bench
+            UNION
+            SELECT DISTINCT ('0x' || substr(md5(tok), 9, 8))::BIGINT % 1048576
+                FROM bench
+        ),
+        mem AS (
+            SELECT did,
+                   (('0x' || substr(md5(tok), 1, 8))::BIGINT % 1048576
+                        IN (SELECT p FROM bits)
+                    AND ('0x' || substr(md5(tok), 9, 8))::BIGINT % 1048576
+                        IN (SELECT p FROM bits)) AS hit
+            FROM sh WHERE did % 20 <> 0
+        )
+        SELECT did AS doc_id,
+               count(*) FILTER (hit) AS n_flagged,
+               count(*) AS n_grams,
+               round(count(*) FILTER (hit) / CAST(count(*) AS DOUBLE), 4)
+                   AS flagged_ratio
+        FROM mem GROUP BY did
+        HAVING count(*) FILTER (hit) > 0
+    """,
+    tags=("north-star", "curation", "dedup"),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen: the benchmark slice's trigrams
+    are folded into a 2^20-bit / 2-hash bitset (128 KB broadcast, CONSTANT
+    in benchmark size) and every corpus trigram is flagged iff both of its
+    md5-derived bit positions are set — contamination_overlap's scale form,
+    where executors hold a fixed bitset instead of the gram-string table.
+    The oracle replays Bloom semantics exactly (semi-join on the distinct
+    inserted positions), so the engine's false-positive set IS the checked
+    contract, not slack."""
+    (documents,) = load(spark, sf_dir, "documents")
+    bench = documents.where(F.col("doc_id") % 20 == 0)
+    corpus = documents.where(F.col("doc_id") % 20 != 0)
+    return D.bloom_decontaminate(
+        corpus, bench, n=3, num_bits=1 << 20, num_hashes=2
+    )
+
+
+@query(
     "dedup_incremental_batch",
     oracle="""
         WITH fp AS (

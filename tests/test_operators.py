@@ -781,6 +781,62 @@ class TestCuration:
         assert rows[1]["n_grams"] == 3
         assert rows[1]["contamination_ratio"] == pytest.approx(0.3333)
 
+    def test_bloom_decontaminate_superset_of_exact(self, spark):
+        """The Bloom screen must flag every exactly-contaminated doc (no
+        false NEGATIVES, by construction), and at a generous bits/gram load
+        factor flags nothing else on this tiny corpus."""
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "quick brown fox elsewhere entirely"),
+                (2, "completely different words here now"),
+                (3, "the quick brown fox jumps verbatim"),
+            ],
+            "doc_id long, text string",
+        )
+        exact = {
+            r["doc_id"]
+            for r in D.contamination_overlap(corpus, bench, n=3).collect()
+        }
+        rows = {
+            r["doc_id"]: r
+            for r in D.bloom_decontaminate(
+                corpus, bench, n=3, num_bits=1 << 20, num_hashes=2
+            ).collect()
+        }
+        assert exact <= set(rows)
+        assert set(rows) == {1, 3}
+        assert rows[1]["n_flagged"] == 1 and rows[1]["n_grams"] == 3
+        assert rows[3]["n_flagged"] == 3  # bench trigrams all present
+        assert rows[3]["flagged_ratio"] < 1.0  # 'jumps verbatim' gram unseen
+
+    def test_bloom_saturated_filter_flags_every_gram(self, spark):
+        """At num_bits=64 the bitset saturates and EVERY corpus gram tests
+        positive — the documented false-positive regime, exercised so the
+        bit arithmetic (word indexing, masking) is proven on all 64 bit
+        offsets rather than sparse lucky ones."""
+        bench_text = " ".join(f"w{i}" for i in range(400))  # 398 trigrams
+        bench = spark.createDataFrame(
+            [(100, bench_text)], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "entirely unrelated text with many words in it")],
+            "doc_id long, text string",
+        )
+        rows = D.bloom_decontaminate(
+            corpus, bench, n=3, num_bits=64, num_hashes=2
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_flagged"] == rows[0]["n_grams"]
+        assert rows[0]["flagged_ratio"] == 1.0
+
+    def test_bloom_rejects_bad_num_hashes(self, spark):
+        bench = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            D.bloom_decontaminate(bench, bench, num_hashes=5)
+
     def test_bm25_ranks_term_frequency_and_rarity(self, spark):
         """More on-query occurrences → higher score; a doc with no query
         terms is absent; rarer terms contribute more than ubiquitous ones."""

@@ -499,6 +499,27 @@ class TestRound7Plans:
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
 
 
+class TestBloomDecontaminate:
+    def test_bitset_broadcasts_and_probe_shuffles_counts_only(self, spark):
+        """Bloom screen plan shape: the 1-row bitset enters the probe via a
+        broadcast nested-loop join (128 KB constant payload — never a
+        shuffle of the benchmark grams into the corpus), the corpus side's
+        only hash exchange carries the per-doc partial counts (no gram
+        strings, no bitset), and everything stays JVM-side."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        df = QUERIES["decontaminate_bloom"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        # corpus-side hash exchanges: partial-agg rows keyed by did only
+        for seg in plan.split("Exchange")[1:]:
+            head = seg[:300]
+            if "hashpartitioning(did" in head:
+                assert "tok" not in head and "bits" not in head, head
+
+
 class TestMinhashIndex:
     def test_incremental_near_dedup_matches_one_shot_and_is_bucketed(self, spark):
         """minhash_query_index vs a persisted band/verify index: the
