@@ -212,24 +212,34 @@ def bloom_decontaminate(
 
     Build: every distinct benchmark n-gram sets ``num_hashes`` bit
     positions derived from consecutive 8-hex-digit windows of md5(gram)
-    (engine-portable — the DuckDB oracle replays the identical positions),
-    OR-folded per 64-bit word and assembled into one array<long> row.
+    (engine-portable — the DuckDB oracle replays the identical positions).
     Probe: each distinct corpus (doc, gram) recomputes its positions and is
     flagged iff ALL are set — true Bloom semantics, so false positives at
     the expected (1 - e^(-kn/m))^k rate are part of the CONTRACT, not a
     bug; the oracle replays them bit-for-bit via a semi-join on the
     distinct inserted positions.
 
+    Storage is SPARSE: testing a bit of the OR-folded bitset is identical
+    to membership of the position in the distinct-position set, so the
+    filter broadcasts as a long column (≤ 8·min(k·|grams|, num_bits)
+    bytes) and each probe is a codegen'd broadcast hash join on an 8-byte
+    key.  A dense array<long> bitset is 64× smaller at saturation but
+    DataFrame rows can only reach it by attaching the whole array to every
+    probe row — Spark's UnsafeRow join output COPIES it per gram (measured
+    10× slower at sf0.1) — so dense packing belongs to a JVM broadcast
+    variable, not a PySpark plan; the sparse form keeps the same
+    flagged-set and the executor-memory cap.
+
     Returns flagged docs only: (id, n_flagged, n_grams, flagged_ratio).
     Like contamination_overlap this is a screening pass — at 100 TB run the
-    Bloom screen first (no benchmark-side join state on executors), then
-    exact-verify the tiny flagged slice with contamination_overlap.
+    Bloom screen first (position keys only, no benchmark gram strings on
+    executors), then exact-verify the tiny flagged slice with
+    contamination_overlap.
 
     ``num_hashes`` ≤ 4 (md5 yields four disjoint 8-hex windows).
     """
     if not 1 <= num_hashes <= 4:
         raise ValueError("num_hashes must be in 1..4 (md5 has 4 hex windows)")
-    nwords = (num_bits + 63) // 64
 
     def positions(tok: Column) -> list[Column]:
         return [
@@ -241,48 +251,24 @@ def bloom_decontaminate(
     bench_pos = (
         _token_sets(benchmark_df, id_col, text_col, n)
         .select(F.explode(F.array(*positions(F.col("tok")))).alias("p"))
-        .select(
-            F.shiftright("p", 6).alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
-                "bit"
-            ),
-        )
+        .dropDuplicates()
     )
-    # Two-level fold: per-word bit_or (partial+final hash agg), then one row
-    # holding the dense array<long> bitset — the only driver-sized object.
-    bitset = (
-        bench_pos.groupBy("word")
-        .agg(F.expr("bit_or(bit)").alias("mask"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("word"), F.col("mask")))
-            ).alias("m")
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nwords - 1)),
-                lambda w: F.coalesce(
-                    F.try_element_at(F.col("m"), w), F.lit(0).cast("bigint")
-                ),
-            ).alias("bits")
-        )
-    )
-    probe = (
-        _token_sets(corpus_df, id_col, text_col, n)
-        .crossJoin(F.broadcast(bitset))
-        .select(
-            "did",
-            "bits",
-            *[p.alias(f"p{j}") for j, p in enumerate(positions(F.col("tok")))],
-        )
+    probe = _token_sets(corpus_df, id_col, text_col, n).select(
+        "did",
+        *[p.alias(f"p{j}") for j, p in enumerate(positions(F.col("tok")))],
     )
     member = None
     for j in range(num_hashes):
-        # bits[w] is 0-based array indexing; bit test via mask AND.
-        hit = F.expr(
-            f"(bits[CAST(shiftright(p{j}, 6) AS INT)]"
-            f" & shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 64 AS INT))) != 0"
+        probe = probe.join(
+            F.broadcast(
+                bench_pos.select(
+                    F.col("p").alias(f"p{j}"), F.lit(1).alias(f"hit{j}")
+                )
+            ),
+            f"p{j}",
+            "left",
         )
+        hit = F.col(f"hit{j}").isNotNull()
         member = hit if member is None else (member & hit)
     return (
         probe.groupBy("did")

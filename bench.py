@@ -77,6 +77,8 @@ HEADLINE = [
     "stream_dedup_events",
     "dedup_incremental_minhash",
     "dedup_incremental_semantic",
+    "dedup_incremental_simhash",
+    "decontaminate_bloom",
 ]
 
 

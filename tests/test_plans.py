@@ -500,17 +500,19 @@ class TestRound7Plans:
 
 
 class TestBloomDecontaminate:
-    def test_bitset_broadcasts_and_probe_shuffles_counts_only(self, spark):
-        """Bloom screen plan shape: the 1-row bitset enters the probe via a
-        broadcast nested-loop join (128 KB constant payload — never a
-        shuffle of the benchmark grams into the corpus), the corpus side's
-        only hash exchange carries the per-doc partial counts (no gram
-        strings, no bitset), and everything stays JVM-side."""
+    def test_positions_broadcast_and_probe_shuffles_counts_only(self, spark):
+        """Bloom screen plan shape: the sparse position set enters the
+        probe via per-hash broadcast HASH joins on 8-byte keys (never a
+        shuffle of benchmark gram strings into the corpus, never a
+        nested-loop attach of a dense bitset), the corpus side's only hash
+        exchange carries the per-doc partial counts, and everything stays
+        JVM-side."""
         from aws_genaric_datapipeline_spark.plans import explain_str
 
         df = QUERIES["decontaminate_bloom"].fn(spark, SF)
         plan = explain_str(df)
-        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         # corpus-side hash exchanges: partial-agg rows keyed by did only
