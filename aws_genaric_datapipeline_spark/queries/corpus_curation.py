@@ -179,6 +179,93 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_hybrid_rrf",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id AS did, t.tok
+            FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+            WHERE length(trim(text)) > 0
+        ),
+        dl AS (SELECT did, count(*) AS dl FROM toks GROUP BY did),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT did, tok, count(*) AS tf
+            FROM toks WHERE tok IN ('spark', 'vector', 'merge')
+            GROUP BY did, tok
+        ),
+        dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+        bm AS (
+            SELECT tf.did AS doc_id,
+                   round(sum(
+                       ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 4) AS bm25
+            FROM tf
+            JOIN dft ON tf.tok = dft.tok
+            JOIN dl ON tf.did = dl.did
+            CROSS JOIN stats
+            GROUP BY tf.did
+        ),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)
+        ),
+        base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        scored AS (
+            SELECT b.vec_id AS doc_id,
+                   round(list_cosine_similarity(
+                       (SELECT v FROM base WHERE vec_id = 0), b.v), 4) AS cos
+            FROM base b WHERE b.vec_id <> 0
+        ),
+        sem AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+            FROM (SELECT * FROM scored ORDER BY cos DESC, doc_id LIMIT 50)
+        ),
+        fused AS (
+            SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                   lex_rank, sem_rank,
+                   round(coalesce((1.0::DOUBLE) / (60 + lex_rank), 0.0)
+                       + coalesce((1.0::DOUBLE) / (60 + sem_rank), 0.0), 6)
+                       AS rrf_score
+            FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+        )
+        SELECT doc_id, lex_rank, sem_rank, rrf_score
+        FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+    tags=("north-star", "text", "search", "similarity"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a BM25 lexical leg ('spark vector merge') and an
+    embedding-cosine semantic leg (query = vec 0's embedding, vec_id ≡
+    doc_id in the driver corpus) each truncated to top-50 via TakeOrdered,
+    then fused by reciprocal-rank fusion (k=60) — the production hybrid-
+    search shape where neither leg's score scale has to be calibrated.
+    Ranks ride on ROUNDED scores with id tie-breaks, so both engines rank
+    identically and the fused top-20 is deterministic."""
+    from aws_genaric_datapipeline_spark.operators import retrieval as R
+    from aws_genaric_datapipeline_spark.operators import similarity as S
+
+    documents, embeddings = load(spark, sf_dir, "documents", "embeddings")
+    lex = R.rank_leg(
+        X.bm25_scores(documents, terms=("spark", "vector", "merge")),
+        score_col="bm25",
+        top=50,
+    )
+    sem = R.rank_leg(
+        S.cosine_topk(embeddings, query_ids=[0], k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), "cosine_sim"),
+        score_col="cosine_sim",
+        top=50,
+    )
+    return R.rrf_fuse({"lex": lex, "sem": sem}, k=60, top=20)
+
+
+@query(
     "text_repetition_stats",
     oracle=f"""
         WITH toks AS (

@@ -837,6 +837,40 @@ class TestCuration:
         with pytest.raises(ValueError):
             D.bloom_decontaminate(bench, bench, num_hashes=5)
 
+    def test_rrf_fuse_formula_and_missing_leg_contribution(self, spark):
+        """rrf = Σ 1/(k+rank) with absent-leg terms contributing exactly 0;
+        per-leg rank columns surface as NULL for absent docs."""
+        from aws_genaric_datapipeline_spark.operators.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+        sem = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+        rows = {
+            r["doc_id"]: r
+            for r in rrf_fuse({"lex": lex, "sem": sem}, k=60).collect()
+        }
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["rrf_score"] == pytest.approx(1 / 61, abs=1e-6)
+        assert rows[2]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+        assert rows[1]["sem_rank"] is None and rows[3]["lex_rank"] is None
+        # doc 2 appears in both legs → outranks both single-leg docs
+        assert rows[2]["rrf_score"] > max(rows[1]["rrf_score"], rows[3]["rrf_score"])
+
+    def test_rank_leg_truncates_then_ranks_with_id_tiebreak(self, spark):
+        from aws_genaric_datapipeline_spark.operators.retrieval import rank_leg
+
+        scored = spark.createDataFrame(
+            [(10, 0.9), (11, 0.9), (12, 0.5), (13, 0.1)],
+            "doc_id long, s double",
+        )
+        rows = {r["doc_id"]: r["rank"] for r in rank_leg(scored, "s", top=3).collect()}
+        assert rows == {10: 1, 11: 2, 12: 3}  # tie at 0.9 → lower id first
+
+    def test_rrf_fuse_rejects_empty_legs(self, spark):
+        from aws_genaric_datapipeline_spark.operators.retrieval import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse({})
+
     def test_bm25_ranks_term_frequency_and_rarity(self, spark):
         """More on-query occurrences → higher score; a doc with no query
         terms is absent; rarer terms contribute more than ubiquitous ones."""

@@ -522,6 +522,21 @@ class TestBloomDecontaminate:
                 assert "tok" not in head and "bits" not in head, head
 
 
+class TestHybridRrf:
+    def test_legs_take_ordered_never_global_sort(self, spark):
+        """Each retrieval leg truncates via TakeOrderedAndProject (heap +
+        driver merge) — the corpus is never globally sorted — and the
+        fusion joins leg-sized frames; no Python eval anywhere."""
+        from aws_genaric_datapipeline_spark.plans import explain_str
+
+        df = QUERIES["search_hybrid_rrf"].fn(spark, SF)
+        plan = explain_str(df)
+        assert plan.count("TakeOrderedAndProject") >= 3, plan  # 2 legs + fused top
+        # the only Sort operators allowed are inside the K-row window ranks
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 class TestMinhashIndex:
     def test_incremental_near_dedup_matches_one_shot_and_is_bucketed(self, spark):
         """minhash_query_index vs a persisted band/verify index: the
