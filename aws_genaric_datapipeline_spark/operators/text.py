@@ -240,6 +240,93 @@ def quality_score_bp(text: Column) -> Column:
     return (4 * len_bp.cast("bigint") + 3 * word_bp.cast("bigint") + 3 * alpha_bp).cast("bigint")
 
 
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 80,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1.1 —
+    public heuristics, adapted to exact integer arithmetic so every flag is
+    bit-reproducible across engines; no float thresholds anywhere).
+
+    Per document, boolean flags (True = rule passed):
+      words_in_range    word count in [min_words, max_words]
+      mean_word_len_ok  3 ≤ mean token length ≤ 10   (3·n ≤ Σlen ≤ 10·n)
+      stopwords_ok      ≥ 2 distinct common stopwords present
+      top_token_ok      most frequent token ≤ 10% of tokens (10·max ≤ n)
+      symbol_ratio_ok   ('#' + '...') occurrences ≤ 10% of tokens
+      bullet_lines_ok   ≤ 90% of lines start with a bullet (- or *)
+      ellipsis_lines_ok ≤ 30% of lines end with '...'
+      alpha_words_ok    ≥ 80% of tokens contain a letter (5·alpha ≥ 4·n)
+    plus n_failed (count of failed rules) and passed (all rules hold).
+
+    Scale: pure JVM column expressions over one projection — no shuffle at
+    all (the output is row-parallel); the per-doc top-token scan is
+    O(distinct·n) inside the row, bounded by document length, never a
+    corpus aggregation.  Compose with curation funnels as a pre-filter
+    ahead of the shuffle-bearing dedup/decontamination passes.
+    """
+    t = F.trim(F.col(text_col))
+    toks = tokens(t)
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    top_freq = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda x: x == d)),
+            )
+        ),
+        F.lit(0),
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+        )
+    )
+    n_ell_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    n_alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+
+    rules = {
+        "words_in_range": (n >= min_words) & (n <= max_words),
+        "mean_word_len_ok": (n > 0) & (3 * n <= sum_len) & (sum_len <= 10 * n),
+        "stopwords_ok": n_stop >= 2,
+        "top_token_ok": (n > 0) & (10 * top_freq <= n),
+        "symbol_ratio_ok": 10 * (n_hash + n_ell.cast("bigint")) <= n,
+        "bullet_lines_ok": 10 * n_bullet <= 9 * n_lines,
+        "ellipsis_lines_ok": 10 * n_ell_lines <= 3 * n_lines,
+        "alpha_words_ok": (n > 0) & (5 * n_alpha_words >= 4 * n),
+    }
+    n_failed = sum(
+        (F.when(c, 0).otherwise(1) for c in rules.values()), F.lit(0)
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in rules.items()],
+        n_failed.alias("n_failed"),
+        (n_failed == 0).alias("passed"),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -266,6 +266,76 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_gopher_rules",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   trim(text) AS t,
+                   {_DUCK_TOKS} AS toks,
+                   string_split(trim(text), chr(10)) AS lines
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                       AS sum_len,
+                   len(list_intersect(list_transform(toks, x -> lower(x)),
+                       ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS n_stop,
+                   coalesce(list_max(list_transform(list_distinct(toks),
+                       d -> len(list_filter(toks, x -> x = d)))), 0) AS top_freq,
+                   length(t) - length(replace(t, '#', '')) AS n_hash,
+                   (length(t) - length(replace(t, '...', ''))) // 3 AS n_ell,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines, l -> ltrim(l) LIKE '-%'
+                       OR ltrim(l) LIKE '*%')) AS n_bullet,
+                   len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+                       AS n_ell_lines,
+                   len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha_words
+            FROM base
+        ),
+        flags AS (
+            SELECT doc_id,
+                   n >= 20 AND n <= 80 AS words_in_range,
+                   n > 0 AND 3 * n <= sum_len AND sum_len <= 10 * n
+                       AS mean_word_len_ok,
+                   n_stop >= 2 AS stopwords_ok,
+                   n > 0 AND 10 * top_freq <= n AS top_token_ok,
+                   10 * (n_hash + n_ell) <= n AS symbol_ratio_ok,
+                   10 * n_bullet <= 9 * n_lines AS bullet_lines_ok,
+                   10 * n_ell_lines <= 3 * n_lines AS ellipsis_lines_ok,
+                   n > 0 AND 5 * n_alpha_words >= 4 * n AS alpha_words_ok
+            FROM sig
+        )
+        SELECT *, CAST(
+                   (CASE WHEN words_in_range THEN 0 ELSE 1 END)
+                 + (CASE WHEN mean_word_len_ok THEN 0 ELSE 1 END)
+                 + (CASE WHEN stopwords_ok THEN 0 ELSE 1 END)
+                 + (CASE WHEN top_token_ok THEN 0 ELSE 1 END)
+                 + (CASE WHEN symbol_ratio_ok THEN 0 ELSE 1 END)
+                 + (CASE WHEN bullet_lines_ok THEN 0 ELSE 1 END)
+                 + (CASE WHEN ellipsis_lines_ok THEN 0 ELSE 1 END)
+                 + (CASE WHEN alpha_words_ok THEN 0 ELSE 1 END) AS INT)
+                   AS n_failed,
+               words_in_range AND mean_word_len_ok AND stopwords_ok
+                 AND top_token_ok AND symbol_ratio_ok AND bullet_lines_ok
+                 AND ellipsis_lines_ok AND alpha_words_ok AS passed
+        FROM flags
+    """,
+    tags=("north-star", "text", "curation"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) quality rule bundle: eight published
+    surface heuristics as bit-reproducible integer-arithmetic flags, plus
+    n_failed and an overall passed verdict — the rule-based pre-filter a
+    pretraining pipeline runs before any shuffle-bearing pass.  Pure
+    row-parallel column expressions: ZERO shuffles at any corpus size."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return X.gopher_rules(documents)
+
+
+@query(
     "text_repetition_stats",
     oracle=f"""
         WITH toks AS (

@@ -837,6 +837,46 @@ class TestCuration:
         with pytest.raises(ValueError):
             D.bloom_decontaminate(bench, bench, num_hashes=5)
 
+    def test_gopher_rules_flags_each_failure_mode(self, spark):
+        """One synthetic doc per rule violation; the line/symbol rules that
+        are vacuous on the single-line driver corpus get their coverage
+        here."""
+        from aws_genaric_datapipeline_spark.operators.text import gopher_rules
+
+        good = "the cat and dog " + " ".join(f"token{i:02d}" for i in range(30))
+        docs = spark.createDataFrame(
+            [
+                (1, good),                               # passes everything
+                (2, "the a short"),                      # too few words
+                (3, "the a " + "x " * 40),               # mean len < 3, top 'x'
+                (4, " ".join(f"w{i}" for i in range(30))),  # no stopwords
+                (5, "the a " + "### " * 30),             # symbols, no letters in most
+                (6, "the a of\n" + "\n".join(f"- item{i} thing{i} stuff{i}" for i in range(20))),  # bullets
+                (7, "the a of\n" + "\n".join(f"line{i} more{i} txt{i}..." for i in range(20))),    # ellipsis lines
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+        assert rows[1]["passed"] and rows[1]["n_failed"] == 0
+        assert not rows[2]["words_in_range"]
+        assert not rows[3]["mean_word_len_ok"] and not rows[3]["top_token_ok"]
+        assert not rows[4]["stopwords_ok"]
+        assert not rows[5]["symbol_ratio_ok"] and not rows[5]["alpha_words_ok"]
+        assert not rows[6]["bullet_lines_ok"]
+        assert not rows[7]["ellipsis_lines_ok"]
+        for d in range(2, 8):
+            assert not rows[d]["passed"]
+
+    def test_gopher_rules_empty_text_fails_closed(self, spark):
+        from aws_genaric_datapipeline_spark.operators.text import gopher_rules
+
+        rows = gopher_rules(
+            spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+        ).collect()
+        r = rows[0]
+        assert not r["passed"]
+        assert not r["words_in_range"] and not r["alpha_words_ok"]
+
     def test_rrf_fuse_formula_and_missing_leg_contribution(self, spark):
         """rrf = Σ 1/(k+rank) with absent-leg terms contributing exactly 0;
         per-leg rank columns surface as NULL for absent docs."""
