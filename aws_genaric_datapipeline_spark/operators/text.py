@@ -539,6 +539,95 @@ SUBWORD_MAX_LEN = max(len(t) for t in SUBWORD_VOCAB)
 SUBWORD_UNK = "<unk>"
 
 
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 3,
+) -> DataFrame:
+    """Learn the first ``num_merges`` BPE merges from a corpus (Sennrich et
+    al. 2016 — vocabulary training, the counterpart of subword_tokenize's
+    vocab *apply* pass).
+
+    Classic algorithm: histogram word types, split each into characters,
+    then per round (1) count adjacent symbol pairs weighted by word
+    frequency, (2) take the most frequent pair (ties broken by (left,
+    right) ascending so the result is deterministic cross-engine), and
+    (3) merge its non-overlapping occurrences left-to-right in every word.
+    Returns (merge_rank, left_sym, right_sym, pair_count) — the ordered
+    merge table that IS the trained tokenizer artifact.
+
+    Scale: this is the industrial BPE shape — the corpus contributes ONE
+    explode+count shuffle producing the vocabulary-sized word histogram
+    (persisted), and the entire training loop runs on that vocab frame:
+    pair counting is a vocab-sized aggregation, the arg-max is
+    TakeOrdered(1), and the only driver data is one (pair, count) row per
+    round — the convergence-probe pattern, same as connected components.
+    The merge itself is a JVM ``aggregate`` fold (replace-last formulation:
+    merging when the previously emitted symbol equals ``left`` is
+    equivalent to the index walk because a merged symbol ``left+right`` is
+    strictly longer than ``left`` and can never re-match it), so no Python
+    touches data.
+    """
+    wt = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = wt.select("word", "freq", chars.alias("syms")).persist()
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pair_structs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top_rows = (
+            vocab.select("freq", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:
+            break
+        top = top_rows[0]
+        merges.append((rank, top["a"], top["b"], int(top["cnt"])))
+        a, b = top["a"], top["b"]
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = vocab.select("word", "freq", merged.alias("syms")).persist()
+        nxt.count()  # materialize before releasing the previous round
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
 def subword_tokenize(
     df,
     id_col: str = "doc_id",

@@ -265,6 +265,86 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rrf_fuse({"lex": lex, "sem": sem}, k=60, top=20)
 
 
+def _bpe_round_sql(r: int) -> str:
+    """One BPE training round as DuckDB CTEs: pair counts over syms{r-1},
+    deterministic arg-max (count DESC, pair ASC), and the left-to-right
+    non-overlapping merge replayed as a RECURSIVE index walk (each word row
+    advances i by 2 over a matched pair, else by 1, appending to acc)."""
+    prev = f"syms{r - 1}"
+    top = f"top{r}"
+    return f"""
+        pairs{r} AS (
+            SELECT freq, u.p.a AS a, u.p.b AS b
+            FROM {prev}, UNNEST(list_transform(range(1, len(syms)),
+                 i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS u(p)
+        ),
+        {top} AS (
+            SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM pairs{r} GROUP BY a, b
+            ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        walk{r} AS (
+            SELECT word, freq, syms, 1 AS i, []::VARCHAR[] AS acc FROM {prev}
+            UNION ALL
+            SELECT word, freq, syms,
+                   CASE WHEN i < len(syms)
+                             AND syms[i] = (SELECT a FROM {top})
+                             AND syms[i + 1] = (SELECT b FROM {top})
+                        THEN i + 2 ELSE i + 1 END,
+                   CASE WHEN i < len(syms)
+                             AND syms[i] = (SELECT a FROM {top})
+                             AND syms[i + 1] = (SELECT b FROM {top})
+                        THEN list_append(acc, syms[i] || syms[i + 1])
+                        ELSE list_append(acc, syms[i]) END
+            FROM walk{r} WHERE i <= len(syms)
+        ),
+        syms{r} AS (
+            SELECT word, freq, acc AS syms FROM walk{r}
+            WHERE i = len(syms) + 1
+        )"""
+
+
+_BPE_MERGES = 3
+_BPE_ORACLE = (
+    f"""
+    WITH RECURSIVE wt AS (
+        SELECT tok AS word, count(*) AS freq
+        FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+        WHERE length(trim(text)) > 0
+        GROUP BY tok
+    ),
+    syms0 AS (
+        SELECT word, freq,
+               list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+        FROM wt
+    ),
+    """
+    + ",\n".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, cnt AS pair_count FROM top{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
+@query(
+    "tokenizer_bpe_learn",
+    oracle=_BPE_ORACLE,
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (Sennrich et al. 2016): the first 3 learned
+    merges over the corpus — most frequent adjacent symbol pair per round,
+    frequency-weighted by word type, merged non-overlapping left-to-right.
+    The oracle replays every round in full: pair histogram, deterministic
+    arg-max, and the sequential merge as a recursive index walk — so the
+    learned merge table is value-checked end to end, not spot-checked."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return X.bpe_learn(documents, num_merges=_BPE_MERGES)
+
+
 @query(
     "text_gopher_rules",
     oracle=f"""

@@ -953,6 +953,78 @@ class TestCuration:
         assert rows[3]["top_bigram_frac"] == 0.0
 
 
+class TestBpeLearn:
+    def _ref(self, texts, k):
+        """Textbook BPE reference: index-walk merge, count-desc/pair-asc
+        tie-break — the ground truth the replace-last fold must equal."""
+        from collections import Counter
+
+        wt = Counter(w for t in texts for w in t.split())
+        vocab = {w: list(w) for w in wt}
+        merges = []
+        for r in range(1, k + 1):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wt[w]
+            if not pc:
+                break
+            m = max(pc.values())
+            a, b = sorted(p for p, c in pc.items() if c == m)[0]
+            merges.append((r, a, b, m))
+            for w, syms in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                vocab[w] = res
+        return merges
+
+    def test_matches_reference_on_overlapping_runs(self, spark):
+        """'aaaa' must merge to (aa)(aa), never (a)(aa)(a) — the
+        non-overlap left-to-right contract; later rounds must count pairs
+        over MERGED symbols, not original characters."""
+        from aws_genaric_datapipeline_spark.operators.text import bpe_learn
+
+        texts = ["aaaa aaaa aaab ab ab k", "banana bandana bananas"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_learn(docs, num_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == self._ref(texts, 4)
+
+    def test_tie_break_is_pair_ascending(self, spark):
+        """Equal counts: ('a','b') must win over ('b','a') etc. by (left,
+        right) ascending, making the merge table deterministic."""
+        from aws_genaric_datapipeline_spark.operators.text import bpe_learn
+
+        texts = ["xy yx xy yx"]
+        docs = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_learn(docs, num_merges=1).collect()
+        ]
+        assert got == self._ref(texts, 1)
+        assert got[0][1:3] == ("x", "y")
+
+    def test_exhausted_pairs_stop_early(self, spark):
+        """Single-char word types produce no pairs: the merge table ends
+        when nothing is left to merge instead of erroring."""
+        from aws_genaric_datapipeline_spark.operators.text import bpe_learn
+
+        docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+        assert bpe_learn(docs, num_merges=5).count() == 0
+
+
 class TestPageRank:
     def test_two_node_cycle_is_fixed_point(self, spark):
         """a<->b is symmetric: uniform 1/2 is the exact fixed point, so
