@@ -22,6 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def recover_orphan_location(spark: SparkSession, table: str, mode: str) -> None:
+    """Remove a previous session's orphaned managed-table directory before
+    an overwrite ``saveAsTable`` (see write_bucketed's docstring: ephemeral
+    in-memory metastores lose the catalog entry at session death while the
+    warehouse directory survives, turning overwrite into
+    LOCATION_ALREADY_EXISTS).  No-op unless mode is overwrite and the
+    catalog has no entry for ``table``."""
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        import shutil
+        from pathlib import Path
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        root = Path(wh.removeprefix("file:"))
+        loc = root / table.rsplit(".", 1)[-1].lower()
+        if root.is_dir() and loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -47,15 +65,7 @@ def write_bucketed(
     skip this path (the catalog entry exists, overwrite handles it).
     """
     spark = df.sparkSession
-    if mode == "overwrite" and not spark.catalog.tableExists(table):
-        import shutil
-        from pathlib import Path
-
-        wh = spark.conf.get("spark.sql.warehouse.dir", "")
-        root = Path(wh.removeprefix("file:"))
-        loc = root / table.rsplit(".", 1)[-1].lower()
-        if root.is_dir() and loc.exists():
-            shutil.rmtree(loc, ignore_errors=True)
+    recover_orphan_location(spark, table, mode)
     writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -238,24 +238,107 @@ def bloom_decontaminate(
 
     ``num_hashes`` ≤ 4 (md5 yields four disjoint 8-hex windows).
     """
+    bench_pos = _bloom_position_set(
+        benchmark_df, id_col, text_col, n, num_bits, num_hashes
+    )
+    return _bloom_probe(
+        corpus_df, bench_pos, id_col, text_col, n, num_bits, num_hashes
+    )
+
+
+def _bloom_positions(tok: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The num_hashes md5-window bit positions of one gram (engine-portable)."""
     if not 1 <= num_hashes <= 4:
         raise ValueError("num_hashes must be in 1..4 (md5 has 4 hex windows)")
+    return [
+        F.conv(F.substring(F.md5(tok), 1 + 8 * j, 8), 16, 10).cast("bigint")
+        % num_bits
+        for j in range(num_hashes)
+    ]
 
-    def positions(tok: Column) -> list[Column]:
-        return [
-            F.conv(F.substring(F.md5(tok), 1 + 8 * j, 8), 16, 10).cast("bigint")
-            % num_bits
-            for j in range(num_hashes)
-        ]
 
-    bench_pos = (
+def _bloom_position_set(
+    benchmark_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Distinct inserted bit positions (column ``p``) — the sparse bitset."""
+    pos = _bloom_positions(F.col("tok"), num_bits, num_hashes)
+    return (
         _token_sets(benchmark_df, id_col, text_col, n)
-        .select(F.explode(F.array(*positions(F.col("tok")))).alias("p"))
+        .select(F.explode(F.array(*pos)).alias("p"))
         .dropDuplicates()
     )
+
+
+def bloom_build_index(
+    benchmark_df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 2,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the benchmark's Bloom position set as a catalog table — the
+    decontamination analog of write_fingerprint_index: hash the benchmark
+    ONCE at eval-set registration, then screen every ingest batch against
+    the stored positions without re-shingling benchmark text.
+
+    The table is a single long column (``p``), ≤ min(k·|grams|, num_bits)
+    rows — broadcast-sized by construction, so no bucketing: every batch
+    screen reads it whole and broadcasts.  New benchmark releases append
+    their positions with ``mode="append"`` (the position set is a union —
+    Bloom filters OR together); num_bits/num_hashes must match across
+    appends, which callers pin the same way the MinHash index pins its
+    band parameters."""
+    from aws_genaric_datapipeline_spark.operators.bucketing import (
+        recover_orphan_location,
+    )
+
+    pos = _bloom_position_set(
+        benchmark_df, "doc_id", text_col, n, num_bits, num_hashes
+    )
+    recover_orphan_location(pos.sparkSession, table, mode)
+    pos.coalesce(1).write.format("parquet").mode(mode).saveAsTable(table)
+
+
+def bloom_screen_indexed(
+    spark,
+    batch_df: DataFrame,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 2,
+) -> DataFrame:
+    """bloom_decontaminate against a persisted position index
+    (bloom_build_index) — the per-batch ingest hygiene form: the benchmark
+    side costs one tiny table read instead of a shingle+hash pass, and the
+    batch side is the same broadcast-probe plan (zero batch-side Exchange
+    before the per-doc count aggregation)."""
+    return _bloom_probe(
+        batch_df, spark.table(index_table), id_col, text_col, n, num_bits, num_hashes
+    )
+
+
+def _bloom_probe(
+    corpus_df: DataFrame,
+    bench_pos: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    pos = _bloom_positions(F.col("tok"), num_bits, num_hashes)
     probe = _token_sets(corpus_df, id_col, text_col, n).select(
         "did",
-        *[p.alias(f"p{j}") for j, p in enumerate(positions(F.col("tok")))],
+        *[p.alias(f"p{j}") for j, p in enumerate(pos)],
     )
     member = None
     for j in range(num_hashes):

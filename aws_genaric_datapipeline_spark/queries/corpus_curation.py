@@ -265,6 +265,57 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rrf_fuse({"lex": lex, "sem": sem}, k=60, top=20)
 
 
+@query(
+    "decontaminate_incremental_bloom",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        bench AS (SELECT DISTINCT tok FROM sh WHERE did % 20 = 0),
+        bits AS (
+            SELECT DISTINCT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1048576
+                AS p FROM bench
+            UNION
+            SELECT DISTINCT ('0x' || substr(md5(tok), 9, 8))::BIGINT % 1048576
+                FROM bench
+        ),
+        mem AS (
+            SELECT did,
+                   (('0x' || substr(md5(tok), 1, 8))::BIGINT % 1048576
+                        IN (SELECT p FROM bits)
+                    AND ('0x' || substr(md5(tok), 9, 8))::BIGINT % 1048576
+                        IN (SELECT p FROM bits)) AS hit
+            FROM sh WHERE did % 5 = 0 AND did % 20 <> 0
+        )
+        SELECT did AS doc_id,
+               count(*) FILTER (hit) AS n_flagged,
+               count(*) AS n_grams,
+               round(count(*) FILTER (hit) / CAST(count(*) AS DOUBLE), 4)
+                   AS flagged_ratio
+        FROM mem GROUP BY did
+        HAVING count(*) FILTER (hit) > 0
+    """,
+    tags=("north-star", "curation", "dedup"),
+)
+def decontaminate_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch decontamination against a PERSISTED Bloom position index
+    (built here in-query for the honest cold composite — production builds
+    once at eval-set registration): the benchmark slice's positions land
+    in a broadcast-sized catalog table, and the incoming batch (doc_id %
+    5 = 0, benchmark rows excluded) is screened against it with the same
+    broadcast-probe plan as decontaminate_bloom.  Completes the
+    build-once/screen-per-batch index family: exact fp, MinHash, SimHash,
+    embedding-LSH, and now the decontamination screen."""
+    (documents,) = load(spark, sf_dir, "documents")
+    bench = documents.where(F.col("doc_id") % 20 == 0)
+    batch = documents.where(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 20 != 0)
+    )
+    D.bloom_build_index(bench, "bloom_positions_idx")
+    return D.bloom_screen_indexed(spark, batch, "bloom_positions_idx")
+
+
 def _bpe_round_sql(r: int) -> str:
     """One BPE training round as DuckDB CTEs: pair counts over syms{r-1},
     deterministic arg-max (count DESC, pair ASC), and the left-to-right

@@ -832,6 +832,48 @@ class TestCuration:
         assert rows[0]["n_flagged"] == rows[0]["n_grams"]
         assert rows[0]["flagged_ratio"] == 1.0
 
+    def test_bloom_index_screen_matches_one_shot_and_appends_union(self, spark):
+        """bloom_screen_indexed over a persisted position index must equal
+        the one-shot bloom_decontaminate on the same (batch, benchmark)
+        split; appending a second benchmark's positions must equal
+        rebuilding over the union (Bloom filters OR together)."""
+        bench1 = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        bench2 = spark.createDataFrame(
+            [(101, "pack my box with five dozen jugs")], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [
+                (1, "quick brown fox elsewhere entirely"),
+                (2, "box with five several others too"),
+                (3, "totally disjoint content right here"),
+            ],
+            "doc_id long, text string",
+        )
+        spark.sql("DROP TABLE IF EXISTS bloom_idx_t")
+        D.bloom_build_index(bench1, "bloom_idx_t")
+        got1 = {
+            tuple(r)
+            for r in D.bloom_screen_indexed(spark, batch, "bloom_idx_t").collect()
+        }
+        want1 = {tuple(r) for r in D.bloom_decontaminate(batch, bench1).collect()}
+        assert got1 == want1 and got1
+        D.bloom_build_index(bench2, "bloom_idx_t", mode="append")
+        got2 = {
+            tuple(r)
+            for r in D.bloom_screen_indexed(spark, batch, "bloom_idx_t").collect()
+        }
+        want2 = {
+            tuple(r)
+            for r in D.bloom_decontaminate(
+                batch, bench1.unionByName(bench2)
+            ).collect()
+        }
+        assert got2 == want2
+        assert {r[0] for r in got2} == {1, 2}
+        spark.sql("DROP TABLE IF EXISTS bloom_idx_t")
+
     def test_bloom_rejects_bad_num_hashes(self, spark):
         bench = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
         with pytest.raises(ValueError):
