@@ -417,3 +417,82 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 4).alias("avg_session_events"),
         F.round(F.avg("dur_s"), 2).alias("avg_session_duration_s"),
     )
+
+
+@query(
+    "events_cms_type_counts",
+    oracle="""
+        WITH ev AS (
+            SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k
+            FROM events
+        ),
+        sk AS (
+            SELECT row_j, pos, count(*) AS c FROM (
+                SELECT 0 AS row_j,
+                       ('0x' || substr(md5(k), 1, 8))::BIGINT % 256 AS pos
+                FROM ev
+                UNION ALL
+                SELECT 1, ('0x' || substr(md5(k), 9, 8))::BIGINT % 256 FROM ev
+            ) GROUP BY row_j, pos
+        ),
+        keys AS (
+            SELECT user_id, event_type, count(*) AS exact_count
+            FROM events WHERE user_id % 10 = 0
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type,
+               least(
+                   coalesce((SELECT c FROM sk WHERE row_j = 0 AND pos =
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                        || event_type), 1, 8))::BIGINT % 256),
+                       CAST(0 AS BIGINT)),
+                   coalesce((SELECT c FROM sk WHERE row_j = 1 AND pos =
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                        || event_type), 9, 8))::BIGINT % 256),
+                       CAST(0 AS BIGINT))
+               ) AS est_count,
+               exact_count,
+               least(
+                   coalesce((SELECT c FROM sk WHERE row_j = 0 AND pos =
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                        || event_type), 1, 8))::BIGINT % 256),
+                       CAST(0 AS BIGINT)),
+                   coalesce((SELECT c FROM sk WHERE row_j = 1 AND pos =
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                        || event_type), 9, 8))::BIGINT % 256),
+                       CAST(0 AS BIGINT))
+               ) - exact_count AS overcount
+        FROM keys
+    """,
+    tags=("north-star", "events", "sketch"),
+)
+def events_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates (depth 2 × width 256, md5-window
+    hashes) for per-(user, event_type) activity counts, checked against
+    exact counts for a sampled key set — est ≥ exact always, and the
+    oracle rebuilds the identical grid so every collision's overcount is
+    value-checked, not tolerance-checked.  The sketch build shuffles at
+    most depth×width rows regardless of corpus size or key skew (map-side
+    partial aggregation collapses each partition to the grid), which is
+    the mergeable-telemetry shape: per-batch grids add cell-wise."""
+    from aws_genaric_datapipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    key = F.concat_ws(":", F.col("user_id"), F.col("event_type"))
+    sketch = cms_sketch(events, key, depth=2, width=256)
+    keys = (
+        events.where(F.col("user_id") % 10 == 0)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    est = cms_estimate(sketch, keys, key, depth=2, width=256)
+    return est.select(
+        "user_id",
+        "event_type",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    )

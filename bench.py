@@ -79,6 +79,10 @@ HEADLINE = [
     "dedup_incremental_semantic",
     "dedup_incremental_simhash",
     "decontaminate_bloom",
+    "decontaminate_incremental_bloom",
+    "search_hybrid_rrf",
+    "text_gopher_rules",
+    "tokenizer_bpe_learn",
 ]
 
 

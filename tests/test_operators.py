@@ -573,6 +573,52 @@ class TestHeavyHitters:
             assert got[v] == exact[v], "counts must be exact, not estimates"
 
 
+class TestCountMin:
+    def test_never_undercounts_and_exact_without_collisions(self, spark):
+        """est(k) >= true(k) for every key; with 3 keys in a 256-wide
+        2-row grid (collision-free here), estimates are exact."""
+        from aws_genaric_datapipeline_spark.operators.sketches import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        sk = cms_sketch(df, "k")
+        keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "k string")
+        got = {r["k"]: r["est_count"] for r in cms_estimate(sk, keys, "k").collect()}
+        assert got["a"] >= 5 and got["b"] >= 3 and got["c"] >= 1
+        assert got == {"a": 5, "b": 3, "c": 1, "zzz": 0}
+
+    def test_merge_is_cellwise_addition(self, spark):
+        """sketch(A) + sketch(B) (union → sum per cell) must equal
+        sketch(A ∪ B) — the mergeability contract that makes count-min
+        the per-batch telemetry sketch."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.operators.sketches import cms_sketch
+
+        a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, "k string")
+        b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 3, "k string")
+        merged = (
+            cms_sketch(a, "k")
+            .unionByName(cms_sketch(b, "k"))
+            .groupBy("row", "pos")
+            .agg(F.sum("c").alias("c"))
+        )
+        whole = cms_sketch(a.unionByName(b), "k")
+        assert {tuple(r) for r in merged.collect()} == {
+            tuple(r) for r in whole.collect()
+        }
+
+    def test_depth_bounds(self, spark):
+        from aws_genaric_datapipeline_spark.operators.sketches import cms_sketch
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(ValueError):
+            cms_sketch(df, "k", depth=5)
+
+
 class TestIvfIndex:
     def test_prebuilt_index_matches_inline_ivf_recall(self, spark, tmp_path):
         """Persisted IVF index (build once, query many): results match the
