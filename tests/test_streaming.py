@@ -358,3 +358,42 @@ class TestStreamingDedup:
             for r in spark.sql("SELECT * FROM dedup_sink").collect()
         )
         assert got == expected
+
+
+class TestStreamingCms:
+    def test_stream_grid_accumulates_across_microbatches(self, spark, tmp_path):
+        """cms_sketch is a plain explode+groupBy, so it runs unchanged as a
+        streaming stateful aggregation: with maxFilesPerTrigger=1 forcing
+        one micro-batch per file, the complete-mode grid after draining
+        must equal the batch grid over the union — the mergeability
+        contract (cell-wise addition) exercised by the real streaming
+        state store, not a hand-rolled union."""
+        from aws_genaric_datapipeline_spark.operators.sketches import cms_sketch
+
+        src = str(tmp_path / "keys")
+        a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, "k string")
+        b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 3, "k string")
+        a.coalesce(1).write.mode("append").parquet(src)
+        b.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            cms_sketch(stream, "k")
+            .writeStream.format("memory")
+            .queryName("cms_grid")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.lastProgress is not None
+        got = {tuple(r) for r in spark.sql("SELECT * FROM cms_grid").collect()}
+        want = {
+            tuple(r) for r in cms_sketch(a.unionByName(b), "k").collect()
+        }
+        assert got == want and got
