@@ -240,6 +240,39 @@ def quality_score_bp(text: Column) -> Column:
     return (4 * len_bp.cast("bigint") + 3 * word_bp.cast("bigint") + 3 * alpha_bp).cast("bigint")
 
 
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (nats) of the character distribution of trimmed
+    text, rounded to 4 decimals — the classic gibberish/boilerplate
+    signal: natural prose sits ~2.8-3.2 nats, single-char spam near 0,
+    uniform random bytes near ln(alphabet).
+
+    Pure column expression: the per-doc distinct-char count scan is
+    O(distinct·len) INSIDE the row (alphabet-bounded), so the operator is
+    row-parallel with zero shuffles at any corpus size.  Empty text → 0.0.
+
+    Entropy is computed as ln(n) − (Σ c·ln c)/n over the SORTED per-char
+    counts: both engines then fold the identical operand sequence, so the
+    float sum is bit-identical cross-engine and the 4-decimal rounding can
+    never flip on association order.
+    """
+    t = F.trim(text)
+    n = F.length(t)
+    chars = F.split(t, "")
+    counts = F.array_sort(
+        F.transform(
+            F.array_distinct(chars),
+            lambda c: F.size(F.filter(chars, lambda x: x == c)),
+        )
+    )
+    clogc = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    ent = F.log(n.cast("double")) - clogc / n.cast("double")
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(ent, 4))
+
+
 GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
 

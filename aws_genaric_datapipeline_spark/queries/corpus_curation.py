@@ -397,6 +397,44 @@ def tokenizer_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_char_entropy",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, trim(text) AS t,
+                   length(trim(text)) AS n,
+                   string_split(trim(text), '') AS chars
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, n,
+                   list_sort(list_transform(list_distinct(chars),
+                       c -> len(list_filter(chars, x -> x = c)))) AS counts
+            FROM base
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+               CASE WHEN n = 0 THEN 0.0 ELSE round(
+                   ln(CAST(n AS DOUBLE))
+                   - list_aggregate(list_transform(counts,
+                         c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))),
+                     'sum') / CAST(n AS DOUBLE), 4) END AS char_entropy
+        FROM cnt
+    """,
+    tags=("north-star", "text"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (nats, 4dp) — the classic
+    gibberish/boilerplate quality signal.  Both engines fold c·ln(c) over
+    the SORTED count multiset, so the float sum is order-identical and the
+    rounding can never flip cross-engine."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.length(F.trim("text")).cast("bigint").alias("n_chars"),
+        X.char_entropy(F.col("text")).alias("char_entropy"),
+    )
+
+
+@query(
     "text_gopher_rules",
     oracle=f"""
         WITH base AS (

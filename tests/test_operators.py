@@ -1078,17 +1078,24 @@ class TestBpeLearn:
         over MERGED symbols, not original characters."""
         from aws_genaric_datapipeline_spark.operators.text import bpe_learn
 
-        texts = ["aaaa aaaa aaab ab ab k", "banana bandana bananas"]
+        texts = [
+            "aaaa aaaa aaab ab ab k",
+            "banana bandana bananas",
+            # chained merges: round n's pair is round n-1's MERGED symbol
+            # on both sides (ab+ab -> abab), exercising the replace-last
+            # fold against symbols longer than one char
+            "abab abab abababab",
+        ]
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         )
         got = [
             (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
-            for r in bpe_learn(docs, num_merges=4)
+            for r in bpe_learn(docs, num_merges=6)
             .orderBy("merge_rank")
             .collect()
         ]
-        assert got == self._ref(texts, 4)
+        assert got == self._ref(texts, 6)
 
     def test_tie_break_is_pair_ascending(self, spark):
         """Equal counts: ('a','b') must win over ('b','a') etc. by (left,
