@@ -83,6 +83,8 @@ HEADLINE = [
     "search_hybrid_rrf",
     "text_gopher_rules",
     "tokenizer_bpe_learn",
+    "events_cms_type_counts",
+    "text_char_entropy",
 ]
 
 
