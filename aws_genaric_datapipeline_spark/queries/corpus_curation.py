@@ -62,10 +62,15 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_overlap(corpus, bench, n=3)
 
 
-@query(
-    "decontaminate_bloom",
-    oracle=f"""
-        WITH sh AS (
+def _duck_bloom_cte(probe_pred: str) -> str:
+    """CTE chunk replaying the Bloom screen: benchmark (doc_id % 20 = 0)
+    trigram positions → ``bloomr`` (did, n_flagged, n_grams,
+    flagged_ratio) for every probed doc matching ``probe_pred`` (zero-flag
+    docs included — query-level selects apply their own HAVING).  Shared
+    verbatim by decontaminate_bloom / decontaminate_incremental_bloom /
+    the v2 funnel."""
+    return f"""
+        sh AS (
             SELECT DISTINCT doc_id AS did, s.tok
             FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
         ),
@@ -83,15 +88,24 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                         IN (SELECT p FROM bits)
                     AND ('0x' || substr(md5(tok), 9, 8))::BIGINT % 1048576
                         IN (SELECT p FROM bits)) AS hit
-            FROM sh WHERE did % 20 <> 0
-        )
-        SELECT did AS doc_id,
-               count(*) FILTER (hit) AS n_flagged,
-               count(*) AS n_grams,
-               round(count(*) FILTER (hit) / CAST(count(*) AS DOUBLE), 4)
-                   AS flagged_ratio
-        FROM mem GROUP BY did
-        HAVING count(*) FILTER (hit) > 0
+            FROM sh WHERE {probe_pred}
+        ),
+        bloomr AS (
+            SELECT did,
+                   count(*) FILTER (hit) AS n_flagged,
+                   count(*) AS n_grams,
+                   round(count(*) FILTER (hit) / CAST(count(*) AS DOUBLE), 4)
+                       AS flagged_ratio
+            FROM mem GROUP BY did
+        )"""
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+        WITH {_duck_bloom_cte("did % 20 <> 0")}
+        SELECT did AS doc_id, n_flagged, n_grams, flagged_ratio
+        FROM bloomr WHERE n_flagged > 0
     """,
     tags=("north-star", "curation", "dedup"),
 )
@@ -268,33 +282,9 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "decontaminate_incremental_bloom",
     oracle=f"""
-        WITH sh AS (
-            SELECT DISTINCT doc_id AS did, s.tok
-            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
-        ),
-        bench AS (SELECT DISTINCT tok FROM sh WHERE did % 20 = 0),
-        bits AS (
-            SELECT DISTINCT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1048576
-                AS p FROM bench
-            UNION
-            SELECT DISTINCT ('0x' || substr(md5(tok), 9, 8))::BIGINT % 1048576
-                FROM bench
-        ),
-        mem AS (
-            SELECT did,
-                   (('0x' || substr(md5(tok), 1, 8))::BIGINT % 1048576
-                        IN (SELECT p FROM bits)
-                    AND ('0x' || substr(md5(tok), 9, 8))::BIGINT % 1048576
-                        IN (SELECT p FROM bits)) AS hit
-            FROM sh WHERE did % 5 = 0 AND did % 20 <> 0
-        )
-        SELECT did AS doc_id,
-               count(*) FILTER (hit) AS n_flagged,
-               count(*) AS n_grams,
-               round(count(*) FILTER (hit) / CAST(count(*) AS DOUBLE), 4)
-                   AS flagged_ratio
-        FROM mem GROUP BY did
-        HAVING count(*) FILTER (hit) > 0
+        WITH {_duck_bloom_cte("did % 5 = 0 AND did % 20 <> 0")}
+        SELECT did AS doc_id, n_flagged, n_grams, flagged_ratio
+        FROM bloomr WHERE n_flagged > 0
     """,
     tags=("north-star", "curation", "dedup"),
 )
@@ -396,28 +386,38 @@ def tokenizer_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_learn(documents, num_merges=_BPE_MERGES)
 
 
-@query(
-    "text_char_entropy",
-    oracle="""
-        WITH base AS (
-            SELECT doc_id, trim(text) AS t,
-                   length(trim(text)) AS n,
+def _duck_entropy_cte(src: str, prefix: str = "ent") -> str:
+    """CTE chunk computing (doc_id, n, char_entropy) from ``src`` —
+    shared verbatim by text_char_entropy and the v2 funnel so the two
+    oracles can never drift apart."""
+    return f"""
+        {prefix}_base AS (
+            SELECT doc_id, length(trim(text)) AS n,
                    string_split(trim(text), '') AS chars
-            FROM documents
+            FROM {src}
         ),
-        cnt AS (
+        {prefix}_cnt AS (
             SELECT doc_id, n,
                    list_sort(list_transform(list_distinct(chars),
                        c -> len(list_filter(chars, x -> x = c)))) AS counts
-            FROM base
-        )
-        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
-               CASE WHEN n = 0 THEN 0.0 ELSE round(
-                   ln(CAST(n AS DOUBLE))
-                   - list_aggregate(list_transform(counts,
-                         c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))),
-                     'sum') / CAST(n AS DOUBLE), 4) END AS char_entropy
-        FROM cnt
+            FROM {prefix}_base
+        ),
+        {prefix} AS (
+            SELECT doc_id, n,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(
+                       ln(CAST(n AS DOUBLE))
+                       - list_aggregate(list_transform(counts,
+                             c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))),
+                         'sum') / CAST(n AS DOUBLE), 4) END AS char_entropy
+            FROM {prefix}_cnt
+        )"""
+
+
+@query(
+    "text_char_entropy",
+    oracle=f"""
+        WITH {_duck_entropy_cte("documents")}
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars, char_entropy FROM ent
     """,
     tags=("north-star", "text"),
 )
@@ -434,17 +434,18 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_gopher_rules",
-    oracle=f"""
-        WITH base AS (
+def _duck_gopher_cte(src: str) -> str:
+    """CTE chunk computing per-doc Gopher rule flags (``gflags``) from
+    ``src`` — shared verbatim by text_gopher_rules and the v2 funnel."""
+    return f"""
+        gbase AS (
             SELECT doc_id,
                    trim(text) AS t,
                    {_DUCK_TOKS} AS toks,
                    string_split(trim(text), chr(10)) AS lines
-            FROM documents
+            FROM {src}
         ),
-        sig AS (
+        gsig AS (
             SELECT doc_id,
                    len(toks) AS n,
                    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
@@ -462,9 +463,9 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS n_ell_lines,
                    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
                        AS n_alpha_words
-            FROM base
+            FROM gbase
         ),
-        flags AS (
+        gflags AS (
             SELECT doc_id,
                    n >= 20 AND n <= 80 AS words_in_range,
                    n > 0 AND 3 * n <= sum_len AND sum_len <= 10 * n
@@ -475,8 +476,26 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    10 * n_bullet <= 9 * n_lines AS bullet_lines_ok,
                    10 * n_ell_lines <= 3 * n_lines AS ellipsis_lines_ok,
                    n > 0 AND 5 * n_alpha_words >= 4 * n AS alpha_words_ok
-            FROM sig
-        )
+            FROM gsig
+        )"""
+
+
+_DUCK_GOPHER_NFAILED = """
+    CAST(  (CASE WHEN words_in_range THEN 0 ELSE 1 END)
+         + (CASE WHEN mean_word_len_ok THEN 0 ELSE 1 END)
+         + (CASE WHEN stopwords_ok THEN 0 ELSE 1 END)
+         + (CASE WHEN top_token_ok THEN 0 ELSE 1 END)
+         + (CASE WHEN symbol_ratio_ok THEN 0 ELSE 1 END)
+         + (CASE WHEN bullet_lines_ok THEN 0 ELSE 1 END)
+         + (CASE WHEN ellipsis_lines_ok THEN 0 ELSE 1 END)
+         + (CASE WHEN alpha_words_ok THEN 0 ELSE 1 END) AS INT)
+"""
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+        WITH {_duck_gopher_cte("documents")}
         SELECT *, CAST(
                    (CASE WHEN words_in_range THEN 0 ELSE 1 END)
                  + (CASE WHEN mean_word_len_ok THEN 0 ELSE 1 END)
@@ -490,7 +509,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                words_in_range AND mean_word_len_ok AND stopwords_ok
                  AND top_token_ok AND symbol_ratio_ok AND bullet_lines_ok
                  AND ellipsis_lines_ok AND alpha_words_ok AS passed
-        FROM flags
+        FROM gflags
     """,
     tags=("north-star", "text", "curation"),
 )
@@ -1373,3 +1392,113 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best.where(F.col("max_sim") >= 0.45)
+
+
+_FUNNEL_V2_SRC = "(SELECT * FROM documents WHERE doc_id % 20 <> 0)"
+
+
+@query(
+    "curate_funnel_v2",
+    oracle=f"""
+        WITH {_duck_gopher_cte(_FUNNEL_V2_SRC)},
+        {_duck_entropy_cte(_FUNNEL_V2_SRC)},
+        {_duck_bloom_cte("did % 20 <> 0")},
+        fp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fp
+            FROM documents WHERE doc_id % 20 <> 0
+        ),
+        fl AS (
+            SELECT fp.doc_id, fp.fp,
+                   ({_DUCK_GOPHER_NFAILED}) <= 2 AS g,
+                   coalesce(bloomr.flagged_ratio, 0.0) < 0.02 AS b,
+                   ent.char_entropy >= 2.80 AS e
+            FROM fp
+            JOIN gflags USING (doc_id)
+            JOIN ent ON ent.doc_id = fp.doc_id
+            LEFT JOIN bloomr ON bloomr.did = fp.doc_id
+        ),
+        rk AS (
+            SELECT *, row_number() OVER (PARTITION BY fp
+                ORDER BY CASE WHEN g THEN 0 ELSE 1 END, doc_id) AS rn
+            FROM fl
+        )
+        SELECT 'ingest' AS stage, count(*) AS n_docs FROM rk
+        UNION ALL SELECT 'quality_rules', count(*) FILTER (g) FROM rk
+        UNION ALL SELECT 'dedup', count(*) FILTER (g AND rn = 1) FROM rk
+        UNION ALL SELECT 'decontaminate',
+                         count(*) FILTER (g AND rn = 1 AND b) FROM rk
+        UNION ALL SELECT 'entropy',
+                         count(*) FILTER (g AND rn = 1 AND b AND e) FROM rk
+    """,
+    tags=("north-star", "curation"),
+)
+def curate_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 curation funnel: Gopher rule gate (n_failed ≤ 2) →
+    exact dedup within rule-survivors (min-id per content fingerprint) →
+    Bloom decontamination screen (flagged-gram ratio < 2%) → character-
+    entropy gate (≥ 2.80 nats), reporting survivor counts per stage.
+
+    Same single-pass shape as curate_funnel_report: every gate is a
+    per-document boolean on ONE flag frame (the dedup survivor flag is a
+    fingerprint-window row_number that prefers rule-passing docs, so the
+    canonical pick stays inside the funnel), and all five counts ride one
+    conditional aggregation — nothing is re-scanned per stage.  Each gate
+    reuses the exact operator its own query verifies (gopher_rules,
+    fingerprint, bloom_decontaminate, char_entropy), and the oracle reuses
+    the same CTE text as those queries, so funnel and unit oracles cannot
+    drift apart."""
+    from pyspark.sql import Window
+
+    from aws_genaric_datapipeline_spark.operators.text import (
+        char_entropy,
+        fingerprint,
+        gopher_rules,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    bench = documents.where(F.col("doc_id") % 20 == 0)
+    corpus = documents.where(F.col("doc_id") % 20 != 0)
+
+    rules = gopher_rules(corpus).select("doc_id", "n_failed")
+    bloom = D.bloom_decontaminate(corpus, bench).select(
+        "doc_id", "flagged_ratio"
+    )
+    per_doc = corpus.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        char_entropy(F.col("text")).alias("ent"),
+    )
+    flags = (
+        per_doc.join(rules, "doc_id")
+        .join(bloom, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fp",
+            (F.col("n_failed") <= 2).alias("g"),
+            (F.coalesce(F.col("flagged_ratio"), F.lit(0.0)) < 0.02).alias("b"),
+            (F.col("ent") >= 2.80).alias("e"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.when(F.col("g"), 0).otherwise(1), "doc_id"
+    )
+    rk = flags.withColumn("rn", F.row_number().over(w))
+    g = F.col("g")
+    d = g & (F.col("rn") == 1)
+    b = d & F.col("b")
+    e = b & F.col("e")
+    agg = rk.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.count_if(g).alias("c1"),
+        F.count_if(d).alias("c2"),
+        F.count_if(b).alias("c3"),
+        F.count_if(e).alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 'ingest', c0, 'quality_rules', c1, 'dedup', c2,"
+            " 'decontaminate', c3, 'entropy', c4) AS (stage, n_docs)"
+        )
+    )

@@ -85,6 +85,7 @@ HEADLINE = [
     "tokenizer_bpe_learn",
     "events_cms_type_counts",
     "text_char_entropy",
+    "curate_funnel_v2",
 ]
 
 
