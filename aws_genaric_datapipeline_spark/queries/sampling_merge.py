@@ -186,10 +186,8 @@ def merge_upsert_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(target, source, ["user_id"])
 
 
-@query(
-    "scd2_event_type_intervals",
-    oracle="""
-        WITH ordered AS (
+_DUCK_SCD2_CTE = """
+        ordered AS (
             SELECT user_id, event_type, ts, event_id,
                    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                         THEN 1 ELSE 0 END AS chg
@@ -206,12 +204,20 @@ def merge_upsert_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, event_type, grp,
                    min(ts) AS valid_from, count(*) AS n_rows
             FROM runs GROUP BY user_id, event_type, grp
-        )
-        SELECT user_id, event_type, valid_from,
-               lead(valid_from) OVER (PARTITION BY user_id
-                                      ORDER BY valid_from) AS valid_to,
-               n_rows
-        FROM islands
+        ),
+        scd2 AS (
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from) AS valid_to,
+                   n_rows
+            FROM islands
+        )"""
+
+
+@query(
+    "scd2_event_type_intervals",
+    oracle="WITH " + _DUCK_SCD2_CTE + """
+        SELECT user_id, event_type, valid_from, valid_to, n_rows FROM scd2
     """,
     tags=("merge", "scd2"),
 )
@@ -291,3 +297,67 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
     )
     return cdc_apply(base, changelog, keys=["user_id"], order_cols=["ts", "event_id"])
+
+
+@query(
+    "join_temporal_scd2",
+    oracle="WITH " + _DUCK_SCD2_CTE + """,
+        probe AS (
+            SELECT event_id, user_id,
+                   ts - INTERVAL 30 MINUTE AS at_ts
+            FROM events
+            WHERE event_type = 'purchase' AND user_id < 30
+        )
+        SELECT p.event_id, p.user_id, p.at_ts,
+               s.event_type AS state_at, s.n_rows AS state_run_rows
+        FROM probe p
+        LEFT JOIN scd2 s
+          ON s.user_id = p.user_id
+         AND s.valid_from <= p.at_ts
+         AND (s.valid_to IS NULL OR p.at_ts < s.valid_to)
+    """,
+    tags=("join", "scd2", "temporal"),
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup against an SCD2 dimension: for each
+    purchase event, the user's event-type state 30 minutes EARLIER,
+    resolved by interval containment (valid_from ≤ t < valid_to, NULL
+    open end) against the gaps-and-islands history — the warehouse
+    pattern for joining facts to slowly-changing dimensions with
+    process-time correctness.  Probes before a user's first interval
+    surface NULL state (exercised: the earliest purchases pre-date the
+    first run).  Intervals partition each user's timeline, so containment
+    yields at most one match — no post-join dedup needed.
+
+    Scale: the join is hash-equi on user_id with the interval predicate
+    as a pushed join filter; the dimension side is the (key-cardinality-
+    bounded) SCD2 table, broadcastable in the common case.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    dims = scd2_collapse(
+        events.where(F.col("user_id") < 30),
+        key="user_id",
+        attr="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_at"),
+        "valid_from",
+        "valid_to",
+        F.col("n_rows").alias("state_run_rows"),
+    )
+    probe = events.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("at_ts"),
+    )
+    return probe.join(
+        dims,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("at_ts"))
+        & (F.col("valid_to").isNull() | (F.col("at_ts") < F.col("valid_to"))),
+        "left",
+    ).select("event_id", "user_id", "at_ts", "state_at", "state_run_rows")
