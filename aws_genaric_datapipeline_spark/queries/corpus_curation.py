@@ -524,6 +524,37 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repeated_span_fraction",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id AS did, u.gram
+            FROM documents, UNNEST(list_transform(
+                 range(1, length(trim(text)) - 20 + 2),
+                 i -> substr(trim(text), i, 20))) AS u(gram)
+            WHERE length(trim(text)) >= 20
+        ),
+        df AS (SELECT gram, count(DISTINCT did) AS nd FROM g GROUP BY gram),
+        m AS (SELECT did, (nd >= 2) AS hit FROM g JOIN df USING (gram))
+        SELECT did AS doc_id,
+               count(*) AS n_pos,
+               count(*) FILTER (hit) AS n_shared,
+               round(count(*) FILTER (hit) / CAST(count(*) AS DOUBLE), 4)
+                   AS shared_frac
+        FROM m GROUP BY did
+    """,
+    tags=("north-star", "text", "dedup"),
+)
+def text_repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication metric (Lee et al. 2022): the fraction
+    of each document's char-20-gram positions whose gram recurs in another
+    document — every repeated span of length ≥ 20 contains such a gram, so
+    df ≥ 2 on fixed-k grams is the distributed stand-in for suffix-array
+    repeated-substring mining.  Exact, fully replayed by the oracle."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return X.repeated_span_stats(documents, k=20)
+
+
+@query(
     "text_repetition_stats",
     oracle=f"""
         WITH toks AS (

@@ -86,6 +86,8 @@ HEADLINE = [
     "events_cms_type_counts",
     "text_char_entropy",
     "curate_funnel_v2",
+    "text_repeated_span_fraction",
+    "join_temporal_scd2",
 ]
 
 

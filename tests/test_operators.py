@@ -965,6 +965,46 @@ class TestCuration:
         assert not r["passed"]
         assert not r["words_in_range"] and not r["alpha_words_ok"]
 
+    def test_repeated_span_stats_flags_planted_duplicate_span(self, spark):
+        """Two docs sharing a 30-char span: every position inside the span
+        (positions where the k-gram fits fully inside it) counts as
+        shared; a fully unique doc scores 0; docs shorter than k are
+        absent."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            repeated_span_stats,
+        )
+
+        span = "0123456789abcdefghijklmnopqrs!"  # 30 chars
+        docs = spark.createDataFrame(
+            [
+                (1, "AAAA" + span + "BBBB"),
+                (2, "CCCC" + span + "DDDD"),
+                (3, "totally unique text with nothing shared here at all"),
+                (4, "tiny"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in repeated_span_stats(docs, k=20).collect()}
+        assert set(rows) == {1, 2, 3}
+        # doc length 38, k=20 → 19 positions; the 30-char span contains
+        # 30-20+1 = 11 fully-inside k-grams, all shared
+        assert rows[1]["n_pos"] == 19 and rows[1]["n_shared"] == 11
+        assert rows[2]["n_shared"] == 11
+        assert rows[3]["n_shared"] == 0 and rows[3]["shared_frac"] == 0.0
+
+    def test_repeated_span_self_repetition_does_not_count(self, spark):
+        """A gram repeated WITHIN one document only (distinct-doc freq 1)
+        is not cross-document duplication."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            repeated_span_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abcdefghijklmnopqrst" * 3)], "doc_id long, text string"
+        )
+        rows = repeated_span_stats(docs, k=20).collect()
+        assert rows[0]["n_shared"] == 0
+
     def test_rrf_fuse_formula_and_missing_leg_contribution(self, spark):
         """rrf = Σ 1/(k+rank) with absent-leg terms contributing exactly 0;
         per-leg rank columns surface as NULL for absent docs."""
