@@ -273,3 +273,61 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_customers")
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "stats_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               round(any_value(d.med), 4) AS median_value,
+               round(any_value(m.mad), 4) AS mad,
+               count(*) FILTER (d.adev > 3 * m.mad) AS n_outliers,
+               count(*) AS n_rows
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
+    tags=("stats", "events"),
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median absolute deviation
+    (MAD) with the 3·MAD rule — the robust counterpart of the z-score
+    anomaly query (events_anomaly_zscore), immune to the outliers it is
+    hunting.  Two exact medians (value, then |value − median|) and one
+    conditional count; comparisons run on UNROUNDED doubles in both
+    engines (outputs rounded for display only), so the census is exact.
+
+    Scale: two grouped exact medians = two sorts within event_type groups;
+    at 100 TB swap `median` for `approx_percentile(·, 0.5)` — the operator
+    contract (flag |x − med| > 3·MAD) is unchanged.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = events.join(med, "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 4).alias("median_value"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
