@@ -116,11 +116,15 @@ def read_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         # so parallelism = file count — fine for media corpora of many
         # small-to-medium objects).
         df = spark.read.format(src.kind).options(**src.options).load(src.path)
-    elif src.kind in ("csv", "json"):
+    elif src.kind in ("csv", "json", "xml"):
         declared = cfg.declared_struct()
         opts = dict(src.options)
         if src.kind == "csv":
             opts.setdefault("header", "true")  # match write_table's default
+        if src.kind == "xml":
+            # Spark 4 native XML (spark-xml folded into core): one row per
+            # rowTag element, attributes as `_attr` columns.
+            opts.setdefault("rowTag", "row")
         reader = spark.read.format(src.kind).options(**opts)
         # Schema-on-read from the declared schema: no inference job at scale.
         df = (reader.schema(declared) if declared is not None else reader).load(src.path)

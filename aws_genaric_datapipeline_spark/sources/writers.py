@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-FORMATS = ("parquet", "orc", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json", "xml")
 
 
 def write_table(
@@ -28,13 +28,16 @@ def write_table(
     - dynamic partition overwrite is enabled for mode='overwrite' so
       re-writing a batch replaces only its partitions (idempotent re-runs,
       same guarantee Pipeline.promote relies on);
-    - csv writes a header by default (interchange friendliness).
+    - csv writes a header by default (interchange friendliness);
+    - xml (Spark 4 native) defaults rowTag='row' to mirror the reader.
     """
     if format not in FORMATS:
         raise ValueError(f"unknown sink format {format!r}; one of {FORMATS}")
     opts = dict(options or {})
     if format == "csv":
         opts.setdefault("header", "true")
+    if format == "xml":
+        opts.setdefault("rowTag", "row")
     writer = df.write.format(format).mode(mode).options(**opts)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -18,16 +18,20 @@ from aws_genaric_datapipeline_spark.streaming.windows import EVENTS_SCHEMA, stre
 
 
 class TestSinks:
-    @pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+    @pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "xml"])
     def test_round_trip(self, spark, tmp_path, fmt):
         df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
         path = str(tmp_path / fmt)
         write_table(df, path, format=fmt)
-        back = (
-            spark.read.format(fmt).option("header", "true").option("inferSchema", "true").load(path)
-            if fmt == "csv"
-            else spark.read.format(fmt).load(path)
-        )
+        if fmt == "csv":
+            back = (
+                spark.read.format(fmt).option("header", "true")
+                .option("inferSchema", "true").load(path)
+            )
+        elif fmt == "xml":
+            back = spark.read.format(fmt).option("rowTag", "row").load(path)
+        else:
+            back = spark.read.format(fmt).load(path)
         assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
 
     def test_partitioned_overwrite_is_per_partition(self, spark, tmp_path):
@@ -58,10 +62,12 @@ class TestSourceReaders:
             schema=(ColumnSpec("id", "bigint"), ColumnSpec("v", "string")),
         )
 
-    @pytest.mark.parametrize("fmt", ["csv", "json"])
+    @pytest.mark.parametrize("fmt", ["csv", "json", "xml"])
     def test_schema_on_read_no_inference(self, spark, tmp_path, fmt):
-        """csv/json sources read with the DECLARED schema — no inference job
-        (an extra full scan at scale) and types land as declared."""
+        """csv/json/xml sources read with the DECLARED schema — no
+        inference job (an extra full scan at scale) and types land as
+        declared.  xml is Spark 4's native reader (rowTag='row' mirrors
+        the writer default)."""
         src = str(tmp_path / f"src_{fmt}")
         df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
         write_table(df, src, format=fmt)
