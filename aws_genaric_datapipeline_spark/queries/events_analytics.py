@@ -191,6 +191,145 @@ def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_resample_interpolate",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS mn,
+                   date_trunc('hour', max(ts)) AS mx
+            FROM events
+        ),
+        grid AS (
+            SELECT et.event_type, g.hr
+            FROM (SELECT DISTINCT event_type FROM events) et,
+                 (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+                  FROM bounds) g
+        ),
+        agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   round(avg(value), 4) AS avg_val
+            FROM events GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT g.event_type, g.hr, a.avg_val,
+                   last_value(a.avg_val IGNORE NULLS) OVER wp AS pv,
+                   last_value(CASE WHEN a.avg_val IS NOT NULL THEN g.hr END
+                              IGNORE NULLS) OVER wp AS ph,
+                   first_value(a.avg_val IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN a.avg_val IS NOT NULL THEN g.hr END
+                               IGNORE NULLS) OVER wf AS nh
+            FROM grid g
+            LEFT JOIN agg a ON a.event_type = g.event_type AND a.hr = g.hr
+            WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.hr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY g.event_type ORDER BY g.hr
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, hr,
+               avg_val IS NOT NULL AS observed,
+               -- EXACT integer basis points: time-weighted blend
+               -- (pv·(dT−dt) + nv·dt)/dT truncated toward zero, all
+               -- BIGINT.  A float formulation lands on .00005 rounding
+               -- boundaries SYSTEMATICALLY here (hour ratios are small
+               -- rationals × 2-decimal inputs), so the contract is
+               -- integer like quality_score_bp, immune by construction.
+               CASE WHEN avg_val IS NOT NULL
+                        THEN CAST(round(avg_val * 10000) AS BIGINT)
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN CAST((num - num % den) / den AS BIGINT)
+               END AS interp_val_bp
+        FROM (
+            SELECT *,
+                   CAST(round(pv * 10000) AS BIGINT)
+                       * CAST(epoch(nh) - epoch(hr) AS BIGINT)
+                   + CAST(round(nv * 10000) AS BIGINT)
+                       * CAST(epoch(hr) - epoch(ph) AS BIGINT) AS num,
+                   CAST(epoch(nh) - epoch(ph) AS BIGINT) AS den
+            FROM j
+        )
+    """,
+    tags=("events", "timeseries"),
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation: gaps take the
+    time-weighted blend of the surrounding observations; edges outside
+    the first/last observation stay NULL (no extrapolation — the honest
+    default for downstream models), observed hours pass through exactly.
+    Complements events_resample_locf with the second standard gap-fill.
+
+    The blend is EXACT integer arithmetic in basis points —
+    (pv·(dT−dt) + nv·dt)/dT truncated, all bigint — because the float
+    form lands on .00005 rounding boundaries systematically (hour ratios
+    are small rationals × 2-decimal inputs): 7 one-ulp flips at sf0.001
+    before the integer contract, zero after.
+
+    Scale: identical shape to LOCF — generated spine, one fact-sized
+    hourly aggregate, and two frame-bounded window passes over the
+    |types|×|hours| grid (never the fact table)."""
+    (events,) = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    hourly = events.groupBy("event_type", hour.alias("hr")).agg(
+        F.round(F.avg("value"), 4).alias("avg_val")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("avg_val").isNotNull(), F.col("hr"))
+    j = (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .withColumn("pv", F.last("avg_val", ignorenulls=True).over(wp))
+        .withColumn("ph", F.last(obs_hr, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("avg_val", ignorenulls=True).over(wf))
+        .withColumn("nh", F.first(obs_hr, ignorenulls=True).over(wf))
+    )
+    def bp(c):  # 4-decimal double → exact integer basis points
+        return F.round(c * 10000).cast("bigint")
+
+    def secs(c):
+        return F.unix_timestamp(c).cast("bigint")
+
+    num = bp(F.col("pv")) * (secs("nh") - secs("hr")) + bp(F.col("nv")) * (
+        secs("hr") - secs("ph")
+    )
+    den = secs("nh") - secs("ph")
+    # exact truncated division, the portable (a - a % b)/b idiom
+    interp_bp = (
+        F.when(F.col("avg_val").isNotNull(), bp(F.col("avg_val")))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            ((num - num % den) / den).cast("bigint"),
+        )
+    )
+    return j.select(
+        "event_type",
+        "hr",
+        F.col("avg_val").isNotNull().alias("observed"),
+        interp_bp.alias("interp_val_bp"),
+    )
+
+
+@query(
     "events_heavy_hitter_types",
     oracle="""
         SELECT event_type, count(*) AS exact_count
