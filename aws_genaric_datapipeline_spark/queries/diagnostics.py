@@ -121,3 +121,136 @@ def diag_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_COLS
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+        WITH cls AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT count(*) AS n_classes,
+               min(class_size) AS k_anonymity,
+               count(*) FILTER (class_size < 5) AS classes_below_5,
+               CAST(coalesce(sum(class_size) FILTER (class_size < 5), 0)
+                    AS BIGINT) AS rows_at_risk,
+               round(coalesce(sum(class_size) FILTER (class_size < 5), 0)
+                     / CAST(sum(class_size) AS DOUBLE), 4) AS risk_fraction
+        FROM cls
+    """,
+    tags=("privacy", "diagnostics"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): the dataset's k is the smallest equivalence-class size;
+    rows in classes below k=5 are re-identification risks that a release
+    pipeline must suppress or generalize (Sweeney 2002 — the standard
+    pre-release privacy gate alongside PII redaction).
+
+    Scale: one grouped count over the quasi-identifier (class-cardinality-
+    bounded output) and one scalar roll-up — the audit never shuffles
+    anything wider than the QI columns."""
+    (customer,) = load(spark, sf_dir, "customer")
+    cls = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    small = F.col("class_size") < 5
+    return cls.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("k_anonymity"),
+        F.count_if(small).alias("classes_below_5"),
+        F.coalesce(
+            F.sum(F.when(small, F.col("class_size"))), F.lit(0).cast("bigint")
+        ).alias("rows_at_risk"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(small, F.col("class_size"))),
+                F.lit(0).cast("bigint"),
+            )
+            / F.sum("class_size").cast("double"),
+            4,
+        ).alias("risk_fraction"),
+    )
+
+
+@query(
+    "dq_dynamic_rules",
+    oracle="""
+        WITH rules(rule_id, col_name, op, lo, hi) AS (VALUES
+            (1, 'o_totalprice',   'range',    1000.0, 450000.0),
+            (2, 'o_totalprice',   'not_null', NULL::DOUBLE, NULL::DOUBLE),
+            (3, 'o_custkey',      'range',    1.0, 100.0),
+            (4, 'o_orderkey',     'not_null', NULL::DOUBLE, NULL::DOUBLE)
+        ),
+        melted AS (
+            SELECT 'o_totalprice' AS col_name,
+                   CAST(o_totalprice AS DOUBLE) AS v FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE) FROM orders
+        )
+        SELECT r.rule_id, r.col_name, r.op,
+               count(*) AS n_checked,
+               count(*) FILTER (
+                   CASE r.op
+                        WHEN 'not_null' THEN m.v IS NULL
+                        WHEN 'range' THEN m.v IS NOT NULL
+                             AND (m.v < r.lo OR m.v > r.hi)
+                   END) AS n_violations
+        FROM melted m JOIN rules r USING (col_name)
+        GROUP BY r.rule_id, r.col_name, r.op
+    """,
+    tags=("diagnostics", "quality"),
+)
+def dq_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rules-as-DATA quality engine: the check catalog is a DataFrame
+    (rule_id, column, op, bounds) — the config-driven shape of the
+    reference pipeline, where adding a check is a config row, not a code
+    change.  Checked columns melt to (col, value) long form once; the
+    rule table broadcasts into the melt; each op family (not_null, range)
+    is one CASE arm evaluated data-driven.
+
+    Scale: ONE pass over the fact table produces the melt (|cols| rows
+    per input row, column-pruned to the checked columns), the rule join
+    is broadcast, and the output is |rules| rows — the per-rule counts
+    ride the same aggregation (observe-style), so N rules never mean N
+    scans."""
+    (orders,) = load(spark, sf_dir, "orders")
+    rules = spark.createDataFrame(
+        [
+            (1, "o_totalprice", "range", 1000.0, 450000.0),
+            (2, "o_totalprice", "not_null", None, None),
+            (3, "o_custkey", "range", 1.0, 100.0),
+            (4, "o_orderkey", "not_null", None, None),
+        ],
+        "rule_id int, col_name string, op string, lo double, hi double",
+    )
+    cols = ["o_totalprice", "o_custkey", "o_orderkey"]
+    melted = orders.select(
+        F.expr(
+            "stack({n}, {args}) AS (col_name, v)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', CAST({c} AS DOUBLE)" for c in cols
+                ),
+            )
+        )
+    )
+    violation = (
+        F.when(F.col("op") == "not_null", F.col("v").isNull())
+        .when(
+            F.col("op") == "range",
+            F.col("v").isNotNull()
+            & ((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi"))),
+        )
+    )
+    return (
+        melted.join(F.broadcast(rules), "col_name")
+        .groupBy("rule_id", "col_name", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count_if(violation).alias("n_violations"),
+        )
+    )
