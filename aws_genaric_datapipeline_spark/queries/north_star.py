@@ -2428,3 +2428,71 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_query_index(
         spark, batch, "sh_inc_chunks_idx", "sh_inc_sigs_idx", max_hamming=3
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+        WITH e AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        per_node AS (
+            SELECT node, count(*) AS n_triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT node AS vec_id, n_triangles,
+               (SELECT count(*) FROM tri) AS total_triangles
+        FROM per_node
+        ORDER BY n_triangles DESC, node LIMIT 10
+    """,
+    tags=("north-star", "graph", "similarity"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the cosine-similarity graph (edges ≥ 0.4,
+    the sim_cosine_near_pairs edge set): the classic clustering-structure
+    probe — a near-dup graph whose components are triangle-dense is
+    boilerplate families, a sparse one is chance collisions.  Counted by
+    the ordered-edge join (u<v<w): e(a,b) ⋈ e(b,c) ⋈ e(a,c) finds every
+    triangle exactly once.  Returns the 10 most triangle-heavy vertices
+    plus the global count.
+
+    Scale: the standard distributed-triangle recipe — ordering vertices
+    kills duplicate enumeration, each join shuffles id-pairs only; at
+    100 TB, pre-partition edges by source and use the degree-ordered
+    variant (orient edges from low- to high-degree) to bound the skew of
+    hub vertices."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    e = (
+        S.cosine_near_pairs(embeddings, threshold=0.4, exact=True)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("total_triangles"))
+    return (
+        nodes.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(10)
+        .select(F.col("node").alias("vec_id"), "n_triangles", "total_triangles")
+    )
