@@ -213,3 +213,53 @@ def pagerank(
         if (i + 1) % 8 == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    DETERMINISTIC update: each round every node adopts the most frequent
+    label among its neighbors, ties broken by the smallest label; isolated
+    rounds keep the current label.  Labels start as node ids, so after k
+    rounds a node's label is a function of its k-hop neighborhood only —
+    fixed ``iterations`` (no convergence probe) keeps the whole run a
+    pure, replayable function of the edge set.
+
+    Communities differ from connected components on bridge topologies:
+    LPA splits weakly-joined dense clusters that CC necessarily merges.
+
+    Scale: per round, one groupBy over (node, neighbor-label) pairs and a
+    per-node arg-max window — both keyed by node ids only; the undirected
+    doubling is a projection, not a shuffle.  Hub skew: the (node, label)
+    pre-aggregation combines map-side, so a hub's updates arrive as
+    partial counts, never raw neighbor rows.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .dropDuplicates()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iterations):
+        nbr = und.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -2496,3 +2496,58 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("node").alias("vec_id"), "n_triangles", "total_triangles")
     )
+
+
+def _lpa_round_sql(r: int) -> str:
+    prev = f"l{r - 1}"
+    return f"""
+        r{r}c AS (
+            SELECT und.u AS node, {prev}.label, count(*) AS c
+            FROM und JOIN {prev} ON {prev}.node = und.v
+            GROUP BY und.u, {prev}.label
+        ),
+        l{r} AS (
+            SELECT node, label FROM (
+                SELECT *, row_number() OVER (PARTITION BY node
+                    ORDER BY c DESC, label) AS rn FROM r{r}c
+            ) WHERE rn = 1
+        )"""
+
+
+_LPA_ROUNDS = 3
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+        WITH e AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        ),
+        und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+        {",".join(_lpa_round_sql(r) for r in range(1, _LPA_ROUNDS + 1))}
+        SELECT label AS community, count(*) AS n_nodes, min(node) AS min_node
+        FROM l{_LPA_ROUNDS} GROUP BY label
+    """,
+    tags=("north-star", "graph", "similarity"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label propagation
+    (3 rounds, majority label with min-label tie-break) over the cosine ≥
+    0.4 similarity graph; reports each community's size and smallest
+    member.  The oracle replays every round, so the community assignment
+    — not just the census — is value-checked."""
+    from aws_genaric_datapipeline_spark.operators.graph import label_propagation
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    e = S.cosine_near_pairs(embeddings, threshold=0.4, exact=True).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = label_propagation(e, iterations=_LPA_ROUNDS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+    )

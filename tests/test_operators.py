@@ -1160,6 +1160,47 @@ class TestBpeLearn:
         assert bpe_learn(docs, num_merges=5).count() == 0
 
 
+class TestLabelPropagation:
+    def test_splits_bridged_triangles_that_cc_merges(self, spark):
+        """Two triangles joined by one bridge edge: LPA assigns two
+        communities (dense neighborhoods out-vote the bridge) while
+        connected components necessarily merges them — the property that
+        makes LPA a community detector, not a reachability closure.
+        Hand-traced deterministic rounds: labels {1,2,3}→1, {4,5,6}→3."""
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            connected_components,
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+            "src long, dst long",
+        )
+        labels = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iterations=3).collect()
+        }
+        assert labels == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+        comp = {
+            r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert len(comp) == 1  # CC merges what LPA separates
+
+    def test_deterministic_across_runs(self, spark):
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(1, 23) if i != (i * 7) % 23],
+            "src long, dst long",
+        )
+        a = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+        b = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+        assert a == b
+
+
 class TestPageRank:
     def test_two_node_cycle_is_fixed_point(self, spark):
         """a<->b is symmetric: uniform 1/2 is the exact fixed point, so
