@@ -635,3 +635,154 @@ def events_cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         (F.col("est_count") - F.col("exact_count")).alias("overcount"),
     )
+
+
+@query(
+    "report_psi_value_drift",
+    oracle="""
+        WITH vb AS (
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS v,
+                   ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type, min(v) AS mn, max(v) AS mx,
+                   count(*) FILTER (is_ref) AS n_ref,
+                   count(*) FILTER (NOT is_ref) AS n_cur
+            FROM vb WHERE is_ref GROUP BY event_type
+        ),
+        st2 AS (
+            SELECT s.event_type, s.mn, s.mx,
+                   (SELECT count(*) FROM vb
+                    WHERE vb.event_type = s.event_type AND vb.is_ref) AS n_ref,
+                   (SELECT count(*) FROM vb
+                    WHERE vb.event_type = s.event_type AND NOT vb.is_ref)
+                       AS n_cur
+            FROM stats s
+        ),
+        binned AS (
+            SELECT vb.event_type, vb.is_ref,
+                   least(9, greatest(0, CAST(
+                       ((vb.v - st2.mn) * 10
+                        - ((vb.v - st2.mn) * 10) % (st2.mx - st2.mn + 1))
+                       / (st2.mx - st2.mn + 1) AS BIGINT))) AS bin
+            FROM vb JOIN st2 USING (event_type)
+        ),
+        grid AS (
+            SELECT st2.event_type, st2.n_ref, st2.n_cur, g.bin
+            FROM st2, UNNEST(range(0, 10)) AS g(bin)
+        ),
+        cnt AS (
+            SELECT grid.event_type, grid.bin, grid.n_ref, grid.n_cur,
+                   coalesce(sum(CASE WHEN b.is_ref THEN 1 END), 0) AS c_ref,
+                   coalesce(sum(CASE WHEN NOT b.is_ref THEN 1 END), 0)
+                       AS c_cur
+            FROM grid
+            LEFT JOIN binned b
+              ON b.event_type = grid.event_type AND b.bin = grid.bin
+            GROUP BY grid.event_type, grid.bin, grid.n_ref, grid.n_cur
+        ),
+        terms AS (
+            SELECT event_type, bin,
+                   ((c_ref + 1) / CAST(n_ref + 10 AS DOUBLE)
+                    - (c_cur + 1) / CAST(n_cur + 10 AS DOUBLE))
+                   * ln(((c_ref + 1) / CAST(n_ref + 10 AS DOUBLE))
+                        / ((c_cur + 1) / CAST(n_cur + 10 AS DOUBLE))) AS t,
+                   n_ref, n_cur
+            FROM cnt
+        )
+        SELECT event_type,
+               round(list_aggregate(list_transform(
+                   list_sort(list(struct_pack(b := bin, t := t))),
+                   s -> s.t), 'sum'), 4) AS psi,
+               CAST(any_value(n_ref) AS BIGINT) AS n_ref,
+               CAST(any_value(n_cur) AS BIGINT) AS n_cur
+        FROM terms GROUP BY event_type
+    """,
+    tags=("events", "drift", "reporting"),
+)
+def report_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the `value` distribution per event
+    type: first half of the range (reference period) vs second half
+    (current), 10 fixed-width bins over the reference span, Laplace-
+    smoothed (+1/+10) so empty bins contribute finitely — PSI > 0.2 is
+    the conventional retraining tripwire.
+
+    Determinism: bin assignment is EXACT integer arithmetic on value
+    basis points (the portable (a − a%b)/b truncation — float binning
+    flips boundary values across engines), and the 10 per-bin terms fold
+    in bin order on both sides (sorted-struct aggregate), so the float
+    sum is order-identical like char_entropy."""
+    (events,) = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    vb = events.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+        (F.col("ts") < cut).alias("is_ref"),
+    )
+    stats = (
+        vb.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("is_ref"), F.col("v"))).alias("mn"),
+            F.max(F.when(F.col("is_ref"), F.col("v"))).alias("mx"),
+            F.count_if("is_ref").alias("n_ref"),
+            F.count_if(~F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    span = F.col("mx") - F.col("mn") + 1
+    num = (F.col("v") - F.col("mn")) * 10
+    bin_ = F.least(
+        F.lit(9),
+        F.greatest(F.lit(0), ((num - num % span) / span).cast("bigint")),
+    )
+    binned = vb.join(F.broadcast(stats), "event_type").select(
+        "event_type", "is_ref", bin_.alias("bin")
+    )
+    grid = stats.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+    )
+    bcnt = binned.groupBy("event_type", "bin").agg(
+        F.count_if("is_ref").alias("c_ref"),
+        F.count_if(~F.col("is_ref")).alias("c_cur"),
+    )
+    cnt = grid.join(bcnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+    )
+    p = (F.col("c_ref") + 1) / (F.col("n_ref") + 10).cast("double")
+    q = (F.col("c_cur") + 1) / (F.col("n_cur") + 10).cast("double")
+    terms = cnt.select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((p - q) * F.log(p / q)).alias("t"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col("bin").alias("b"), F.col("t").alias("t")))
+                        ),
+                        lambda s: s.getField("t"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("psi"),
+            F.any_value("n_ref").alias("n_ref"),
+            F.any_value("n_cur").alias("n_cur"),
+        )
+    )
