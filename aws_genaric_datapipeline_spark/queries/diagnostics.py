@@ -254,3 +254,57 @@ def dq_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(violation).alias("n_violations"),
         )
     )
+
+
+@query(
+    "privacy_pseudonymize_join",
+    oracle="""
+        WITH c AS (
+            SELECT md5('cust:' || CAST(c_custkey AS VARCHAR)) AS cust_sid,
+                   c_mktsegment
+            FROM customer
+        ),
+        o AS (
+            SELECT md5('cust:' || CAST(o_custkey AS VARCHAR)) AS cust_sid,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT c.c_mktsegment AS mktsegment,
+               count(DISTINCT c.cust_sid) AS n_customers,
+               count(o.cust_sid) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM c LEFT JOIN o ON o.cust_sid = c.cust_sid
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("privacy", "diagnostics"),
+)
+def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization with preserved referential
+    integrity: the natural key is replaced by a salted-md5 surrogate in
+    BOTH tables ('cust:' domain prefix prevents cross-domain join
+    collisions, e.g. a customer id colliding with an order id), and the
+    segment-level analytics still reconcile through the surrogate join —
+    the release-pipeline pattern where analysts never see raw keys but
+    aggregates stay exact.  At production scale the salt is a secret from
+    a vault, not a literal; the plumbing (keyed hash, domain separation,
+    surrogate joins) is what this verifies."""
+    (customer, orders) = load(spark, sf_dir, "customer", "orders")
+
+    def sid(col):
+        return F.md5(F.concat(F.lit("cust:"), col.cast("string")))
+
+    c = customer.select(
+        sid(F.col("c_custkey")).alias("cust_sid"), "c_mktsegment"
+    )
+    o = orders.select(
+        sid(F.col("o_custkey")).alias("cust_sid"), "o_totalprice"
+    )
+    return (
+        c.join(o, "cust_sid", "left")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count_distinct("cust_sid").alias("n_customers"),
+            F.count("o_totalprice").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
