@@ -331,3 +331,115 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "stats_ks_drift",
+    oracle="""
+        WITH vb AS (
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS v,
+                   ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+            FROM events
+        ),
+        tot AS (
+            SELECT event_type,
+                   count(*) FILTER (is_ref) AS n_ref,
+                   count(*) FILTER (NOT is_ref) AS n_cur
+            FROM vb GROUP BY event_type
+        ),
+        pts AS (
+            SELECT event_type, v,
+                   count(*) FILTER (is_ref) AS c_ref,
+                   count(*) FILTER (NOT is_ref) AS c_cur
+            FROM vb GROUP BY event_type, v
+        ),
+        cum AS (
+            SELECT event_type, v,
+                   sum(c_ref) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS r,
+                   sum(c_cur) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS q
+            FROM pts
+        ),
+        scored AS (
+            SELECT c.event_type, c.v, t.n_ref, t.n_cur,
+                   abs(c.r * t.n_cur - c.q * t.n_ref) AS num
+            FROM cum c JOIN tot t USING (event_type)
+        )
+        SELECT event_type,
+               round(CAST(num AS DOUBLE) / (n_ref * n_cur), 4) AS ks,
+               v AS at_value_bp,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY num DESC, v) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    tags=("stats", "drift", "events"),
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per event type (reference
+    half vs current half of the time range): D = max |CDF_ref − CDF_cur|,
+    located EXACTLY — the running CDF comparison is the INTEGER
+    |r·n_cur − q·n_ref| (no float CDFs, so the arg-max and its location
+    are bit-deterministic; ties break at the smallest value), and only
+    the final reported D divides once.  Complements PSI: KS is binning-
+    free and localizes WHERE the distributions diverge (at_value_bp).
+
+    Scale: distinct-value granularity — one grouped count, one
+    within-type ordered cumulative window, one arg-max.  The window sorts
+    per type over distinct values (bounded by value cardinality, not row
+    count); at extreme cardinality, pre-quantize values coarser."""
+    (events,) = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    vb = events.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+        (F.col("ts") < cut).alias("is_ref"),
+    )
+    tot = vb.groupBy("event_type").agg(
+        F.count_if("is_ref").alias("n_ref"),
+        F.count_if(~F.col("is_ref")).alias("n_cur"),
+    )
+    pts = vb.groupBy("event_type", "v").agg(
+        F.count_if("is_ref").alias("c_ref"),
+        F.count_if(~F.col("is_ref")).alias("c_cur"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.select(
+        "event_type",
+        "v",
+        F.sum("c_ref").over(wc).alias("r"),
+        F.sum("c_cur").over(wc).alias("q"),
+    )
+    scored = cum.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "v",
+        "n_ref",
+        "n_cur",
+        F.abs(F.col("r") * F.col("n_cur") - F.col("q") * F.col("n_ref")).alias(
+            "num"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("num"), F.asc("v"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.round(
+                F.col("num").cast("double") / (F.col("n_ref") * F.col("n_cur")),
+                4,
+            ).alias("ks"),
+            F.col("v").alias("at_value_bp"),
+            "n_ref",
+            "n_cur",
+        )
+    )
