@@ -443,3 +443,101 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cur",
         )
     )
+
+
+@query(
+    "stats_chi2_categorical_drift",
+    oracle="""
+        WITH halves AS (
+            SELECT event_type,
+                   ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+            FROM events
+        ),
+        cnt AS (
+            SELECT event_type,
+                   count(*) FILTER (is_ref) AS c_ref,
+                   count(*) FILTER (NOT is_ref) AS c_cur
+            FROM halves GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(c_cur) AS BIGINT) AS n_cur
+            FROM cnt
+        ),
+        terms AS (
+            SELECT c.event_type,
+                   -- chi2 homogeneity term: sum over both samples of
+                   -- (observed - expected)^2 / expected with expected
+                   -- from the pooled distribution; exact rationals until
+                   -- the final division
+                   CAST(c.c_ref AS DOUBLE) AS oc_ref,
+                   CAST(c.c_cur AS DOUBLE) AS oc_cur,
+                   CAST((c.c_ref + c.c_cur) * t.n_ref AS DOUBLE)
+                       / (t.n_ref + t.n_cur) AS e_ref,
+                   CAST((c.c_ref + c.c_cur) * t.n_cur AS DOUBLE)
+                       / (t.n_ref + t.n_cur) AS e_cur
+            FROM cnt c CROSS JOIN tot t
+        )
+        SELECT count(*) AS n_categories,
+               round(list_aggregate(list_transform(
+                   list_sort(list(struct_pack(k := event_type,
+                       t := (oc_ref - e_ref) * (oc_ref - e_ref) / e_ref
+                          + (oc_cur - e_cur) * (oc_cur - e_cur) / e_cur))),
+                   s -> s.t), 'sum'), 4) AS chi2
+        FROM terms
+    """,
+    tags=("stats", "drift", "events"),
+)
+def stats_chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared homogeneity test of the event-type MIX between the
+    reference and current halves — the categorical member of the drift
+    trilogy (PSI: binned numeric; KS: binning-free numeric; χ²:
+    categorical).  Expected counts come from the pooled distribution;
+    terms stay exact rationals until one division each and fold in
+    category order (sorted-struct aggregate) so the float sum is
+    order-identical cross-engine.
+
+    Scale: one grouped count over the category column — |categories|
+    rows — then a driver-sized roll-up."""
+    (events,) = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cnt = events.groupBy("event_type").agg(
+        F.count_if(F.col("ts") < cut).alias("c_ref"),
+        F.count_if(F.col("ts") >= cut).alias("c_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    t = cnt.crossJoin(F.broadcast(tot))
+    e_ref = ((F.col("c_ref") + F.col("c_cur")) * F.col("n_ref")).cast(
+        "double"
+    ) / (F.col("n_ref") + F.col("n_cur"))
+    e_cur = ((F.col("c_ref") + F.col("c_cur")) * F.col("n_cur")).cast(
+        "double"
+    ) / (F.col("n_ref") + F.col("n_cur"))
+    oc_ref = F.col("c_ref").cast("double")
+    oc_cur = F.col("c_cur").cast("double")
+    term = (oc_ref - e_ref) * (oc_ref - e_ref) / e_ref + (
+        oc_cur - e_cur
+    ) * (oc_cur - e_cur) / e_cur
+    return t.select("event_type", term.alias("t")).agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_type").alias("k"),
+                                F.col("t").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("t"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("chi2"),
+    )
