@@ -241,9 +241,14 @@ def label_propagation(
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    und = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # und re-enters every round's join: persist so the (possibly
+    # expensive) edge lineage computes once — intra-job cache reuse;
+    # callers/bench release via clearCache.
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist()
+    )
     labels = (
         und.select(F.col("u").alias("node"))
         .dropDuplicates()

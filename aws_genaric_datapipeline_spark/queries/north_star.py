@@ -2430,14 +2430,57 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_EDGE_CTE = """
+        base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+        buck AS ({_LSH_NP_BUCKETS}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buck a JOIN buck b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        ),
+        e AS (
+            SELECT id_a AS u, id_b AS v
+            FROM cand
+            JOIN base x ON x.vec_id = cand.id_a
+            JOIN base y ON y.vec_id = cand.id_b
+            WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.45
+        )""".replace(
+    "{_LSH_NP_BUCKETS}", _lsh_buckets_cte(num_planes=3, num_tables=12)
+)
+
+
+def _lsh_edges(embeddings: DataFrame) -> DataFrame:
+    """The scalable graph edge set: LSH-bucketed candidates + exact cosine
+    verify (threshold 0.45), identical to sim_lsh_near_pairs — the
+    brute-force all-pairs edge build was 5× slower at sf0.1 and O(N²) at
+    scale; the replayed-sketch path is the one a 100 TB corpus runs."""
+    return S.cosine_near_pairs(
+        embeddings, threshold=0.45, num_planes=3, num_tables=12
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+
 @query(
     "graph_triangle_count",
-    oracle="""
-        WITH e AS (
-            SELECT a.vec_id AS u, b.vec_id AS v
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT id_a AS u, id_b AS v
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.did
+            JOIN sizes sb ON inter.id_b = sb.did
+            WHERE round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE),
+                        4) >= 0.5
         ),
         tri AS (
             SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -2452,31 +2495,36 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 UNION ALL SELECT c FROM tri
             ) GROUP BY node
         )
-        SELECT node AS vec_id, n_triangles,
+        SELECT node AS doc_id, n_triangles,
                (SELECT count(*) FROM tri) AS total_triangles
         FROM per_node
         ORDER BY n_triangles DESC, node LIMIT 10
     """,
-    tags=("north-star", "graph", "similarity"),
+    tags=("north-star", "graph", "dedup"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting over the cosine-similarity graph (edges ≥ 0.4,
-    the sim_cosine_near_pairs edge set): the classic clustering-structure
-    probe — a near-dup graph whose components are triangle-dense is
-    boilerplate families, a sparse one is chance collisions.  Counted by
-    the ordered-edge join (u<v<w): e(a,b) ⋈ e(b,c) ⋈ e(a,c) finds every
-    triangle exactly once.  Returns the 10 most triangle-heavy vertices
-    plus the global count.
+    """Triangle counting over the document near-dup graph (trigram
+    Jaccard ≥ 0.5, the same edge set dedup_connected_clusters closes
+    over): the clustering-structure probe — boilerplate families are
+    triangle-dense (every trio of mutual near-dups), chance collisions
+    are not, so triangle counts grade CLUSTER QUALITY where CC only
+    reports reachability.  Counted by the ordered-edge join (u<v<w):
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) finds every triangle exactly once.
+    Returns the 10 most triangle-heavy documents plus the global count.
 
-    Scale: the standard distributed-triangle recipe — ordering vertices
-    kills duplicate enumeration, each join shuffles id-pairs only; at
-    100 TB, pre-partition edges by source and use the degree-ordered
-    variant (orient edges from low- to high-degree) to bound the skew of
-    hub vertices."""
-    (embeddings,) = load(spark, sf_dir, "embeddings")
+    Scale: edges come from the prefix-filtered Jaccard join (never
+    all-pairs), and the triangle join is the standard distributed recipe
+    — ordering vertices kills duplicate enumeration, each join shuffles
+    id-pairs only; at 100 TB, orient edges low-degree → high-degree to
+    bound hub skew."""
+    (documents,) = load(spark, sf_dir, "documents")
+    # The edge frame feeds all three legs of the triangle join: persist
+    # so the pair pipeline runs once, not per leg (intra-job cache
+    # reuse, released by bench/clearCache).
     e = (
-        S.cosine_near_pairs(embeddings, threshold=0.4, exact=True)
+        D.jaccard_pairs(documents, n=3, threshold=0.5)
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .persist()
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -2494,7 +2542,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.crossJoin(F.broadcast(total))
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(10)
-        .select(F.col("node").alias("vec_id"), "n_triangles", "total_triangles")
+        .select(F.col("node").alias("doc_id"), "n_triangles", "total_triangles")
     )
 
 
@@ -2520,12 +2568,7 @@ _LPA_ROUNDS = 3
 @query(
     "graph_label_propagation",
     oracle=f"""
-        WITH e AS (
-            SELECT a.vec_id AS u, b.vec_id AS v
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
-        ),
+        WITH {_LSH_EDGE_CTE},
         und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
         l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
         {",".join(_lpa_round_sql(r) for r in range(1, _LPA_ROUNDS + 1))}
@@ -2536,16 +2579,15 @@ _LPA_ROUNDS = 3
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by deterministic synchronous label propagation
-    (3 rounds, majority label with min-label tie-break) over the cosine ≥
-    0.4 similarity graph; reports each community's size and smallest
-    member.  The oracle replays every round, so the community assignment
-    — not just the census — is value-checked."""
+    (3 rounds, majority label with min-label tie-break) over the
+    LSH-bucketed cosine ≥ 0.45 similarity graph (same scalable edge build
+    as graph_triangle_count); reports each community's size and smallest
+    member.  The oracle replays the edge sketch AND every LPA round, so
+    the community assignment — not just the census — is value-checked."""
     from aws_genaric_datapipeline_spark.operators.graph import label_propagation
 
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    e = S.cosine_near_pairs(embeddings, threshold=0.4, exact=True).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    e = _lsh_edges(embeddings)
     labels = label_propagation(e, iterations=_LPA_ROUNDS)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
