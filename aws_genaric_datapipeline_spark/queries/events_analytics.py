@@ -786,3 +786,65 @@ def report_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n_cur").alias("n_cur"),
         )
     )
+
+
+@query(
+    "events_gap_report",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+            FROM seq WHERE prev_ts IS NOT NULL
+        )
+        SELECT user_id,
+               count(*) AS n_intervals,
+               count(*) FILTER (gap_us > 21600000000) AS n_gaps_over_6h,
+               max(gap_us) AS max_gap_us,
+               CAST((sum(gap_us) - sum(gap_us) % count(*)) / count(*)
+                    AS BIGINT) AS mean_gap_us_floor
+        FROM gaps GROUP BY user_id
+        HAVING count(*) FILTER (gap_us > 21600000000) > 0
+    """,
+    tags=("events", "timeseries", "diagnostics"),
+)
+def events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-gap detection: per user, intervals between consecutive
+    events exceeding 6 h (silence windows — sensor dropout, churn risk,
+    pipeline stalls), with interval counts and the largest/mean gap
+    (mean floored in exact integer arithmetic).  Only users with at
+    least one 6 h gap are reported.  Gaps are exact integer MICROSECONDS
+    (epoch_us/unix_micros) — second-granularity epoch() rounds
+    sub-second timestamps differently across engines.
+
+    Scale: one (user, ts) window pass — the same single-sort shape as
+    sessionization — and a per-user aggregate; gaps are integer seconds,
+    no float boundaries anywhere."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("gap_us")
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            n.alias("n_intervals"),
+            F.count_if(F.col("gap_us") > 21600000000).alias("n_gaps_over_6h"),
+            F.max("gap_us").alias("max_gap_us"),
+            ((s - s % n) / n).cast("bigint").alias("mean_gap_us_floor"),
+        )
+        .where(F.col("n_gaps_over_6h") > 0)
+    )
