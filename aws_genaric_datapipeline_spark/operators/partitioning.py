@@ -23,6 +23,12 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """Repartition ``df`` up to the session's default parallelism (or an
     explicit floor) if its current partitioning is coarser.  No-op when the
     source already provides enough splits."""
+    if df.isStreaming:
+        # Streaming plans cannot inspect .rdd (no materialized partitions
+        # outside a micro-batch) and get their parallelism from the
+        # source/shuffle configuration; pass through so batch operators
+        # compose into streaming pipelines unchanged.
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -397,3 +397,60 @@ class TestStreamingCms:
             tuple(r) for r in cms_sketch(a.unionByName(b), "k").collect()
         }
         assert got == want and got
+
+
+class TestStreamingBloomScreen:
+    def test_stream_screen_matches_batch(self, spark, tmp_path):
+        """Bloom decontamination as a streaming ingest gate: documents
+        arrive as a file stream, the persisted position index enters as a
+        STATIC broadcast side (stream-static joins are stateless), and the
+        per-doc flag aggregation runs in complete mode — the drained
+        result must equal the batch screen over the same corpus."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.operators import dedup as D
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over everything")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "quick brown fox seen running elsewhere today"),
+                (2, "utterly unrelated content with no overlap"),
+                (3, "the quick brown fox jumps over everything verbatim"),
+            ],
+            "doc_id long, text string",
+        )
+        spark.sql("DROP TABLE IF EXISTS bloom_stream_idx")
+        D.bloom_build_index(bench, "bloom_stream_idx")
+
+        src = str(tmp_path / "docs")
+        docs.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            D.bloom_screen_indexed(spark, stream, "bloom_stream_idx")
+            .writeStream.format("memory")
+            .queryName("bloom_screen")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            tuple(r) for r in spark.sql("SELECT * FROM bloom_screen").collect()
+        }
+        want = {
+            tuple(r)
+            for r in D.bloom_screen_indexed(
+                spark, docs, "bloom_stream_idx"
+            ).collect()
+        }
+        assert got == want and got
+        assert {r[0] for r in got} == {1, 3}
+        spark.sql("DROP TABLE IF EXISTS bloom_stream_idx")
