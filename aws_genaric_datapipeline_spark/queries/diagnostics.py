@@ -308,3 +308,69 @@ def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+        WITH cents AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+            FROM orders WHERE o_totalprice > 0
+        ),
+        digits AS (
+            SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS d
+            FROM cents
+        ),
+        obs AS (SELECT d, count(*) AS observed FROM digits GROUP BY d),
+        tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
+        SELECT CAST(g.d AS INT) AS first_digit,
+               CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
+               round(t.n * log10(1.0 + (1.0::DOUBLE) / CAST(g.d AS INT)), 2) AS expected,
+               round(coalesce(o.observed, 0)
+                     / CAST(t.n AS DOUBLE)
+                     - log10(1.0 + (1.0::DOUBLE) / CAST(g.d AS INT)), 4) AS deviation
+        FROM (SELECT unnest(range(1, 10)) AS d) g
+        LEFT JOIN obs o ON o.d = g.d
+        CROSS JOIN tot t
+    """,
+    tags=("diagnostics", "quality"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed leading-digit counts
+    vs the log10(1 + 1/d) expectation — the classic synthetic-data /
+    fraud / unit-mixup tripwire (organically-grown monetary amounts
+    follow Benford; uniform generators and fabricated figures do not).
+    The leading digit is extracted from the EXACT integer cents rendered
+    as a string (bigint → text is identical across engines; float
+    formatting is not), so the digit histogram is bit-deterministic.
+
+    Scale: one narrow map + a 9-bucket aggregation — nothing wider than
+    a digit ever shuffles."""
+    (orders,) = load(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("observed"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("first_digit"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("first_digit"))
+    return (
+        grid.join(obs, grid["first_digit"] == obs["d"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            F.coalesce("observed", F.lit(0)).cast("bigint").alias("observed"),
+            F.round(F.col("n") * p, 2).alias("expected"),
+            F.round(
+                F.coalesce("observed", F.lit(0)) / F.col("n").cast("double")
+                - p,
+                4,
+            ).alias("deviation"),
+        )
+    )
