@@ -268,3 +268,58 @@ def label_propagation(
             .select("node", "label")
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source breadth-first search: ``(node, hops)`` giving each
+    node's minimum hop distance to ANY seed over the undirected edge set,
+    exploring at most ``max_hops`` levels (unreached nodes are absent).
+
+    Classic frontier expansion — the per-round work is ONE join of the
+    static symmetrized edge list against the CURRENT frontier (not the
+    whole visited set), an anti-join to drop already-visited nodes, and a
+    count that doubles as the round's materializing action.  Frontiers
+    shrink as the reachable set saturates, so total cost is
+    O(edges × rounds-touched), the standard Pregel BFS cost model; as in
+    :func:`connected_components`, ``localCheckpoint`` caps lineage so
+    round N's plan does not nest rounds 1..N-1.
+
+    Seeds outside the edge set still return ``hops = 0`` (distance to
+    themselves), matching the declarative min-over-paths semantics a
+    recursive-CTE oracle computes.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    rev = edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    sym = fwd.unionByName(rev).where(F.col("s") != F.col("d")).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).cast("bigint").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        # The count materializes the lazy checkpoint AND is the
+        # termination probe — one job per round.
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited

@@ -89,3 +89,101 @@ def rrf_fuse(
     if top is not None:
         out = out.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(top)
     return out
+
+
+def build_inverted_index(
+    documents: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> None:
+    """Build a PERSISTED inverted index: the build-once/query-many tier
+    of full-text search, mirroring the ANN family's ivf_build_index.
+
+    Layout under ``path``:
+
+    * ``postings/`` — (term, did, tf) rows partitioned by
+      ``bucket = pmod(xxhash64(term), num_buckets)``, so a query's scan
+      prunes to the buckets its terms hash into (parquet partition
+      filter — plan-gated in TestInvertedIndex);
+    * ``doclen/`` — (did, dl) document lengths;
+    * ``stats/`` — one row (n_docs, avgdl).
+
+    Postings are bucketed by TERM hash, not doc, because queries select
+    by term: at 100 TB the postings frame is token-count-sized and the
+    per-term partition pruning is what keeps query cost proportional to
+    the matched postings, not the corpus.  Document frequency (df) is
+    derived at query time with one grouped count over the PRUNED
+    postings (|terms| groups, broadcast back) — no separate term-stats
+    table to keep consistent with the postings.
+    """
+    from aws_genaric_datapipeline_spark.operators.text import tokens
+
+    toks = documents.select(
+        F.col(id_col).alias("did"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    postings = (
+        toks.groupBy("term", "did")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)))
+    )
+    postings.write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def query_inverted_index(
+    spark,
+    path: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` against a PERSISTED inverted index (see
+    build_inverted_index): reads ONLY the term-hash buckets the query
+    terms live in (parquet partition pruning), scores the matched
+    postings with the same Lucene-idf BM25 as operators/text.py
+    bm25_scores, and returns ``(doc_id, bm25)`` for the best ``k``
+    documents by (score DESC, id ASC) — a TakeOrdered over the match
+    set, never a corpus scan.
+    """
+    terms_df = spark.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)))
+    buckets = sorted({r["bucket"] for r in terms_df.collect()})
+
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(*terms))
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats")
+    dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / denom
+    scored = (
+        postings.join(F.broadcast(dft), "term")
+        .join(dl, "did")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("did")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+    return (
+        scored.select(F.col("did").alias("doc_id"), "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -12,6 +12,7 @@ from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
     events_analytics,
     modern_sql,
     north_star,
+    record_linkage,
     relational_aggs,
     relational_extra,
     relational_joins,

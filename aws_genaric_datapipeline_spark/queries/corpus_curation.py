@@ -1533,3 +1533,68 @@ def curate_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'decontaminate', c3, 'entropy', c4) AS (stage, n_docs)"
         )
     )
+
+
+@query(
+    "search_bm25_query_only",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id AS did, t.tok
+            FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+            WHERE length(trim(text)) > 0
+        ),
+        dl AS (SELECT did, count(*) AS dl FROM toks GROUP BY did),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT did, tok, count(*) AS tf
+            FROM toks WHERE tok IN ('spark', 'vector', 'merge')
+            GROUP BY did, tok
+        ),
+        dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+        bm AS (
+            SELECT tf.did AS doc_id,
+                   round(sum(
+                       ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 4) AS bm25
+            FROM tf
+            JOIN dft ON tf.tok = dft.tok
+            JOIN dl ON tf.did = dl.did
+            CROSS JOIN stats
+            GROUP BY tf.did
+        )
+        SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("north-star", "text", "search"),
+)
+def search_bm25_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION full-text shape: BM25 top-10 answered from a
+    PERSISTED inverted index (operators/retrieval.py
+    build_inverted_index / query_inverted_index) — postings partitioned
+    by term-hash bucket, so the scan prunes to the query terms' buckets
+    (plan-gated in TestInvertedIndex) and query cost tracks matched
+    postings, not corpus size.  Build cost is paid once per corpus at
+    ingest (_ensure_corpus_index build-once cache, content-digest
+    keyed); the oracle recomputes the same Lucene-idf BM25 from the raw
+    documents, so a stale or corrupted index turns the row red."""
+    from aws_genaric_datapipeline_spark.operators.retrieval import (
+        build_inverted_index,
+        query_inverted_index,
+    )
+    from aws_genaric_datapipeline_spark.queries.north_star import (
+        _ensure_corpus_index,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    index_path = _ensure_corpus_index(
+        sf_dir,
+        "inv",
+        "v1",
+        "postings",
+        lambda p: build_inverted_index(documents, p, num_buckets=16),
+        src_name="documents.parquet",
+    )
+    return query_inverted_index(
+        spark, index_path, terms=("spark", "vector", "merge"), k=10
+    )

@@ -175,6 +175,73 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "privacy_l_diversity",
+    oracle="""
+        WITH cls AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens,
+                   count(*) AS n
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        per AS (
+            SELECT c_nationkey, c_mktsegment,
+                   count(*) AS l_distinct,
+                   sum(n) AS class_size,
+                   max(n) AS max_freq
+            FROM cls GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(l_distinct) AS BIGINT) AS l_diversity,
+               CAST(count(*) FILTER (l_distinct < 3) AS BIGINT)
+                   AS classes_below_3,
+               CAST(coalesce(sum(class_size) FILTER (l_distinct < 3), 0)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(max(CAST(floor(max_freq * 10000.0 / class_size)
+                    AS BIGINT)) AS BIGINT) AS worst_disclosure_bp
+        FROM per
+    """,
+    tags=("privacy", "diagnostics"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007), the step beyond
+    k-anonymity: a class can be large (k-safe) yet still leak if every
+    member shares the SAME sensitive value.  Sensitive attribute here =
+    account-balance band (floor(acctbal/1000)); ``l_diversity`` is the
+    minimum distinct sensitive values in any quasi-identifier class,
+    and ``worst_disclosure_bp`` the highest within-class modal
+    frequency in basis points (integer-exact: values < 2^53, so the
+    float divide + floor is bit-identical across engines).
+
+    Scale: two grouped counts, both keyed no wider than QI + band —
+    same shuffle posture as privacy_k_anonymity."""
+    (customer,) = load(spark, sf_dir, "customer")
+    cls = customer.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sens"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per = cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.sum("n").alias("class_size"),
+        F.max("n").alias("max_freq"),
+    )
+    low = F.col("l_distinct") < 3
+    return per.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l_distinct").alias("l_diversity"),
+        F.count_if(low).alias("classes_below_3"),
+        F.coalesce(
+            F.sum(F.when(low, F.col("class_size"))), F.lit(0).cast("bigint")
+        ).alias("rows_at_risk"),
+        F.max(
+            F.floor(F.col("max_freq") * 10000.0 / F.col("class_size")).cast(
+                "bigint"
+            )
+        ).alias("worst_disclosure_bp"),
+    )
+
+
+@query(
     "dq_dynamic_rules",
     oracle="""
         WITH rules(rule_id, col_name, op, lo, hi) AS (VALUES

@@ -751,7 +751,12 @@ def sim_ivf_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensure_corpus_index(
-    sf_dir: str, prefix: str, version: str, probe_subdir: str, build
+    sf_dir: str,
+    prefix: str,
+    version: str,
+    probe_subdir: str,
+    build,
+    src_name: str = "embeddings.parquet",
 ) -> str:
     """Build-once cache for persisted ANN indexes under .cache/.
 
@@ -769,7 +774,7 @@ def _ensure_corpus_index(
     import shutil
     from pathlib import Path
 
-    src = Path(sf_dir) / "embeddings.parquet"
+    src = Path(sf_dir) / src_name
     digest = hashlib.md5()
     with open(src, "rb") as fh:
         digest.update(fh.read(65536))

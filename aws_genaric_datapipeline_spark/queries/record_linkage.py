@@ -1,0 +1,152 @@
+"""Record linkage / entity resolution + graph reachability queries.
+
+Two capabilities the curation stack had not yet exposed as driver-checked
+queries:
+
+* ``link_entity_resolution`` — Fellegi-Sunter-shaped linkage over the
+  customer table (blocking → Levenshtein verify → connected-component
+  closure → canonical entity ids), the schema-level twin of document
+  near-dup: same closure machinery, structured records instead of text.
+* ``graph_bfs_hops`` — multi-source breadth-first hop distance over the
+  document near-duplicate graph (seeds = every 50th doc), the
+  reachability primitive under "how far is this record from a trusted
+  seed set" provenance scoring.
+
+Both oracles replay the FULL pipeline declaratively in DuckDB: the
+blocking + edit-distance match and the recursive-CTE closure for
+linkage; the trigram-Jaccard edge build and a hop-bounded recursive CTE
+(min-over-paths ≡ BFS level) for reachability.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_genaric_datapipeline_spark.operators import dedup as D
+from aws_genaric_datapipeline_spark.operators import linkage as L
+from aws_genaric_datapipeline_spark.operators.graph import bfs_hops
+from aws_genaric_datapipeline_spark.queries.north_star import _DUCK_TRIGRAMS
+from aws_genaric_datapipeline_spark.queries.registry import query
+from aws_genaric_datapipeline_spark.tables import load
+
+_MAX_BLOCK = 500  # linkage quadratic guard, replayed by the oracle
+
+
+@query(
+    "link_entity_resolution",
+    oracle=f"""
+        WITH RECURSIVE r AS (
+            SELECT c_custkey AS rid, c_nationkey AS b1, c_mktsegment AS b2,
+                   c_name AS txt
+            FROM customer
+        ),
+        narrow AS (
+            SELECT b1, b2 FROM r GROUP BY 1, 2
+            HAVING count(*) <= {_MAX_BLOCK}
+        ),
+        rb AS (SELECT r.* FROM r JOIN narrow USING (b1, b2)),
+        pairs AS (
+            SELECT a.rid AS s, b.rid AS d
+            FROM rb a JOIN rb b
+              ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.rid < b.rid
+            WHERE levenshtein(a.txt, b.txt) <= 1
+        ),
+        edges AS (
+            SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.d, r2.label FROM reach r2 JOIN edges e ON e.s = r2.node
+        ),
+        comp AS (SELECT node, min(label) AS ent FROM reach GROUP BY node),
+        asg AS (
+            SELECT r.rid, coalesce(comp.ent, r.rid) AS entity_id
+            FROM r LEFT JOIN comp ON comp.node = r.rid
+        )
+        SELECT CAST(rid AS BIGINT) AS c_custkey,
+               CAST(entity_id AS BIGINT) AS entity_id,
+               CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+                   AS entity_size
+        FROM asg
+    """,
+    tags=("north-star", "linkage", "graph"),
+)
+def link_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over customers: block on (nation, market
+    segment), match names within Levenshtein 1, close matches
+    transitively (operators/linkage.py + operators/graph.py), canonical
+    entity id = min member key, singletons included.  The oracle replays
+    blocking, the width guard, the edit-distance verify, and the closure
+    as a recursive CTE — the distributed iterative algorithm is checked
+    against a declarative fixpoint."""
+    (customer,) = load(spark, sf_dir, "customer")
+    pairs = L.blocked_match_pairs(
+        customer,
+        id_col="c_custkey",
+        block_cols=("c_nationkey", "c_mktsegment"),
+        compare_col="c_name",
+        max_edit=1,
+        max_block_width=_MAX_BLOCK,
+    )
+    out = L.resolve_entities(customer, pairs, id_col="c_custkey")
+    return out.select(
+        F.col("rid").cast("bigint").alias("c_custkey"),
+        F.col("entity_id").cast("bigint").alias("entity_id"),
+        F.col("entity_size").cast("bigint").alias("entity_size"),
+    )
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.did
+            JOIN sizes sb ON inter.id_b = sb.did
+            WHERE round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, hop) AS (
+            SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+            UNION
+            SELECT e.d, r.hop + 1
+            FROM reach r JOIN edges e ON e.s = r.node
+            WHERE r.hop < 6
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(hop) AS INT) AS hops
+        FROM reach GROUP BY node
+    """,
+    tags=("north-star", "graph"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the trigram-Jaccard near-dup graph: minimum
+    hop distance from the seed set (every 50th document) within 6 hops —
+    frontier expansion with one join + one anti-join + one count per
+    round (operators/graph.py bfs_hops).  The oracle's hop-bounded
+    recursive CTE computes min-over-paths, which equals the BFS level."""
+    (documents,) = load(spark, sf_dir, "documents")
+    edges = D.jaccard_pairs(documents, n=3, threshold=0.5, hash_tokens=True)
+    seeds = documents.where(F.col("doc_id") % 50 == 0).select("doc_id")
+    out = bfs_hops(edges, seeds, src="id_a", dst="id_b", max_hops=6)
+    return out.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("hops").cast("int").alias("hops"),
+    )

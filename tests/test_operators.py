@@ -1912,3 +1912,150 @@ class TestAdaptiveLshTopk:
             exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         hits = sum(len(by_q.get(q, set()) & exact_by_q[q]) for q in qids)
         assert hits / (5 * len(qids)) >= 0.4, by_q
+
+
+class TestBfsHops:
+    def test_path_hops_and_cap(self, spark):
+        """Single-source BFS on a 9-node path: level = index, and the
+        max_hops cap excludes nodes beyond it."""
+        from aws_genaric_datapipeline_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,)], "doc_id long")
+        got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+        assert got == {i: i for i in range(7)}  # 7,8 beyond the cap
+
+    def test_multi_source_min_distance(self, spark):
+        """Two seeds on a path: every node takes the nearer seed's level."""
+        from aws_genaric_datapipeline_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,), (8,)], "doc_id long")
+        got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+        assert got == {i: min(i, 8 - i) for i in range(9)}
+
+    def test_isolated_seed_and_unreachable_node(self, spark):
+        """A seed with no edges reports hops=0; nodes in no seed's
+        component are absent from the result."""
+        from aws_genaric_datapipeline_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [(1, 2), (10, 11)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,), (99,)], "doc_id long")
+        got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+        assert got == {1: 0, 99: 0, 2: 1}  # 10/11 unreachable
+
+
+class TestRecordLinkage:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                # block ("A", "x"): ann/anb match (edit 1), zzz is far
+                (1, "A", "x", "ann"),
+                (2, "A", "x", "anb"),
+                (3, "A", "x", "zzz"),
+                # block ("B", "x"): chain ann~anb~aab (transitive entity)
+                (4, "B", "x", "ann"),
+                (5, "B", "x", "anb"),
+                (6, "B", "x", "aab"),
+                # same text as 1 but different block: never compared
+                (7, "C", "y", "ann"),
+            ],
+            "rid long, b1 string, b2 string, nm string",
+        )
+
+    def test_blocked_pairs_respect_blocks_and_distance(self, spark):
+        from aws_genaric_datapipeline_spark.operators.linkage import (
+            blocked_match_pairs,
+        )
+
+        pairs = blocked_match_pairs(
+            self._df(spark), "rid", ("b1", "b2"), "nm", max_edit=1
+        )
+        got = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in pairs.collect()}
+        assert got == {(1, 2): 1, (4, 5): 1, (5, 6): 1}
+
+    def test_block_width_guard_drops_oversized_block(self, spark):
+        """A block wider than max_block_width emits no pairs — the
+        documented quadratic guard, replayed by the driver oracle."""
+        from aws_genaric_datapipeline_spark.operators.linkage import (
+            blocked_match_pairs,
+        )
+
+        pairs = blocked_match_pairs(
+            self._df(spark), "rid", ("b1", "b2"), "nm",
+            max_edit=1, max_block_width=2,
+        )
+        # both 3-wide blocks are dropped; only ≤2-wide blocks remain
+        assert pairs.count() == 0
+
+    def test_resolve_entities_transitive_and_singletons(self, spark):
+        from aws_genaric_datapipeline_spark.operators.linkage import (
+            blocked_match_pairs,
+            resolve_entities,
+        )
+
+        df = self._df(spark)
+        pairs = blocked_match_pairs(df, "rid", ("b1", "b2"), "nm", max_edit=1)
+        out = {
+            r["rid"]: (r["entity_id"], r["entity_size"])
+            for r in resolve_entities(df, pairs, "rid").collect()
+        }
+        assert out == {
+            1: (1, 2), 2: (1, 2),          # matched pair
+            3: (3, 1),                      # singleton in a matched block
+            4: (4, 3), 5: (4, 3), 6: (4, 3),  # transitive chain
+            7: (7, 1),                      # blocked away from 1
+        }
+
+
+class TestInvertedIndex:
+    def test_query_matches_inline_bm25_and_prunes_buckets(self, spark, tmp_path):
+        """Persisted inverted index: query results equal the inline
+        bm25_scores top-k, and the postings scan is partition-pruned to
+        the query terms' hash buckets."""
+        from aws_genaric_datapipeline_spark.operators.retrieval import (
+            build_inverted_index,
+            query_inverted_index,
+        )
+        from aws_genaric_datapipeline_spark.operators.text import bm25_scores
+
+        (docs,) = load(spark, SF, "documents")
+        idx = str(tmp_path / "inv")
+        build_inverted_index(docs, idx, num_buckets=16)
+
+        terms = ("spark", "vector", "merge")
+        got = query_inverted_index(spark, idx, terms, k=10)
+        got_rows = [(r["doc_id"], r["bm25"]) for r in got.collect()]
+
+        inline = (
+            bm25_scores(docs, terms=terms)
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(10)
+        )
+        want_rows = [(r["doc_id"], r["bm25"]) for r in inline.collect()]
+        assert got_rows == want_rows
+        assert len(got_rows) == 10
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+
+    def test_unknown_terms_give_empty_result(self, spark, tmp_path):
+        """Terms absent from the corpus (or hashing to empty buckets)
+        return an empty frame with the output schema, not an error."""
+        from aws_genaric_datapipeline_spark.operators.retrieval import (
+            build_inverted_index,
+            query_inverted_index,
+        )
+
+        (docs,) = load(spark, SF, "documents")
+        idx = str(tmp_path / "inv")
+        build_inverted_index(docs, idx, num_buckets=16)
+        out = query_inverted_index(spark, idx, ("zzzz_no_such_token",), k=5)
+        assert out.columns == ["doc_id", "bm25"]
+        assert out.count() == 0
