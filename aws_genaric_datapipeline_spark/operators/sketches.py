@@ -97,3 +97,109 @@ def cms_estimate(
     est = F.least(*ests) if len(ests) > 1 else ests[0]
     drop = [c for j in range(depth) for c in (f"_pos{j}", f"_c{j}")]
     return out.withColumn(out_col, est).drop(*drop)
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Join-cardinality estimate from two count-min grids of the SAME
+    shape: ``|A ⋈ B| = Σ_k f_A(k)·f_B(k)`` is upper-bounded by each
+    row's counter dot-product, so the estimate is ``min over rows of
+    Σ_pos a[row][pos]·b[row][pos]`` (Cormode/Muthukrishnan §4.3 — the
+    classic sketch answer to "how big will this join be" that query
+    planners use before running the join).
+
+    Never undercounts; returns a 1-row frame ``(cms_join_estimate)``.
+    Cost: the grids are ≤ depth×width rows each, so the whole estimate
+    is a broadcast-sized join — no touch of either input relation.
+    """
+    a = sketch_a.select("row", "pos", F.col("c").alias("ca"))
+    b = sketch_b.select("row", "pos", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, ["row", "pos"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return dots.agg(F.min("dot").cast("bigint").alias("cms_join_estimate"))
+
+
+def histogram_quantile_report(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 128,
+    ps: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Mergeable equi-width-histogram quantile sketch with its error
+    contract checked against the exact quantile.
+
+    The one-pass scale path for quantiles over 100 TB: per partition,
+    values fold into a ``bins``-cell histogram over the global [min,
+    max] (a prior 1-row min/max pass); histograms merge by cell-wise
+    addition (constant-size shuffle, like the count-min grid), and
+    quantile p is answered by the first bin whose cumulative count
+    reaches p·N — off by at most one bin width from the exact value.
+    Returns one row: n_rows, bin_width, and per p the histogram
+    estimate (upper bin edge), the exact quantile
+    (percentile ≡ quantile_cont), and a ``pXX_within_bin`` boolean
+    asserting the |estimate − exact| ≤ bin_width contract — the
+    deterministic analog of agg_approx_distinct's sketch contract.
+    """
+    x = F.col(value_col)
+    mm = df.agg(
+        F.min(x).alias("mn"),
+        F.max(x).alias("mx"),
+        F.count(x).alias("n"),
+    )
+    w = (F.col("mx") - F.col("mn")) / bins
+    bin_expr = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1), F.floor((x - F.col("mn")) / w))
+    )
+    hist = (
+        df.crossJoin(F.broadcast(mm))
+        .select(bin_expr.cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "bin",
+        F.sum("c")
+        .over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    picks = cum.crossJoin(F.broadcast(mm)).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.lit(p) * F.col("n"), F.col("bin"))
+            ).alias(f"_bin_{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
+    exacts = df.agg(
+        *[
+            F.expr(f"percentile({value_col}, {p})").alias(f"_ex_{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
+    out = mm.crossJoin(F.broadcast(picks)).crossJoin(F.broadcast(exacts))
+    w_out = (F.col("mx") - F.col("mn")) / bins
+    cols = [
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(w_out, 4).alias("bin_width"),
+    ]
+    for i, p in enumerate(ps):
+        tag = str(int(p * 100))
+        est = F.col("mn") + (F.col(f"_bin_{i}") + 1) * w_out
+        cols += [
+            F.round(F.col(f"_ex_{i}"), 4).alias(f"p{tag}_exact"),
+            F.round(est, 4).alias(f"p{tag}_hist"),
+            (F.abs(est - F.col(f"_ex_{i}")) <= w_out).alias(
+                f"p{tag}_within_bin"
+            ),
+        ]
+    return out.select(*cols)

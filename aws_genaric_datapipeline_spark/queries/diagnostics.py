@@ -441,3 +441,78 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+@query(
+    "diag_join_cardinality_cms",
+    oracle="""
+        WITH ska AS (
+            SELECT row_j, pos, count(*) AS c FROM (
+                SELECT 0 AS row_j,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS pos
+                FROM events
+                UNION ALL
+                SELECT 1, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT % 256
+                FROM events
+            ) GROUP BY row_j, pos
+        ),
+        skb AS (
+            SELECT row_j, pos, count(*) AS c FROM (
+                SELECT 0 AS row_j,
+                       ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 256 AS pos
+                FROM orders
+                UNION ALL
+                SELECT 1, ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 8))::BIGINT % 256
+                FROM orders
+            ) GROUP BY row_j, pos
+        ),
+        dots AS (
+            SELECT a.row_j, sum(a.c * b.c) AS dot
+            FROM ska a JOIN skb b ON a.row_j = b.row_j AND a.pos = b.pos
+            GROUP BY a.row_j
+        ),
+        est AS (SELECT min(dot) AS cms_join_estimate FROM dots),
+        ex AS (
+            SELECT count(*) AS exact_join_rows
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        )
+        SELECT CAST(exact_join_rows AS BIGINT) AS exact_join_rows,
+               CAST(cms_join_estimate AS BIGINT) AS cms_join_estimate,
+               CAST(cms_join_estimate - exact_join_rows AS BIGINT) AS overcount,
+               cms_join_estimate >= exact_join_rows AS never_undercounts
+        FROM ex, est
+    """,
+    tags=("diagnostics", "sketch"),
+)
+def diag_join_cardinality_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation from count-min inner products
+    (Cormode/Muthukrishnan §4.3): |events ⋈ orders on user=cust| is
+    upper-bounded by each CMS row's counter dot-product, and the min
+    over rows is the planner-grade estimate — computed from two
+    constant-size grids WITHOUT running the join.  The exact join count
+    rides along so the oracle verifies both the grids (rebuilt cell by
+    cell from md5 windows) and the never-undercounts contract."""
+    from aws_genaric_datapipeline_spark.operators.sketches import (
+        cms_inner_product,
+        cms_sketch,
+    )
+
+    events, orders = load(spark, sf_dir, "events", "orders")
+    ska = cms_sketch(events, "user_id", depth=2, width=256)
+    skb = cms_sketch(orders, "o_custkey", depth=2, width=256)
+    est = cms_inner_product(ska, skb)
+    exact = (
+        events.select("user_id")
+        .join(orders.select("o_custkey"), F.col("user_id") == F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_join_rows").cast("bigint"),
+        F.col("cms_join_estimate").cast("bigint"),
+        (F.col("cms_join_estimate") - F.col("exact_join_rows"))
+        .cast("bigint")
+        .alias("overcount"),
+        (F.col("cms_join_estimate") >= F.col("exact_join_rows")).alias(
+            "never_undercounts"
+        ),
+    )

@@ -344,3 +344,62 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("urgent_value"),
     )
+
+
+@query(
+    "agg_quantile_histogram",
+    oracle="""
+        WITH mm AS (
+            SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                   count(*) AS n
+            FROM orders
+        ),
+        h AS (
+            SELECT least(127, CAST(floor((o_totalprice - mn)
+                       / ((mx - mn) / 128)) AS BIGINT)) AS bin,
+                   count(*) AS c
+            FROM orders, mm GROUP BY 1
+        ),
+        cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+        picks AS (
+            SELECT min(bin) FILTER (cum >= 0.5 * n) AS b50,
+                   min(bin) FILTER (cum >= 0.9 * n) AS b90
+            FROM cum, mm
+        ),
+        ex AS (
+            SELECT quantile_cont(o_totalprice, 0.5) AS e50,
+                   quantile_cont(o_totalprice, 0.9) AS e90
+            FROM orders
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round((mx - mn) / 128, 4) AS bin_width,
+               round(e50, 4) AS p50_exact,
+               round(mn + (b50 + 1) * ((mx - mn) / 128), 4) AS p50_hist,
+               abs(mn + (b50 + 1) * ((mx - mn) / 128) - e50)
+                   <= (mx - mn) / 128 AS p50_within_bin,
+               round(e90, 4) AS p90_exact,
+               round(mn + (b90 + 1) * ((mx - mn) / 128), 4) AS p90_hist,
+               abs(mn + (b90 + 1) * ((mx - mn) / 128) - e90)
+                   <= (mx - mn) / 128 AS p90_within_bin
+        FROM mm, picks, ex
+    """,
+    tags=("agg", "percentile", "sketch"),
+)
+def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantile sketch
+    (operators/sketches.py histogram_quantile_report): the one-pass,
+    constant-state scale path for quantiles — per-partition histograms
+    merge by cell-wise addition exactly like the count-min grid, and
+    quantile p reads off the first bin whose cumulative count reaches
+    p·N, within one bin width of the exact answer.  The exact
+    percentile rides along and the within-bin contract booleans are
+    part of the verified output (the deterministic analog of
+    agg_approx_distinct's sketch contract)."""
+    from aws_genaric_datapipeline_spark.operators.sketches import (
+        histogram_quantile_report,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return histogram_quantile_report(
+        orders, "o_totalprice", bins=128, ps=(0.5, 0.9)
+    )

@@ -2059,3 +2059,73 @@ class TestInvertedIndex:
         out = query_inverted_index(spark, idx, ("zzzz_no_such_token",), k=5)
         assert out.columns == ["doc_id", "bm25"]
         assert out.count() == 0
+
+
+class TestCmsInnerProduct:
+    def test_collision_free_estimate_is_exact(self, spark):
+        """With few distinct keys vs width=256, no positions collide and
+        the inner-product estimate equals the true join size."""
+        from aws_genaric_datapipeline_spark.operators.sketches import (
+            cms_inner_product,
+            cms_sketch,
+        )
+
+        a = spark.createDataFrame(
+            [(k,) for k in [1, 1, 1, 2, 2, 3]], "k long"
+        )
+        b = spark.createDataFrame(
+            [(k,) for k in [1, 2, 2, 2, 4]], "k long"
+        )
+        ska = cms_sketch(a, "k", depth=2, width=256)
+        skb = cms_sketch(b, "k", depth=2, width=256)
+        est = cms_inner_product(ska, skb).collect()[0]["cms_join_estimate"]
+        exact = a.join(b, "k").count()  # 3*1 + 2*3 = 9
+        assert exact == 9
+        assert est == exact
+
+    def test_never_undercounts_under_collisions(self, spark):
+        """Tiny width forces collisions; the estimate may overcount but
+        must never undercount the true join cardinality."""
+        from aws_genaric_datapipeline_spark.operators.sketches import (
+            cms_inner_product,
+            cms_sketch,
+        )
+
+        a = spark.createDataFrame([(k,) for k in range(40)], "k long")
+        b = spark.createDataFrame([(k,) for k in range(0, 80, 2)], "k long")
+        ska = cms_sketch(a, "k", depth=2, width=8)
+        skb = cms_sketch(b, "k", depth=2, width=8)
+        est = cms_inner_product(ska, skb).collect()[0]["cms_join_estimate"]
+        exact = a.join(b, "k").count()
+        assert est >= exact
+
+
+class TestHistogramQuantiles:
+    def test_uniform_values_within_bin_contract(self, spark):
+        """0..999 uniform: histogram p50/p90 land within one bin width of
+        the exact percentiles and the contract booleans are true."""
+        from aws_genaric_datapipeline_spark.operators.sketches import (
+            histogram_quantile_report,
+        )
+
+        df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+        row = histogram_quantile_report(df, "v", bins=100, ps=(0.5, 0.9)).collect()[0]
+        assert row["n_rows"] == 1000
+        assert row["p50_within_bin"] and row["p90_within_bin"]
+        assert abs(row["p50_hist"] - row["p50_exact"]) <= row["bin_width"] + 1e-9
+        assert abs(row["p90_hist"] - row["p90_exact"]) <= row["bin_width"] + 1e-9
+
+    def test_constant_column_degenerate_range(self, spark):
+        """All-equal values (zero range) must not divide by zero; the
+        estimate collapses to the constant."""
+        from aws_genaric_datapipeline_spark.operators.sketches import (
+            histogram_quantile_report,
+        )
+
+        df = spark.createDataFrame([(5.0,)] * 50, "v double")
+        row = histogram_quantile_report(df, "v", bins=16, ps=(0.5,)).collect()[0]
+        assert row["n_rows"] == 50
+        assert row["bin_width"] == 0.0
+        assert row["p50_exact"] == 5.0
+        assert row["p50_hist"] == 5.0
+        assert row["p50_within_bin"]
