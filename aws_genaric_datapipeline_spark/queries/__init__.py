@@ -7,6 +7,7 @@ from aws_genaric_datapipeline_spark.queries.registry import QUERIES, QuerySpec, 
 
 # Import modules for their registration side effects.
 from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
+    behavioral,
     corpus_curation,
     diagnostics,
     events_analytics,

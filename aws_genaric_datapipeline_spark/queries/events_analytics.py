@@ -848,3 +848,66 @@ def events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_gaps_over_6h") > 0)
     )
+
+
+@query(
+    "events_dow_seasonal_residuals",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, event_type, value,
+                   dayofweek(ts) + 1 AS dow,
+                   avg(value) OVER (
+                       PARTITION BY event_type, dayofweek(ts)
+                   ) AS baseline
+            FROM events
+        ),
+        scored AS (
+            SELECT event_id, event_type, dow,
+                   round(value, 2) AS value,
+                   round(baseline, 4) AS baseline,
+                   round(value - baseline, 4) AS residual,
+                   row_number() OVER (
+                       ORDER BY round(abs(value - baseline), 4) DESC, event_id
+                   ) AS rn
+            FROM base
+        )
+        SELECT event_id, event_type, CAST(dow AS INT) AS dow,
+               value, baseline, residual
+        FROM scored WHERE rn <= 10
+    """,
+    tags=("events", "analytics"),
+)
+def events_dow_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly scoring: each event's value is compared
+    to the mean for its (event_type, day-of-week) cell — the simplest
+    seasonal decomposition — and the 10 largest absolute residuals
+    surface as anomalies that a global z-score would mask behind weekday
+    structure.  The baseline is a partition-wide window average (no
+    second scan); ranking is on the ROUNDED residual with an id
+    tiebreak, so the top-10 cut is deterministic in both engines."""
+    (events,) = load(spark, sf_dir, "events")
+    wb = Window.partitionBy("event_type", F.dayofweek("ts"))
+    base = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.avg("value").over(wb).alias("baseline"),
+    )
+    wr = Window.orderBy(
+        F.desc(F.round(F.abs(F.col("value") - F.col("baseline")), 4)),
+        F.asc("event_id"),
+    )
+    return (
+        base.select(
+            "event_id",
+            "event_type",
+            "dow",
+            F.round("value", 2).alias("value"),
+            F.round("baseline", 4).alias("baseline"),
+            F.round(F.col("value") - F.col("baseline"), 4).alias("residual"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )

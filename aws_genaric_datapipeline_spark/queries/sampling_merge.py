@@ -361,3 +361,51 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_to").isNull() | (F.col("at_ts") < F.col("valid_to"))),
         "left",
     ).select("event_id", "user_id", "at_ts", "state_at", "state_run_rows")
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS total_price,
+               round(sum(o_totalprice) / count(*), 4) AS avg_price
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("merge", "matview"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh (operators/matview.py):
+    the per-customer order-count/revenue MV is built from the history
+    (orders before 1999), then a delta batch (1999 onward) is
+    aggregated ALONE and merged into the state by cell-wise addition —
+    agg(base ∪ delta) = merge(agg(base), agg(delta)) for distributive
+    measures.  The oracle recomputes the aggregate over ALL orders, so
+    the refresh-equals-full-recompute identity is what the driver
+    verifies; avg re-derives from the merged sums (algebraic measure).
+
+    Scale: refresh cost tracks the delta batch, not the 100-TB history
+    — the delta aggregation is the only scan, and the merge shuffles
+    two key-cardinality state frames."""
+    from aws_genaric_datapipeline_spark.operators.matview import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    base = orders.where(F.col("o_orderdate") < cut)
+    delta = orders.where(F.col("o_orderdate") >= cut)
+    mv = agg_state(base, ("o_custkey",), ("o_totalprice",))
+    refreshed = merge_agg_states(
+        mv, agg_state(delta, ("o_custkey",), ("o_totalprice",)), ("o_custkey",)
+    )
+    return refreshed.select(
+        "o_custkey",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round("sum_o_totalprice", 2).alias("total_price"),
+        F.round(F.col("sum_o_totalprice") / F.col("cnt"), 4).alias(
+            "avg_price"
+        ),
+    )

@@ -11,6 +11,7 @@ modes, which is what the oracle pins down.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from aws_genaric_datapipeline_spark.queries.registry import query
@@ -154,3 +155,41 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load(spark, sf_dir, "events")
     return debounce_dedup(events)
+
+
+@query(
+    "stream_enrich_dim",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(e.value), 2) AS value_sum
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (streaming/windows.py
+    enrich_with_dim): the events stream broadcast-joins the customer
+    dimension per micro-batch — stateless by construction, the standard
+    star-schema enrich — then rolls up per (segment, event_type).
+    Identical expression on a batch frame = the oracle; the streaming
+    equivalence (availableNow drain, unmatched keys kept by the left
+    join) is pinned in TestStreamStaticJoin."""
+    from aws_genaric_datapipeline_spark.streaming.windows import (
+        enrich_with_dim,
+    )
+
+    events, customer = load(spark, sf_dir, "events", "customer")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_with_dim(events, dim)
+    return enriched.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )

@@ -2129,3 +2129,47 @@ class TestHistogramQuantiles:
         assert row["p50_exact"] == 5.0
         assert row["p50_hist"] == 5.0
         assert row["p50_within_bin"]
+
+
+class TestMatview:
+    def test_refresh_equals_full_recompute(self, spark):
+        """agg(base ∪ delta) == merge(agg(base), agg(delta)) — including
+        keys that only exist in the delta."""
+        from aws_genaric_datapipeline_spark.operators.matview import (
+            agg_state,
+            merge_agg_states,
+        )
+
+        base = spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+        )
+        delta = spark.createDataFrame(
+            [(1, 1.0), (3, 7.0)], "k long, v double"
+        )
+        mv = agg_state(base, ("k",), ("v",))
+        refreshed = merge_agg_states(
+            mv, agg_state(delta, ("k",), ("v",)), ("k",)
+        )
+        got = {
+            r["k"]: (r["cnt"], r["sum_v"]) for r in refreshed.collect()
+        }
+        full = agg_state(base.unionByName(delta), ("k",), ("v",))
+        want = {r["k"]: (r["cnt"], r["sum_v"]) for r in full.collect()}
+        assert got == want == {1: (3, 31.0), 2: (1, 5.0), 3: (1, 7.0)}
+
+    def test_refreshes_chain(self, spark):
+        """A refreshed state is itself a valid state: two successive
+        deltas accumulate exactly."""
+        from aws_genaric_datapipeline_spark.operators.matview import (
+            agg_state,
+            merge_agg_states,
+        )
+
+        d0 = spark.createDataFrame([(1, 2.0)], "k long, v double")
+        d1 = spark.createDataFrame([(1, 3.0)], "k long, v double")
+        d2 = spark.createDataFrame([(1, 4.0), (2, 1.0)], "k long, v double")
+        mv = agg_state(d0, ("k",), ("v",))
+        for d in (d1, d2):
+            mv = merge_agg_states(mv, agg_state(d, ("k",), ("v",)), ("k",))
+        got = {r["k"]: (r["cnt"], r["sum_v"]) for r in mv.collect()}
+        assert got == {1: (3, 9.0), 2: (1, 1.0)}
