@@ -1598,3 +1598,79 @@ def search_bm25_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_inverted_index(
         spark, index_path, terms=("spark", "vector", "merge"), k=10
     )
+
+
+@query(
+    "text_top_keywords",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id AS did, t.tok
+            FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+            WHERE length(trim(text)) > 0
+        ),
+        tf AS (SELECT did, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT did) AS n_docs FROM toks),
+        scored AS (
+            SELECT did, tok,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / dft), 4) AS score
+            FROM tf JOIN dft USING (tok) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT did, tok, score,
+                   row_number() OVER (
+                       PARTITION BY did ORDER BY score DESC, tok
+                   ) AS rn
+            FROM scored
+        )
+        SELECT CAST(did AS BIGINT) AS doc_id, tok AS term,
+               score, CAST(rn AS INT) AS rank
+        FROM ranked WHERE rn <= 3
+    """,
+    tags=("north-star", "text", "search"),
+)
+def text_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the 3 highest TF-IDF terms of
+    every document (idf = ln(N/df), ranked on the ROUNDED score with a
+    term tiebreak so the cut is engine-deterministic) — the metadata
+    tagging / retrieval-facet pass a curation pipeline runs after
+    quality scoring.  One token explode, two bounded aggregates (per-doc
+    tf, per-term df), a broadcast N, and a per-doc window — work is
+    proportional to tokens, never pairs."""
+    (documents,) = load(spark, sf_dir, "documents")
+    from aws_genaric_datapipeline_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.col("doc_id").alias("did"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    tf = toks.groupBy("did", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    n = toks.agg(F.countDistinct("did").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "did",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dft")),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("did").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.select(
+            "did", "tok", "score", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("did").cast("bigint").alias("doc_id"),
+            F.col("tok").alias("term"),
+            "score",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

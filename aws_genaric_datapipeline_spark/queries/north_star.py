@@ -2598,3 +2598,96 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),
     )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, (length(text) * 11) % 3000 + 100 AS n
+            FROM documents WHERE length(text) > 0
+        ),
+        w AS (
+            SELECT doc_id, n, CAST(t.i AS INT) AS win_idx
+            FROM p, UNNEST(range(0, (n + 255) // 256)) AS t(i)
+        ),
+        s AS (
+            SELECT doc_id, win_idx,
+                   count(*) AS n_samples,
+                   sum(((doc_id * 31 + u.j * 17) % 4001 - 2000)
+                       * ((doc_id * 31 + u.j * 17) % 4001 - 2000)) AS energy
+            FROM w, UNNEST(range(win_idx * 256,
+                                 least(n, (win_idx + 1) * 256))) AS u(j)
+            GROUP BY doc_id, win_idx
+        )
+        SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+               CAST(n_samples AS INT) AS n_samples,
+               CAST(energy AS BIGINT) AS energy
+        FROM s
+    """,
+    tags=("north-star", "multimodal"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end, completing the image/video/audio
+    codec trio: per document, synthesize a deterministic int16 PCM
+    waveform (sample i = (doc_id·31 + i·17) mod 4001 − 2000, length from
+    text length), encode it as a canonical RIFF/WAVE file, then run the
+    feature pass — RIFF chunk walk, PCM decode, 256-sample windowed
+    ENERGY sums in pure int64 arithmetic (operators/audiocodec.py).
+    Because every stage is integer-exact, the oracle recomputes each
+    window's energy in SQL from the same congruence: a single wrong byte
+    anywhere in encode → parse → decode → window turns the row red."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    (documents,) = load(spark, sf_dir, "documents")
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.audiocodec import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "media": [], "media_meta": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n_chars = len(text) if text is not None else 0
+                if n_chars == 0:
+                    continue
+                n = (n_chars * 11) % 3000 + 100
+                i = np.arange(n, dtype=np.int64)
+                x = ((int(did) * 31 + i * 17) % 4001 - 2000).astype(np.int16)
+                rows["doc_id"].append(did)
+                rows["media"].append(encode_wav(x, sample_rate=8000))
+                rows["media_meta"].append(
+                    {"kind": "audio", "mime": "audio/wav", "width": 0,
+                     "height": 0, "duration_ms": n * 1000 // 8000}
+                )
+            yield pd.DataFrame(rows)
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_genaric_datapipeline_spark.operators.audiocodec import (
+            decode_wav,
+            window_energy,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "win_idx": [], "n_samples": [], "energy": []
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["media"]):
+                for w, ns, en in window_energy(decode_wav(bytes(payload))):
+                    out["doc_id"].append(did)
+                    out["win_idx"].append(w)
+                    out["n_samples"].append(ns)
+                    out["energy"].append(en)
+            yield pd.DataFrame(out)
+
+    media = documents.select("doc_id", "text").mapInPandas(
+        _render, schema=M.MEDIA_SCHEMA
+    )
+    return media.mapInPandas(
+        _feat, schema="doc_id long, win_idx int, n_samples int, energy long"
+    )

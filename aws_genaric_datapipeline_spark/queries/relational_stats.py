@@ -541,3 +541,84 @@ def stats_chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2"),
     )
+
+
+@query(
+    "stats_pmi_event_pairs",
+    oracle="""
+        WITH u AS (
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS hb, event_type
+            FROM events
+        ),
+        tot AS (SELECT count(DISTINCT (user_id, hb)) AS n_units FROM u),
+        per AS (SELECT event_type, count(*) AS n_t FROM u GROUP BY 1),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_ab
+            FROM u a JOIN u b
+              ON a.user_id = b.user_id AND a.hb = b.hb
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b,
+               CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(pa.n_t AS BIGINT) AS n_a,
+               CAST(pb.n_t AS BIGINT) AS n_b,
+               round(ln(n_ab * CAST(n_units AS DOUBLE)
+                        / (pa.n_t * CAST(pb.n_t AS DOUBLE))), 4) AS pmi
+        FROM pairs
+        JOIN per pa ON pa.event_type = pairs.type_a
+        JOIN per pb ON pb.event_type = pairs.type_b
+        CROSS JOIN tot
+    """,
+    tags=("stats", "events"),
+)
+def stats_pmi_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same (user, hour) unit — the association-mining readout behind
+    "which behaviors actually go together vs chance" (and the same PMI
+    used for collocation mining in NLP pipelines).  The log's argument
+    is a ratio of exact integer counts, so the score is deterministic to
+    the rounded digit in both engines.
+
+    Scale: presence sets dedup to one row per (unit, type) BEFORE the
+    pair join, and the self-join keys on the unit — |types|²-bounded
+    output, unit-cardinality-bounded shuffle."""
+    (events,) = load(spark, sf_dir, "events")
+    u = events.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hb"),
+        "event_type",
+    ).distinct()
+    tot = u.agg(F.countDistinct("user_id", "hb").alias("n_units"))
+    per = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = u.select("user_id", "hb", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", "hb", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "hb"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    pa = per.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    pb = per.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("n_units").cast("double")
+                    / (F.col("n_a") * F.col("n_b").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -276,3 +276,53 @@ def embed_projection_distortion_check(spark: SparkSession, sf_dir: str) -> DataF
         .otherwise((d1 >= 0.3 * d0) & (d1 <= 1.9 * d0))
         .alias("distortion_ok"),
     )
+
+
+@query(
+    "sample_quantile_bins",
+    oracle="""
+        WITH b AS (
+            SELECT o_orderstatus, o_totalprice,
+                   ntile(10) OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS bin
+            FROM orders
+        )
+        SELECT o_orderstatus, CAST(bin AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM b GROUP BY 1, 2
+    """,
+    tags=("trainprep", "sampling"),
+)
+def sample_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (the exact analog of Spark ML's
+    QuantileDiscretizer): per order status, rows split into 10
+    equal-population bins by rank — ntile over a deterministic
+    (value, key) order, so bin edges are integer-rank-exact with no
+    float-boundary ambiguity — reporting each bin's population and
+    value range.  Feature binning for training plus an equi-depth
+    histogram readout in one pass.
+
+    Scale: the window partitions by group, so each group sorts in
+    parallel; for a single 100-TB global binning, swap ntile for
+    histogram_quantile_report's mergeable bins (operators/sketches.py)
+    and assign by boundary broadcast."""
+    (orders,) = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    binned = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(10).over(w).cast("int").alias("bin"),
+    )
+    return binned.groupBy("o_orderstatus", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

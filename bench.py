@@ -88,6 +88,13 @@ HEADLINE = [
     "curate_funnel_v2",
     "text_repeated_span_fraction",
     "join_temporal_scd2",
+    "link_entity_resolution",
+    "graph_bfs_hops",
+    "search_bm25_query_only",
+    "mv_incremental_refresh",
+    "text_top_keywords",
+    "diag_join_cardinality_cms",
+    "multimodal_audio_features",
 ]
 
 
@@ -105,7 +112,12 @@ def main() -> None:
     ).count()
     # pre-build the persisted ANN indexes (IVF / PQ / IVF-PQ): the build is
     # ingest-side cost, the headline numbers track the amortized query path
-    for warm in ("sim_ivf_query_only", "sim_pq_query_only", "sim_ivfpq_query_only"):
+    for warm in (
+        "sim_ivf_query_only",
+        "sim_pq_query_only",
+        "sim_ivfpq_query_only",
+        "search_bm25_query_only",
+    ):
         if warm in HEADLINE and warm in QUERIES:
             QUERIES[warm].fn(spark, sf_dir).count()
 
