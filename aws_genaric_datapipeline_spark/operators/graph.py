@@ -159,6 +159,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list; returns
     ``(node, rank)`` after ``iterations`` synchronous updates from a
@@ -170,6 +171,13 @@ def pagerank(
     (documented so the oracle can reproduce it exactly).  Within a dedup
     pipeline this ranks documents by similarity-graph centrality — a
     centrality-based canonical pick, vs connected_components' min-id pick.
+
+    With ``personalization`` (a single-column frame of seed node ids,
+    restricted internally to nodes present in the graph), the teleport
+    distribution concentrates uniformly on the seeds instead of 1/N —
+    personalized PageRank (Haveliwala 2002): rank mass flows outward
+    from a trusted seed set, the provenance-weighted centrality used for
+    seed-anchored dedup picks and trust propagation.
 
     Scale: the edge list and out-degrees are static — computed once,
     localCheckpointed, and re-joined each round; only the node-sized rank
@@ -189,7 +197,26 @@ def pagerank(
     )
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if personalization is None:
+        tele = nodes.withColumn("tele", F.lit(1.0 / n))
+    else:
+        seeds = (
+            personalization.select(
+                F.col(personalization.columns[0]).alias("node")
+            )
+            .distinct()
+            .join(nodes, "node")  # teleport only to nodes in the graph
+        )
+        k = seeds.count()
+        if k == 0:
+            raise ValueError("personalization has no nodes in the graph")
+        tele = nodes.join(
+            seeds.withColumn("_s", F.lit(1.0)), "node", "left"
+        ).select(
+            "node", (F.coalesce("_s", F.lit(0.0)) / k).alias("tele")
+        )
+    tele = tele.localCheckpoint(eager=True)
+    ranks = tele.select("node", F.col("tele").alias("rank"))
     for i in range(iterations):
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -198,10 +225,10 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+        ranks = tele.join(contribs, tele["node"] == contribs["dst"], "left").select(
             "node",
             (
-                F.lit((1.0 - damping) / n)
+                (1.0 - damping) * F.col("tele")
                 + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
             ).alias("rank"),
         )

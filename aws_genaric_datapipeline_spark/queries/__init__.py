@@ -19,6 +19,7 @@ from aws_genaric_datapipeline_spark.queries import (  # noqa: E402,F401
     relational_joins,
     relational_stats,
     relational_windows,
+    retail_analytics,
     sampling_merge,
     scalar_functions,
     setops,

@@ -150,3 +150,91 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("hops").cast("int").alias("hops"),
     )
+
+
+def _ppr_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle: same chained-CTE replay as
+    north_star._pagerank_oracle but the teleport distribution
+    concentrates on the seed set (doc_id % 50 = 0, restricted to graph
+    nodes) — (1-d)·tele(x) term-for-term with the engine."""
+    tele = "CASE WHEN {x} % 50 = 0 THEN 1.0 / ns.k ELSE 0.0 END"
+    base = f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.did
+            JOIN sizes sb ON inter.id_b = sb.did
+            WHERE round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        ns AS (SELECT count(*) AS k FROM nodes WHERE node % 50 = 0),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT node, {tele.format(x='node')} AS rank
+               FROM nodes CROSS JOIN ns)"""
+    for i in range(1, iterations + 1):
+        base += f""",
+        r{i} AS (
+            SELECT x.node,
+                   (1 - {damping}) * ({tele.format(x='x.node')})
+                   + {damping} * coalesce(s.c, 0) AS rank
+            FROM nodes x
+            CROSS JOIN ns
+            LEFT JOIN (
+                SELECT e.dst, sum(r.rank / d.deg) AS c
+                FROM edges e
+                JOIN r{i - 1} r ON r.node = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+            ) s ON s.dst = x.node)"""
+    return base + f"""
+        SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank
+        FROM r{iterations}
+    """
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("north-star", "graph"),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002) over the near-dup graph:
+    teleport mass concentrates uniformly on the seed set (every 50th
+    document, the same seeds as graph_bfs_hops), so rank measures
+    provenance-weighted centrality — how much trust flows to each
+    document from the seeds through similarity edges, the seed-anchored
+    complement of uniform centrality (graph_pagerank_centrality).  Same
+    per-round cost model as pagerank; the oracle unrolls all five
+    synchronous updates with the seed-teleport term."""
+    from aws_genaric_datapipeline_spark.operators.graph import pagerank
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        documents, n=3, threshold=0.5, hash_tokens=True
+    ).localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    seeds = documents.where(F.col("doc_id") % 50 == 0).select("doc_id")
+    ranks = pagerank(edges, iterations=5, personalization=seeds)
+    return ranks.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )

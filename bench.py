@@ -95,6 +95,9 @@ HEADLINE = [
     "text_top_keywords",
     "diag_join_cardinality_cms",
     "multimodal_audio_features",
+    "graph_personalized_pagerank",
+    "basket_part_affinity",
+    "join_salted_skew",
 ]
 
 

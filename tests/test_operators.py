@@ -2173,3 +2173,54 @@ class TestMatview:
             mv = merge_agg_states(mv, agg_state(d, ("k",), ("v",)), ("k",))
         got = {r["k"]: (r["cnt"], r["sum_v"]) for r in mv.collect()}
         assert got == {1: (3, 9.0), 2: (1, 1.0)}
+
+
+class TestPersonalizedPagerank:
+    def test_mass_concentrates_on_seed_component(self, spark):
+        """Teleporting to node 1 only: rank mass stays in 1's component;
+        an equally-shaped but seedless component gets (1-d)*0 teleport
+        and only decaying inflow — strictly less rank."""
+        from aws_genaric_datapipeline_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (11, 12)], "src long, dst long"
+        )
+        sym = edges.unionByName(
+            edges.selectExpr("dst as src", "src as dst")
+        )
+        seeds = spark.createDataFrame([(1,)], "doc_id long")
+        r = {
+            row["node"]: row["rank"]
+            for row in pagerank(sym, personalization=seeds).collect()
+        }
+        # every seeded-component node accumulates mass (1 by teleport,
+        # 2/3 by inflow; 2 collects from both neighbors so it can
+        # out-rank the seed — that's correct PPR behavior on a path)
+        assert r[1] > 0 and r[2] > 0 and r[3] > 0
+        # seedless component holds no teleport mass: after 5 rounds its
+        # ranks are 0 (no inflow source), the seeded component's are not
+        assert r[10] == r[11] == r[12] == 0.0
+        assert sum(r.values()) <= 1.0 + 1e-9
+
+    def test_seed_outside_graph_raises(self, spark):
+        from aws_genaric_datapipeline_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        seeds = spark.createDataFrame([(99,)], "doc_id long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no nodes in the graph"):
+            pagerank(edges, personalization=seeds)
+
+    def test_uniform_teleport_unchanged(self, spark):
+        """personalization=None keeps the original uniform formula: ranks
+        sum to ~1 minus dropped dangling mass and are symmetric on a
+        symmetric graph."""
+        from aws_genaric_datapipeline_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1)], "src long, dst long"
+        )
+        r = {row["node"]: row["rank"] for row in pagerank(edges).collect()}
+        assert abs(r[1] - r[2]) < 1e-12
+        assert abs(sum(r.values()) - 1.0) < 1e-9
