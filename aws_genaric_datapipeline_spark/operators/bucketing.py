@@ -35,7 +35,17 @@ def recover_orphan_location(spark: SparkSession, table: str, mode: str) -> None:
 
         wh = spark.conf.get("spark.sql.warehouse.dir", "")
         root = Path(wh.removeprefix("file:"))
-        loc = root / table.rsplit(".", 1)[-1].lower()
+        # Managed-table layout: default-db tables live at warehouse/<table>,
+        # every other database at warehouse/<db>.db/<table>.  Resolving a
+        # qualified name to the bare basename would no-op for non-default
+        # databases AND could rmtree an unrelated same-named default-db
+        # table directory — so the <db>.db segment is honored explicitly.
+        parts = table.lower().split(".")
+        db = parts[-2] if len(parts) >= 2 else "default"  # drops any catalog prefix
+        if db == "default":
+            loc = root / parts[-1]
+        else:
+            loc = root / f"{db}.db" / parts[-1]
         if root.is_dir() and loc.exists():
             shutil.rmtree(loc, ignore_errors=True)
 

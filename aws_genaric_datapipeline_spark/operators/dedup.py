@@ -336,6 +336,14 @@ def _bloom_probe(
     num_hashes: int,
 ) -> DataFrame:
     pos = _bloom_positions(F.col("tok"), num_bits, num_hashes)
+    # Position sets must be DISTINCT here, not just at build time: append-mode
+    # index maintenance (bloom_build_index mode="append") unions new benchmark
+    # releases without deduplicating against existing rows — Bloom bitsets OR
+    # together so duplicates are semantically harmless, but a duplicated p key
+    # would multiply probe rows through the per-hash left joins below and
+    # inflate n_grams/n_flagged for every doc touching it.  The set is
+    # broadcast-sized by construction, so the dedup is a few ms.
+    bench_pos = bench_pos.select("p").dropDuplicates()
     probe = _token_sets(corpus_df, id_col, text_col, n).select(
         "did",
         *[p.alias(f"p{j}") for j, p in enumerate(pos)],

@@ -337,9 +337,11 @@ def dedup_jaccard_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(documents, n=3, threshold=0.8)
 
 
-@query(
-    "dedup_connected_clusters",
-    oracle=f"""
+# Full-recompute closure over the trigram-Jaccard (≥0.5) near-dup graph —
+# shared by dedup_connected_clusters (one-shot CC) and
+# graph_incremental_components (state + batch merge): both must land on the
+# SAME fixpoint, which is exactly what sharing the oracle asserts.
+_CC_CLUSTERS_ORACLE = f"""
         WITH RECURSIVE sh AS (
             SELECT DISTINCT doc_id AS did, s.tok
             FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
@@ -372,7 +374,12 @@ def dedup_jaccard_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(cluster_id AS BIGINT) AS cluster_id,
                CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         FROM comp
-    """,
+    """
+
+
+@query(
+    "dedup_connected_clusters",
+    oracle=_CC_CLUSTERS_ORACLE,
     tags=("north-star", "dedup", "graph"),
 )
 def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +400,53 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+@query(
+    "graph_incremental_components",
+    oracle=_CC_CLUSTERS_ORACLE,
+    tags=("north-star", "dedup", "graph", "incremental"),
+)
+def graph_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components (operators/graph.py
+    incremental_components): the duplicate-cluster state over the standing
+    corpus (doc_id % 5 != 0) absorbs a new-edge batch (every pair touching
+    a batch doc) WITHOUT re-closing untouched components — completing the
+    incremental family (minhash / semantic / simhash gates) at the graph
+    layer, where a 100 TB pipeline otherwise re-runs full CC over the
+    entire edge history per ingest batch.
+
+    The standing state passes through broadcast semi/anti splits with zero
+    shuffle; only new edges plus members of touched components enter the
+    hash-min loop.  The oracle recomputes the FULL closure over all edges
+    (shared verbatim with dedup_connected_clusters), so the driver checks
+    the maintenance identity  merge(CC(old), Δ) == CC(old ∪ Δ)  on real
+    data, cluster sizes included."""
+    from pyspark.sql import Window
+
+    from aws_genaric_datapipeline_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        documents, n=3, threshold=0.5, hash_tokens=True
+    ).localCheckpoint(eager=True)
+    a_batch = F.col("id_a") % 5 == 0
+    b_batch = F.col("id_b") % 5 == 0
+    state = connected_components(
+        pairs.where(~a_batch & ~b_batch), src="id_a", dst="id_b"
+    )
+    merged = incremental_components(
+        state, pairs.where(a_batch | b_batch), src="id_a", dst="id_b"
+    )
+    w = Window.partitionBy("component")
+    return merged.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
 
 

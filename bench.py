@@ -200,29 +200,74 @@ def main() -> None:
         # all ≤1.17x on a quiet-window best-of-3).  The run's MEDIAN ratio is
         # the drift estimate — a real regression moves one query, drift moves
         # all of them — so each ratio is normalized by median before gating.
-        # The median is clamped to ≥1.0: normalization forgives uniform SLOW
-        # drift, it never tightens the gate on a fast run.  Raw failures are
-        # still reported for the judge to see both.
+        # Clamps: ≥1.0 (normalization forgives uniform SLOW drift, never
+        # tightens the gate on a fast run) and ≤1.4 (the documented drift
+        # band — a uniform slowdown BEYOND ±40% is more likely a real
+        # whole-engine regression, e.g. a session-config change, than VM
+        # noise, so the credit is capped and the excess still fails the
+        # gate).  Raw failures are reported alongside for the judge.
         at_sf = result["sf"] == 0.1
         srt = sorted(ratios.values())
-        median = srt[len(srt) // 2] if len(srt) % 2 else (
-            (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
-        )
-        denom = max(median, 1.0)
-        normalized = {n: round(r / denom, 2) for n, r in ratios.items()}
-        result["gate"] = {
-            "threshold": threshold,
-            "at_gate_sf": at_sf,
-            "median_ratio": round(median, 2) if srt else None,
-            "raw_failures": sorted(
-                n for n, r in ratios.items() if r > threshold
-            ) if at_sf else [],
-            "failures": sorted(
-                n for n, r in normalized.items() if r > threshold
-            ) if at_sf else [],
-        }
-        result["vs_baseline_drift_normalized"] = normalized
-    print(json.dumps(result))
+        if srt:
+            median = srt[len(srt) // 2] if len(srt) % 2 else (
+                (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
+            )
+            denom = min(max(median, 1.0), 1.4)
+            normalized = {n: round(r / denom, 2) for n, r in ratios.items()}
+            result["gate"] = {
+                "threshold": threshold,
+                "at_gate_sf": at_sf,
+                "median_ratio": round(median, 2),
+                "raw_failures": sorted(
+                    n for n, r in ratios.items() if r > threshold
+                ) if at_sf else [],
+                "failures": sorted(
+                    n for n, r in normalized.items() if r > threshold
+                ) if at_sf else [],
+            }
+            result["vs_baseline_drift_normalized"] = normalized
+        else:
+            result["gate"] = {
+                "threshold": threshold,
+                "at_gate_sf": at_sf,
+                "median_ratio": None,
+                "raw_failures": [],
+                "failures": [],
+                "note": "no headline query overlaps BASELINE_GATES.json",
+            }
+
+    # Full-fidelity record (all timings, ratios, normalized ratios, gate
+    # block) goes to BENCH_DETAIL.json next to this script; the PRINTED line
+    # is kept under TAIL_BUDGET chars because the driver captures only the
+    # last 2000 chars of stdout and parses the JSON line out of that window —
+    # rounds 6-7 printed a ~6KB line and the driver recorded "parsed": null.
+    # If the compact line would still overflow, the cheapest queries are
+    # moved out of the printed dict (they remain in the detail file and in
+    # the printed total) and the line carries "omitted": N + "detail".
+    detail_file = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_file.write_text(json.dumps(result, indent=1, sort_keys=True))
+
+    # 2000-char tail minus the trailing newline, with a small safety margin.
+    TAIL_BUDGET = 1980
+    line_obj = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": result["sf"],
+    }
+    if "gate" in result:
+        line_obj["gate_failures"] = result["gate"]["failures"]
+        line_obj["median_ratio"] = result["gate"]["median_ratio"]
+    compact = lambda o: json.dumps(o, separators=(",", ":"))  # noqa: E731
+    if len(compact(line_obj)) > TAIL_BUDGET:
+        line_obj["detail"] = detail_file.name
+        line_obj["omitted"] = 0
+        by_cost = sorted(line_obj["queries"], key=lambda n: timings[n])
+        while len(compact(line_obj)) > TAIL_BUDGET and by_cost:
+            del line_obj["queries"][by_cost.pop(0)]
+            line_obj["omitted"] += 1
+    print(compact(line_obj))
     spark.stop()
 
 

@@ -756,6 +756,52 @@ class TestConnectedComponents:
         assert set(comp.values()) == {0}
         assert len(comp) == 22
 
+    def test_incremental_merge_matches_full_recompute(self, spark):
+        """incremental_components must satisfy the maintenance identity
+        merge(CC(old), Δ) == CC(old ∪ Δ) across every interesting case at
+        once: Δ merges two standing components through a brand-new node,
+        extends a third with a fresh member, and leaves a fourth untouched
+        (pass-through rows must survive verbatim)."""
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        old = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31), (31, 32)]
+        # 900 bridges {1,2,3} and {10,11}; 22 joins {20,21}; {30,31,32} untouched
+        delta = [(3, 900), (900, 10), (21, 22)]
+        old_df = spark.createDataFrame(old, "src long, dst long")
+        delta_df = spark.createDataFrame(delta, "src long, dst long")
+
+        state = connected_components(old_df)
+        got = {
+            (r["node"], r["component"])
+            for r in incremental_components(state, delta_df).collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                old_df.unionByName(delta_df)
+            ).collect()
+        }
+        assert got == want
+        assert (30, 30) in got and (32, 30) in got  # untouched pass-through
+        assert (900, 1) in got and (11, 1) in got  # merged via new node
+
+    def test_incremental_from_empty_state(self, spark):
+        """First batch against an empty state is plain CC over the batch."""
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            incremental_components,
+        )
+
+        empty = spark.createDataFrame([], "node long, component long")
+        delta = spark.createDataFrame([(5, 6), (6, 7)], "src long, dst long")
+        got = {
+            (r["node"], r["component"])
+            for r in incremental_components(empty, delta).collect()
+        }
+        assert got == {(5, 5), (6, 5), (7, 5)}
+
     def test_cluster_assignments_sizes(self, spark):
         from aws_genaric_datapipeline_spark.operators.graph import (
             dedup_cluster_assignments,
@@ -919,6 +965,43 @@ class TestCuration:
         assert got2 == want2
         assert {r[0] for r in got2} == {1, 2}
         spark.sql("DROP TABLE IF EXISTS bloom_idx_t")
+
+    def test_bloom_append_duplicate_positions_do_not_inflate(self, spark):
+        """Appending a benchmark whose positions already exist in the index
+        (re-registering the same eval set, or two releases sharing grams)
+        stores duplicate ``p`` rows.  Bloom bitsets OR together so the dups
+        are semantically void — but un-deduplicated they would multiply
+        probe rows through the per-hash left joins and corrupt
+        n_grams/n_flagged/flagged_ratio for every doc touching a duplicated
+        position.  Screen results must be IDENTICAL before and after the
+        duplicate append."""
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (1, "quick brown fox jumps somewhere else"),
+                (2, "totally disjoint content right here"),
+            ],
+            "doc_id long, text string",
+        )
+        spark.sql("DROP TABLE IF EXISTS bloom_idx_dup")
+        D.bloom_build_index(bench, "bloom_idx_dup")
+        before = {
+            tuple(r)
+            for r in D.bloom_screen_indexed(spark, batch, "bloom_idx_dup").collect()
+        }
+        D.bloom_build_index(bench, "bloom_idx_dup", mode="append")
+        n_rows = spark.table("bloom_idx_dup").count()
+        n_distinct = spark.table("bloom_idx_dup").dropDuplicates().count()
+        assert n_rows == 2 * n_distinct  # the table DOES carry duplicates
+        after = {
+            tuple(r)
+            for r in D.bloom_screen_indexed(spark, batch, "bloom_idx_dup").collect()
+        }
+        assert after == before and before
+        spark.sql("DROP TABLE IF EXISTS bloom_idx_dup")
 
     def test_bloom_rejects_bad_num_hashes(self, spark):
         bench = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")

@@ -178,6 +178,37 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS bkt_orders")
             spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
 
+    def test_orphan_recovery_respects_database_qualified_names(self, spark):
+        """recover_orphan_location resolves warehouse/<db>.db/<table> for
+        non-default databases; a qualified orphan must never be resolved to
+        the bare basename — that would both no-op the recovery AND risk
+        rmtree-ing an unrelated same-named default-db table directory."""
+        import shutil
+        from pathlib import Path
+
+        from aws_genaric_datapipeline_spark.operators.bucketing import (
+            recover_orphan_location,
+        )
+
+        wh = Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+        default_loc = wh / "orphan_t"
+        db_loc = wh / "otherdb.db" / "orphan_t"
+        for loc in (default_loc, db_loc):
+            loc.mkdir(parents=True, exist_ok=True)
+            (loc / "part-0.parquet").write_bytes(b"stale")
+        try:
+            # qualified name → only the <db>.db directory is removed; the
+            # unrelated same-named default-db directory must survive
+            recover_orphan_location(spark, "otherdb.orphan_t", "overwrite")
+            assert not db_loc.exists()
+            assert default_loc.exists()
+            # unqualified name → the default-db directory is removed
+            recover_orphan_location(spark, "orphan_t", "overwrite")
+            assert not default_loc.exists()
+        finally:
+            shutil.rmtree(wh / "otherdb.db", ignore_errors=True)
+            shutil.rmtree(default_loc, ignore_errors=True)
+
     def test_bucketed_agg_has_no_exchange(self, spark):
         """Aggregation keyed by the bucket column reuses the disk layout."""
         from aws_genaric_datapipeline_spark.operators.bucketing import write_bucketed
