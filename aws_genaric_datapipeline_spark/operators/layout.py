@@ -28,7 +28,8 @@ import shutil
 import tempfile
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
 
 def write_range_sorted(
@@ -51,6 +52,73 @@ def write_range_sorted(
         .sortWithinPartitions(*cols)
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def range_partition_bounds(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    num_ranges: int = 8,
+    sample_bp: int = 500,
+) -> DataFrame:
+    """Balanced range-partition bounds from a DETERMINISTIC sample, plus
+    the full-scan balance report — the planning step behind
+    write_range_sorted at scale.  Spark's own repartitionByRange samples
+    with an RNG, so its bounds change run to run; a layout job that must
+    be reproducible (and replayable by an oracle) derives bounds from a
+    content-hash sample instead.
+
+    Bounds are DISCRETE sample quantiles — actual sample values at ranks
+    ceil(i·n/R) — never interpolated: an interpolated bound is new float
+    arithmetic that can differ by an ulp across engines and reassign rows
+    near the boundary, while a data value is bit-exact everywhere.  Rows
+    with key > bound_i fall right of range i (strict: ties stay left).
+
+    Scale shape: the sample (sample_bp basis points of rows, size-bounded
+    the same way RangePartitioner's driver-side sample is) goes through
+    one global-order window; the FULL table is then assigned by a
+    broadcast bounds array in a single scan — range_id per row costs
+    num_ranges comparisons, no shuffle before the final R-row aggregate.
+    Returns (range_id, n_rows, min_key, max_key): a balanced layout shows
+    n_rows within ~±2·R/sqrt(sample size) of uniform."""
+    from aws_genaric_datapipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    sample = deterministic_sample(df, id_col, sample_bp).select(
+        F.col(key_col).alias("k"), F.col(id_col).alias("id")
+    )
+    w_rank = Window.orderBy("k", "id")
+    ranked = sample.select(
+        "k",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("c"),
+    )
+    positions = F.array(
+        *[
+            F.ceil(F.lit(float(i)) * F.col("c") / F.lit(float(num_ranges)))
+            for i in range(1, num_ranges)
+        ]
+    )
+    bounds = ranked.where(F.array_contains(positions, F.col("rn"))).agg(
+        F.sort_array(F.collect_list("k")).alias("bounds")
+    )
+    assigned = df.crossJoin(F.broadcast(bounds)).select(
+        F.aggregate(
+            F.col("bounds"),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(key_col) > b, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .cast("bigint")
+        .alias("range_id"),
+        F.col(key_col).alias("k"),
+    )
+    return assigned.groupBy("range_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
     )
 
 

@@ -92,6 +92,58 @@ def cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
 
 
+def hard_negatives(
+    df: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    k most-similar vectors carrying a DIFFERENT label — the negatives that
+    sit closest to the decision boundary, which is exactly what embedding
+    / reranker training wants batched against each anchor.
+
+    Plan shape = cosine_topk plus the label-inequality predicate pushed
+    into the broadcast-join filter: anchors broadcast, the corpus streams
+    through one scan, and the only shuffle is the per-anchor top-k window.
+    For ALL-anchor mining at 100 TB, run the same predicate through the
+    persisted ANN index (ivf_query_index with post-filter) instead of the
+    brute-force scan — this operator is the exact baseline that path is
+    measured against."""
+    base = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(label_col).alias("nlabel"),
+        F.col("unit_vec").alias("nvec"),
+    )
+    anchors = base.where(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("query_id"),
+        F.col("nlabel").alias("query_label"),
+        F.col("nvec").alias("qvec"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(base)
+        .where(F.col("query_label") != F.col("nlabel"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("nid").alias("neighbor_id"),
+            F.col("nlabel").alias("neighbor_label"),
+            F.round(dot(F.col("qvec"), F.col("nvec")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane via a splitmix64-style integer
     mix — reproducible across runs/engines with no RNG state."""

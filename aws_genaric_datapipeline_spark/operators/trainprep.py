@@ -148,6 +148,58 @@ def unigram_logprob(
     ).select(F.col("did").alias(id_col), "n_tokens", "avg_neg_logprob")
 
 
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+) -> DataFrame:
+    """Temperature-smoothed mixture weights: w_s ∝ sqrt(n_s) — the α = 0.5
+    exponent-smoothing the multilingual-pretraining literature applies so
+    high-resource languages stop drowning the tail (natural share n_s/N is
+    α = 1; uniform is α = 0).  Unlike ``mix_ratios`` the target mixture is
+    DERIVED from the data, not supplied.
+
+    α is pinned to 0.5 because sqrt is the one fractional power IEEE 754
+    requires to be correctly rounded — Spark's JVM and any replaying
+    engine (DuckDB libm) produce bit-identical sqrt, whereas pow(n, 0.3)
+    may differ in the last ulp between libms and break value-replay.
+
+    Returns (stratum, n_docs, weight_bp, boost_bp):
+      weight_bp = floor(10000 · sqrt(n_s) / Σ sqrt(n_t)) — the target share;
+      boost_bp  = floor(10000 · w_s / (n_s / N)) — the up/down-weighting
+                  factor vs natural share (>10000 means the stratum is
+                  upsampled relative to its natural frequency).
+
+    Driver-sized output (one row per stratum); the weights feed
+    ``mix_ratios``/``stratified_sample`` downstream.  At 100 TB this is
+    one partial-aggregate scan plus a 1-row broadcast."""
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+        F.sum("n_docs").alias("n"),
+    )
+    w = F.sqrt(F.col("n_docs")) / F.col("z")
+    # Boundary guard: Σ sqrt(n_t) is a float sum whose fold order differs
+    # between engines by ~1 ulp.  When strata counts are EQUAL, 10000·w
+    # lands exactly on an integer and that ulp decides the floor — the
+    # epsilon absorbs it (and cannot move a non-boundary value: weights
+    # are quotients of irrationals otherwise, never within 1e-6 of an
+    # integer by accident at bp granularity).
+    eps = F.lit(1e-6)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "stratum",
+        "n_docs",
+        F.floor(F.lit(10000) * w + eps).cast("bigint").alias("weight_bp"),
+        F.floor(
+            F.lit(10000) * w / (F.col("n_docs") / F.col("n").cast("double"))
+            + eps
+        )
+        .cast("bigint")
+        .alias("boost_bp"),
+    )
+
+
 def mix_ratios(
     df: DataFrame,
     strata_col: str,

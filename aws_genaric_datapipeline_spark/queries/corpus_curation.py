@@ -1674,3 +1674,74 @@ def text_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "report_corpus_delta",
+    oracle="""
+        WITH v1 AS (
+            SELECT doc_id, source, md5(text) AS fp
+            FROM documents WHERE doc_id % 7 <> 0
+        ),
+        v2 AS (
+            SELECT doc_id, source,
+                   md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]' ELSE text END) AS fp
+            FROM documents WHERE doc_id % 11 <> 0
+        ),
+        d AS (
+            SELECT COALESCE(v1.source, v2.source) AS source,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN v1.fp <> v2.fp THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+        FROM d GROUP BY source, status
+    """,
+    tags=("curation", "report", "incremental"),
+)
+def report_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus delta: per (source, status) counts of
+    added / removed / changed / unchanged documents between two dataset
+    versions, compared by content fingerprint (md5), never by text — the
+    release-note report every versioned training-data pipeline publishes,
+    and the precondition check for incremental reprocessing (only
+    added+changed re-enter the pipeline).  v1 = doc_id % 7 != 0; v2 =
+    doc_id % 11 != 0 with docs % 13 == 0 'edited' (suffix-stamped) to
+    exercise the changed class.
+
+    Scale: both sides reduce to (doc_id, source, 128-bit fp) BEFORE the
+    full outer join — the 100 TB text never moves, only key-plus-
+    fingerprint rows shuffle, and the join key is the snapshot's natural
+    primary key (AQE handles the residual skew)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    v1 = documents.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    v2 = documents.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    joined = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -516,3 +516,56 @@ def diag_join_cardinality_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_undercounts"
         ),
     )
+
+
+@query(
+    "layout_range_partition_bounds",
+    oracle="""
+        WITH s AS (
+            SELECT o_totalprice AS k, o_orderkey AS id
+            FROM orders
+            WHERE ((o_orderkey * 2654435761) % 4294967296) % 10000 < 500
+        ),
+        r AS (
+            SELECT k, row_number() OVER (ORDER BY k, id) AS rn,
+                   count(*) OVER () AS c
+            FROM s
+        ),
+        b AS (
+            SELECT k AS bound FROM r
+            WHERE rn IN (SELECT CAST(ceil(i * c / 8.0) AS BIGINT)
+                         FROM range(1, 8) AS t(i), (SELECT DISTINCT c FROM r))
+        ),
+        assigned AS (
+            SELECT (SELECT count(*) FROM b WHERE o.o_totalprice > b.bound)
+                       AS range_id,
+                   o.o_totalprice AS k
+            FROM orders o
+        )
+        SELECT CAST(range_id AS BIGINT) AS range_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(k) AS min_key,
+               max(k) AS max_key
+        FROM assigned
+        GROUP BY range_id
+    """,
+    tags=("diagnostics", "layout"),
+)
+def layout_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible range-partition planning (operators/layout.py
+    range_partition_bounds): bounds = discrete quantiles of a
+    content-hash sample of orders keyed on o_totalprice, then a one-scan
+    assignment of every row via a broadcast bounds array, reported as
+    per-range counts + key spans.  Deterministic where
+    repartitionByRange's RNG sampling is not — the property that makes a
+    100 TB layout job idempotent across retries (and lets the oracle
+    replay bound selection value-for-value: discrete quantiles are data
+    values, never interpolated floats)."""
+    from aws_genaric_datapipeline_spark.operators.layout import (
+        range_partition_bounds,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return range_partition_bounds(
+        orders, "o_totalprice", "o_orderkey", num_ranges=8, sample_bp=500
+    )

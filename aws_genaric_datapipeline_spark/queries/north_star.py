@@ -700,6 +700,52 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_hard_negatives",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, label AS query_label, v AS qv
+            FROM base WHERE vec_id IN (1, 2, 3, 4, 5, 6, 7, 8)
+        ),
+        scored AS (
+            SELECT query_id, query_label,
+                   b.vec_id AS neighbor_id, b.label AS neighbor_label,
+                   round(list_cosine_similarity(qv, b.v), 4) AS cosine_sim
+            FROM q JOIN base b ON b.label <> q.query_label
+        )
+        SELECT query_id, CAST(query_label AS INT) AS query_label,
+               neighbor_id, CAST(neighbor_label AS INT) AS neighbor_label,
+               cosine_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 5
+    """,
+    tags=("north-star", "similarity", "trainprep"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives): per
+    anchor (vec_ids 1-8), the 5 most-similar embeddings carrying a
+    DIFFERENT label — the near-boundary negatives contrastive training
+    batches against each anchor.  Broadcast anchors, one corpus scan, the
+    label predicate inside the broadcast join; the only shuffle is the
+    per-anchor top-k window.  The all-anchor 100 TB form runs the same
+    predicate through the persisted IVF index; this exact scan is its
+    recall baseline."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    out = S.hard_negatives(embeddings, query_ids=[1, 2, 3, 4, 5, 6, 7, 8], k=5)
+    return out.select(
+        "query_id",
+        F.col("query_label").cast("int").alias("query_label"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("int").alias("neighbor_label"),
+        "cosine_sim",
+    )
+
+
+@query(
     "sim_cosine_near_pairs",
     oracle="""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -136,6 +136,38 @@ def curate_mix_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curate_temperature_mixture",
+    oracle="""
+        WITH c AS (
+            SELECT lang AS stratum, count(*) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        t AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs) AS n FROM c)
+        SELECT stratum,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(floor(10000 * sqrt(n_docs) / z + 0.000001) AS BIGINT)
+                   AS weight_bp,
+               CAST(floor(10000 * (sqrt(n_docs) / z)
+                          / (n_docs / CAST(n AS DOUBLE)) + 0.000001)
+                    AS BIGINT) AS boost_bp
+        FROM c, t
+    """,
+    tags=("north-star", "trainprep", "curation"),
+)
+def curate_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (α = 0.5) language-mixture weights derived
+    FROM the corpus — w_s ∝ sqrt(n_s), the exponent-smoothing multilingual
+    pretraining uses so high-resource languages stop drowning the tail —
+    plus each stratum's up/down-weighting factor vs its natural share.
+    Complements curate_mix_ratios (which takes the mixture as a given).
+    One partial-aggregate scan + a 1-row broadcast; α is pinned to 0.5
+    because IEEE sqrt is correctly rounded (bit-identical across engines)
+    where pow(n, α) is not — see operators/trainprep.py."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return P.temperature_mixture(documents, "lang")
+
+
+@query(
     "embed_int8_quantize",
     oracle="""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -98,6 +98,10 @@ HEADLINE = [
     "graph_personalized_pagerank",
     "basket_part_affinity",
     "join_salted_skew",
+    "graph_incremental_components",
+    "curate_temperature_mixture",
+    "sim_hard_negatives",
+    "layout_range_partition_bounds",
 ]
 
 

@@ -1508,7 +1508,88 @@ class TestSkewPosture:
         assert hh.get(0) == 500, f"hot bucket must surface as a heavy hitter: {hh}"
 
 
+class TestHardNegatives:
+    def test_excludes_same_label_and_ranks_by_cosine(self, spark):
+        """Every returned negative carries a label different from its
+        anchor's, ranking is by cosine (axis-aligned fixture makes the
+        expected order exact), and k truncates."""
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        rows = [
+            (1, [1.0, 0.0], 0),   # anchor, label 0
+            (2, [1.0, 0.1], 0),   # same label — must never appear
+            (3, [1.0, 0.2], 1),   # closest cross-label
+            (4, [0.5, 1.0], 1),
+            (5, [0.0, 1.0], 2),   # farthest
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = hard_negatives(df, query_ids=[1], k=2).collect()
+        assert [r["neighbor_id"] for r in got] == [3, 4]
+        assert all(r["neighbor_label"] != r["query_label"] for r in got)
+        assert got[0]["cosine_sim"] > got[1]["cosine_sim"]
+
+
+class TestRangePartitionBounds:
+    def test_balances_and_covers(self, spark):
+        """Every row lands in exactly one range (counts sum to N), range
+        key spans are disjoint and ordered, and on uniform keys the split
+        is near-balanced."""
+        from aws_genaric_datapipeline_spark.operators.layout import (
+            range_partition_bounds,
+        )
+
+        df = spark.range(20_000).selectExpr(
+            "id", "cast(id as double) / 7.0 as k"
+        )
+        rows = sorted(
+            range_partition_bounds(df, "k", "id", num_ranges=8, sample_bp=1000).collect(),
+            key=lambda r: r["range_id"],
+        )
+        assert sum(r["n_rows"] for r in rows) == 20_000
+        for a, b in zip(rows, rows[1:]):
+            assert a["max_key"] < b["min_key"]  # disjoint, ordered spans
+        share = [r["n_rows"] / 20_000 for r in rows]
+        assert max(share) < 0.125 * 1.6 and min(share) > 0.125 / 1.6
+
+
 class TestTrainPrep:
+    def test_temperature_mixture_equal_strata_hits_floor_boundary(self, spark):
+        """Equal stratum counts put 10000·w exactly on an integer — the
+        case where a 1-ulp fold-order difference in Σ sqrt(n) would flip
+        floor() without the epsilon guard.  4 equal strata → weight 2500bp
+        and boost exactly 10000bp each."""
+        from aws_genaric_datapipeline_spark.operators.trainprep import (
+            temperature_mixture,
+        )
+
+        rows = [(f"s{i}", j) for i in range(4) for j in range(25)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long")
+        got = {
+            r["stratum"]: (r["n_docs"], r["weight_bp"], r["boost_bp"])
+            for r in temperature_mixture(df, "lang").collect()
+        }
+        assert got == {f"s{i}": (25, 2500, 10000) for i in range(4)}
+
+    def test_temperature_mixture_flattens_toward_tail(self, spark):
+        """sqrt smoothing: the big stratum's weight share must sit BETWEEN
+        uniform and its natural share; the small stratum must be boosted
+        above natural (boost_bp > 10000) and the big one suppressed."""
+        from aws_genaric_datapipeline_spark.operators.trainprep import (
+            temperature_mixture,
+        )
+
+        rows = [("big", i) for i in range(900)] + [("small", i) for i in range(100)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long")
+        got = {
+            r["stratum"]: (r["weight_bp"], r["boost_bp"])
+            for r in temperature_mixture(df, "lang").collect()
+        }
+        # sqrt(900)=30, sqrt(100)=10 → weights 7500 / 2500
+        assert got["big"] == (7500, 8333)  # suppressed vs natural 9000
+        assert got["small"] == (2500, 25000)  # boosted vs natural 1000
+
     def test_chunk_windows_cover_all_tokens_exactly(self, spark):
         """Every token index is covered; consecutive chunks overlap by
         size-stride; no chunk exceeds size; reconstruction from stride

@@ -147,6 +147,59 @@ class TestFingerprintIndex:
             spark.sql("DROP TABLE IF EXISTS fp_index_test")
 
 
+class TestRuntimeBloomFilterJoin:
+    def test_selective_dim_filter_injects_bloom_on_fact_side(self, spark):
+        """Runtime bloom-filter semi-join reduction: when the dimension
+        side carries a selective filter, Catalyst injects a BloomFilter
+        aggregate on it and a might_contain probe on the FACT side's scan
+        stage, so fact rows that cannot join are dropped before the
+        shuffle — at 100 TB this is the difference between shuffling the
+        whole fact table and shuffling the ~matching slice.  Thresholds
+        are lowered to fire at test scale (production defaults gate on a
+        10 GB application-side scan, which is exactly the regime that
+        matters on a cluster)."""
+        import io
+        from contextlib import redirect_stdout
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            (orders,) = load(spark, SF, "orders")
+            (lineitem,) = load(spark, SF, "lineitem")
+            dim = orders.where(F.col("o_totalprice") > 350000)
+            joined = lineitem.join(
+                dim, lineitem["l_orderkey"] == dim["o_orderkey"]
+            )
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue().lower()
+            assert "bloomfilter" in plan or "bloom_filter_agg" in plan
+            assert "might_contain" in plan, "fact-side probe must be present"
+            # and the reduction does not change the answer
+            for k, v in confs.items():
+                spark.conf.unset(k) if prev[k] is None else spark.conf.set(k, prev[k])
+            plain = lineitem.join(
+                dim, lineitem["l_orderkey"] == dim["o_orderkey"]
+            ).count()
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            assert joined.count() == plain
+        finally:
+            for k in confs:
+                if prev[k] is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prev[k])
+
+
 class TestBucketedJoin:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
         """Co-bucketed tables join without any shuffle: the write pre-paid it."""

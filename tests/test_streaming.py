@@ -399,6 +399,66 @@ class TestStreamingCms:
         assert got == want and got
 
 
+class TestStreamingIncrementalComponents:
+    def test_edge_stream_folds_into_component_state(self, spark, tmp_path):
+        """Streaming graph maintenance: edge batches arrive one micro-batch
+        per file; foreachBatch folds each into the standing (node,
+        component) state with incremental_components.  After draining, the
+        state must equal one-shot connected_components over ALL edges —
+        the maintenance identity under the real streaming runtime, with
+        batches crafted so a later batch MERGES two components created by
+        earlier ones (the case order-sensitive maintenance gets wrong)."""
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        src = str(tmp_path / "edges")
+        state_path = str(tmp_path / "cc_state")
+        b1 = spark.createDataFrame([(1, 2), (10, 11)], "src long, dst long")
+        b2 = spark.createDataFrame([(2, 3), (20, 21)], "src long, dst long")
+        b3 = spark.createDataFrame([(3, 10)], "src long, dst long")  # merges 1* and 10*
+        for b in (b1, b2, b3):
+            b.coalesce(1).write.mode("append").parquet(src)
+
+        spark.createDataFrame([], "node long, component long").write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+        def fold(batch_df, batch_id):
+            state = batch_df.sparkSession.read.parquet(state_path)
+            updated = incremental_components(state, batch_df).localCheckpoint(
+                eager=True
+            )
+            updated.write.mode("overwrite").parquet(state_path)
+
+        stream = (
+            spark.readStream.schema("src long, dst long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ckpt_cc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["node"], r["component"])
+            for r in spark.read.parquet(state_path).collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                b1.unionByName(b2).unionByName(b3)
+            ).collect()
+        }
+        assert got == want and got
+        # the merge case really happened: 10/11 relabeled under min id 1
+        assert (11, 1) in got and (20, 20) in got
+
+
 class TestStreamingBloomScreen:
     def test_stream_screen_matches_batch(self, spark, tmp_path):
         """Bloom decontamination as a streaming ingest gate: documents
