@@ -152,6 +152,65 @@ def decode_media(
     return ensure_parallelism(df).mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def perceptual_hash_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    width: int = 10,
+    height: int = 7,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per media blob — the standard
+    image-dedup fingerprint: decode → nearest-neighbor downscale to
+    (height, width) → integer luminance → one bit per horizontally
+    adjacent pixel pair (gray[r][c] > gray[r][c+1]) → packed bigint.
+
+    Every step is INTEGER arithmetic (luminance = (299R+587G+114B)//1000,
+    resize = pure index selection), so the hash is bit-reproducible across
+    engines and replayable by a SQL oracle — no float resampling anywhere.
+    height·(width-1) must stay ≤ 63 so the packed hash fits a signed
+    bigint (default 7·9 = 63 bits).
+
+    Scale shape: one mapInPandas pass over the media column (Arrow
+    batches), then dedup is a plain groupBy on the 8-byte hash — the 100 TB
+    image corpus never shuffles, only (id, phash) pairs do.  Near-dup
+    (Hamming ≤ k) extends it with the same banded-bits join the SimHash
+    path uses (operators/dedup.py simhash_pairs)."""
+    if height * (width - 1) > 63:
+        raise ValueError("height*(width-1) must be <= 63 to fit a signed bigint")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.imagecodec import (
+            decode_image,
+            resize_nearest,
+        )
+
+        idx = np.arange(height * (width - 1), dtype=np.int64).reshape(
+            height, width - 1
+        )
+        for pdf in batches:
+            out = []
+            for b in pdf[media_col]:
+                img = resize_nearest(decode_image(bytes(b)), width, height)
+                px = img.astype(np.int64)
+                if px.ndim == 3:
+                    gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+                else:
+                    gray = px
+                bits = (gray[:, :-1] > gray[:, 1:]).astype(np.int64)
+                out.append(int((bits << idx).sum()))
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": out})
+
+    from aws_genaric_datapipeline_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(df.select(id_col, media_col)).mapInPandas(
+        _hash, schema=f"{id_col} long, phash long"
+    )
+
+
 def resize_media(
     df: DataFrame,
     width: int,

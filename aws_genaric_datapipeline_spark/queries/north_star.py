@@ -1589,6 +1589,120 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_oracle_sql() -> str:
+    """DuckDB replay of the full image-dHash chain for the 16×12 tiles:
+    tile text → nearest-neighbor 10×7 downscale (pure index selection:
+    ys[r] = r·12//7, xs[c] = c·16//10) → integer luminance
+    (299R+587G+114B)//1000 → adjacent-column compare bit per (r, c) →
+    63-bit packed bigint.  PNG being lossless and every step integer,
+    the hash is a pure function of the text bytes — replayed without any
+    codec, same trick as multimodal_real_decode's stripe sums."""
+
+    def gray(col_expr: str) -> str:
+        px = f"((((CAST(i AS INT)//9)*12)//7)*16 + {col_expr})*3"
+        return (
+            f"(299*unicode(substr(tile, {px} + 1, 1))"
+            f" + 587*unicode(substr(tile, {px} + 2, 1))"
+            f" + 114*unicode(substr(tile, {px} + 3, 1))) // 1000"
+        )
+
+    left = gray("((CAST(i AS INT)%9)*16)//10")
+    right = gray("(((CAST(i AS INT)%9)+1)*16)//10")
+    return f"""
+        WITH a AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+              AND octet_length(encode(text)) = length(text)
+        ),
+        t AS (
+            SELECT doc_id,
+                   substr(repeat(text, CAST(576 // length(text) AS INT) + 1),
+                          1, 576) AS tile
+            FROM a
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 63), i ->
+                       CASE WHEN {left} > {right}
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+            FROM t
+        ),
+        c AS (SELECT phash, count(*) AS dup_count FROM h GROUP BY phash)
+        SELECT h.doc_id, h.phash, CAST(c.dup_count AS BIGINT) AS dup_count
+        FROM h JOIN c USING (phash)
+        WHERE h.doc_id % 25 = 0
+    """
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=_phash_oracle_sql(),
+    tags=("north-star", "multimodal", "dedup"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE dedup by perceptual difference-hash (operators/multimodal.py
+    perceptual_hash_media): per document, render its text bytes as the
+    deterministic 16×12 PNG (same corpus as multimodal_real_decode), run
+    the REAL decode → integer downscale → luminance → dHash chain, then
+    group the corpus by the 8-byte hash.  Returns, for the doc_id % 25
+    probe subset, each doc's hash and its corpus-wide duplicate count —
+    candidate generation AND the hash values themselves are replayed by
+    the oracle bit-exactly (every step is integer arithmetic; see
+    _phash_oracle_sql).
+
+    Scale: the image corpus is touched once by an Arrow-batched
+    mapInPandas; dedup shuffles only (id, phash) pairs — 16 bytes/image
+    at 100 TB of pixels.  Hamming-near-dup extends via the SimHash banded
+    join over the same hashes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    (documents,) = load(spark, sf_dir, "documents")
+    documents = documents.where(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
+
+    H, W = 12, 16
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.imagecodec import encode_png
+
+        n = H * W * 3
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")
+                buf = (raw * (n // max(len(raw), 1) + 1))[:n] if raw else bytes(n)
+                img = np.frombuffer(buf, dtype=np.uint8).reshape(H, W, 3)
+                blobs.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_meta": [
+                        {"kind": "image", "mime": "image/png", "width": W,
+                         "height": H, "duration_ms": 0}
+                        for _ in blobs
+                    ],
+                }
+            )
+
+    media = documents.select("doc_id", "text").mapInPandas(_render, schema=M.MEDIA_SCHEMA)
+    hashes = M.perceptual_hash_media(media).persist()
+    counts = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("dup_count"))
+    return (
+        hashes.where(F.col("doc_id") % 25 == 0)
+        .join(counts, "phash")
+        .select("doc_id", "phash", "dup_count")
+    )
+
+
 # Quality score in exact integer basis points — same arithmetic as
 # operators/text.py quality_score_bp (shared by the quality + curation
 # oracles).

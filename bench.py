@@ -102,6 +102,8 @@ HEADLINE = [
     "curate_temperature_mixture",
     "sim_hard_negatives",
     "layout_range_partition_bounds",
+    "report_corpus_delta",
+    "multimodal_phash_dedup",
 ]
 
 

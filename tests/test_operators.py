@@ -214,6 +214,41 @@ def _png_media_df(spark, n=12, w=16, h=12):
 
 
 class TestMultimodal:
+    def test_perceptual_hash_gradients_and_duplicates(self, spark):
+        """dHash ground truth on 7×10 images (identity resize): a
+        left-to-right DECREASING luminance ramp sets every adjacent-pair
+        bit → phash = 2^63 − 1; an increasing ramp sets none → 0; and
+        byte-identical images hash identically while a one-pixel edit in
+        a compared pair flips the hash."""
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.imagecodec import encode_png
+
+        def img(cols):
+            a = np.zeros((7, 10, 3), dtype=np.uint8)
+            a[:, :, :] = np.array(cols, dtype=np.uint8)[None, :, None]
+            return a
+
+        dec = img(range(100, 0, -10))          # strictly decreasing
+        inc = img(range(10, 110, 10))          # strictly increasing
+        dup = dec.copy()
+        edited = dec.copy()
+        edited[0, 1] = 255                     # breaks bit (0,0) and (0,1)
+        rows = [
+            (1, bytearray(encode_png(dec)), None),
+            (2, bytearray(encode_png(inc)), None),
+            (3, bytearray(encode_png(dup)), None),
+            (4, bytearray(encode_png(edited)), None),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, media binary, media_meta map<string,string>"
+        )
+        got = {r["doc_id"]: r["phash"] for r in M.perceptual_hash_media(df).collect()}
+        assert got[1] == (1 << 63) - 1
+        assert got[2] == 0
+        assert got[3] == got[1]
+        assert got[4] != got[1]
+
     def test_real_decode_rejects_non_image_bytes(self, documents):
         """The real decode path must fail loudly on undecodable payloads,
         not fabricate features (text bytes are not an image)."""
