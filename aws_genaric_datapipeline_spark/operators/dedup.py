@@ -974,6 +974,65 @@ def simhash_near_pairs(
     )
 
 
+def hamming_near_pairs(
+    sig_df: DataFrame,
+    id_col: str = "did",
+    hash_col: str = "sig",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming join over ANY 64-bit signature column — the generic
+    form of simhash_near_pairs' candidate stage, reused for image dHash
+    (operators/multimodal.py perceptual_hash_media) and any other packed
+    bit fingerprint.
+
+    4 chunks of 16 bits: hamming ≤ 3 guarantees at least one chunk is
+    untouched (pigeonhole), so an equi-join on (chunk_idx, chunk_value)
+    finds every qualifying pair with zero recall loss and never goes N².
+    max_hamming > 3 would break the guarantee with 4 bands — rejected
+    rather than silently under-recalling.
+
+    Scale: only (id, 3×int) band rows shuffle; the verify is one
+    bit_count(XOR) per candidate.  Boilerplate chunks shared by thousands
+    of signatures concentrate candidates — upstream should drop
+    signatures whose chunk frequency explodes (same guard as
+    winnow_near_pairs' max_doc_freq) when corpora carry constant tiles."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("max_hamming must be 0..3 for the 4x16-bit band guarantee")
+    chunks = sig_df.select(
+        F.col(id_col).alias("did"),
+        F.col(hash_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col(hash_col), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("did", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "cv"])
+        .where(F.col("x.did") < F.col("y.did"))
+        .select(
+            F.col("x.did").alias("id_a"),
+            F.col("y.did").alias("id_b"),
+            F.col("x.sig").alias("sh_a"),
+            F.col("y.sig").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
 # ---------------------------------------------------------- winnowing dedup
 def winnow_near_pairs(
     df: DataFrame,

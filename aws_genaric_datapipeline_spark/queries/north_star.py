@@ -1590,7 +1590,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_oracle_sql() -> str:
-    """DuckDB replay of the full image-dHash chain for the 16×12 tiles:
+    """Shared WITH-body CTEs (a, t, h) replaying the full image-dHash
+    chain for the 16×12 tiles — used by both phash oracles:
     tile text → nearest-neighbor 10×7 downscale (pure index selection:
     ys[r] = r·12//7, xs[c] = c·16//10) → integer luminance
     (299R+587G+114B)//1000 → adjacent-column compare bit per (r, c) →
@@ -1609,7 +1610,7 @@ def _phash_oracle_sql() -> str:
     left = gray("((CAST(i AS INT)%9)*16)//10")
     right = gray("(((CAST(i AS INT)%9)+1)*16)//10")
     return f"""
-        WITH a AS (
+        a AS (
             SELECT doc_id, text FROM documents
             WHERE text IS NOT NULL AND length(text) > 0
               AND octet_length(encode(text)) = length(text)
@@ -1627,34 +1628,14 @@ def _phash_oracle_sql() -> str:
                             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
             FROM t
-        ),
-        c AS (SELECT phash, count(*) AS dup_count FROM h GROUP BY phash)
-        SELECT h.doc_id, h.phash, CAST(c.dup_count AS BIGINT) AS dup_count
-        FROM h JOIN c USING (phash)
-        WHERE h.doc_id % 25 = 0
+        )
     """
 
 
-@query(
-    "multimodal_phash_dedup",
-    oracle=_phash_oracle_sql(),
-    tags=("north-star", "multimodal", "dedup"),
-)
-def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMAGE dedup by perceptual difference-hash (operators/multimodal.py
-    perceptual_hash_media): per document, render its text bytes as the
-    deterministic 16×12 PNG (same corpus as multimodal_real_decode), run
-    the REAL decode → integer downscale → luminance → dHash chain, then
-    group the corpus by the 8-byte hash.  Returns, for the doc_id % 25
-    probe subset, each doc's hash and its corpus-wide duplicate count —
-    candidate generation AND the hash values themselves are replayed by
-    the oracle bit-exactly (every step is integer arithmetic; see
-    _phash_oracle_sql).
-
-    Scale: the image corpus is touched once by an Arrow-batched
-    mapInPandas; dedup shuffles only (id, phash) pairs — 16 bytes/image
-    at 100 TB of pixels.  Hamming-near-dup extends via the SimHash banded
-    join over the same hashes."""
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) over the deterministic 16×12 text-tile PNG corpus:
+    render → REAL PNG decode → integer dHash (perceptual_hash_media).
+    Shared by the exact-dup and Hamming-near-dup phash queries."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1694,13 +1675,67 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = documents.select("doc_id", "text").mapInPandas(_render, schema=M.MEDIA_SCHEMA)
-    hashes = M.perceptual_hash_media(media).persist()
+    return M.perceptual_hash_media(media)
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+        WITH {_phash_oracle_sql()},
+        c AS (SELECT phash, count(*) AS dup_count FROM h GROUP BY phash)
+        SELECT h.doc_id, h.phash, CAST(c.dup_count AS BIGINT) AS dup_count
+        FROM h JOIN c USING (phash)
+        WHERE h.doc_id % 25 = 0
+    """,
+    tags=("north-star", "multimodal", "dedup"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE dedup by perceptual difference-hash (operators/multimodal.py
+    perceptual_hash_media): per document, render its text bytes as the
+    deterministic 16×12 PNG (same corpus as multimodal_real_decode), run
+    the REAL decode → integer downscale → luminance → dHash chain, then
+    group the corpus by the 8-byte hash.  Returns, for the doc_id % 25
+    probe subset, each doc's hash and its corpus-wide duplicate count —
+    candidate generation AND the hash values themselves are replayed by
+    the oracle bit-exactly (every step is integer arithmetic; see
+    _phash_oracle_sql).
+
+    Scale: the image corpus is touched once by an Arrow-batched
+    mapInPandas; dedup shuffles only (id, phash) pairs — 16 bytes/image
+    at 100 TB of pixels.  Hamming-near-dup extends via the SimHash banded
+    join over the same hashes."""
+    hashes = _phash_frame(spark, sf_dir).persist()
     counts = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("dup_count"))
     return (
         hashes.where(F.col("doc_id") % 25 == 0)
         .join(counts, "phash")
         .select("doc_id", "phash", "dup_count")
     )
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+        WITH {_phash_oracle_sql()}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+    tags=("north-star", "multimodal", "dedup"),
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup pairs: same real-decode dHash corpus as
+    multimodal_phash_dedup, paired by the generic banded Hamming join
+    (operators/dedup.py hamming_near_pairs — 4×16-bit chunks, pigeonhole
+    guarantees zero recall loss at hamming ≤ 3).  The oracle verifies the
+    band path against an ALL-PAIRS hamming filter over the replayed
+    hashes, so both candidate completeness and hash values are driver-
+    checked.  Only (id, chunk) rows shuffle; the engine never forms N²."""
+    hashes = _phash_frame(spark, sf_dir)
+    return D.hamming_near_pairs(
+        hashes, id_col="doc_id", hash_col="phash", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 # Quality score in exact integer basis points — same arithmetic as
