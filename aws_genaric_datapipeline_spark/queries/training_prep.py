@@ -358,3 +358,94 @@ def sample_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "report_embedding_drift",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label,
+                   CASE WHEN vec_id % 3 = 0 THEN 2 ELSE 1 END AS ver,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        x AS (
+            SELECT label, ver, CAST(t.i AS INT) AS pos, v[t.i] AS val
+            FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)
+        ),
+        m AS (SELECT label, ver, pos, avg(val) AS mv FROM x GROUP BY 1, 2, 3),
+        n AS (
+            SELECT label,
+                   CAST(count(*) FILTER (ver = 1) AS BIGINT) AS n_v1,
+                   CAST(count(*) FILTER (ver = 2) AS BIGINT) AS n_v2
+            FROM e GROUP BY label
+        ),
+        p AS (
+            SELECT a.label,
+                   sum(a.mv * b.mv) AS dot,
+                   sum(a.mv * a.mv) AS na,
+                   sum(b.mv * b.mv) AS nb
+            FROM m a JOIN m b ON a.label = b.label AND a.pos = b.pos
+            WHERE a.ver = 1 AND b.ver = 2
+            GROUP BY a.label
+        )
+        SELECT CAST(p.label AS INT) AS label, n.n_v1, n.n_v2,
+               round(p.dot / (sqrt(p.na) * sqrt(p.nb)), 4) AS centroid_cosine
+        FROM p JOIN n ON p.label = n.label
+    """,
+    tags=("north-star", "trainprep", "similarity", "report"),
+)
+def report_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two snapshot epochs: per label, the
+    cosine between the epoch centroids (v1 = vec_id % 3 != 0, v2 = the
+    rest) plus both population counts — the embedding-modality member of
+    the drift family (PSI / KL / KS / chi² cover value and category
+    distributions; this one catches encoder or upstream-content shifts
+    that leave scalar stats untouched).  A healthy re-embed shows
+    centroid_cosine ≈ 1; drops flag label-level distribution movement.
+
+    Scale: posexplode → (label, ver, dim) partial-avg is one shuffle of
+    dim-sized aggregates (the 100 TB of vectors collapses map-side); the
+    centroid cosine then reduces d rows per label — no vector ever
+    reaches the driver."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    e = embeddings.withColumn(
+        "ver", F.when(F.col("vec_id") % 3 == 0, F.lit(2)).otherwise(F.lit(1))
+    )
+    counts = e.groupBy("label").agg(
+        F.count(F.when(F.col("ver") == 1, 1)).alias("n_v1"),
+        F.count(F.when(F.col("ver") == 2, 1)).alias("n_v2"),
+    )
+    means = (
+        e.select(
+            "label", "ver", F.posexplode(F.col("embedding")).alias("pos", "val")
+        )
+        .groupBy("label", "ver", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("mv"))
+    )
+    a = means.where(F.col("ver") == 1).select(
+        "label", "pos", F.col("mv").alias("m1")
+    )
+    b = means.where(F.col("ver") == 2).select(
+        "label", "pos", F.col("mv").alias("m2")
+    )
+    sims = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("m1") * F.col("m2"))
+                / (
+                    F.sqrt(F.sum(F.col("m1") * F.col("m1")))
+                    * F.sqrt(F.sum(F.col("m2") * F.col("m2")))
+                ),
+                4,
+            ).alias("centroid_cosine")
+        )
+    )
+    return counts.join(sims, "label").select(
+        F.col("label").cast("int").alias("label"),
+        "n_v1",
+        "n_v2",
+        "centroid_cosine",
+    )

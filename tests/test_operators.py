@@ -1543,6 +1543,32 @@ class TestSkewPosture:
         assert hh.get(0) == 500, f"hot bucket must surface as a heavy hitter: {hh}"
 
 
+class TestHammingNearPairs:
+    def test_recall_guarantee_and_radius_filter(self, spark):
+        """Pairs within hamming ≤ 3 are ALL found (pigeonhole over the
+        4×16-bit bands), a hamming-4 pair is excluded by the verify even
+        though it shares bands, and radii > 3 are rejected up front."""
+        base = 0x0123_4567_89AB_CDEF
+        rows = [
+            (1, base),
+            (2, base ^ 0b111),          # hamming 3 — must be found
+            (3, base ^ 0b1111),         # hamming 4 from 1 — excluded
+            (4, base ^ (1 << 40)),      # hamming 1 — found
+            (5, ~base & 0x7FFF_FFFF_FFFF_FFFF),  # far away
+        ]
+        df = spark.createDataFrame(rows, "did long, sig long")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.hamming_near_pairs(df).collect()
+        }
+        assert got[(1, 2)] == 3
+        assert got[(1, 4)] == 1
+        assert (1, 3) not in got
+        assert got[(2, 3)] == 1  # 2 and 3 differ in one bit
+        with pytest.raises(ValueError):
+            D.hamming_near_pairs(df, max_hamming=4)
+
+
 class TestHardNegatives:
     def test_excludes_same_label_and_ranks_by_cosine(self, spark):
         """Every returned negative carries a label different from its

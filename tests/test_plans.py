@@ -147,6 +147,23 @@ class TestFingerprintIndex:
             spark.sql("DROP TABLE IF EXISTS fp_index_test")
 
 
+class TestWindowGroupLimit:
+    def test_topk_per_group_gets_partial_limit_before_shuffle(self, spark):
+        """rank()/row_number() ≤ k filters compile to WindowGroupLimit:
+        each map task keeps only its local top-k per group BEFORE the
+        exchange, so the shuffle carries O(groups·k) rows instead of the
+        full table — the property that makes window top-k viable on a
+        100 TB fact table."""
+        import io
+        from contextlib import redirect_stdout
+
+        df = QUERIES["window_topk_per_group"].fn(spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        assert "WindowGroupLimit" in buf.getvalue()
+
+
 class TestRuntimeBloomFilterJoin:
     def test_selective_dim_filter_injects_bloom_on_fact_side(self, spark):
         """Runtime bloom-filter semi-join reduction: when the dimension
