@@ -421,3 +421,45 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price_cents").cast("bigint").alias("total_cents"),
         F.expr("(sum_price_cents * 100) div cnt").alias("avg_bp"),
     )
+
+
+@query(
+    "sample_uniform_per_stratum",
+    oracle="""
+        SELECT lang, doc_id, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= 5
+    """,
+    tags=("sampling", "north-star"),
+)
+def sample_uniform_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample (k = 5 per language): rank by
+    the md5 of the key — a content-addressed stand-in for a PRNG, so the
+    draw is uniform-without-replacement yet identical on every run,
+    partitioning, and engine — and keep the k smallest.  The balanced
+    eval-set construction a training pipeline re-runs on every corpus
+    version without sample churn.
+
+    Scale: rank-by-hash ≤ k compiles to WindowGroupLimit (plan-gated in
+    tests/test_plans.py::TestWindowGroupLimit) — each map task keeps its
+    local top-k per stratum BEFORE the exchange, so the shuffle carries
+    O(strata·k) rows, not the corpus."""
+    from pyspark.sql import Window
+
+    (documents,) = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        documents.select(
+            "lang", "doc_id", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .where(F.col("rk") <= 5)
+    )

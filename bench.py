@@ -104,6 +104,9 @@ HEADLINE = [
     "layout_range_partition_bounds",
     "report_corpus_delta",
     "multimodal_phash_dedup",
+    "multimodal_phash_near_dup",
+    "report_embedding_drift",
+    "sample_uniform_per_stratum",
 ]
 
 
