@@ -191,6 +191,56 @@ def incremental_components(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    max_iters: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peel: repeatedly delete nodes of
+    degree < k (undirected; input symmetrized) until the survivor set is
+    stable; return ``(node, core_degree)`` — each survivor's degree WITHIN
+    the core, ≥ k by the fixpoint.
+
+    On a near-dup graph the k-core separates dense boilerplate families
+    (template spam, mirrored sites — every member near-dups many others)
+    from incidental chains of pairwise matches: chain links peel away,
+    cliques survive.  Curation treats core membership as a
+    delete-aggressively signal where chains get keep-best handling.
+
+    Scale shape: each round is one degree aggregation plus two semi-joins
+    of the (static-schema) edge list against the survivor set — the
+    standard distributed peel.  Edge count is a strictly-decreasing
+    convergence certificate, checked as one scalar per round; lineage is
+    capped by per-round localCheckpoint exactly like connected_components.
+    Rounds ≈ peel depth, which is tiny for the flat graphs dedup emits
+    (the theoretical worst case is O(n) on a path, but a path has no
+    2-core at all — it peels in ⌈n/2⌉ rounds of mass deletion only when
+    k exceeds every degree, and the loop exits on the empty graph long
+    before max_iters).
+    """
+    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    sym = fwd.unionByName(rev).where(F.col("node") != F.col("nbr")).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    n_edges = sym.count()
+    for _ in range(max_iters):
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.where(F.col("core_degree") >= k).select("node")
+        pruned = sym.join(keep, "node", "left_semi").join(
+            keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
+        )
+        pruned = pruned.localCheckpoint(eager=False)
+        n_new = pruned.count()
+        if n_new == n_edges:
+            return deg.where(F.col("core_degree") >= k)
+        sym, n_edges = pruned, n_new
+        if n_edges == 0:
+            return deg.where(F.lit(False))  # empty core, typed schema
+    raise RuntimeError(f"k_core: no convergence in {max_iters} rounds")
+
+
 def dedup_cluster_assignments(
     pair_df: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

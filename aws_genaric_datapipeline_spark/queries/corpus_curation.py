@@ -1745,3 +1745,100 @@ def report_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        bg AS (
+            SELECT toks[CAST(u.i AS INT)] AS w1,
+                   toks[CAST(u.i AS INT) + 1] AS w2
+            FROM t, UNNEST(range(1, len(toks))) AS u(i)
+        ),
+        uni AS (
+            SELECT tok, count(*) AS n_t
+            FROM (SELECT unnest(toks) AS tok FROM t)
+            GROUP BY tok
+        ),
+        tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM uni),
+        pairs AS (
+            SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2
+        ),
+        scored AS (
+            SELECT w1, w2,
+                   CAST(n_ab AS BIGINT) AS n_ab,
+                   round(ln(n_ab * CAST(n AS DOUBLE)
+                            / (ua.n_t * CAST(ub.n_t AS DOUBLE))), 4) AS pmi
+            FROM pairs
+            JOIN uni ua ON ua.tok = pairs.w1
+            JOIN uni ub ON ub.tok = pairs.w2
+            CROSS JOIN tot
+            WHERE n_ab >= 5
+        )
+        SELECT w1, w2, n_ab, pmi, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+              FROM scored)
+        WHERE rn <= 20
+    """,
+    tags=("north-star", "text", "curation"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by PMI with
+    support ≥ 5 — the classic phrase-discovery pass (NLP tokenizer vocab
+    seeding, boilerplate-phrase detection) over the whole corpus.  The
+    log's argument is a ratio of exact integer counts (bigram count ×
+    total tokens / unigram counts), so the score is deterministic to the
+    rounded digit in both engines, and the top-20 cut breaks PMI ties on
+    the words themselves.
+
+    Scale: bigrams come from a zip of the token array with its tail —
+    no self-join, work ∝ tokens; two count aggregations plus a broadcast
+    of the |vocab|-sized marginals; the final top-20 is a TakeOrdered."""
+    (documents,) = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = X.tokens(F.col("text"))
+    t = documents.where(F.length(F.trim("text")) > 0).select(
+        toks.alias("toks")
+    )
+    bg = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = t.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    tot = uni.agg(F.sum("n_t").cast("bigint").alias("n"))
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    scored = (
+        pairs.where(F.col("n_ab") >= 5)
+        .join(F.broadcast(uni.selectExpr("tok as w1", "n_t as na")), "w1")
+        .join(F.broadcast(uni.selectExpr("tok as w2", "n_t as nb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("n").cast("double")
+                    / (F.col("na") * F.col("nb").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+    )

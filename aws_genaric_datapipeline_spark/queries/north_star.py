@@ -337,12 +337,10 @@ def dedup_jaccard_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(documents, n=3, threshold=0.8)
 
 
-# Full-recompute closure over the trigram-Jaccard (≥0.5) near-dup graph —
-# shared by dedup_connected_clusters (one-shot CC) and
-# graph_incremental_components (state + batch merge): both must land on the
-# SAME fixpoint, which is exactly what sharing the oracle asserts.
-_CC_CLUSTERS_ORACLE = f"""
-        WITH RECURSIVE sh AS (
+# Symmetrized edge list of the trigram-Jaccard (≥0.5) near-dup graph —
+# the shared candidate/verify replay feeding the CC-closure oracle and the
+# k-core peel oracle.
+_DUCK_NEARDUP_EDGE_CTES = f"""sh AS (
             SELECT DISTINCT doc_id AS did, s.tok
             FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
         ),
@@ -363,7 +361,14 @@ _CC_CLUSTERS_ORACLE = f"""
             SELECT id_a AS s, id_b AS d FROM pairs
             UNION ALL
             SELECT id_b, id_a FROM pairs
-        ),
+        )"""
+
+# Full-recompute closure over the near-dup graph — shared by
+# dedup_connected_clusters (one-shot CC) and graph_incremental_components
+# (state + batch merge): both must land on the SAME fixpoint, which is
+# exactly what sharing the oracle asserts.
+_CC_CLUSTERS_ORACLE = f"""
+        WITH RECURSIVE {_DUCK_NEARDUP_EDGE_CTES},
         reach(node, label) AS (
             SELECT s, s FROM edges
             UNION
@@ -400,6 +405,69 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 10) -> str:
+    """Unrolled-peel replay of k-core over the shared near-dup edge CTEs:
+    round i recomputes degrees within the round-(i-1) survivor set and
+    drops nodes under k — the same declarative-fixpoint trick the
+    label-propagation and PageRank oracles use (recursive CTEs cannot
+    delete, so the peel is unrolled; the mirror test fails loudly if the
+    corpus ever needs more rounds than unrolled, because the last round's
+    degrees would still change)."""
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # one three times (edge filter via two survivor joins + the degree
+    # count), so inlined CTEs expand 3^rounds-fold — enough to exhaust
+    # file handles re-opening the source parquet before round 10.
+    parts = [
+        "e0 AS MATERIALIZED (SELECT s, d FROM edges)",
+        "d0 AS MATERIALIZED (SELECT s AS node, count(*) AS deg FROM e0 GROUP BY s)",
+        f"s0 AS MATERIALIZED (SELECT node FROM d0 WHERE deg >= {k})",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.s, e.d FROM e{i - 1} e "
+            f"JOIN s{i - 1} a ON e.s = a.node "
+            f"JOIN s{i - 1} b ON e.d = b.node)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED "
+            f"(SELECT s AS node, count(*) AS deg FROM e{i} GROUP BY s)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"
+        )
+    chain = ",\n        ".join(parts)
+    return f"""
+        WITH {_DUCK_NEARDUP_EDGE_CTES},
+        {chain}
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(deg AS BIGINT) AS core_degree
+        FROM d{rounds} WHERE deg >= {k}
+    """
+
+
+@query(
+    "graph_kcore_boilerplate",
+    oracle=_kcore_oracle_sql(k=2, rounds=10),
+    tags=("north-star", "dedup", "graph"),
+)
+def graph_kcore_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the trigram-Jaccard near-dup graph (operators/graph.py
+    k_core): iterative peel keeps only documents that near-dup ≥ 2 OTHER
+    surviving documents — the dense boilerplate families a curation
+    pipeline deletes aggressively, separated from incidental pairwise
+    chains (which peel away and get keep-best handling instead).  Returns
+    (doc_id, core_degree) for core members; the oracle replays the peel
+    round by round over the same replayed edge set."""
+    from aws_genaric_datapipeline_spark.operators.graph import k_core
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5, hash_tokens=True)
+    return k_core(pairs, src="id_a", dst="id_b", k=2).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("core_degree").cast("bigint").alias("core_degree"),
     )
 
 

@@ -107,6 +107,8 @@ HEADLINE = [
     "multimodal_phash_near_dup",
     "report_embedding_drift",
     "sample_uniform_per_stratum",
+    "graph_kcore_boilerplate",
+    "text_collocations_pmi",
 ]
 
 

@@ -837,6 +837,29 @@ class TestConnectedComponents:
         }
         assert got == {(5, 5), (6, 5), (7, 5)}
 
+    def test_k_core_peels_chains_keeps_cliques(self, spark):
+        """2-core ground truth: a 4-clique survives with degree 3, a
+        triangle hanging off a long tail keeps only the triangle (the
+        tail peels away round by round, including the attachment point's
+        degree reduction), and a pure path has no 2-core at all."""
+        from aws_genaric_datapipeline_spark.operators.graph import k_core
+
+        clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        triangle = [(10, 11), (11, 12), (12, 10)]
+        tail = [(12, 13), (13, 14), (14, 15)]
+        path = [(20, 21), (21, 22), (22, 23)]
+        edges = spark.createDataFrame(
+            clique + triangle + tail + path, "src long, dst long"
+        )
+        got = {r["node"]: r["core_degree"] for r in k_core(edges, k=2).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 2, 11: 2, 12: 2}
+
+    def test_k_core_empty_when_k_exceeds_connectivity(self, spark):
+        from aws_genaric_datapipeline_spark.operators.graph import k_core
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        assert k_core(edges, k=2).count() == 0
+
     def test_cluster_assignments_sizes(self, spark):
         from aws_genaric_datapipeline_spark.operators.graph import (
             dedup_cluster_assignments,

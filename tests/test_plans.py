@@ -147,6 +147,40 @@ class TestFingerprintIndex:
             spark.sql("DROP TABLE IF EXISTS fp_index_test")
 
 
+class TestIncrementalComponentsPlan:
+    def test_state_splits_are_broadcast_joins(self, spark):
+        """incremental_components' standing-state splits (touched /
+        untouched components) must compile to BROADCAST semi/anti joins —
+        at 100 TB the state is billions of rows and any shuffle of it
+        would erase the incremental advantage.  The touched-component
+        list is broadcast by construction (explicit F.broadcast)."""
+        import io
+        from contextlib import redirect_stdout
+
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            incremental_components,
+        )
+
+        state = spark.range(50_000).selectExpr(
+            "id as node", "id - (id % 5) as component"
+        )
+        delta = spark.createDataFrame(
+            [(3, 100_005), (11, 200_001)], "src long, dst long"
+        )
+        out = incremental_components(state, delta)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan
+        # both splits present and broadcast: semi for active, anti for inert
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        # the splits themselves must not sort-merge (no state shuffle);
+        # the relabel loop's own joins run on the mini-graph only
+        head = plan.split("Exchange hashpartitioning")[0]
+        assert "SortMergeJoin" not in head
+
+
 class TestWindowGroupLimit:
     def test_topk_per_group_gets_partial_limit_before_shuffle(self, spark):
         """rank()/row_number() ≤ k filters compile to WindowGroupLimit:
