@@ -273,6 +273,104 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_union_sort",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts, c.ts AS last_click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_union_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join by the UNION-TAG-SORT strategy — the scalable plan for
+    dense right sides that join_asof_events' docstring promises: tag
+    clicks 0 / errors 1, one sort per user on (ts, tag), and a running
+    last_value(click_ts) IGNORE NULLS hands every error its most recent
+    click — ONE shuffle, ZERO pair blowup (the range-join form first
+    materializes every (error, earlier-click) pair before row_number
+    keeps one; at 10k clicks/user that is a 10⁴× intermediate).
+
+    Identical oracle to join_asof_events: both implementations must land
+    on the same rows, which is exactly what sharing the oracle asserts.
+    Tag order makes same-timestamp semantics exact: click (0) sorts
+    before error (1), so an error matches a click AT its own timestamp —
+    the >= contract."""
+    (events,) = load(spark, sf_dir, "events")
+    clk = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    err = events.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clk.unionByName(err)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts, c.ts AS next_click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts < c.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each error, the earliest click STRICTLY
+    after it by the same user (time-to-recovery analysis; NULL when the
+    user never clicks again).  Same union-tag-sort shape as
+    join_asof_union_sort but scanned descending, with the tag order
+    flipped (error 0 before click 1 at equal ts) so a same-timestamp
+    click is NOT matched — the strict-< contract, which the DuckDB ASOF
+    `e.ts < c.ts` oracle pins."""
+    (events,) = load(spark, sf_dir, "events")
+    clk = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    err = events.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("tag"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clk.unionByName(err)
+        .withColumn("next_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("tag") == 0)
+        .select("event_id", "user_id", "ts", "next_click_ts")
+    )
+
+
+@query(
     "join_nullsafe",
     oracle="""
         SELECT count(*) AS pair_count

@@ -109,6 +109,8 @@ HEADLINE = [
     "sample_uniform_per_stratum",
     "graph_kcore_boilerplate",
     "text_collocations_pmi",
+    "join_asof_union_sort",
+    "join_asof_forward",
 ]
 
 
