@@ -135,6 +135,50 @@ def stream_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_join_view_no_click",
+    oracle="""
+        SELECT v.user_id AS user_id,
+               v.event_id AS view_id,
+               v.ts AS view_ts
+        FROM events v
+        WHERE v.event_type = 'view'
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_type = 'click'
+                AND c.user_id = v.user_id
+                AND c.ts >= v.ts
+                AND c.ts <= v.ts + INTERVAL '1 hour'
+          )
+    """,
+    tags=("streaming", "join"),
+)
+def stream_join_view_no_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTER half of the attribution join, batch-executed: views that
+    got no click within the hour — exactly the null-padded rows the
+    streaming left-outer interval join emits once the watermark proves no
+    partner can still arrive (streaming/windows.py join_click_after_view
+    how='left_outer'; stream/batch equivalence incl. the min-watermark
+    drain discipline is pinned by
+    tests/test_streaming.py::TestStreamStreamOuterJoin).  The oracle is
+    the equivalent NOT EXISTS anti-semantics."""
+    from aws_genaric_datapipeline_spark.streaming.windows import (
+        join_click_after_view,
+    )
+    import pyspark.sql.functions as F
+
+    (events,) = load(spark, sf_dir, "events")
+    out = join_click_after_view(
+        events.where(F.col("event_type") == "view"),
+        events.where(F.col("event_type") == "click"),
+        max_lag="1 hour",
+        how="left_outer",
+    )
+    return out.where(F.col("click_id").isNull()).select(
+        "user_id", "view_id", "view_ts"
+    )
+
+
+@query(
     "stream_dedup_events",
     oracle="""
         SELECT DISTINCT user_id, event_type,

@@ -134,6 +134,7 @@ def join_click_after_view(
     clicks: DataFrame,
     max_lag: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each click pairs with the same user's
     views from the preceding ``max_lag`` (attribution shape).  Works on
@@ -147,6 +148,12 @@ def join_click_after_view(
 
     Scale: state is hash-partitioned by user_id; the watermark caps state
     at (events within `watermark + max_lag`) per side.
+
+    ``how="left_outer"`` adds the never-clicked views: an outer
+    stream-stream join emits its null-padded rows only when the watermark
+    proves no partner can still arrive, so results trail the inner rows by
+    the watermark delay — the batch-equivalence test advances the
+    watermark with a sentinel event to drain them deterministically.
     """
     v = views.select(
         F.col("user_id").alias("v_user"),
@@ -167,7 +174,7 @@ def join_click_after_view(
         & (c["click_ts"] >= v["view_ts"])
         & (c["click_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {max_lag}"))
     )
-    return v.join(c, cond, "inner").select(
+    return v.join(c, cond, how).select(
         F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
     )
 

@@ -111,6 +111,7 @@ HEADLINE = [
     "text_collocations_pmi",
     "join_asof_union_sort",
     "join_asof_forward",
+    "stream_join_view_no_click",
 ]
 
 

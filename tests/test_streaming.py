@@ -253,6 +253,70 @@ class TestStreamStreamJoin:
         assert got == expected
 
 
+class TestStreamStreamOuterJoin:
+    def test_left_outer_emits_unmatched_views_after_watermark(self, spark, tmp_path):
+        """Stream-stream LEFT OUTER interval join: never-clicked views must
+        surface as null-padded rows — but only once the watermark proves no
+        partner can still arrive.  A far-future sentinel view advances the
+        watermark past all real data so the drain is deterministic; the
+        sentinel itself (whose own state cannot expire) is excluded from
+        the comparison on both sides."""
+        from aws_genaric_datapipeline_spark.streaming.windows import (
+            join_click_after_view,
+        )
+
+        src = str(tmp_path / "events")
+        rows = [
+            _event(i, minute=(i * 7) % 50, user=i % 3, etype="view" if i % 2 else "click")
+            for i in range(40)
+        ]
+        # One far-future sentinel PER SIDE: the global watermark is the MIN
+        # across all watermarked inputs (multipleWatermarkPolicy=min), so a
+        # view-only sentinel would leave the click side's watermark behind
+        # all real data and no null row could ever be proven final.
+        # Distinct users 7/8 so the sentinels never pair with anything.
+        sentinels = [
+            (9999, dt.datetime(2024, 1, 2, 10, 0, 0), 7, "view", 1.0, "{}"),
+            (9998, dt.datetime(2024, 1, 2, 10, 0, 0), 8, "click", 1.0, "{}"),
+        ]
+        _write_events(spark, src, rows + sentinels)
+
+        batch = spark.read.parquet(src)
+        expected = sorted(
+            (r["view_id"], r["click_id"])
+            for r in join_click_after_view(
+                batch.where(F.col("event_type") == "view"),
+                batch.where(F.col("event_type") == "click"),
+                how="left_outer",
+            ).collect()
+            if r["view_id"] != 9999
+        )
+        assert any(c is None for _, c in expected), "fixture needs unmatched views"
+        assert any(c is not None for _, c in expected), "fixture needs matched views"
+
+        stream = stream_events(spark, src)
+        joined = join_click_after_view(
+            stream.where(F.col("event_type") == "view"),
+            stream.where(F.col("event_type") == "click"),
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ss_outer_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["view_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM ss_outer_sink").collect()
+            if r["view_id"] != 9999
+        )
+        assert got == expected
+
+
 def _has_protobuf() -> bool:
     try:
         import google.protobuf.descriptor  # noqa: F401
