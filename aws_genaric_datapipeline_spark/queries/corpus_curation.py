@@ -1842,3 +1842,149 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 20)
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id AS did, s.tok
+            FROM (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> toks[CAST(i AS INT)] || ' ' ||
+                           toks[CAST(i AS INT) + 1] || ' ' ||
+                           toks[CAST(i AS INT) + 2]))) AS s(tok)
+        ),
+        df AS (SELECT tok, count(*) AS n_docs FROM tok GROUP BY tok)
+        SELECT did AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(*) FILTER (n_docs = 1) AS BIGINT) AS n_unique,
+               CAST(count(*) FILTER (n_docs = 1) * 10000 // count(*) AS BIGINT)
+                   AS novelty_bp
+        FROM tok JOIN df USING (tok)
+        GROUP BY did
+    """,
+    tags=("north-star", "text", "curation"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's distinct
+    trigrams that appear in no other document (integer basis points) —
+    the inverse of the boilerplate signal: low novelty means the text is
+    assembled from corpus-common shingles even when no single near-dup
+    partner exists, exactly the "templated but never duplicated" class
+    the pairwise dedup family cannot see.
+
+    Scale: one distinct-shingle explode (same frame the MinHash path
+    sketches), one document-frequency aggregation, one join back keyed on
+    the shingle — integer arithmetic end to end."""
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    # ≥3-token docs only: sequence(0, size-3) would run DESCENDING for
+    # shorter docs (Spark defaults step to -1 when stop < start) and the
+    # element_at(toks, 0) it produces is an ANSI error, not an empty list.
+    # Sub-trigram docs contribute no shingles in either engine, so the
+    # filter matches the oracle's empty range() semantics exactly.
+    t = documents.where(F.length(F.trim("text")) > 0).select(
+        F.col("doc_id").alias("did"), toks.alias("toks")
+    ).where(F.size("toks") >= 3)
+    grams = t.select(
+        "did",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                        F.element_at(F.col("toks"), i + 3),
+                    ),
+                )
+            )
+        ).alias("tok"),
+    )
+    df_counts = grams.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        grams.join(df_counts, "tok")
+        .groupBy(F.col("did").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("n_docs") == 1).alias("n_unique"),
+            F.expr("count_if(n_docs = 1) * 10000 div count(1)").alias(
+                "novelty_bp"
+            ),
+        )
+    )
+
+
+@query(
+    "report_source_vocab_overlap",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT source, s.tok
+            FROM (
+                SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), UNNEST(toks) AS s(tok)
+        ),
+        sizes AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+            FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b,
+               CAST(n_inter AS BIGINT) AS n_shared,
+               CAST(sa.n AS BIGINT) AS n_a,
+               CAST(sb.n AS BIGINT) AS n_b,
+               CAST(n_inter * 10000 // (sa.n + sb.n - n_inter) AS BIGINT)
+                   AS jaccard_bp
+        FROM inter
+        JOIN sizes sa ON sa.source = inter.src_a
+        JOIN sizes sb ON sb.source = inter.src_b
+    """,
+    tags=("curation", "report", "text"),
+)
+def report_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (integer basis points):
+    high overlap between nominally distinct sources flags shared scrapes,
+    mirrored domains, or template contamination BEFORE the document-level
+    dedup passes run — the corpus-composition counterpart of
+    report_cross_source_dup_rates.
+
+    Scale: the corpus reduces to distinct (source, token) pairs — one
+    dedup shuffle — then the pair join keys on the token with
+    |sources|²-bounded output; all arithmetic integer-exact."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = (
+        documents.where(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("source").alias("src_a"), "tok")
+    b = tok.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.selectExpr("source as src_a", "n as n_a")), "src_a"
+        )
+        .join(F.broadcast(sizes.selectExpr("source as src_b", "n as n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_inter").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("n_inter * 10000 div (n_a + n_b - n_inter)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )

@@ -569,3 +569,46 @@ def layout_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame
     return range_partition_bounds(
         orders, "o_totalprice", "o_orderkey", num_ranges=8, sample_bp=500
     )
+
+
+@query(
+    "privacy_erasure_cascade",
+    oracle="""
+        WITH victims AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_before,
+               CAST(count(*) FILTER (user_id NOT IN (SELECT user_id FROM victims))
+                    AS BIGINT) AS n_after,
+               CAST(count(*) FILTER (user_id IN (SELECT user_id FROM victims))
+                    AS BIGINT) AS n_erased
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("privacy", "report"),
+)
+def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure audit: for a deletion request set (user_id % 97 =
+    0 stands in for the GDPR queue), the per-event-type row counts
+    before, after, and erased — the verification report a deletion job
+    must emit BEFORE the anti-join rewrite is committed, proving the
+    cascade touches exactly the requested subjects and nothing else
+    (n_before = n_after + n_erased per type, which the oracle enforces
+    value-for-value).
+
+    Scale: the victim set broadcasts (deletion queues are small); the
+    audit is one scan with conditional aggregation — same cost as the
+    count the deletion job already owes its compliance log."""
+    (events,) = load(spark, sf_dir, "events")
+    victims = (
+        events.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    marked = events.join(
+        F.broadcast(victims.withColumn("erase", F.lit(True))), "user_id", "left"
+    )
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.count_if(F.col("erase").isNull()).alias("n_after"),
+        F.count_if(F.col("erase").isNotNull()).alias("n_erased"),
+    )

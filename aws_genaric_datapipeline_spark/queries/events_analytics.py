@@ -911,3 +911,63 @@ def events_dow_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+@query(
+    "events_late_arrival_profile",
+    oracle="""
+        WITH b AS (
+            SELECT *, event_id // 1000 AS bkt FROM events
+        ),
+        bmax AS (
+            SELECT bkt, max(ts) AS mx FROM b GROUP BY bkt
+        ),
+        runmax AS (
+            SELECT bkt,
+                   max(mx) OVER (ORDER BY bkt
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_mx
+            FROM bmax
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (prev_mx IS NOT NULL
+                     AND ts + INTERVAL 10 MINUTE < prev_mx) AS BIGINT)
+                   AS n_late_10m
+        FROM b JOIN runmax USING (bkt)
+        GROUP BY event_type
+    """,
+    tags=("events", "streaming", "report"),
+)
+def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data profile for watermark sizing: per event type, how many
+    events arrive more than 10 minutes behind the maximum event time
+    already seen (arrival order = ingest id, bucketed at 1000 ids) — the
+    empirical answer to "what watermark delay would this stream need",
+    measured BEFORE committing a streaming job to a delay that silently
+    drops the tail.
+
+    Scale: a global running max is inherently sequential, so it is
+    computed two-level — per-bucket maxima first (ordinary aggregation),
+    then the running max over the TINY bucket frame, broadcast back.
+    Lateness is bucket-granular by construction (an event is compared
+    against strictly earlier buckets), which is the deterministic,
+    engine-replayable contract."""
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    b = events.withColumn("bkt", F.expr("event_id div 1000"))
+    bmax = b.groupBy("bkt").agg(F.max("ts").alias("mx"))
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    runmax = bmax.select("bkt", F.max("mx").over(w).alias("prev_mx"))
+    late = F.col("prev_mx").isNotNull() & (
+        F.col("ts") + F.expr("INTERVAL 10 MINUTES") < F.col("prev_mx")
+    )
+    return (
+        b.join(F.broadcast(runmax), "bkt")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(late).alias("n_late_10m"),
+        )
+    )

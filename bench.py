@@ -112,6 +112,10 @@ HEADLINE = [
     "join_asof_union_sort",
     "join_asof_forward",
     "stream_join_view_no_click",
+    "text_ngram_novelty",
+    "report_source_vocab_overlap",
+    "privacy_erasure_cascade",
+    "events_late_arrival_profile",
 ]
 
 
