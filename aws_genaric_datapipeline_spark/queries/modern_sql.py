@@ -240,3 +240,84 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "modern-sql"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+ bitmap
+    family): ids bucket into 32k-bit bitmaps (bitmap_construct_agg per
+    bucket), bitmaps OR together (bitmap_or_agg), set bits are the
+    distinct count.  Unlike count(DISTINCT) this state is MERGEABLE —
+    partial bitmaps combine across partitions, batches, or materialized-
+    view refreshes without a re-dedup shuffle of raw ids — and unlike HLL
+    it is exact.  ids shift by +1 so id 0 cannot collide at position
+    arithmetic boundaries; distinctness is shift-invariant, which the
+    count(DISTINCT) oracle pins.
+
+    Scale: state per group is ceil(max_id/32k) bitmaps of 4 KB — bounded
+    by the ID DOMAIN, not row count; the raw 100 TB of events folds
+    map-side."""
+    (events,) = load(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_bm")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(bitmap_count(bitmap_or_agg(b)) AS BIGINT) AS n_users
+        FROM (
+            SELECT event_type,
+                   bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+            FROM events_bm
+            GROUP BY event_type, bitmap_bucket_number(user_id + 1)
+        )
+        GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "func_sql_udf",
+    oracle="""
+        SELECT doc_id,
+               CAST(least(n_chars * 20, 10000) AS BIGINT) AS len_score_bp,
+               CAST(CASE WHEN n_chars >= 200 THEN 'long'
+                         WHEN n_chars >= 50 THEN 'medium'
+                         ELSE 'short' END AS VARCHAR) AS len_class
+        FROM documents
+    """,
+    tags=("functions", "modern-sql"),
+)
+def func_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN expr): the
+    reusable-business-logic surface that stays ENTIRELY inside Catalyst —
+    the function body is inlined into the plan at resolution, so unlike a
+    Python UDF there is no serialization boundary, no worker process, and
+    every downstream optimization (pushdown, codegen) still applies.  The
+    oracle inlines the same expressions, proving the definitions."""
+    (documents,) = load(spark, sf_dir, "documents")
+    documents.createOrReplaceTempView("documents_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION len_score_bp(n BIGINT) "
+        "RETURNS BIGINT RETURN least(n * 20, 10000)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION len_class(n BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN n >= 200 THEN 'long' "
+        "WHEN n >= 50 THEN 'medium' ELSE 'short' END"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id,
+               len_score_bp(n_chars) AS len_score_bp,
+               len_class(n_chars) AS len_class
+        FROM documents_sqludf
+        """
+    )

@@ -116,6 +116,8 @@ HEADLINE = [
     "report_source_vocab_overlap",
     "privacy_erasure_cascade",
     "events_late_arrival_profile",
+    "agg_bitmap_exact_distinct",
+    "func_sql_udf",
 ]
 
 
