@@ -51,3 +51,49 @@ def merge_agg_states(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in measures])
     )
+
+
+def bitmap_distinct_state(
+    df: DataFrame, keys: tuple[str, ...], id_col: str
+) -> DataFrame:
+    """Mergeable EXACT-distinct state: per key group and 32k-id bucket,
+    the bitmap of seen ids (Spark 3.5+ bitmap aggregate family).  This is
+    the sketch state the module docstring promises for non-distributive
+    measures — exact distinct does not merge as a sum, but bitmaps OR:
+
+        distinct(base ∪ delta) = count_bits(or(bm(base), bm(delta)))
+
+    so a distinct-count materialized view refreshes at delta cost like
+    the sum/count MV, with state bounded by the ID DOMAIN (4 KB per
+    32k-id bucket per group), not by row count.  ids shift by +1 so id 0
+    stays clear of position-arithmetic boundaries; distinctness is
+    shift-invariant."""
+    return df.groupBy(
+        *keys,
+        F.expr(f"bitmap_bucket_number({id_col} + 1)").alias("id_bucket"),
+    ).agg(
+        F.expr(f"bitmap_construct_agg(bitmap_bit_position({id_col} + 1))").alias("bm")
+    )
+
+
+def merge_bitmap_states(
+    mv: DataFrame, delta: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Merge two bitmap-distinct states (see bitmap_distinct_state):
+    union then OR per (keys, id_bucket).  Idempotent for re-delivered
+    ids — re-ORing a seen id is a no-op, which makes the refresh safe
+    under at-least-once upstream delivery (the sum-state MV is not)."""
+    cols = list(keys) + ["id_bucket"]
+    return (
+        mv.unionByName(delta)
+        .groupBy(*cols)
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    )
+
+
+def bitmap_distinct_count(state: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Read a bitmap-distinct state out as per-key exact distinct counts
+    (sum of set bits across the key's id buckets)."""
+    return state.groupBy(*keys).agg(
+        F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_distinct")
+    )

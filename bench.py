@@ -118,6 +118,7 @@ HEADLINE = [
     "events_late_arrival_profile",
     "agg_bitmap_exact_distinct",
     "func_sql_udf",
+    "mv_incremental_distinct_refresh",
 ]
 
 
