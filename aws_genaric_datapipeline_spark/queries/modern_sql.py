@@ -255,8 +255,13 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct counting via bitmap aggregates (Spark 3.5+ bitmap
     family): ids bucket into 32k-bit bitmaps (bitmap_construct_agg per
-    bucket), bitmaps OR together (bitmap_or_agg), set bits are the
-    distinct count.  Unlike count(DISTINCT) this state is MERGEABLE —
+    bucket), per-bucket set-bit counts SUM across buckets.  Bit
+    positions are only meaningful WITHIN a bucket, so bitmaps from
+    different buckets are never OR'd together — bitmap_or_agg is
+    reserved for merging partial bitmaps of the SAME bucket (as
+    operators/matview.merge_bitmap_states does); the final readout is
+    sum(bitmap_count) over the (group, bucket) grid.
+    Unlike count(DISTINCT) this state is MERGEABLE —
     partial bitmaps combine across partitions, batches, or materialized-
     view refreshes without a re-dedup shuffle of raw ids — and unlike HLL
     it is exact.  ids shift by +1 so id 0 cannot collide at position
@@ -268,19 +273,24 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side."""
     (events,) = load(spark, sf_dir, "events")
     events.createOrReplaceTempView("events_bm")
-    return spark.sql(
-        """
+    return spark.sql(BITMAP_DISTINCT_SQL.format(view="events_bm"))
+
+
+# Shared by the query above and the multi-bucket regression test
+# (tests/test_queries_extra.py): the inner grouping keys the bucket, the
+# outer readout SUMS per-bucket set-bit counts — never ORs bitmaps across
+# buckets, which would conflate bit positions once user_id + 1 > 32768.
+BITMAP_DISTINCT_SQL = """
+    SELECT event_type,
+           CAST(sum(bitmap_count(b)) AS BIGINT) AS n_users
+    FROM (
         SELECT event_type,
-               CAST(bitmap_count(bitmap_or_agg(b)) AS BIGINT) AS n_users
-        FROM (
-            SELECT event_type,
-                   bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
-            FROM events_bm
-            GROUP BY event_type, bitmap_bucket_number(user_id + 1)
-        )
-        GROUP BY event_type
-        """
+               bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+        FROM {view}
+        GROUP BY event_type, bitmap_bucket_number(user_id + 1)
     )
+    GROUP BY event_type
+"""
 
 
 @query(

@@ -203,6 +203,11 @@ def main() -> None:
     # headline size.
     gate_file = Path(__file__).resolve().parent / "BASELINE_GATES.json"
     retried: list[str] = []
+    # First-pass timings, frozen BEFORE any retry lowers them: raw_failures
+    # must reflect what an un-retried sweep measured, and retried queries
+    # are excluded from the median drift estimate (their best-of-N values
+    # are not drawn from the same distribution as single-pass ones).
+    pre_retry: dict[str, float] = dict(timings)
     at_gate_scale = sf_dir.rstrip("/").endswith("sf0.1")
     if gate_file.is_file() and at_gate_scale:
         gate_cfg = json.loads(gate_file.read_text())
@@ -259,20 +264,36 @@ def main() -> None:
         # noise, so the credit is capped and the excess still fails the
         # gate).  Raw failures are reported alongside for the judge.
         at_sf = result["sf"] == 0.1
-        srt = sorted(ratios.values())
+        # Drift median over UN-retried queries only: retried queries carry
+        # best-of-N values drawn from a different distribution, and letting
+        # them lower the median would shift the normalization applied to
+        # every other query (round-8 advice).
+        srt = sorted(r for n, r in ratios.items() if n not in retried)
+        if not srt:
+            srt = sorted(ratios.values())
         if srt:
             median = srt[len(srt) // 2] if len(srt) % 2 else (
                 (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
             )
             denom = min(max(median, 1.0), 1.4)
             normalized = {n: round(r / denom, 2) for n, r in ratios.items()}
+            # raw_failures reflect FIRST-PASS measurements (pre-retry
+            # snapshot); the retried best-of-N values still drive the
+            # normalized gate, where the spike-vs-regression distinction
+            # belongs.
+            raw_ratios = {
+                n: round(pre_retry[n] / gates[n], 2)
+                for n in ratios
+                if n in pre_retry
+            }
             result["gate"] = {
                 "threshold": threshold,
                 "at_gate_sf": at_sf,
                 "median_ratio": round(median, 2),
                 "retried": retried,
+                "pre_retry": {n: pre_retry[n] for n in retried},
                 "raw_failures": sorted(
-                    n for n, r in ratios.items() if r > threshold
+                    n for n, r in raw_ratios.items() if r > threshold
                 ) if at_sf else [],
                 "failures": sorted(
                     n for n, r in normalized.items() if r > threshold

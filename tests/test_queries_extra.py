@@ -101,3 +101,37 @@ class TestEventsTimestampNormalization:
 
         row = events.agg(F.min(F.unix_micros("ts")).alias("lo")).first()
         assert row["lo"] is not None
+
+
+class TestBitmapMultiBucket:
+    """Round-8 advice (high): bitmap-distinct readout must SUM per-bucket
+    set-bit counts, never OR bitmaps across 32k-id buckets — sf0.1 data
+    never exceeds one bucket, so only a synthetic multi-bucket corpus can
+    catch the conflation."""
+
+    def test_exact_distinct_across_id_buckets(self, spark):
+        from aws_genaric_datapipeline_spark.queries.modern_sql import (
+            BITMAP_DISTINCT_SQL,
+        )
+
+        # ids straddle three 32k buckets, with cross-bucket pairs whose
+        # bit POSITIONS collide (32767+1 and 65535+1 share position 32768
+        # % 32768 semantics under a wrong cross-bucket OR).
+        rows = [
+            ("a", 5), ("a", 5), ("a", 32767), ("a", 32768),
+            ("a", 65535), ("a", 65536), ("a", 5 + 32768),
+            ("b", 1), ("b", 1 + 32768), ("b", 1 + 65536),
+        ]
+        df = spark.createDataFrame(rows, "event_type string, user_id long")
+        df.createOrReplaceTempView("events_bm_multibucket")
+        got = {
+            r["event_type"]: r["n_users"]
+            for r in spark.sql(
+                BITMAP_DISTINCT_SQL.format(view="events_bm_multibucket")
+            ).collect()
+        }
+        want = {
+            "a": len({u for t, u in rows if t == "a"}),
+            "b": len({u for t, u in rows if t == "b"}),
+        }
+        assert got == want == {"a": 6, "b": 3}
