@@ -2472,3 +2472,86 @@ class TestPersonalizedPagerank:
         r = {row["node"]: row["rank"] for row in pagerank(edges).collect()}
         assert abs(r[1] - r[2]) < 1e-12
         assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+class TestQualityClassifier:
+    """operators/classifier.py — fixed-point logistic regression.
+
+    The driver oracle (text_quality_classifier) pins the trained model
+    bit-exactly; these tests pin the LEARNING properties the oracle
+    cannot see: convergence, fit quality, partitioning-invariance, and
+    the L2 regularizer."""
+
+    D = 32
+    ETA = (1, 2**20)
+
+    @pytest.fixture(scope="class")
+    def trained(self, spark, documents):
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+
+        feat = C.centered_token_features(documents, num_buckets=self.D)
+        labels = documents.select(
+            F.col("doc_id").alias("did"),
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("bigint").alias("y"),
+        )
+        model = C.train_logreg(
+            spark, feat, labels, num_buckets=self.D, iters=5,
+            eta_num=self.ETA[0], eta_den=self.ETA[1],
+        )
+        return C, feat, labels, model
+
+    def test_beats_majority_prior(self, spark, trained):
+        C, feat, labels, model = trained
+        scored = C.score_documents(spark, feat, model).join(labels, "did")
+        n = labels.count()
+        prior = max(
+            r["c"] for r in labels.groupBy("y").agg(F.count("*").alias("c")).collect()
+        ) / n
+        acc = scored.where(F.col("pred") == F.col("y")).count() / n
+        assert acc > prior + 0.2, f"acc {acc} vs prior {prior}"
+
+    def test_loss_decreases_vs_zero_model(self, spark, trained):
+        """Trained loss must beat the all-zero model's ln(2)."""
+        C, feat, labels, model = trained
+        scored = C.score_documents(spark, feat, model).join(labels, "did")
+        loss = C.logistic_loss(scored)
+        assert loss < 0.6931, loss
+
+    def test_deterministic_under_repartitioning(self, spark, trained):
+        """Same data, different physical layout => bit-identical weights
+        (integer gradients are order-independent sums)."""
+        C, feat, labels, model = trained
+        model2 = C.train_logreg(
+            spark,
+            feat.repartition(13),
+            labels.repartition(7),
+            num_buckets=self.D,
+            iters=5,
+            eta_num=self.ETA[0],
+            eta_den=self.ETA[1],
+        )
+        assert model.weights_fp == model2.weights_fp
+
+    def test_l2_shrinks_weights(self, spark, trained):
+        C, feat, labels, model = trained
+        # lambda must exceed the fixed-point resolution floor: the decay
+        # per round is ~eta*lambda*w = l2_num*w/2^20, so l2_num=1 would
+        # truncate to zero for |w| < 2^20.  l2_num=1e5 decays ~10%/round.
+        reg = C.train_logreg(
+            spark, feat, labels, num_buckets=self.D, iters=5,
+            eta_num=self.ETA[0], eta_den=self.ETA[1],
+            l2_num=100_000, l2_den=1,
+        )
+        assert sum(abs(w) for w in reg.weights_fp) < sum(
+            abs(w) for w in model.weights_fp
+        )
+
+    def test_empty_labels_raise(self, spark, documents):
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+
+        feat = C.centered_token_features(documents, num_buckets=4)
+        empty = documents.select(
+            F.col("doc_id").alias("did"), F.lit(1).alias("y")
+        ).where(F.lit(False))
+        with pytest.raises(ValueError):
+            C.train_logreg(spark, feat, empty, num_buckets=4)
