@@ -31,11 +31,13 @@ class ImageFormatError(ValueError):
 
 
 def detect_format(payload: bytes) -> str | None:
-    """'png' | 'ppm' | None by magic bytes."""
+    """'png' | 'ppm' | 'jpeg' | None by magic bytes."""
     if payload.startswith(_PNG_SIG):
         return "png"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -197,7 +199,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
-    raise ImageFormatError("unrecognized image format (supported: PNG, PPM/P6)")
+    if fmt == "jpeg":
+        from aws_genaric_datapipeline_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ImageFormatError(
+        "unrecognized image format (supported: PNG, PPM/P6, JPEG)"
+    )
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -1772,7 +1772,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas; dedup shuffles only (id, phash) pairs — 16 bytes/image
     at 100 TB of pixels.  Hamming-near-dup extends via the SimHash banded
     join over the same hashes."""
-    hashes = _phash_frame(spark, sf_dir).persist()
+    # localCheckpoint (not persist): the render+decode output is reused by
+    # both branches below but must not stay pinned in executor memory after
+    # this query's action — checkpoint blocks are released when the frame
+    # goes out of scope (ContextCleaner), unlike CacheManager entries.
+    hashes = _phash_frame(spark, sf_dir).localCheckpoint(eager=True)
     counts = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("dup_count"))
     return (
         hashes.where(F.col("doc_id") % 25 == 0)
@@ -1804,6 +1808,124 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.hamming_near_pairs(
         hashes, id_col="doc_id", hash_col="phash", max_hamming=3
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _jpeg_phash_oracle_sql() -> str:
+    """WITH-body CTEs (a, t, h) replaying the GRAYSCALE-tile dHash for the
+    JPEG roundtrip corpus.  Exactness argument: each 16×12 tile pixel is
+    expanded to a constant 8×8 block, and a block-constant image at JPEG
+    quality 100 (all-ones quant tables) roundtrips BIT-EXACTLY through
+    the DCT chain (DC = 8*(v-128) integer, AC float noise ~1e-13
+    quantizes to 0 — operators/jpegcodec.py module doc).  resize_nearest
+    then composes floors: (i*96//7)//8 == i*12//7, so the decoded
+    128×96 image hashes identically to the 16×12 tile — which is what
+    this SQL computes straight from the text bytes, no codec."""
+
+    def gray(col_expr: str) -> str:
+        px = f"(((CAST(i AS INT)//9)*12)//7)*16 + {col_expr}"
+        return f"unicode(substr(tile, {px} + 1, 1))"
+
+    left = gray("((CAST(i AS INT)%9)*16)//10")
+    right = gray("(((CAST(i AS INT)%9)+1)*16)//10")
+    return f"""
+        a AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+              AND octet_length(encode(text)) = length(text)
+        ),
+        t AS (
+            SELECT doc_id,
+                   substr(repeat(text, CAST(192 // length(text) AS INT) + 1),
+                          1, 192) AS tile
+            FROM a
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 63), i ->
+                       CASE WHEN {left} > {right}
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+            FROM t
+        )
+    """
+
+
+@query(
+    "multimodal_jpeg_phash",
+    oracle=f"""
+        WITH {_jpeg_phash_oracle_sql()},
+        c AS (SELECT phash, count(*) AS dup_count FROM h GROUP BY phash)
+        SELECT h.doc_id, h.phash, CAST(c.dup_count AS BIGINT) AS dup_count
+        FROM h JOIN c USING (phash)
+        WHERE h.doc_id % 25 = 0
+    """,
+    tags=("north-star", "multimodal", "dedup"),
+)
+def multimodal_jpeg_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG decode end to end, FULLY oracle-checked: per document, render
+    its text bytes as a deterministic 16×12 GRAYSCALE tile, expand each
+    pixel to an 8×8 block (128×96), encode with the engine's own
+    baseline JPEG encoder (operators/jpegcodec.py — huffman bitstream,
+    DCT, Annex-K tables, quality 100), then run the standard
+    perceptual-hash chain: REAL JPEG decode → nearest-neighbor 10×7 →
+    dHash → corpus-wide duplicate counts for the doc_id % 25 probe set.
+
+    The block-constant + quality-100 construction makes the LOSSY codec's
+    output provably bit-exact (see _jpeg_phash_oracle_sql), so the oracle
+    replays hash VALUES — any defect anywhere in the segment parser,
+    huffman decode, dequant, IDCT, or resize flips bits and fails the
+    driver gate.  General lossy behavior (color, 4:2:0, gradients,
+    PSNR) is covered by tests/test_jpegcodec.py.
+
+    Scale: identical shape to multimodal_phash_dedup — one Arrow-batched
+    mapInPandas over the image corpus, then only (id, phash) shuffles."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    (documents,) = load(spark, sf_dir, "documents")
+    documents = documents.where(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
+
+    H, W = 12, 16
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.jpegcodec import encode_jpeg
+
+        n = H * W
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")
+                buf = (raw * (n // max(len(raw), 1) + 1))[:n] if raw else bytes(n)
+                tile = np.frombuffer(buf, dtype=np.uint8).reshape(H, W)
+                blobs.append(encode_jpeg(np.kron(tile, ones), quality=100))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_meta": [
+                        {"kind": "image", "mime": "image/jpeg", "width": W * 8,
+                         "height": H * 8, "duration_ms": 0}
+                        for _ in blobs
+                    ],
+                }
+            )
+
+    media = documents.select("doc_id", "text").mapInPandas(_render, schema=M.MEDIA_SCHEMA)
+    hashes = M.perceptual_hash_media(media).localCheckpoint(eager=True)
+    counts = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("dup_count"))
+    return (
+        hashes.where(F.col("doc_id") % 25 == 0)
+        .join(counts, "phash")
+        .select("doc_id", "phash", F.col("dup_count").cast("bigint").alias("dup_count"))
+    )
 
 
 # Quality score in exact integer basis points — same arithmetic as
