@@ -1,0 +1,253 @@
+"""Mini transaction-log table format: ACID tables over parquet + a
+JSON commit log — the correct-by-construction completion of the
+reference's broken batch lifecycle (prepared_layer_job.py:176-208 tried
+to coordinate raw→prepared promotion through DynamoDB writes and
+crashed; here coordination IS the table format).
+
+Delta-Lake-shaped, deliberately small:
+
+- A table is a directory:  ``data/`` parquet files + ``_txn_log/``
+  holding one JSON commit per version (``00000000000000000001.json``).
+- A commit lists ACTIONS: files added, files removed, the operation
+  name, and an optional ``app_txn_id`` for idempotent re-commit.
+- The LIVE snapshot at version V = replay of adds minus removes up to V.
+  Readers pin a version => SNAPSHOT ISOLATION (a concurrent overwrite
+  cannot change what a pinned reader sees; data files are immutable and
+  never edited in place).
+- Commit publication is ``os.open(..., O_CREAT | O_EXCL)`` of the next
+  version file: exactly one of two racing writers wins the version; the
+  loser re-reads the log and either RETRIES (disjoint files) or raises
+  ``TxnConflict`` (overlapping reads — the optimistic concurrency rule).
+- Orphan data files (a writer that crashed after writing parquet but
+  before committing) are INVISIBLE: readers load only files the log
+  names.  ``vacuum()`` deletes them.
+
+Scale notes: the log is one tiny JSON per commit and the snapshot
+computation is a driver-side fold over file names — same cost class as
+Delta's log replay.  Data-file IO is all DataFrame parquet; at 100 TB
+the data path is unchanged parquet scan/write, and the only global
+coordination is the single version-file create, which object stores
+expose as put-if-absent.
+
+This module is filesystem-backed (tests/local mode).  The commit
+protocol (read version, write files, create-exclusive next version,
+conflict check on loss) is the portable part.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TxnConflict(RuntimeError):
+    """A concurrent commit invalidated this transaction's snapshot."""
+
+
+class TxnTable:
+    """ACID parquet table at ``path`` with a JSON commit log."""
+
+    LOG_DIR = "_txn_log"
+    DATA_DIR = "data"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = Path(path)
+        (self.path / self.LOG_DIR).mkdir(parents=True, exist_ok=True)
+        (self.path / self.DATA_DIR).mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------------ log
+    def _log_path(self, version: int) -> Path:
+        return self.path / self.LOG_DIR / f"{version:020d}.json"
+
+    def _commits(self) -> list[dict]:
+        out = []
+        for p in sorted((self.path / self.LOG_DIR).glob("*.json")):
+            with open(p) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def latest_version(self) -> int:
+        """Highest committed version; 0 = empty table (no commits)."""
+        versions = [
+            int(p.stem) for p in (self.path / self.LOG_DIR).glob("*.json")
+        ]
+        return max(versions, default=0)
+
+    def live_files(self, version: int | None = None) -> list[str]:
+        """File names live at ``version`` (default: latest)."""
+        v = self.latest_version() if version is None else version
+        live: set[str] = set()
+        for c in self._commits():
+            if c["version"] > v:
+                break
+            live -= set(c["removes"])
+            live |= set(c["adds"])
+        return sorted(live)
+
+    def history(self) -> list[dict]:
+        """Commit metadata (version, op, n_adds, n_removes, app_txn_id)."""
+        return [
+            {
+                "version": c["version"],
+                "op": c["op"],
+                "n_adds": len(c["adds"]),
+                "n_removes": len(c["removes"]),
+                "app_txn_id": c.get("app_txn_id"),
+            }
+            for c in self._commits()
+        ]
+
+    # ----------------------------------------------------------------- read
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (time travel with ``version``)."""
+        files = self.live_files(version)
+        if not files:
+            raise ValueError(
+                f"table {self.path} has no data at version "
+                f"{self.latest_version() if version is None else version}"
+            )
+        return self.spark.read.parquet(
+            *[str(self.path / self.DATA_DIR / f) for f in files]
+        )
+
+    def is_committed(self, app_txn_id: str) -> bool:
+        return any(c.get("app_txn_id") == app_txn_id for c in self._commits())
+
+    # ---------------------------------------------------------------- write
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write df as immutable parquet files under data/, return names.
+        Files are INVISIBLE until a commit names them."""
+        token = uuid.uuid4().hex
+        tmp = self.path / f"_staging_{token}"
+        df.write.mode("overwrite").parquet(str(tmp))
+        names = []
+        for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+            name = f"{token}-{i:05d}.parquet"
+            os.rename(part, self.path / self.DATA_DIR / name)
+            names.append(name)
+        shutil.rmtree(tmp)
+        return names
+
+    def _try_commit(
+        self,
+        version: int,
+        op: str,
+        adds: list[str],
+        removes: list[str],
+        app_txn_id: str | None,
+    ) -> bool:
+        """Atomically publish ``version``; False if someone else won it."""
+        payload = json.dumps(
+            {
+                "version": version,
+                "op": op,
+                "adds": adds,
+                "removes": removes,
+                "app_txn_id": app_txn_id,
+                "committed_at": time.time(),
+            },
+            indent=1,
+        )
+        try:
+            fd = os.open(
+                self._log_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return True
+
+    def append(
+        self, df: DataFrame, app_txn_id: str | None = None, max_retries: int = 10
+    ) -> int:
+        """Blind append: never conflicts, retries version races.
+        ``app_txn_id`` makes re-delivery a no-op (exactly-once sink)."""
+        if app_txn_id is not None and self.is_committed(app_txn_id):
+            return self.latest_version()
+        adds = self._write_files(df)
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if app_txn_id is not None and self.is_committed(app_txn_id):
+                # lost a race to a re-delivered twin of ourselves
+                for name in adds:
+                    (self.path / self.DATA_DIR / name).unlink(missing_ok=True)
+                return self.latest_version()
+            if self._try_commit(v, "append", adds, [], app_txn_id):
+                return v
+        raise TxnConflict(f"append lost {max_retries} version races")
+
+    def overwrite(
+        self, df: DataFrame, app_txn_id: str | None = None, max_retries: int = 10
+    ) -> int:
+        """Replace the table contents atomically."""
+        if app_txn_id is not None and self.is_committed(app_txn_id):
+            return self.latest_version()
+        adds = self._write_files(df)
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            removes = self.live_files(v - 1)
+            if self._try_commit(v, "overwrite", adds, removes, app_txn_id):
+                return v
+        raise TxnConflict(f"overwrite lost {max_retries} version races")
+
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        app_txn_id: str | None = None,
+    ) -> int:
+        """Transactional MERGE: latest row per key wins between the
+        current snapshot and ``updates`` (updates win ties).  Optimistic
+        concurrency: the merge computes against a pinned snapshot; if
+        ANOTHER DATA COMMIT lands first, the snapshot is stale and the
+        merge raises TxnConflict rather than silently losing the
+        concurrent writer's rows (rewrite-all-files merge => any
+        concurrent change conflicts; a file-pruned merge would narrow
+        this to overlapping files)."""
+        if app_txn_id is not None and self.is_committed(app_txn_id):
+            return self.latest_version()
+        base_version = self.latest_version()
+        base_files = self.live_files(base_version)
+        if base_files:
+            base = self.read(base_version)
+            merged = (
+                base.join(updates.select(*keys), keys, "left_anti")
+                .unionByName(updates)
+            )
+        else:
+            merged = updates
+        adds = self._write_files(merged)
+        if not self._try_commit(
+            base_version + 1, "merge", adds, base_files, app_txn_id
+        ):
+            for name in adds:
+                (self.path / self.DATA_DIR / name).unlink(missing_ok=True)
+            raise TxnConflict(
+                f"merge based on version {base_version} lost to a concurrent "
+                f"commit (now {self.latest_version()}); re-read and retry"
+            )
+        return base_version + 1
+
+    # ------------------------------------------------------------- maintain
+    def vacuum(self) -> list[str]:
+        """Delete orphan data files no version references (crashed
+        writers).  Files removed by later versions are KEPT — they back
+        time travel."""
+        referenced: set[str] = set()
+        for c in self._commits():
+            referenced |= set(c["adds"])
+        dropped = []
+        for p in (self.path / self.DATA_DIR).glob("*.parquet"):
+            if p.name not in referenced:
+                p.unlink()
+                dropped.append(p.name)
+        return sorted(dropped)

@@ -1,0 +1,121 @@
+"""Unit tests for the mini transaction-log table format
+(pipeline/txn.py): versioned snapshots, time travel, atomic commit
+races, optimistic-concurrency conflicts, idempotent re-commit, orphan
+invisibility, and vacuum."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_genaric_datapipeline_spark.pipeline.txn import TxnConflict, TxnTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxnTable(spark, str(tmp_path / "tbl"))
+
+
+def _rows(df):
+    return {(r["k"], r["v"]) for r in df.collect()}
+
+
+class TestVersioning:
+    def test_append_advances_versions_and_accumulates(self, spark, table):
+        assert table.latest_version() == 0
+        v1 = table.append(_df(spark, [(1, "a")]))
+        v2 = table.append(_df(spark, [(2, "b")]))
+        assert (v1, v2) == (1, 2)
+        assert _rows(table.read()) == {(1, "a"), (2, "b")}
+
+    def test_time_travel_reads_historical_snapshots(self, spark, table):
+        table.append(_df(spark, [(1, "a")]))
+        table.overwrite(_df(spark, [(9, "z")]))
+        assert _rows(table.read(version=1)) == {(1, "a")}
+        assert _rows(table.read(version=2)) == {(9, "z")}
+        assert _rows(table.read()) == {(9, "z")}
+
+    def test_snapshot_isolation_under_overwrite(self, spark, table):
+        """A reader that pinned files before an overwrite still computes
+        over the old immutable files."""
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        pinned = table.read(version=1)
+        table.overwrite(_df(spark, [(3, "c")]))
+        # the pinned plan still reads the version-1 files
+        assert _rows(pinned) == {(1, "a"), (2, "b")}
+        assert _rows(table.read()) == {(3, "c")}
+
+    def test_empty_table_read_raises(self, table):
+        with pytest.raises(ValueError):
+            table.read()
+
+
+class TestMerge:
+    def test_merge_latest_wins_and_inserts(self, spark, table):
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        table.merge_upsert(_df(spark, [(2, "B"), (3, "c")]), keys=["k"])
+        assert _rows(table.read()) == {(1, "a"), (2, "B"), (3, "c")}
+
+    def test_merge_into_empty_table(self, spark, table):
+        table.merge_upsert(_df(spark, [(1, "a")]), keys=["k"])
+        assert _rows(table.read()) == {(1, "a")}
+
+    def test_stale_merge_conflicts(self, spark, table):
+        """Two writers merge from the same base version: the second
+        commit must raise TxnConflict, never silently drop the first."""
+        table.append(_df(spark, [(1, "a")]))
+        # writer A commits version 2 "behind the back" of writer B
+        interloper = TxnTable(spark, str(table.path))
+        stale_base = table.latest_version()
+        interloper.append(_df(spark, [(5, "e")]))
+        # writer B believes base is stale_base; merge must now conflict
+        assert table.latest_version() == stale_base + 1
+        with pytest.raises(TxnConflict):
+            # force B's view of the base: replay its protocol manually
+            base_files = table.live_files(stale_base)
+            merged = _df(spark, [(1, "A2")])
+            adds = table._write_files(merged)
+            if not table._try_commit(stale_base + 1, "merge", adds, base_files, None):
+                raise TxnConflict("stale base")
+        # the interloper's row survived
+        assert (5, "e") in _rows(table.read())
+
+    def test_idempotent_app_txn(self, spark, table):
+        table.append(_df(spark, [(1, "a")]), app_txn_id="t0")
+        v = table.merge_upsert(_df(spark, [(1, "A")]), keys=["k"], app_txn_id="t1")
+        v2 = table.merge_upsert(_df(spark, [(1, "A")]), keys=["k"], app_txn_id="t1")
+        assert v == v2 == table.latest_version()
+        assert _rows(table.read()) == {(1, "A")}
+
+    def test_version_race_on_log_file(self, spark, table):
+        """The create-exclusive commit primitive: once version N exists,
+        a second commit of N must be rejected."""
+        table.append(_df(spark, [(1, "a")]))
+        assert table._try_commit(1, "append", ["x.parquet"], [], None) is False
+
+
+class TestHygiene:
+    def test_orphan_files_invisible_and_vacuumed(self, spark, table):
+        """A writer that crashed after writing parquet but before
+        committing leaves files readers never see; vacuum removes them."""
+        table.append(_df(spark, [(1, "a")]))
+        orphans = table._write_files(_df(spark, [(99, "crash")]))
+        assert _rows(table.read()) == {(1, "a")}
+        dropped = table.vacuum()
+        assert sorted(orphans) == dropped
+        # committed files survive vacuum, including time-travel history
+        table.overwrite(_df(spark, [(2, "b")]))
+        table.vacuum()
+        assert _rows(table.read(version=1)) == {(1, "a")}
+
+    def test_history_reports_commits(self, spark, table):
+        table.append(_df(spark, [(1, "a")]), app_txn_id="h1")
+        table.overwrite(_df(spark, [(2, "b")]))
+        hist = table.history()
+        assert [h["version"] for h in hist] == [1, 2]
+        assert hist[0]["op"] == "append" and hist[0]["app_txn_id"] == "h1"
+        assert hist[1]["op"] == "overwrite" and hist[1]["n_removes"] >= 1
