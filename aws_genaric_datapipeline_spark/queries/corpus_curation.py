@@ -2138,3 +2138,116 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred",
         )
     )
+
+
+# --------------------------------------------------------- HTML extraction
+# Deterministic synthetic page wrapped around each document's text: shared
+# chrome (nav/footer/legal) that the line-frequency pass must remove, a
+# script/style/comment block the extractor must drop, entities it must
+# decode, and two per-document lines (title, body) it must keep in order.
+_HTML_PRE = (
+    "<html><head><title>ignored</title>\n"
+    "<style>body { color: #333; }</style>\n"
+    "<script>var x = 1 < 2 && 3 > 2;</script>\n"
+    "</head><body>\n"
+    "<nav>Home | About | Contact</nav>\n"
+    "<!-- tracking pixel -->\n"
+    "<h1>Doc "
+)
+_HTML_MID = "</h1>\n<p>"
+_HTML_POST = (
+    "</p>\n<p>Terms &amp; conditions &lt;apply&gt;</p>\n"
+    "<div>copyright 2026 example corp</div>\n</body></html>"
+)
+
+
+def _html_extract_oracle_sql() -> str:
+    """DuckDB replay of the full HTML chain (operators/html.py): every
+    regex is RE2-and-Java-compatible by construction, entity decode is
+    plain replace(), and the boilerplate rule is integer-exact — so the
+    md5 of the extracted text matches Spark bit-for-bit."""
+    block = "p|div|h1|h2|h3|li|nav|tr|td|section|article|footer|header"
+    ent = (
+        "replace(replace(replace(replace(replace(replace({x},"
+        " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        " '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
+    )
+    strip = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,"
+        " '(?s)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),"
+        " '(?s)<!--.*?-->', '', 'g'),"
+        f" '</({block})>|<br */?>', chr(10), 'g'),"
+        " '<[^>]*>', ' ', 'g')"
+    )
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}'
+                       || coalesce(text, '') || '{_HTML_POST}' AS html
+            FROM documents
+        ),
+        y AS (SELECT doc_id, {ent.format(x=strip)} AS txt FROM h),
+        l0 AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(txt, chr(10)),
+                       l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+                       l -> l <> '') AS lines
+            FROM y
+        ),
+        ex AS (
+            SELECT doc_id, CAST(g.i AS INT) AS pos, lines[g.i] AS line
+            FROM l0, UNNEST(range(1, len(lines) + 1)) AS g(i)
+        ),
+        nn AS (SELECT count(*) AS n FROM documents),
+        boiler AS (
+            SELECT line FROM ex GROUP BY line
+            HAVING count(DISTINCT doc_id) * 10 >= (SELECT n FROM nn) * 1
+        ),
+        kept AS (SELECT * FROM ex WHERE line NOT IN (SELECT line FROM boiler)),
+        agg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS txt
+            FROM kept GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, md5(txt) AS text_md5
+        FROM agg
+    """
+
+
+@query(
+    "text_html_extract",
+    oracle=_html_extract_oracle_sql(),
+    tags=("north-star", "curation", "html"),
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → clean text for a web corpus (operators/html.py): wrap each
+    document's text in a deterministic synthetic page (shared nav/footer
+    chrome, script/style/comment noise, HTML entities), extract visible
+    text with the pure-Catalyst regex chain, then drop boilerplate by the
+    CCNet-style line-frequency rule (a line in >= 10% of documents is
+    chrome).  Output is (doc_id, n_kept, md5(text)) — the md5 pins the
+    ENTIRE extraction bit-for-bit against the DuckDB replay: tag
+    stripping, entity decode, whitespace policy, boilerplate set, and
+    line order all have to match.
+
+    Scale: extraction is whole-stage-codegen regex per row; the
+    boilerplate pass is one (line, doc) shuffle + a broadcast anti-join
+    (hash lines first at 100 TB — operators/html.py docstring)."""
+    from aws_genaric_datapipeline_spark.operators import html as H
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pages = documents.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_MID),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    lines = pages.select("doc_id", H.html_text_lines(F.col("html")).alias("lines"))
+    cleaned = H.drop_boilerplate_lines(lines, id_col="doc_id", lines_col="lines")
+    return cleaned.select(
+        "doc_id", "n_kept", F.md5(F.col("text")).alias("text_md5")
+    )

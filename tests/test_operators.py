@@ -2555,3 +2555,60 @@ class TestQualityClassifier:
         ).where(F.lit(False))
         with pytest.raises(ValueError):
             C.train_logreg(spark, feat, empty, num_buckets=4)
+
+
+class TestHtmlExtract:
+    """operators/html.py — extraction chain and boilerplate rule edges
+    the md5 oracle can't isolate."""
+
+    def _lines(self, spark, html):
+        from aws_genaric_datapipeline_spark.operators import html as H
+
+        df = spark.createDataFrame([(html,)], "html string")
+        return df.select(H.html_text_lines(F.col("html")).alias("l")).first()["l"]
+
+    def test_script_style_comments_dropped(self, spark):
+        got = self._lines(
+            spark,
+            "<script>if (a < b && c > d) { alert('x'); }</script>"
+            "<style>p { margin: 0; }</style><!-- note -->\n<p>body text</p>",
+        )
+        assert got == ["body text"]
+
+    def test_entities_and_blocks(self, spark):
+        got = self._lines(
+            spark,
+            "<div>a &amp; b</div><div>1 &lt; 2</div><p>say &quot;hi&quot;</p>",
+        )
+        assert got == ['a & b', '1 < 2', 'say "hi"']
+
+    def test_br_and_whitespace_collapse(self, spark):
+        got = self._lines(spark, "<p>one<br>two   three<br/>  </p>")
+        assert got == ["one", "two three"]
+
+    def test_boilerplate_drops_frequent_keeps_rare(self, spark):
+        from aws_genaric_datapipeline_spark.operators import html as H
+
+        rows = [(i, ["chrome line", f"unique {i}"]) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+        out = H.drop_boilerplate_lines(df)
+        got = {r["doc_id"]: (r["n_kept"], r["text"]) for r in out.collect()}
+        assert len(got) == 20
+        assert all(v == (1, f"unique {k}") for k, v in got.items())
+
+    def test_all_boilerplate_doc_vanishes(self, spark):
+        from aws_genaric_datapipeline_spark.operators import html as H
+
+        rows = [(i, ["chrome"]) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+        assert H.drop_boilerplate_lines(df).count() == 0
+
+    def test_line_order_preserved(self, spark):
+        from aws_genaric_datapipeline_spark.operators import html as H
+
+        df = spark.createDataFrame(
+            [(1, [f"line {i:02d}" for i in range(30)])],
+            "doc_id long, lines array<string>",
+        )
+        out = H.drop_boilerplate_lines(df, max_doc_num=9, max_doc_den=1)
+        assert out.first()["text"].split("\n") == [f"line {i:02d}" for i in range(30)]
