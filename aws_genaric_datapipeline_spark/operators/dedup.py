@@ -1342,3 +1342,125 @@ def simhash_query_index(
         )
     )
     return scored.where(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------- index erasure
+# Right-to-erasure must CASCADE into derived artifacts: a privacy
+# deletion that removes corpus rows but leaves the persisted dedup/ANN
+# indexes intact keeps the victim's fingerprints queryable (a membership
+# leak) and keeps matching new submissions against ghost documents.  The
+# contract for every eraser below is REBUILD EQUIVALENCE:
+#
+#     erase(build(corpus), victims) == build(corpus \ victims)
+#
+# asserted row-for-row in tests/test_erasure.py and value-replayed by the
+# dedup_index_erasure driver oracle.  Erasers rewrite the bucketed
+# tables with the SAME layout (bucket metadata preserved, co-located
+# joins keep working); at 100 TB, rewrite only the buckets/files that
+# contain victim rows — the txn log (pipeline/txn.py) is the natural
+# carrier for that file-level remove/add commit.
+
+
+def _erase_rows(
+    spark,
+    table: str,
+    victim_ids: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+) -> None:
+    """Anti-join victims out of a bucketed catalog table and rewrite it
+    in place (same bucketing).  The kept frame is materialized via
+    localCheckpoint first — overwriting a table that the pending plan
+    still reads is rejected by Spark otherwise."""
+    from aws_genaric_datapipeline_spark.operators.bucketing import write_bucketed
+
+    victims = victim_ids.select(F.col(victim_ids.columns[0]).alias(id_col))
+    kept = (
+        spark.table(table)
+        .join(F.broadcast(victims), id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    write_bucketed(kept, table, bucket_cols, num_buckets, mode="overwrite")
+
+
+def erase_from_minhash_index(
+    spark,
+    bands_table: str,
+    toks_table: str,
+    victim_ids: DataFrame,
+    num_buckets: int = 8,
+) -> None:
+    """Cascade a deletion into the MinHash near-dup index
+    (minhash_build_index): both the band-key table and the verify-array
+    table are per-document, so victim rows anti-join out exactly."""
+    _erase_rows(spark, bands_table, victim_ids, "did", ["bkey"], num_buckets)
+    _erase_rows(spark, toks_table, victim_ids, "did", ["did"], num_buckets)
+
+
+def erase_from_simhash_index(
+    spark,
+    chunks_table: str,
+    sigs_table: str,
+    victim_ids: DataFrame,
+    num_buckets: int = 8,
+) -> None:
+    """Cascade a deletion into the SimHash index (simhash_build_index);
+    same per-document row shape as the MinHash eraser."""
+    _erase_rows(spark, chunks_table, victim_ids, "did", ["ckey"], num_buckets)
+    _erase_rows(spark, sigs_table, victim_ids, "did", ["did"], num_buckets)
+
+
+def erase_from_fingerprint_index(
+    spark,
+    table: str,
+    victims_df: DataFrame,
+    survivors_df: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 8,
+) -> None:
+    """Cascade a deletion into the exact-dup fingerprint index
+    (write_fingerprint_index).  Fingerprints are doc-ANONYMOUS and
+    shared across duplicate families, so a victim's fp is removed only
+    when NO survivor shares it — otherwise erasing one copy of a
+    duplicated document would un-index the copies that remain.  Needs a
+    survivors frame (or, in production, a refcounted fp table so the
+    check is a counter decrement instead of a corpus scan)."""
+    from aws_genaric_datapipeline_spark.operators.bucketing import write_bucketed
+
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    dead = (
+        victims_df.select(fp)
+        .dropDuplicates()
+        .join(survivors_df.select(fp).dropDuplicates(), "fp", "left_anti")
+    )
+    kept = (
+        spark.table(table)
+        .join(F.broadcast(dead), "fp", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    write_bucketed(kept, table, ["fp"], num_buckets, mode="overwrite")
+
+
+def erase_from_bloom_index(
+    survivors_df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 2,
+) -> None:
+    """Bloom position sets cannot delete (bits are ORs over unknown
+    contributors), so erasure REBUILDS the index from the surviving set
+    — the honest cost of a non-decomposable sketch.  A counting Bloom
+    variant would make deletion local; rebuild keeps the stored format
+    unchanged and is exactly build(corpus \\ victims) by construction."""
+    bloom_build_index(
+        survivors_df,
+        table,
+        text_col=text_col,
+        n=n,
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        mode="overwrite",
+    )

@@ -2658,7 +2658,12 @@ def report_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_index_oracle(
-    num_hashes: int = 16, bands: int = 8, threshold: float = 0.8, split_mod: int = 5
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    split_mod: int = 5,
+    batch_pred: str | None = None,
+    corpus_pred: str | None = None,
 ) -> str:
     """DuckDB replay of the INCREMENTAL MinHash index path
     (operators/dedup.py minhash_build_index + minhash_query_index): per-doc
@@ -2681,6 +2686,8 @@ def _minhash_index_oracle(
         + "), 1, 15))::BIGINT AS bh FROM sig"
         for b in range(bands)
     )
+    batch_pred = batch_pred or f"b.did % {split_mod} = 0"
+    corpus_pred = corpus_pred or f"c.did % {split_mod} <> 0"
     return f"""
         WITH docs AS (
             SELECT doc_id AS did, list_sort(list_distinct({_DUCK_TRIGRAMS})) AS sh
@@ -2695,7 +2702,7 @@ def _minhash_index_oracle(
             SELECT DISTINCT b.did AS batch_id, c.did AS corpus_id
             FROM banded b JOIN banded c
               ON b.band = c.band AND b.bh = c.bh
-            WHERE b.did % {split_mod} = 0 AND c.did % {split_mod} <> 0
+            WHERE ({batch_pred}) AND ({corpus_pred})
         ),
         ver AS (
             SELECT batch_id, corpus_id,
@@ -2742,6 +2749,45 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     D.minhash_build_index(corpus, "mh_inc_bands_idx", "mh_inc_toks_idx")
     return D.minhash_query_index(
         spark, batch, "mh_inc_bands_idx", "mh_inc_toks_idx", threshold=0.8
+    )
+
+
+@query(
+    "dedup_index_erasure",
+    oracle=_minhash_index_oracle(
+        batch_pred="b.did % 20 = 3",
+        corpus_pred="c.did % 20 <> 3",
+    ),
+    tags=("north-star", "dedup", "privacy", "incremental"),
+)
+def dedup_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure CASCADED into the persisted near-dup index
+    (operators/dedup.py erase_from_minhash_index): build the MinHash
+    index over the FULL corpus, erase the victim set (doc_id % 20 = 3)
+    from both bucketed tables in place, then re-submit the victims' text
+    as a fresh batch.  A correct cascade matches them only against
+    SURVIVING near-duplicates — never against their own ghost rows.
+
+    The oracle replays the index path with corpus = survivors, i.e. it
+    computes build(corpus \\ victims) directly — so a hash match proves
+    the erased index is equivalent to a rebuilt one (the contract
+    tests/test_erasure.py also asserts row-for-row on the tables
+    themselves, plus the fingerprint-refcount and bloom-rebuild ones).
+
+    Scale: erasure rewrites the bucketed tables minus a broadcast victim
+    set — one co-located scan each, no corpus re-sketch; at 100 TB
+    rewrite only victim-bearing files via the txn log."""
+    (documents,) = load(spark, sf_dir, "documents")
+    victims = documents.where(F.col("doc_id") % 20 == 3)
+    D.minhash_build_index(documents, "mh_erase_bands_idx", "mh_erase_toks_idx")
+    D.erase_from_minhash_index(
+        spark,
+        "mh_erase_bands_idx",
+        "mh_erase_toks_idx",
+        victims.select(F.col("doc_id").alias("did")),
+    )
+    return D.minhash_query_index(
+        spark, victims, "mh_erase_bands_idx", "mh_erase_toks_idx", threshold=0.8
     )
 
 

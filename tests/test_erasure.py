@@ -1,0 +1,144 @@
+"""Erasure-cascade contracts (operators/dedup.py erasers): for every
+persisted index family, erase(build(corpus), victims) must equal
+build(corpus \\ victims) — row-for-row on the tables AND query-for-query
+on the screening results."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_genaric_datapipeline_spark.operators import dedup as D
+from aws_genaric_datapipeline_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    (d,) = load(spark, SF, "documents")
+    return d
+
+
+def _rows(spark, table):
+    def cell(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    return {tuple(cell(v) for v in r) for r in spark.table(table).collect()}
+
+
+class TestMinhashErasure:
+    def test_erased_equals_rebuilt(self, spark, documents):
+        victims = documents.where(F.col("doc_id") % 10 == 1)
+        survivors = documents.where(F.col("doc_id") % 10 != 1)
+        D.minhash_build_index(documents, "er_mh_bands_a", "er_mh_toks_a")
+        D.erase_from_minhash_index(
+            spark,
+            "er_mh_bands_a",
+            "er_mh_toks_a",
+            victims.select(F.col("doc_id").alias("did")),
+        )
+        D.minhash_build_index(survivors, "er_mh_bands_b", "er_mh_toks_b")
+        assert _rows(spark, "er_mh_bands_a") == _rows(spark, "er_mh_bands_b")
+        assert _rows(spark, "er_mh_toks_a") == _rows(spark, "er_mh_toks_b")
+
+    def test_screening_equivalence(self, spark, documents):
+        """Query results against the erased index == against a rebuilt
+        one, for an arbitrary probe batch."""
+        probe = documents.where(F.col("doc_id") % 7 == 0)
+
+        def q(bands, toks):
+            return {
+                tuple(r)
+                for r in D.minhash_query_index(
+                    spark, probe, bands, toks, threshold=0.8
+                ).collect()
+            }
+
+        assert q("er_mh_bands_a", "er_mh_toks_a") == q(
+            "er_mh_bands_b", "er_mh_toks_b"
+        )
+
+
+class TestSimhashErasure:
+    def test_erased_equals_rebuilt(self, spark, documents):
+        victims = documents.where(F.col("doc_id") % 10 == 2)
+        survivors = documents.where(F.col("doc_id") % 10 != 2)
+        D.simhash_build_index(documents, "er_sh_chunks_a", "er_sh_sigs_a")
+        D.erase_from_simhash_index(
+            spark,
+            "er_sh_chunks_a",
+            "er_sh_sigs_a",
+            victims.select(F.col("doc_id").alias("did")),
+        )
+        D.simhash_build_index(survivors, "er_sh_chunks_b", "er_sh_sigs_b")
+        assert _rows(spark, "er_sh_chunks_a") == _rows(spark, "er_sh_chunks_b")
+        assert _rows(spark, "er_sh_sigs_a") == _rows(spark, "er_sh_sigs_b")
+
+
+class TestFingerprintErasure:
+    def test_shared_fingerprint_survives_partial_erasure(self, spark):
+        """fp is shared across a duplicate family: erasing ONE copy must
+        keep the fp indexed; erasing the whole family removes it."""
+        docs = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "only mine")],
+            "doc_id long, text string",
+        )
+        D.write_fingerprint_index(docs, "er_fp_idx")
+        # erase doc 1 only: family {1,2} still has survivor 2
+        D.erase_from_fingerprint_index(
+            spark,
+            "er_fp_idx",
+            victims_df=docs.where(F.col("doc_id") == 1),
+            survivors_df=docs.where(F.col("doc_id") != 1),
+        )
+        assert spark.table("er_fp_idx").count() == 2
+        # now erase docs 2 and 3: nothing survives but nothing else does either
+        D.erase_from_fingerprint_index(
+            spark,
+            "er_fp_idx",
+            victims_df=docs.where(F.col("doc_id") != 1),
+            survivors_df=docs.where(F.lit(False)),
+        )
+        assert spark.table("er_fp_idx").count() == 0
+
+    def test_equals_rebuild_on_real_corpus(self, spark, documents):
+        victims = documents.where(F.col("doc_id") % 10 == 4)
+        survivors = documents.where(F.col("doc_id") % 10 != 4)
+        D.write_fingerprint_index(documents, "er_fp_a")
+        D.erase_from_fingerprint_index(
+            spark, "er_fp_a", victims_df=victims, survivors_df=survivors
+        )
+        D.write_fingerprint_index(survivors, "er_fp_b")
+        assert _rows(spark, "er_fp_a") == _rows(spark, "er_fp_b")
+
+
+class TestBloomErasure:
+    def test_rebuild_unblocks_erased_content(self, spark):
+        """After erasure-by-rebuild, content only the victims contained
+        screens clean; surviving benchmark content still blocks."""
+        bench = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six"),
+            ],
+            "doc_id long, text string",
+        )
+        D.bloom_build_index(bench, "er_bloom_idx")
+        D.erase_from_bloom_index(
+            bench.where(F.col("doc_id") == 2), "er_bloom_idx"
+        )
+        probes = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta"),  # erased content
+                (11, "one two three four five six"),  # surviving content
+            ],
+            "doc_id long, text string",
+        )
+        flagged = {
+            r["doc_id"]
+            for r in D.bloom_screen_indexed(spark, probes, "er_bloom_idx")
+            .where(F.col("n_flagged") > 0)
+            .collect()
+        }
+        assert 11 in flagged and 10 not in flagged
