@@ -458,3 +458,119 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iters: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the HUB-SAFE fallback to hash-min ``connected_components``.
+
+    Why a second algorithm: hash-min keeps the EDGE SET static and joins
+    the label table against it every round — on a hub-heavy graph (one
+    shingle/chunk shared by millions of documents) the propagation join
+    concentrates that hub's entire neighborhood into one task every
+    round.  The star algorithms instead REWRITE the edge set each round:
+
+    - large-star(u): attach every neighbor v > u to m = min(N(u) ∪ {u})
+    - small-star(u): orient edges high→low; attach every low-neighbor
+      and u itself to the minimum
+
+    Each phase is one map-side-combinable min aggregate plus one
+    co-partitioned self-join on u, and a hub's neighborhood collapses to
+    direct root edges after the first alternation — the edge list only
+    shrinks toward the final star forest, so later rounds get CHEAPER
+    on exactly the graphs that hurt hash-min.  Convergence in
+    O(log n) alternations with high probability (paper Thm 3).
+
+    Same contract as ``connected_components``: (node, component) with
+    component = min reachable id; singletons via ``nodes``.  Equivalence
+    against hash-min and a recursive-CTE closure is pinned on planted-hub
+    fixtures in tests/test_operators.py::TestStarComponents, including a
+    round-count bound."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = nodes
+
+    def _cert(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count(F.lit(1)), F.sum("lo"), F.sum("hi")
+        ).collect()[0]
+        return tuple(row)
+
+    prev = _cert(e)
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # ---- large-star: symmetric adjacency, attach big neighbors to min
+        adj = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        m = adj.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        e1 = (
+            adj.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # ---- small-star: high->low orientation, attach low side + self
+        adj2 = e1.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m2 = adj2.groupBy("u").agg(F.min("v").alias("m"))
+        sm = (
+            adj2.join(m2, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .unionByName(
+                m2.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .select(
+                F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi")
+            )
+            .distinct()
+        )
+        e = sm.localCheckpoint(eager=False)
+        cur = _cert(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_iters} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # Star forest -> labels: every hi points at its root lo; roots and
+    # isolated nodes label themselves.
+    member = e.groupBy(F.col("hi").alias("node")).agg(F.min("lo").alias("component"))
+    roots = (
+        e.select(F.col("lo").alias("node"))
+        .distinct()
+        .join(member.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    labels = member.unionByName(roots)
+    if all_nodes is not None:
+        extra = (
+            all_nodes.select(F.col(all_nodes.columns[0]).alias("node"))
+            .distinct()
+            .join(labels.select("node"), "node", "left_anti")
+            .withColumn("component", F.col("node"))
+        )
+        labels = labels.unionByName(extra)
+    return labels

@@ -408,6 +408,40 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_components_star",
+    oracle=_CC_CLUSTERS_ORACLE,
+    tags=("north-star", "dedup", "graph"),
+)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME near-dup clustering as dedup_connected_clusters, computed
+    by the hub-safe LARGE-STAR/SMALL-STAR algorithm
+    (operators/graph.py connected_components_star) instead of hash-min —
+    sharing the recursive-CTE closure oracle proves both algorithms
+    reach the identical fixpoint on real data.  Star alternation is the
+    100 TB fallback for hub-heavy edge sets (a shingle shared by millions
+    of documents), where the static-edge hash-min join concentrates one
+    hub's neighborhood into a single task every round; star rewrites
+    shrink the edge list toward the final star forest instead.  Planted-
+    hub equivalence + round-count bounds live in
+    tests/test_operators.py::TestStarComponents."""
+    from pyspark.sql import Window
+
+    from aws_genaric_datapipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5, hash_tokens=True)
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
 def _kcore_oracle_sql(k: int = 2, rounds: int = 10) -> str:
     """Unrolled-peel replay of k-core over the shared near-dup edge CTEs:
     round i recomputes degrees within the round-(i-1) survivor set and

@@ -2612,3 +2612,70 @@ class TestHtmlExtract:
         )
         out = H.drop_boilerplate_lines(df, max_doc_num=9, max_doc_den=1)
         assert out.first()["text"].split("\n") == [f"line {i:02d}" for i in range(30)]
+
+
+class TestStarComponents:
+    """operators/graph.py connected_components_star — the hub-safe CC:
+    equivalence with hash-min on adversarial shapes plus the round-count
+    bound that makes it the hub fallback."""
+
+    def _both(self, spark, edges, nodes=None):
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {
+            (r["node"], r["component"])
+            for r in connected_components(df, nodes=nodes).collect()
+        }
+        stats = {}
+        b = {
+            (r["node"], r["component"])
+            for r in connected_components_star(df, nodes=nodes, stats=stats).collect()
+        }
+        return a, b, stats
+
+    def test_planted_hub_matches_hashmin(self, spark):
+        """One hub node adjacent to 2000 spokes, a chain grafted on, plus
+        two disjoint triangles — the degree distribution that motivates
+        the star fallback."""
+        hub = [(999_999, i) for i in range(2000)]
+        chain = [(i, i + 1) for i in range(2000, 2040)] + [(1999, 2000)]
+        tris = [(5_000_001, 5_000_002), (5_000_002, 5_000_003), (5_000_001, 5_000_003),
+                (6_000_001, 6_000_002), (6_000_002, 6_000_003), (6_000_001, 6_000_003)]
+        a, b, stats = self._both(spark, hub + chain + tris)
+        assert a == b
+        comps = {c for _, c in b}
+        assert len(comps) == 3  # hub+chain, two triangles
+        # star alternation must collapse the hub fast: log-ish rounds,
+        # nowhere near the chain length
+        assert stats["rounds"] <= 8, stats
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        edges = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5)]
+        a, b, _ = self._both(spark, edges)
+        assert a == b
+        # contract parity with hash-min: a node with ONLY a self-loop has
+        # no real edge and appears in neither (supply `nodes` to keep it)
+        assert (3, 3) not in b and (1, 1) in b and (4, 4) in b
+
+    def test_isolated_nodes_via_nodes_frame(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+        a, b, _ = self._both(spark, [(0, 1), (2, 3)], nodes=nodes)
+        assert a == b
+        assert (7, 7) in b
+
+    def test_long_chain_converges_logarithmically(self, spark):
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(256)], "src long, dst long"
+        )
+        stats = {}
+        out = connected_components_star(df, stats=stats)
+        assert {r["component"] for r in out.collect()} == {0}
+        assert stats["rounds"] <= 12, stats
