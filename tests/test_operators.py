@@ -2679,3 +2679,27 @@ class TestStarComponents:
         out = connected_components_star(df, stats=stats)
         assert {r["component"] for r in out.collect()} == {0}
         assert stats["rounds"] <= 12, stats
+
+
+class TestAnnTuningReport:
+    def test_monotone_recall_and_scan(self, spark, embeddings):
+        """More probes never hurt: recall@k and scan fraction are both
+        non-decreasing in nprobe, and nprobe = num_cells reaches exact
+        recall (every cell probed == brute force)."""
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            ivf_tuning_report,
+        )
+
+        rep = {
+            r["nprobe"]: (r["recall_bp"], r["scan_bp"])
+            for r in ivf_tuning_report(
+                embeddings, query_ids=[1, 2, 3], k=5, num_cells=8,
+                nprobes=(1, 4, 8),
+            ).collect()
+        }
+        probes = sorted(rep)
+        for lo, hi in zip(probes, probes[1:]):
+            assert rep[lo][0] <= rep[hi][0], rep
+            assert rep[lo][1] <= rep[hi][1], rep
+        assert rep[8][0] == 10000  # all cells probed == exact
+        assert all(0 <= v <= 10000 for pair in rep.values() for v in pair)
