@@ -251,3 +251,51 @@ class TxnTable:
                 p.unlink()
                 dropped.append(p.name)
         return sorted(dropped)
+
+
+def exactly_once_stream_sink(table: TxnTable, sink_id: str = "stream"):
+    """foreachBatch handler giving a streaming query EXACTLY-ONCE
+    delivery into a TxnTable: the micro-batch id becomes the commit's
+    ``app_txn_id``, so a batch replayed after a crash/restart (Structured
+    Streaming's at-least-once contract on sinks without their own
+    transaction log) re-commits as a no-op instead of duplicating rows.
+
+        q = (df.writeStream
+               .foreachBatch(exactly_once_stream_sink(table, "events"))
+               .option("checkpointLocation", ckpt).start())
+
+    This is precisely the idempotent-sink half Delta's streaming writer
+    implements (txnAppId/txnVersion); combined with the checkpoint's
+    replay it upgrades the pipeline end to end to exactly-once."""
+
+    def _handle(batch_df, batch_id: int) -> None:
+        table.append(batch_df, app_txn_id=f"{sink_id}-{batch_id}")
+
+    return _handle
+
+
+def compact(table: TxnTable, app_txn_id: str | None = None) -> int:
+    """Rewrite the current snapshot's files into one coalesced layout as
+    a single commit (adds the new files, removes every current one).
+    The table's CONTENT is unchanged — only the file count drops — and
+    history still time-travels to pre-compaction versions (their files
+    are referenced by earlier commits, so vacuum keeps them).  Small-file
+    sprawl is the tax of per-batch streaming appends; this is the
+    periodic maintenance commit that pays it down."""
+    base_version = table.latest_version()
+    base_files = table.live_files(base_version)
+    if not base_files:
+        return base_version
+    if app_txn_id is not None and table.is_committed(app_txn_id):
+        return table.latest_version()
+    snapshot = table.read(base_version).coalesce(1)
+    adds = table._write_files(snapshot)
+    if not table._try_commit(
+        base_version + 1, "compact", adds, base_files, app_txn_id
+    ):
+        for name in adds:
+            (table.path / table.DATA_DIR / name).unlink(missing_ok=True)
+        raise TxnConflict(
+            f"compact based on version {base_version} lost to a concurrent commit"
+        )
+    return base_version + 1

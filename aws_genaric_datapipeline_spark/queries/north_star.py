@@ -1952,7 +1952,17 @@ def multimodal_jpeg_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = documents.select("doc_id", "text").mapInPandas(_render, schema=M.MEDIA_SCHEMA)
+    # The JPEG encode inside _render is ~4 ms/image of Python work; the
+    # parquet source is a single split at bench scale, so parallelize the
+    # INPUT of the render pass (ensure_parallelism downstream would only
+    # parallelize the decode side).
+    from aws_genaric_datapipeline_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    media = ensure_parallelism(documents.select("doc_id", "text")).mapInPandas(
+        _render, schema=M.MEDIA_SCHEMA
+    )
     hashes = M.perceptual_hash_media(media).localCheckpoint(eager=True)
     counts = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("dup_count"))
     return (

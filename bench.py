@@ -119,6 +119,13 @@ HEADLINE = [
     "agg_bitmap_exact_distinct",
     "func_sql_udf",
     "mv_incremental_distinct_refresh",
+    "text_quality_classifier",
+    "multimodal_jpeg_phash",
+    "merge_acid_upsert",
+    "text_html_extract",
+    "dedup_index_erasure",
+    "graph_components_star",
+    "sim_ann_tuning_report",
 ]
 
 

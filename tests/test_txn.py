@@ -119,3 +119,62 @@ class TestHygiene:
         assert [h["version"] for h in hist] == [1, 2]
         assert hist[0]["op"] == "append" and hist[0]["app_txn_id"] == "h1"
         assert hist[1]["op"] == "overwrite" and hist[1]["n_removes"] >= 1
+
+
+class TestStreamingSink:
+    def test_exactly_once_under_batch_replay(self, spark, table, tmp_path):
+        """Drive a real file-source stream into the table through
+        exactly_once_stream_sink, then SIMULATE Structured Streaming's
+        at-least-once redelivery by re-invoking the handler with an
+        already-committed batch id: rows must not duplicate."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            exactly_once_stream_sink,
+        )
+
+        src = tmp_path / "src"
+        _df(spark, [(1, "a"), (2, "b")]).write.parquet(str(src))
+        stream = (
+            spark.readStream.schema("k bigint, v string").parquet(str(src))
+        )
+        handler = exactly_once_stream_sink(table, "t")
+        q = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert _rows(table.read()) == {(1, "a"), (2, "b")}
+        v = table.latest_version()
+        # crash-replay of batch 0: the app_txn_id makes it a no-op
+        handler(_df(spark, [(1, "a"), (2, "b")]), 0)
+        assert table.latest_version() == v
+        assert table.read().count() == 2
+
+
+class TestCompaction:
+    def test_compact_preserves_content_and_history(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import compact
+
+        for i in range(4):
+            table.append(_df(spark, [(i, f"v{i}")]))
+        before = _rows(table.read())
+        n_files_before = len(table.live_files())
+        v = compact(table)
+        assert _rows(table.read()) == before
+        assert len(table.live_files()) < n_files_before
+        assert table.history()[-1]["op"] == "compact"
+        # time travel to pre-compaction still works
+        assert _rows(table.read(version=v - 1)) == before
+        assert _rows(table.read(version=2)) == {(0, "v0"), (1, "v1")}
+
+    def test_compact_idempotent_by_app_txn(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import compact
+
+        table.append(_df(spark, [(1, "a")]))
+        table.append(_df(spark, [(2, "b")]))
+        v = compact(table, app_txn_id="c1")
+        assert compact(table, app_txn_id="c1") == v
+        assert table.latest_version() == v
