@@ -1420,3 +1420,74 @@ def ivf_tuning_report(
     return spark.createDataFrame(
         rows, "nprobe bigint, recall_bp bigint, scan_bp bigint"
     )
+
+
+# --------------------------------------------------------- index erasure
+def erase_from_lsh_index(
+    spark,
+    buckets_table: str,
+    vecs_table: str,
+    victim_ids: DataFrame,
+    num_buckets: int = 8,
+) -> None:
+    """Cascade a right-to-erasure deletion into the persisted hyperplane-
+    LSH embedding index (lsh_build_index): both tables are per-vector, so
+    victim rows anti-join out exactly — same rebuild-equivalence contract
+    as the MinHash eraser (operators/dedup.py), asserted in
+    tests/test_erasure.py::TestLshIndexErasure.  The PLANE COUNT is a
+    frozen index parameter (bucket ids are a function of it), so the
+    rebuild comparison pins num_planes rather than re-deriving it from
+    the shrunken corpus."""
+    from aws_genaric_datapipeline_spark.operators.dedup import _erase_rows
+
+    _erase_rows(spark, buckets_table, victim_ids, "vid", ["bkey"], num_buckets)
+    _erase_rows(spark, vecs_table, victim_ids, "vid", ["vid"], num_buckets)
+
+
+def erase_from_ivf_index(spark, index_path: str, victim_ids: DataFrame) -> None:
+    """Cascade a deletion into the persisted IVF index (ivf_build_index):
+    rewrite ONLY the cell partitions that contain victim vectors (dynamic
+    partition overwrite — untouched cells' files are never read or
+    rewritten, the file-pruned shape the 100 TB path needs), and drop a
+    partition outright when every vector in it was erased (dynamic
+    overwrite only replaces partitions present in the NEW data, so an
+    all-victim cell would otherwise survive as a stale ghost).
+
+    The trained centroids are a MODEL ARTIFACT (like classifier weights):
+    they stay frozen, so post-erasure query results are exactly those of
+    an index rebuilt from survivors under the same centroids — the
+    contract tests/test_erasure.py::TestIvfIndexErasure asserts.  Full
+    erasure of the victims' influence on the centroids themselves means
+    retraining (ivf_build_index over survivors)."""
+    import shutil as _shutil
+
+    victims = victim_ids.select(
+        F.col(victim_ids.columns[0]).alias("vid")
+    ).localCheckpoint(eager=True)
+    cells = spark.read.parquet(f"{index_path}/cells")
+    affected = [
+        r["cell_id"]
+        for r in cells.join(F.broadcast(victims), "vid")
+        .select("cell_id")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return
+    kept = (
+        cells.where(F.col("cell_id").isin(affected))
+        .join(F.broadcast(victims), "vid", "left_anti")
+        .select("vid", "uvec", "cell_id")
+        .localCheckpoint(eager=True)
+    )
+    survivors = {r["cell_id"] for r in kept.select("cell_id").distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{index_path}/cells"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for cell in set(affected) - survivors:
+        _shutil.rmtree(f"{index_path}/cells/cell_id={cell}", ignore_errors=True)

@@ -142,3 +142,71 @@ class TestBloomErasure:
             .collect()
         }
         assert 11 in flagged and 10 not in flagged
+
+
+class TestLshIndexErasure:
+    def test_erased_equals_rebuilt_with_frozen_planes(self, spark):
+        from aws_genaric_datapipeline_spark.operators import similarity as S
+        from aws_genaric_datapipeline_spark.tables import load
+
+        (emb,) = load(spark, SF, "embeddings")
+        victims = emb.where(F.col("vec_id") % 9 == 2)
+        survivors = emb.where(F.col("vec_id") % 9 != 2)
+        planes = S.lsh_build_index(emb, "er_lsh_bk_a", "er_lsh_v_a")
+        S.erase_from_lsh_index(
+            spark, "er_lsh_bk_a", "er_lsh_v_a",
+            victims.select(F.col("vec_id").alias("vid")),
+        )
+        S.lsh_build_index(
+            survivors, "er_lsh_bk_b", "er_lsh_v_b", num_planes=planes
+        )
+        assert _rows(spark, "er_lsh_bk_a") == _rows(spark, "er_lsh_bk_b")
+        assert _rows(spark, "er_lsh_v_a") == _rows(spark, "er_lsh_v_b")
+
+
+class TestIvfIndexErasure:
+    def test_partition_pruned_erase_and_ghost_cell_removal(self, spark, tmp_path):
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators import similarity as S
+
+        # tiny corpus engineered so one cell is ENTIRELY victims
+        rng = np.random.RandomState(0)
+        rows = [(i, rng.randn(8).tolist()) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        path = str(tmp_path / "ivf")
+        S.ivf_build_index(df, path, num_cells=4)
+        cells = spark.read.parquet(f"{path}/cells")
+        # victims: everything in the first cell plus two vectors elsewhere
+        first_cell = cells.select("cell_id").distinct().orderBy("cell_id").first()[0]
+        vic_ids = {r["vid"] for r in cells.where(F.col("cell_id") == first_cell).collect()}
+        other = [r["vid"] for r in cells.where(F.col("cell_id") != first_cell).limit(2).collect()]
+        vic_ids |= set(other)
+        victims = spark.createDataFrame([(v,) for v in sorted(vic_ids)], "vid long")
+        before = {(r["vid"], r["cell_id"]) for r in cells.collect()}
+        S.erase_from_ivf_index(spark, path, victims)
+        after = {
+            (r["vid"], r["cell_id"])
+            for r in spark.read.parquet(f"{path}/cells").collect()
+        }
+        assert after == {p for p in before if p[0] not in vic_ids}
+        # the all-victim cell's partition directory is gone, not a ghost
+        import os
+
+        assert not os.path.exists(f"{path}/cells/cell_id={first_cell}")
+
+    def test_query_never_returns_victims(self, spark, tmp_path):
+        from aws_genaric_datapipeline_spark.operators import similarity as S
+        from aws_genaric_datapipeline_spark.tables import load
+
+        (emb,) = load(spark, SF, "embeddings")
+        path = str(tmp_path / "ivf2")
+        S.ivf_build_index(emb, path, num_cells=8)
+        vic = [r["vec_id"] for r in emb.select("vec_id").limit(40).collect() if r["vec_id"] % 2 == 0]
+        queries = emb.where(F.col("vec_id").isin([1, 3, 5]))
+        S.erase_from_ivf_index(
+            spark, path, spark.createDataFrame([(v,) for v in vic], "vid long")
+        )
+        got = S.ivf_query_index(spark, path, queries, k=5, nprobe=8)
+        neighbors = {r["neighbor_id"] for r in got.collect()}
+        assert neighbors.isdisjoint(set(vic))
