@@ -1464,3 +1464,108 @@ def erase_from_bloom_index(
         num_hashes=num_hashes,
         mode="overwrite",
     )
+
+
+# ---------------------------------------------------- counting Bloom index
+def _counting_bloom_contribs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(p, cnt) per-position contribution counts: one count per (doc,
+    distinct gram, hash) triple.  Counts are SUMS, so contributions are
+    order-independent and subtract exactly — the property plain position
+    sets lack."""
+    pos = _bloom_positions(F.col("tok"), num_bits, num_hashes)
+    return (
+        _token_sets(df, id_col, text_col, n)
+        .select(F.explode(F.array(*pos)).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def counting_bloom_build_index(
+    benchmark_df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 2,
+) -> None:
+    """DELETABLE decontamination index: a counting Bloom filter persisted
+    as (p, cnt).  Screening semantics are identical to bloom_build_index
+    (a position is set iff cnt > 0 — same bits, same false-positive
+    class), but counts make deletion LOCAL: erasing a benchmark document
+    subtracts exactly its own contributions, no survivor rescan — the
+    honest fix for erase_from_bloom_index's rebuild cost.  Contract
+    (tests/test_erasure.py::TestCountingBloom):
+
+        erase(build(A ∪ B), B) == build(A)      (table-exact)
+
+    because per-position counts are sums over (doc, gram, hash) triples.
+    Still broadcast-sized: ≤ num_bits rows of two longs."""
+    from aws_genaric_datapipeline_spark.operators.bucketing import (
+        recover_orphan_location,
+    )
+
+    contribs = _counting_bloom_contribs(
+        benchmark_df, "doc_id", text_col, n, num_bits, num_hashes
+    )
+    recover_orphan_location(contribs.sparkSession, table, "overwrite")
+    contribs.coalesce(1).write.format("parquet").mode("overwrite").saveAsTable(table)
+
+
+def counting_bloom_erase(
+    spark,
+    table: str,
+    victims_df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 2,
+) -> None:
+    """Subtract the victims' contributions from a counting Bloom index
+    and drop zeroed positions.  Needs ONLY the victims' text (cost
+    tracks the deletion, not the benchmark) — num_bits/num_hashes/n must
+    match the build, same parameter-pinning rule as every index family."""
+    from aws_genaric_datapipeline_spark.operators.bucketing import (
+        recover_orphan_location,
+    )
+
+    dec = _counting_bloom_contribs(
+        victims_df, "doc_id", text_col, n, num_bits, num_hashes
+    ).withColumnRenamed("cnt", "dec")
+    kept = (
+        spark.table(table)
+        .join(F.broadcast(dec), "p", "left")
+        .select(
+            "p",
+            (F.col("cnt") - F.coalesce(F.col("dec"), F.lit(0))).alias("cnt"),
+        )
+        .where(F.col("cnt") > 0)
+        .localCheckpoint(eager=True)
+    )
+    recover_orphan_location(spark, table, "overwrite")
+    kept.coalesce(1).write.format("parquet").mode("overwrite").saveAsTable(table)
+
+
+def counting_bloom_screen(
+    spark,
+    batch_df: DataFrame,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 2,
+) -> DataFrame:
+    """Screen a batch against a counting Bloom index — same output
+    contract as bloom_screen_indexed (set iff cnt > 0)."""
+    positions = spark.table(index_table).where(F.col("cnt") > 0).select("p")
+    return _bloom_probe(
+        batch_df, positions, id_col, text_col, n, num_bits, num_hashes
+    )

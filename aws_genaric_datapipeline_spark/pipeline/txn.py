@@ -51,6 +51,34 @@ class TxnConflict(RuntimeError):
     """A concurrent commit invalidated this transaction's snapshot."""
 
 
+def _footer_stats(path: Path) -> dict:
+    """Per-column [min, max] from a parquet file's footer (pyarrow) —
+    JSON-safe scalars only; columns without statistics are omitted, and
+    a reader treats a missing column as 'cannot prune'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                continue
+            if not isinstance(mn, (int, float, str, bool)):
+                mn, mx = str(mn), str(mx)
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
 class TxnTable:
     """ACID parquet table at ``path`` with a JSON commit log."""
 
@@ -118,22 +146,80 @@ class TxnTable:
             *[str(self.path / self.DATA_DIR / f) for f in files]
         )
 
+    def file_stats(self) -> dict[str, dict]:
+        """name -> {column: [min, max]} harvested at commit time."""
+        out: dict[str, dict] = {}
+        for c in self._commits():
+            out.update(c.get("stats", {}))
+        return out
+
+    def read_pruned(
+        self,
+        column: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read: open only the live files whose committed
+        [min, max] for ``column`` can intersect [lower, upper], then
+        apply the exact filter on top (stats prune files, the filter
+        prunes rows).  Files without stats for the column are always
+        read — pruning is an OPTIMIZATION, never a correctness gate.
+        This is the Delta-style skip that turns a key-range query on a
+        range-laid-out table into a handful of file opens."""
+        files = self.live_files(version)
+        if not files:
+            raise ValueError(f"table {self.path} has no data")
+        stats = self.file_stats()
+        chosen = []
+        for f in files:
+            s = stats.get(f, {}).get(column)
+            if s is None:
+                chosen.append(f)
+                continue
+            mn, mx = s
+            if (lower is not None and mx < lower) or (
+                upper is not None and mn > upper
+            ):
+                continue
+            chosen.append(f)
+        if not chosen:
+            return (
+                self.read(version).where(F.lit(False))
+            )  # schema-correct empty frame
+        df = self.spark.read.parquet(
+            *[str(self.path / self.DATA_DIR / f) for f in chosen]
+        )
+        if lower is not None:
+            df = df.where(F.col(column) >= F.lit(lower))
+        if upper is not None:
+            df = df.where(F.col(column) <= F.lit(upper))
+        return df
+
     def is_committed(self, app_txn_id: str) -> bool:
         return any(c.get("app_txn_id") == app_txn_id for c in self._commits())
 
     # ---------------------------------------------------------------- write
     def _write_files(self, df: DataFrame) -> list[str]:
         """Write df as immutable parquet files under data/, return names.
-        Files are INVISIBLE until a commit names them."""
+        Files are INVISIBLE until a commit names them.  Per-file column
+        min/max stats are harvested from the parquet footers into
+        ``self._pending_stats`` for the next commit — the data-skipping
+        metadata (Delta-style) read_pruned() prunes on."""
         token = uuid.uuid4().hex
         tmp = self.path / f"_staging_{token}"
         df.write.mode("overwrite").parquet(str(tmp))
         names = []
+        stats: dict[str, dict] = {}
         for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
             name = f"{token}-{i:05d}.parquet"
-            os.rename(part, self.path / self.DATA_DIR / name)
+            dest = self.path / self.DATA_DIR / name
+            os.rename(part, dest)
             names.append(name)
+            stats[name] = _footer_stats(dest)
         shutil.rmtree(tmp)
+        self._pending_stats = getattr(self, "_pending_stats", {})
+        self._pending_stats.update(stats)
         return names
 
     def _try_commit(
@@ -145,6 +231,7 @@ class TxnTable:
         app_txn_id: str | None,
     ) -> bool:
         """Atomically publish ``version``; False if someone else won it."""
+        pending = getattr(self, "_pending_stats", {})
         payload = json.dumps(
             {
                 "version": version,
@@ -153,6 +240,7 @@ class TxnTable:
                 "removes": removes,
                 "app_txn_id": app_txn_id,
                 "committed_at": time.time(),
+                "stats": {n: pending[n] for n in adds if n in pending},
             },
             indent=1,
         )

@@ -210,3 +210,53 @@ class TestIvfIndexErasure:
         got = S.ivf_query_index(spark, path, queries, k=5, nprobe=8)
         neighbors = {r["neighbor_id"] for r in got.collect()}
         assert neighbors.isdisjoint(set(vic))
+
+
+class TestCountingBloom:
+    def test_erase_equals_rebuild_table_exact(self, spark, documents):
+        """Counts are sums over (doc, gram, hash) contributions, so
+        erase(build(A ∪ B), B) == build(A) row-for-row — the deletable
+        index the plain position-set Bloom cannot be."""
+        part_a = documents.where(F.col("doc_id") % 4 != 0)
+        part_b = documents.where(F.col("doc_id") % 4 == 0)
+        D.counting_bloom_build_index(documents, "er_cbloom_a")
+        D.counting_bloom_erase(spark, "er_cbloom_a", part_b)
+        D.counting_bloom_build_index(part_a, "er_cbloom_b")
+        assert _rows(spark, "er_cbloom_a") == _rows(spark, "er_cbloom_b")
+
+    def test_screen_matches_plain_bloom(self, spark, documents):
+        """Same set bits as the position-set index => identical screening
+        verdicts on an arbitrary probe batch."""
+        D.counting_bloom_build_index(documents, "er_cbloom_c")
+        D.bloom_build_index(documents, "er_bloom_c")
+        probe = documents.where(F.col("doc_id") % 6 == 0)
+        a = {
+            tuple(r)
+            for r in D.counting_bloom_screen(spark, probe, "er_cbloom_c").collect()
+        }
+        b = {
+            tuple(r)
+            for r in D.bloom_screen_indexed(spark, probe, "er_bloom_c").collect()
+        }
+        assert a == b
+
+    def test_shared_gram_survives_partial_erase(self, spark):
+        """Two docs share grams: erasing one decrements but must not
+        clear the shared positions."""
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+            "doc_id long, text string",
+        )
+        D.counting_bloom_build_index(bench, "er_cbloom_d")
+        D.counting_bloom_erase(
+            spark, "er_cbloom_d", bench.where(F.col("doc_id") == 2)
+        )
+        probe = spark.createDataFrame(
+            [(10, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        flagged = (
+            D.counting_bloom_screen(spark, probe, "er_cbloom_d")
+            .where(F.col("n_flagged") > 0)
+            .count()
+        )
+        assert flagged == 1

@@ -178,3 +178,44 @@ class TestCompaction:
         v = compact(table, app_txn_id="c1")
         assert compact(table, app_txn_id="c1") == v
         assert table.latest_version() == v
+
+
+class TestDataSkipping:
+    def test_stats_recorded_and_pruning_correct(self, spark, table):
+        """Three appends with disjoint key ranges: a range read must (a)
+        return exactly what a full-scan filter returns and (b) open only
+        the files whose stats intersect the range."""
+        from aws_genaric_datapipeline_spark.pipeline import txn as TX
+
+        for lo in (0, 100, 200):
+            table.append(
+                _df(spark, [(lo + i, f"v{lo + i}") for i in range(10)])
+            )
+        stats = table.file_stats()
+        assert stats and all("k" in s for s in stats.values())
+        got = _rows(table.read_pruned("k", lower=100, upper=109))
+        want = {
+            (r["k"], r["v"])
+            for r in table.read().where("k BETWEEN 100 AND 109").collect()
+        }
+        assert got == want and len(got) == 10
+        # pruning check: only the middle range's file(s) can intersect
+        hit = [
+            f for f, s in stats.items()
+            if f in table.live_files() and "k" in s
+            and not (s["k"][1] < 100 or s["k"][0] > 109)
+        ]
+        assert len(hit) < len(table.live_files())
+
+    def test_out_of_range_prunes_to_empty(self, spark, table):
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        out = table.read_pruned("k", lower=1000)
+        assert out.count() == 0
+        assert out.columns == ["k", "v"]
+
+    def test_missing_stats_column_still_correct(self, spark, table):
+        """Pruning on a column with no stats must fall back to reading
+        (never a correctness gate)."""
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        got = _rows(table.read_pruned("v", lower="b"))
+        assert got == {(2, "b")}
