@@ -1991,22 +1991,23 @@ def report_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- trained classifier
-def _logreg_oracle_sql(
+def _logreg_cte_body(
     num_buckets: int = 32,
     iters: int = 5,
     eta_num: int = 1,
     eta_den: int = 2**20,
     label_sql: str = "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END",
-    probe_mod: int = 5,
-) -> str:
-    """Oracle SQL replaying the ENTIRE fixed-point logistic-regression
+) -> tuple[str, str]:
+    """CTE body replaying the ENTIRE fixed-point logistic-regression
     training loop (operators/classifier.py) in DuckDB: md5 feature
     hashing, integer mean-centering, and ``iters`` unrolled GD rounds
     (margin -> rational-sigmoid residual -> gradient -> trunc-div weight
-    update), then the final scoring pass.  All arithmetic is BIGINT —
-    the replay is bit-exact, no float-noise caveat.  Truncate-toward-
-    zero division is spelled CASE-wrapped floor division because DuckDB
-    ``//`` floors while the operator truncates."""
+    update), ending at the final ``scored`` (did, margin_fp) and ``lab``
+    CTEs for callers to wrap (text_quality_classifier,
+    curate_classifier_budget).  All arithmetic is BIGINT — the replay is
+    bit-exact, no float-noise caveat.  Truncate-toward-zero division is
+    spelled CASE-wrapped floor division because DuckDB ``//`` floors
+    while the operator truncates.  Returns (cte_body, sig_template)."""
     D, S, FS = num_buckets, 1_000_000, 1_000
 
     def tdiv(num: str, den: str) -> str:
@@ -2082,6 +2083,22 @@ def _logreg_oracle_sql(
             FROM feat f JOIN w{iters} w USING (j) GROUP BY 1
         )""")
     body = ",".join(parts)
+    return body, sig
+
+
+def _logreg_oracle_sql(
+    num_buckets: int = 32,
+    iters: int = 5,
+    eta_num: int = 1,
+    eta_den: int = 2**20,
+    label_sql: str = "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END",
+    probe_mod: int = 5,
+) -> str:
+    """Full replay oracle for text_quality_classifier (see
+    _logreg_cte_body for the training-loop CTEs)."""
+    body, sig = _logreg_cte_body(
+        num_buckets, iters, eta_num, eta_den, label_sql
+    )
     return f"""
         WITH {body}
         SELECT s.did AS doc_id, l.y, s.margin_fp,
@@ -2250,4 +2267,90 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = H.drop_boilerplate_lines(lines, id_col="doc_id", lines_col="lines")
     return cleaned.select(
         "doc_id", "n_kept", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+def _classifier_budget_oracle_sql(budget_tokens: int = 150) -> str:
+    """curate_classifier_budget replay: the shared GD training CTEs plus
+    the greedy per-source budget fill — rank by (score DESC, doc_id),
+    running token total, keep every document that STARTS within budget."""
+    body, sig = _logreg_cte_body()
+    return f"""
+        WITH {body},
+        meta AS (
+            SELECT doc_id AS did, source,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        ranked AS (
+            SELECT m.did, m.source, m.n_toks,
+                   CAST({sig.format(m='s.margin_fp')} AS BIGINT) AS score_fp,
+                   sum(m.n_toks) OVER (
+                       PARTITION BY m.source
+                       ORDER BY {sig.format(m='s.margin_fp')} DESC, m.did
+                       ROWS UNBOUNDED PRECEDING) AS cum_toks
+            FROM scored s JOIN meta m USING (did)
+        )
+        SELECT did AS doc_id, source, score_fp, n_toks,
+               CAST(cum_toks AS BIGINT) AS cum_toks
+        FROM ranked
+        WHERE cum_toks - n_toks < {budget_tokens}
+    """
+
+
+@query(
+    "curate_classifier_budget",
+    oracle=_classifier_budget_oracle_sql(),
+    tags=("north-star", "curation", "classifier"),
+)
+def curate_classifier_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-IN-THE-LOOP curation end to end: train the fixed-point
+    quality classifier (operators/classifier.py — same 5-round GD as
+    text_quality_classifier), then fill a per-source token budget
+    GREEDILY BY CLASSIFIER SCORE: within each source, documents are
+    ranked (score DESC, doc_id) and kept while the running token total
+    still starts under 150 tokens (~2-3 winners per source at the
+    fixture's document sizes — the budget BINDS, so selection order is
+    exercised).  This is the FineWeb-Edu-shaped
+    selection step — a trained model, not a heuristic, decides what
+    survives — and the whole decision is integer-exact, so the oracle
+    replays training AND selection bit-for-bit.
+
+    Scale: scoring is one broadcast-join aggregate; the budget fill is
+    one window per source (low-cardinality partition key — at heavy
+    per-source skew, pre-aggregate candidates above a score floor before
+    the window)."""
+    from aws_genaric_datapipeline_spark.operators import classifier as C
+
+    (documents,) = load(spark, sf_dir, "documents")
+    feat = C.centered_token_features(documents, num_buckets=32)
+    labels = documents.select(
+        F.col("doc_id").alias("did"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("bigint").alias("y"),
+    )
+    model = C.train_logreg(
+        spark, feat, labels, num_buckets=32, iters=5, eta_num=1, eta_den=2**20
+    )
+    scored = C.score_documents(spark, feat, model)
+    meta = documents.select(
+        F.col("doc_id").alias("did"),
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score_fp"), F.asc("did"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.join(meta, "did").select(
+        "did",
+        "source",
+        "n_toks",
+        "score_fp",
+        F.sum("n_toks").over(w).cast("bigint").alias("cum_toks"),
+    )
+    return ranked.where(F.col("cum_toks") - F.col("n_toks") < 150).select(
+        F.col("did").alias("doc_id"), "source", "score_fp", "n_toks", "cum_toks"
     )
