@@ -841,3 +841,97 @@ class TestSimhashIndex:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS sh_c_t")
             spark.sql("DROP TABLE IF EXISTS sh_s_t")
+
+
+from aws_genaric_datapipeline_spark.plans import explain_str  # noqa: E402
+
+
+class TestRound9Plans:
+    """Plan posture of the round-9 operators: the properties that keep
+    them viable at 1000x the data."""
+
+    def test_html_boilerplate_antijoin_broadcasts(self, spark):
+        """The frequent-line set is tiny by construction (global chrome);
+        the anti-join against it must broadcast, never shuffle the
+        corpus on line content."""
+        df = QUERIES["text_html_extract"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_classifier_weight_join_broadcasts(self, spark):
+        """Scoring joins the corpus-feature frame against the 33-row
+        weight frame: broadcast, with the margin aggregate partial
+        (map-side combine) before the did shuffle."""
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+        from aws_genaric_datapipeline_spark.tables import load as _load
+
+        (documents,) = _load(spark, SF, "documents")
+        feat = C.centered_token_features(documents, num_buckets=8)
+        model = C.LogRegModel(
+            num_buckets=8, weights_fp=tuple(range(9)), iters=0,
+            eta_num=1, eta_den=1,
+        )
+        df = C.score_documents(spark, feat, model)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan
+        assert "partial_sum" in plan or "HashAggregate" in plan
+
+    def test_jpeg_phash_shuffles_ids_not_pixels(self, spark):
+        """After the Arrow-batched decode, only (id, phash) rows may
+        shuffle — the media column must not survive into any Exchange."""
+        df = QUERIES["multimodal_jpeg_phash"].fn(spark, SF)
+        plan = explain_str(df)
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "media" not in m.group(1), plan[:2000]
+
+    def test_star_cc_emits_no_cartesian(self, spark):
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+        )
+        out = connected_components_star(edges)
+        plan = explain_str(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_txn_read_pruned_opens_fewer_files(self, spark, tmp_path):
+        """Data skipping happens at file-listing time: the pruned plan's
+        scan must reference only the in-range files."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+        t = TxnTable(spark, str(tmp_path / "t"))
+        for lo in (0, 1000):
+            t.append(
+                spark.createDataFrame(
+                    [(lo + i,) for i in range(5)], "k bigint"
+                ).coalesce(1)
+            )
+        all_files = set(t.live_files())
+        pruned = t.read_pruned("k", lower=1000)
+        stats = t.file_stats()
+        chosen = [
+            f for f in all_files
+            if "k" in stats.get(f, {}) and stats[f]["k"][1] >= 1000
+        ]
+        assert len(chosen) < len(all_files)
+        assert {r["k"] for r in pruned.collect()} == {1000 + i for i in range(5)}
+
+    def test_erasure_rewrite_broadcasts_victims(self, spark):
+        """The index-erasure anti-join must broadcast the victim set —
+        a shuffled anti-join would re-shuffle the 100 TB index."""
+        from aws_genaric_datapipeline_spark.operators import dedup as D
+        from aws_genaric_datapipeline_spark.tables import load as _load
+
+        (documents,) = _load(spark, SF, "documents")
+        D.minhash_build_index(documents, "plan_er_bands", "plan_er_toks")
+        victims = spark.createDataFrame([(1,), (2,)], "did long")
+        kept = spark.table("plan_er_bands").join(
+            F.broadcast(victims), "did", "left_anti"
+        )
+        plan = explain_str(kept)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
