@@ -612,3 +612,57 @@ def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("erase").isNull()).alias("n_after"),
         F.count_if(F.col("erase").isNotNull()).alias("n_erased"),
     )
+
+
+def _zorder_oracle_sql(bits: int = 10) -> str:
+    """Bit-interleave replay: DuckDB's BIGINT shift/mask operators match
+    Spark's exactly on non-negative inputs, so the Morton value is
+    integer-identical."""
+    terms = " + ".join(
+        f"(((ca >> {i}) & 1) << {2 * i}) + (((cd >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(o_custkey % 1024 AS BIGINT) AS ca,
+                   CAST(date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS cd
+            FROM orders
+        )
+        SELECT o_orderkey, ca, cd, CAST({terms} AS BIGINT) AS zval
+        FROM base WHERE o_orderkey % 50 = 0
+    """
+
+
+@query(
+    "layout_zorder_values",
+    oracle=_zorder_oracle_sql(),
+    tags=("layout", "diagnostics"),
+)
+def layout_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering values, driver-checked: interleave the
+    low 10 bits of (customer, order-day) per order — the multi-dimensional
+    layout key write_zordered sorts files by so per-file min/max bands
+    stay narrow on BOTH columns and the txn table's data-skipping stats
+    (pipeline/txn.py read_pruned) prune on either predicate.  The oracle
+    replays the bit interleave exactly (pure BIGINT shift/mask in both
+    engines); the file-band-tightening and two-column pruning effects are
+    asserted in tests (test_cli_and_sinks.py::test_zorder_tightens_both_
+    columns, test_txn.py::TestZorderSkipping)."""
+    from aws_genaric_datapipeline_spark.operators.layout import zorder_value
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).cast("bigint").alias("ca"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 1024)
+        .cast("bigint")
+        .alias("cd"),
+    )
+    return base.select(
+        "o_orderkey",
+        "ca",
+        "cd",
+        zorder_value(F.col("ca"), F.col("cd"), bits=10).alias("zval"),
+    ).where(F.col("o_orderkey") % 50 == 0)

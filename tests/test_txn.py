@@ -219,3 +219,41 @@ class TestDataSkipping:
         table.append(_df(spark, [(1, "a"), (2, "b")]))
         got = _rows(table.read_pruned("v", lower="b"))
         assert got == {(2, "b")}
+
+
+class TestZorderSkipping:
+    def test_two_column_pruning_on_zordered_table(self, spark, table):
+        """Z-order the data before appending: per-file min/max bands stay
+        narrow on BOTH dimensions, so read_pruned skips files for a
+        predicate on EITHER column — the payoff of combining
+        layout.zorder_value with the commit-stats skipping."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.operators.layout import zorder_value
+
+        rows = [(x, y, f"r{x}-{y}") for x in range(32) for y in range(32)]
+        df = spark.createDataFrame(rows, "x bigint, y bigint, v string")
+        z = df.withColumn("z", zorder_value(F.col("x"), F.col("y"), bits=5))
+        table.append(
+            z.repartitionByRange(8, "z").sortWithinPartitions("z").drop("z")
+        )
+        files = table.live_files()
+        stats = table.file_stats()
+        assert len(files) == 8
+
+        def n_hit(col, lo, hi):
+            return sum(
+                1
+                for f in files
+                if col in stats.get(f, {})
+                and not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+            )
+
+        # a narrow predicate on EITHER dimension prunes files
+        assert n_hit("x", 0, 7) < 8
+        assert n_hit("y", 0, 7) < 8
+        # and the pruned reads stay correct
+        got_x = {(r["x"], r["y"]) for r in table.read_pruned("x", 0, 7).collect()}
+        assert got_x == {(x, y) for x in range(8) for y in range(32)}
+        got_y = {(r["x"], r["y"]) for r in table.read_pruned("y", 0, 7).collect()}
+        assert got_y == {(x, y) for x in range(32) for y in range(8)}
