@@ -171,6 +171,7 @@ def train_logreg(
     eta_den: int = 2**20,
     l2_num: int = 0,
     l2_den: int = 1,
+    init_weights: tuple[int, ...] | None = None,
 ) -> LogRegModel:
     """Batch GD for logistic regression over an integer feature frame.
 
@@ -181,7 +182,11 @@ def train_logreg(
     iteration: margins (one join-agg), residuals, gradient (one
     join-agg, D+1 rows collected), driver-side integer weight update.
     Deterministic: same inputs => same weights, bit-for-bit, regardless
-    of partitioning."""
+    of partitioning.  ``init_weights`` WARM-STARTS from a prior model
+    (periodic re-training on a drifted corpus), and determinism composes:
+    train(k) then warm-start train(m) == train(k+m) exactly — asserted in
+    tests — so checkpoint/resume of training is a pure refactor of the
+    job graph, never a numeric change."""
     S = FP_SCALE
     n = labels.count()
     if n == 0:
@@ -194,7 +199,11 @@ def train_logreg(
         "did", F.col("y").cast("bigint").alias("y")
     ).localCheckpoint(eager=True)
 
-    w = [0] * (num_buckets + 1)
+    if init_weights is not None and len(init_weights) != num_buckets + 1:
+        raise ValueError(
+            f"init_weights needs {num_buckets + 1} entries, got {len(init_weights)}"
+        )
+    w = list(init_weights) if init_weights is not None else [0] * (num_buckets + 1)
     for _ in range(iters):
         wdf = spark.createDataFrame(
             [(j, wj) for j, wj in enumerate(w)], "j bigint, w bigint"

@@ -135,14 +135,22 @@ class TxnTable:
 
     # ----------------------------------------------------------------- read
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (time travel with ``version``)."""
+        """Snapshot read (time travel with ``version``).
+
+        ``mergeSchema`` gives ADDITIVE schema evolution for free: a
+        commit may add columns, and older files surface them as null —
+        the Delta/Iceberg add-column semantics.  Time travel to a
+        pre-evolution version reads only pre-evolution files and so
+        shows the old schema.  (Renames/drops need field-id mapping —
+        out of scope; appends with missing existing columns likewise
+        surface nulls rather than failing, matching parquet merge.)"""
         files = self.live_files(version)
         if not files:
             raise ValueError(
                 f"table {self.path} has no data at version "
                 f"{self.latest_version() if version is None else version}"
             )
-        return self.spark.read.parquet(
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[str(self.path / self.DATA_DIR / f) for f in files]
         )
 
@@ -187,7 +195,7 @@ class TxnTable:
             return (
                 self.read(version).where(F.lit(False))
             )  # schema-correct empty frame
-        df = self.spark.read.parquet(
+        df = self.spark.read.option("mergeSchema", "true").parquet(
             *[str(self.path / self.DATA_DIR / f) for f in chosen]
         )
         if lower is not None:

@@ -2703,3 +2703,36 @@ class TestAnnTuningReport:
             assert rep[lo][1] <= rep[hi][1], rep
         assert rep[8][0] == 10000  # all cells probed == exact
         assert all(0 <= v <= 10000 for pair in rep.values() for v in pair)
+
+
+class TestClassifierWarmStart:
+    def test_resume_equals_straight_through(self, spark, documents):
+        """train(2) then warm-start train(3) must equal train(5)
+        bit-for-bit — checkpoint/resume of training is numerically
+        invisible (integer GD has no hidden state)."""
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+
+        feat = C.centered_token_features(documents, num_buckets=16)
+        labels = documents.select(
+            F.col("doc_id").alias("did"),
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("bigint").alias("y"),
+        )
+        kw = dict(num_buckets=16, eta_num=1, eta_den=2**20)
+        full = C.train_logreg(spark, feat, labels, iters=5, **kw)
+        part = C.train_logreg(spark, feat, labels, iters=2, **kw)
+        resumed = C.train_logreg(
+            spark, feat, labels, iters=3, init_weights=part.weights_fp, **kw
+        )
+        assert resumed.weights_fp == full.weights_fp
+
+    def test_bad_init_length_raises(self, spark, documents):
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+
+        feat = C.centered_token_features(documents, num_buckets=4)
+        labels = documents.select(
+            F.col("doc_id").alias("did"), F.lit(1).cast("bigint").alias("y")
+        )
+        with pytest.raises(ValueError):
+            C.train_logreg(
+                spark, feat, labels, num_buckets=4, init_weights=(0, 0)
+            )

@@ -578,3 +578,53 @@ class TestStreamingBloomScreen:
         assert got == want and got
         assert {r[0] for r in got} == {1, 3}
         spark.sql("DROP TABLE IF EXISTS bloom_stream_idx")
+
+
+class TestStreamingClassifierScore:
+    def test_streamed_scores_equal_batch(self, spark, tmp_path):
+        """Model-in-the-loop INGEST gate: score a document stream with a
+        FROZEN trained model via foreachBatch.  Weights are integer
+        fixed-point, so the drained streaming scores equal the batch
+        scores bit-for-bit — training offline, scoring at ingest."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+        from aws_genaric_datapipeline_spark.tables import load
+
+        (documents,) = load(spark, "/root/testdata/sf0.001", "documents")
+        docs = documents.select("doc_id", "text", "n_chars").limit(100)
+        feat = C.centered_token_features(docs, num_buckets=8)
+        labels = docs.select(
+            F.col("doc_id").alias("did"),
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("bigint").alias("y"),
+        )
+        model = C.train_logreg(spark, feat, labels, num_buckets=8, iters=3)
+        # batch ground truth over the same frozen model
+        want = {
+            (r["did"], r["margin_fp"], r["score_fp"], r["pred"])
+            for r in C.score_documents(spark, feat, model).collect()
+        }
+
+        src = tmp_path / "docs_src"
+        # one file => one micro-batch, so the batch's centering totals
+        # equal the corpus totals (see NOTE below)
+        docs.coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        got: set = set()
+
+        def _score(batch_df, _bid):
+            # NOTE: centered features need the BATCH's own totals at
+            # ingest an operator would reuse frozen per-bucket means; here
+            # the whole corpus arrives in the stream, so totals match.
+            bf = C.centered_token_features(batch_df, num_buckets=8)
+            for r in C.score_documents(spark, bf, model).collect():
+                got.add((r["did"], r["margin_fp"], r["score_fp"], r["pred"]))
+
+        q = (
+            stream.writeStream.foreachBatch(_score)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert got == want

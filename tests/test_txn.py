@@ -257,3 +257,29 @@ class TestZorderSkipping:
         assert got_x == {(x, y) for x in range(8) for y in range(32)}
         got_y = {(r["x"], r["y"]) for r in table.read_pruned("y", 0, 7).collect()}
         assert got_y == {(x, y) for x in range(32) for y in range(8)}
+
+
+class TestSchemaEvolution:
+    def test_add_column_merges_and_time_travels(self, spark, table):
+        """Additive evolution: a later commit adds a column; the merged
+        snapshot surfaces it (null for old rows), while time travel to a
+        pre-evolution version shows the old schema."""
+        table.append(_df(spark, [(1, "a")]))
+        evolved = spark.createDataFrame(
+            [(2, "b", 99)], "k bigint, v string, extra bigint"
+        )
+        table.append(evolved)
+        cur = table.read()
+        assert set(cur.columns) == {"k", "v", "extra"}
+        by_k = {r["k"]: r["extra"] for r in cur.collect()}
+        assert by_k == {1: None, 2: 99}
+        assert set(table.read(version=1).columns) == {"k", "v"}
+
+    def test_pruned_read_sees_evolved_schema(self, spark, table):
+        table.append(_df(spark, [(1, "a")]))
+        table.append(
+            spark.createDataFrame([(500, "b", 7)], "k bigint, v string, extra bigint")
+        )
+        out = table.read_pruned("k", lower=100)
+        assert set(out.columns) == {"k", "v", "extra"}
+        assert [(r["k"], r["extra"]) for r in out.collect()] == [(500, 7)]
