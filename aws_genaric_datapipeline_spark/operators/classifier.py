@@ -76,11 +76,47 @@ def _bucket(tok: Column, num_buckets: int) -> Column:
     )
 
 
+@dataclass(frozen=True)
+class CenteringStats:
+    """Frozen feature-centering statistics: corpus size and per-bucket
+    token totals captured at TRAINING time.  Scoring a new batch (an
+    ingest stream, a later snapshot) must center with the TRAINING
+    corpus's means — re-deriving means from the batch would shift every
+    feature and silently change scores.  Pair with LogRegModel the way
+    any production model ships its preprocessing statistics."""
+
+    n: int
+    totals: tuple[int, ...]  # per bucket 0..D-1
+
+
+def centering_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> CenteringStats:
+    """Capture CenteringStats from a training corpus (one explode+agg)."""
+    counts = (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy(_bucket(F.col("tok"), num_buckets).alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+        .collect()
+    )
+    by_j = {r["j"]: r["total"] for r in counts}
+    return CenteringStats(
+        n=df.count(), totals=tuple(by_j.get(j, 0) for j in range(num_buckets))
+    )
+
+
 def centered_token_features(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 32,
+    stats: CenteringStats | None = None,
 ) -> DataFrame:
     """(did, j, x) integer feature grid for logistic regression.
 
@@ -94,6 +130,12 @@ def centered_token_features(
     bounded by FEAT_SCALE*max_count independent of N, so margins and
     gradients stay far from BIGINT range at any corpus size.
 
+    With ``stats`` (CenteringStats from the TRAINING corpus), centering
+    uses the frozen training means — the production ingest-scoring form,
+    where a new batch must not re-derive its own means (see
+    CenteringStats).  Without it, means come from ``df`` itself (the
+    training pass).
+
     One explode+groupBy for counts, one D-row broadcast of totals, one
     broadcast cross join to densify — the corpus shuffles once."""
     d = F.lit(num_buckets)
@@ -105,8 +147,17 @@ def centered_token_features(
         .groupBy("did", _bucket(F.col("tok"), num_buckets).alias("j"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    totals = counts.groupBy("j").agg(F.sum("cnt").cast("bigint").alias("total"))
-    n = df.count()
+    spark_ = df.sparkSession
+    if stats is not None:
+        n = stats.n
+        totals = spark_.createDataFrame(
+            list(enumerate(stats.totals)), "j bigint, total bigint"
+        )
+    else:
+        n = df.count()
+        totals = counts.groupBy("j").agg(
+            F.sum("cnt").cast("bigint").alias("total")
+        )
     spark = df.sparkSession
     grid = spark.range(num_buckets).select(F.col("id").cast("bigint").alias("j"))
     dense = (

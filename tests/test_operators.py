@@ -2736,3 +2736,46 @@ class TestClassifierWarmStart:
             C.train_logreg(
                 spark, feat, labels, num_buckets=4, init_weights=(0, 0)
             )
+
+
+class TestFrozenCentering:
+    def test_frozen_stats_make_scoring_batch_invariant(self, spark, documents):
+        """Production ingest scoring: features for ANY batch slice,
+        centered with the TRAINING corpus's frozen stats, must equal the
+        corresponding rows of the full-corpus feature grid — so scores
+        don't depend on how the stream happened to batch."""
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+
+        stats = C.centering_stats(documents, num_buckets=8)
+        full = {
+            (r["did"], r["j"]): r["x"]
+            for r in C.centered_token_features(
+                documents, num_buckets=8
+            ).collect()
+        }
+        for m in (3, 7):
+            batch = documents.where(F.col("doc_id") % m == 0)
+            part = {
+                (r["did"], r["j"]): r["x"]
+                for r in C.centered_token_features(
+                    batch, num_buckets=8, stats=stats
+                ).collect()
+            }
+            assert part == {k: v for k, v in full.items() if k in part}
+            assert all((did % m == 0) for did, _ in part)
+
+    def test_self_stats_equal_default_path(self, spark, documents):
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+
+        stats = C.centering_stats(documents, num_buckets=4)
+        a = {
+            (r["did"], r["j"], r["x"])
+            for r in C.centered_token_features(documents, num_buckets=4).collect()
+        }
+        b = {
+            (r["did"], r["j"], r["x"])
+            for r in C.centered_token_features(
+                documents, num_buckets=4, stats=stats
+            ).collect()
+        }
+        assert a == b

@@ -605,18 +605,17 @@ class TestStreamingClassifierScore:
             for r in C.score_documents(spark, feat, model).collect()
         }
 
+        stats = C.centering_stats(docs, num_buckets=8)
         src = tmp_path / "docs_src"
-        # one file => one micro-batch, so the batch's centering totals
-        # equal the corpus totals (see NOTE below)
-        docs.coalesce(1).write.parquet(str(src))
+        docs.write.parquet(str(src))
         stream = spark.readStream.schema(docs.schema).parquet(str(src))
         got: set = set()
 
         def _score(batch_df, _bid):
-            # NOTE: centered features need the BATCH's own totals at
-            # ingest an operator would reuse frozen per-bucket means; here
-            # the whole corpus arrives in the stream, so totals match.
-            bf = C.centered_token_features(batch_df, num_buckets=8)
+            # FROZEN centering stats from training — scores are batch-
+            # split invariant (TestFrozenCentering), so any micro-batch
+            # decomposition of the stream yields the same values.
+            bf = C.centered_token_features(batch_df, num_buckets=8, stats=stats)
             for r in C.score_documents(spark, bf, model).collect():
                 got.add((r["did"], r["margin_fp"], r["score_fp"], r["pred"]))
 
