@@ -971,3 +971,55 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(late).alias("n_late_10m"),
         )
     )
+
+
+@query(
+    "events_sequence_pattern",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        WHEN 'error' THEN 'e' ELSE 'x' END AS ch
+            FROM events
+        ),
+        s AS (
+            SELECT user_id,
+                   string_agg(ch, '' ORDER BY ts, event_id) AS seq
+            FROM e GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS BIGINT) AS seq_len,
+               md5(seq) AS seq_md5,
+               CAST(len(regexp_extract_all(seq, 'vc')) AS BIGINT) AS n_view_click,
+               CAST(CASE WHEN regexp_matches(seq, 's.*v.*c.*p')
+                    THEN 1 ELSE 0 END AS BIGINT) AS funnel_complete,
+               CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT) AS n_error_bursts,
+               CAST(coalesce(list_max(list_transform(
+                        regexp_extract_all(seq, 'e+'), x -> length(x))), 0)
+                    AS BIGINT) AS max_error_run
+        FROM s
+    """,
+    tags=("events", "behavioral", "sequence"),
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-class row-pattern matching, Spark-first
+    (operators/sequences.py): encode each user's time-ordered events as
+    a char string (one groupBy), then evaluate regex row patterns over
+    it — immediate view→click adjacencies, the full
+    signup→…→purchase subsequence, and error-burst shape (count + max
+    run).  The per-user sequence md5 pins the ENCODING (order,
+    tie-breaks, alphabet) and the pattern counts pin the regex
+    semantics — Java regex and RE2 agree on this syntax class, so the
+    whole feature set is value-replayed.
+
+    Scale: one (user, char) shuffle; pattern evaluation is per-row JVM
+    regex over strings bounded by per-user event counts (whales → the
+    per-session encoding noted in the operator docstring)."""
+    from aws_genaric_datapipeline_spark.operators import sequences as Q
+
+    (events,) = load(spark, sf_dir, "events")
+    seqs = Q.encode_sequences(events)
+    return seqs.select(
+        F.col("key").alias("user_id"), *Q.pattern_features(F.col("seq"))
+    )

@@ -2779,3 +2779,52 @@ class TestFrozenCentering:
             ).collect()
         }
         assert a == b
+
+
+class TestSequencePatterns:
+    """operators/sequences.py — encoding determinism and pattern edges."""
+
+    def test_encoding_order_and_tiebreak(self, spark):
+        import datetime as dt
+
+        from aws_genaric_datapipeline_spark.operators import sequences as Q
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (1, 3, t0, "click"),          # same ts: event_id orders c after v
+            (1, 2, t0, "view"),
+            (1, 1, t0 - dt.timedelta(hours=1), "signup"),
+            (2, 4, t0, "weird_type"),     # unknown type -> 'x'
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        got = {r["key"]: r["seq"] for r in Q.encode_sequences(df).collect()}
+        assert got == {1: "svc", 2: "x"}
+
+    def test_pattern_features_edges(self, spark):
+        from aws_genaric_datapipeline_spark.operators import sequences as Q
+
+        df = spark.createDataFrame(
+            [(1, "svcvcpee"), (2, "vvv"), (3, "eeveee")],
+            "key long, seq string",
+        )
+        out = {
+            r["key"]: (
+                r["n_view_click"], r["funnel_complete"],
+                r["n_error_bursts"], r["max_error_run"],
+            )
+            for r in df.select("key", *Q.pattern_features(F.col("seq"))).collect()
+        }
+        assert out[1] == (2, 1, 1, 2)
+        assert out[2] == (0, 0, 0, 0)
+        assert out[3] == (0, 0, 2, 3)
+
+    def test_encoding_partition_invariant(self, spark, events_df=None):
+        from aws_genaric_datapipeline_spark.operators import sequences as Q
+        from aws_genaric_datapipeline_spark.tables import load
+
+        (events,) = load(spark, SF, "events")
+        a = {tuple(r) for r in Q.encode_sequences(events).collect()}
+        b = {tuple(r) for r in Q.encode_sequences(events.repartition(13)).collect()}
+        assert a == b
