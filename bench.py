@@ -126,6 +126,9 @@ HEADLINE = [
     "dedup_index_erasure",
     "graph_components_star",
     "sim_ann_tuning_report",
+    "curate_classifier_budget",
+    "events_sequence_pattern",
+    "layout_zorder_values",
 ]
 
 
