@@ -331,3 +331,101 @@ def func_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_sqludf
         """
     )
+
+
+@query(
+    "agg_bitmap_set_algebra",
+    oracle="""
+        WITH s AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        c AS (SELECT t, count(*) AS n FROM s GROUP BY t),
+        pr AS (
+            SELECT a.t AS type_a, b.t AS type_b
+            FROM c a JOIN c b ON a.t < b.t
+        ),
+        i AS (
+            SELECT a.t AS type_a, b.t AS type_b, count(*) AS ni
+            FROM s a JOIN s b ON a.u = b.u AND a.t < b.t
+            GROUP BY 1, 2
+        )
+        SELECT pr.type_a, pr.type_b,
+               CAST(ca.n AS BIGINT) AS n_a,
+               CAST(cb.n AS BIGINT) AS n_b,
+               CAST(coalesce(i.ni, 0) AS BIGINT) AS n_both,
+               CAST(ca.n - coalesce(i.ni, 0) AS BIGINT) AS n_only_a,
+               CAST(cb.n - coalesce(i.ni, 0) AS BIGINT) AS n_only_b,
+               CAST(ca.n + cb.n - coalesce(i.ni, 0) AS BIGINT) AS n_union
+        FROM pr
+        JOIN c ca ON ca.t = pr.type_a
+        JOIN c cb ON cb.t = pr.type_b
+        LEFT JOIN i ON i.type_a = pr.type_a AND i.type_b = pr.type_b
+    """,
+    tags=("agg", "modern-sql", "sketches"),
+)
+def agg_bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set algebra over distinct-user sets via bitmap state reuse:
+    per-(event_type, bucket) partial bitmaps are built ONCE, then every
+    pairwise audience-overlap readout (|A∩B|, |A\\B|, |B\\A|, |A∪B|) is
+    derived by merging those partials — bitmap_or_agg WITHIN a bucket for
+    the union, inclusion-exclusion for the intersection — never touching
+    the raw event rows again.
+
+    This is the query shape the round-8 bucket-conflation fix
+    (BITMAP_DISTINCT_SQL above) exists to make safe: bit positions are
+    bucket-local, so the pair union ORs bitmaps only inside a
+    (pair, bucket) group and SUMS set-bit counts across buckets.  There
+    is no binary bitmap AND in Spark's SQL surface — and none is needed:
+    |A∩B| = |A| + |B| - |A∪B| is exact, not an estimate (contrast the
+    HLL inclusion-exclusion in dedup_sketch_guarantees, where the same
+    identity inherits sketch error).
+
+    Scale: the raw 100 TB folds map-side into per-(type, bucket) 4 KB
+    bitmaps — the pair readout then joins T·ceil(max_id/32k) bitmap rows
+    (KBs at any corpus size), so adding a new pair costs no re-scan; the
+    T² pair grid is over TYPES, not rows.  tests/test_queries_extra.py
+    pins the multi-bucket path with ids spanning >32k."""
+    (events,) = load(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_bmsa")
+    return spark.sql(BITMAP_SET_ALGEBRA_SQL.format(view="events_bmsa"))
+
+
+# Shared with the multi-bucket regression test: per-(type, bucket) partial
+# bitmaps → bucket-aligned OR per pair → inclusion-exclusion readout.
+BITMAP_SET_ALGEBRA_SQL = """
+    WITH per AS (
+        SELECT event_type,
+               bitmap_bucket_number(user_id + 1) AS bk,
+               bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+        FROM {view}
+        GROUP BY event_type, bitmap_bucket_number(user_id + 1)
+    ),
+    cnt AS (
+        SELECT event_type, CAST(sum(bitmap_count(b)) AS BIGINT) AS n
+        FROM per GROUP BY event_type
+    ),
+    pr AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM cnt a JOIN cnt b ON a.event_type < b.event_type
+    ),
+    uni AS (
+        SELECT type_a, type_b, CAST(sum(bitmap_count(ub)) AS BIGINT) AS n_union
+        FROM (
+            SELECT pr.type_a, pr.type_b, p.bk, bitmap_or_agg(p.b) AS ub
+            FROM pr
+            JOIN per p
+              ON p.event_type = pr.type_a OR p.event_type = pr.type_b
+            GROUP BY pr.type_a, pr.type_b, p.bk
+        )
+        GROUP BY type_a, type_b
+    )
+    SELECT pr.type_a, pr.type_b,
+           ca.n AS n_a,
+           cb.n AS n_b,
+           CAST(ca.n + cb.n - u.n_union AS BIGINT) AS n_both,
+           CAST(u.n_union - cb.n AS BIGINT) AS n_only_a,
+           CAST(u.n_union - ca.n AS BIGINT) AS n_only_b,
+           u.n_union
+    FROM pr
+    JOIN cnt ca ON ca.event_type = pr.type_a
+    JOIN cnt cb ON cb.event_type = pr.type_b
+    JOIN uni u ON u.type_a = pr.type_a AND u.type_b = pr.type_b
+"""

@@ -135,3 +135,45 @@ class TestBitmapMultiBucket:
             "b": len({u for t, u in rows if t == "b"}),
         }
         assert got == want == {"a": 6, "b": 3}
+
+
+class TestBitmapSetAlgebra:
+    """agg_bitmap_set_algebra: pairwise inclusion-exclusion over per-
+    (type, bucket) bitmaps must stay exact when ids straddle 32k buckets
+    AND when bit positions collide across buckets — the same conflation
+    class the round-8 fix pinned for the distinct readout."""
+
+    def test_pair_algebra_across_id_buckets(self, spark):
+        from aws_genaric_datapipeline_spark.queries.modern_sql import (
+            BITMAP_SET_ALGEBRA_SQL,
+        )
+
+        # a ∩ b = {7, 32770}; position of 32770 in bucket 2 collides with
+        # position of 2 in bucket 1 — a cross-bucket OR would double-count.
+        a = [5, 7, 32770, 65540]
+        b = [7, 2, 32770, 99999]
+        c = [1]
+        rows = [("a", u) for u in a] + [("b", u) for u in b] + [("c", u) for u in c]
+        rows += rows[:3]  # duplicates must not inflate anything
+        df = spark.createDataFrame(rows, "event_type string, user_id long")
+        df.createOrReplaceTempView("events_bmsa_multibucket")
+        got = {
+            (r["type_a"], r["type_b"]): (
+                r["n_a"], r["n_b"], r["n_both"], r["n_only_a"],
+                r["n_only_b"], r["n_union"],
+            )
+            for r in spark.sql(
+                BITMAP_SET_ALGEBRA_SQL.format(view="events_bmsa_multibucket")
+            ).collect()
+        }
+        sa, sb, sc = set(a), set(b), set(c)
+
+        def want(x, y):
+            return (
+                len(x), len(y), len(x & y), len(x - y), len(y - x), len(x | y)
+            )
+
+        assert got[("a", "b")] == want(sa, sb)
+        assert got[("a", "c")] == want(sa, sc)
+        assert got[("b", "c")] == want(sb, sc)
+        assert got[("a", "b")][2] == 2  # the cross-bucket collision pair
