@@ -394,3 +394,86 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("a_nb").eqNullSafe(F.col("b_nb")) & (F.col("a_key") < F.col("b_key")))
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
+
+
+@query(
+    "join_bloom_semi_reduction",
+    oracle="""
+        SELECT l.l_returnflag,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+    """,
+    tags=("join", "bloom", "scale"),
+)
+def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction via Spark's own InjectRuntimeFilter:
+    the selective dimension side (URGENT orders, ~1/5 of the table) folds
+    into a bloom_filter_agg scalar subquery, and Catalyst rewrites the
+    fact-side scan to might_contain(bloom, xxhash64(l_orderkey)) BEFORE
+    the shuffle — so only ~selectivity + fpp of lineitem rows ever reach
+    the exchange.  might_contain/bloom_filter_agg are internal-only
+    expressions (not in the public function registry), so the supported
+    surface IS the optimizer rule; this query pins the configuration that
+    makes it fire in the shuffle-join regime and gates the injected
+    filter in the plan (tests/test_plans.py).
+
+    The rule only helps — and only fires — when the dimension side is too
+    big to broadcast (broadcast already prunes via the hash table), which
+    is exactly the 100 TB regime; the thresholds below simulate it at
+    test scale.  Configs are restored after an eager materialization, so
+    the session the bench shares sees no leaked planner state.
+
+    Correctness never depends on the bloom: false positives survive the
+    pre-filter but die in the exact equi join, so the oracle is the plain
+    join.
+
+    Scale: the bloom build is a map-side agg over already-filtered order
+    keys (one ~MB bitset broadcast once, no extra lineitem pass); the
+    fact-side shuffle — the whole cost at 100 TB — shrinks to the
+    dimension predicate's selectivity."""
+    (orders, lineitem) = load(spark, sf_dir, "orders", "lineitem")
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # Fire the rule at test scale: any fact-scan size qualifies, the
+        # dimension side qualifies up to 1 GB, and broadcast is off so the
+        # join actually shuffles (the regime the bloom exists for).
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        joined = (
+            lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+        )
+        # Materialize under the pinned configs (3 aggregate rows), then
+        # restore — the returned frame is a scan of the checkpoint.
+        return joined.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -935,3 +935,47 @@ class TestRound9Plans:
         )
         plan = explain_str(kept)
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestBloomSemiJoinReduction:
+    def test_runtime_bloom_injected_and_configs_restored(self, spark):
+        import re
+
+        keys = (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+        before = {k: spark.conf.get(k) for k in keys}
+
+        # Reproduce the query's regime to inspect the pre-checkpoint plan
+        # (the registered fn returns an eager checkpoint, whose plan is a
+        # bare RDD scan — the injection must be asserted on the live join).
+        for k, v in {
+            keys[0]: "0",
+            keys[1]: "1GB",
+            keys[2]: "-1",
+        }.items():
+            spark.conf.set(k, v)
+        try:
+            (orders, lineitem) = load(spark, SF, "orders", "lineitem")
+            sel = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+            j = (
+                lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+                .groupBy("l_returnflag")
+                .count()
+            )
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert re.search(r"might_contain", plan, re.I), (
+                "InjectRuntimeFilter must add a bloom probe on the fact side"
+            )
+            # and the bloom build aggregates the SELECTIVE side only
+            assert "bloom_filter_agg" in plan
+        finally:
+            for k, v in before.items():
+                spark.conf.set(k, v)
+
+        # The registered query must leave the session's planner state alone.
+        df = QUERIES["join_bloom_semi_reduction"].fn(spark, SF)
+        assert df.count() == 3
+        assert {k: spark.conf.get(k) for k in keys} == before
