@@ -289,3 +289,39 @@ def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
         F.count(F.lit(1)).over(w).alias("peers_within_10k"),
     )
+
+
+@query(
+    "skyline_pareto_parts",
+    oracle="""
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+        )
+    """,
+    tags=("relational", "skyline", "scale"),
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: the parts no other part beats on BOTH price (lower
+    is better) and size (higher is better) — the Pareto frontier query
+    every catalog/marketplace engine ships, and a canonical case where
+    the declarative form (NOT EXISTS self-join, O(N²)) must be
+    re-expressed to survive scale.
+
+    operators/skyline.py: per-batch numpy Pareto prune (zero-shuffle
+    superset), then a strict-domination anti join confined to the pruned
+    candidates.  The oracle IS the O(N²) declarative form — DuckDB can
+    afford it at sf0.01, which is exactly why it makes a trustworthy
+    ground truth for the distributed algorithm."""
+    from aws_genaric_datapipeline_spark.operators.skyline import skyline_2d
+
+    (part,) = load(spark, sf_dir, "part")
+    return skyline_2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        x="p_retailprice",
+        y="p_size",
+    )

@@ -2828,3 +2828,50 @@ class TestSequencePatterns:
         a = {tuple(r) for r in Q.encode_sequences(events).collect()}
         b = {tuple(r) for r in Q.encode_sequences(events.repartition(13)).collect()}
         assert a == b
+
+
+class TestSkyline:
+    """skyline_2d vs the O(N²) brute force, including ties and duplicates."""
+
+    def _brute(self, rows):
+        out = []
+        for p in rows:
+            dominated = any(
+                q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+                for q in rows
+            )
+            if not dominated:
+                out.append(p)
+        return sorted(out)
+
+    def test_matches_brute_force_with_ties(self, spark):
+        import random
+
+        from aws_genaric_datapipeline_spark.operators.skyline import skyline_2d
+
+        rng = random.Random(9)
+        rows = [
+            (i, float(rng.randint(0, 20)), rng.randint(0, 10))
+            for i in range(400)
+        ]
+        # exact duplicates: both must survive if on the frontier
+        rows += [(1000 + i, rows[i][1], rows[i][2]) for i in range(5)]
+        df = spark.createDataFrame(rows, "id long, x double, y int").repartition(7)
+        got = sorted(tuple(r) for r in skyline_2d(df, "x", "y").collect())
+        assert got == self._brute(rows)
+
+    def test_local_prune_is_superset_and_small(self, spark):
+        import pandas as pd
+
+        from aws_genaric_datapipeline_spark.operators.skyline import _pareto_batch
+
+        pdf = pd.DataFrame(
+            {"id": range(6), "x": [1.0, 1.0, 2.0, 2.0, 3.0, 0.5],
+             "y": [5, 5, 6, 4, 7, 1]}
+        )
+        kept = _pareto_batch(pdf, "x", "y")
+        # (1,5) twice: ties survive; (2,4) dominated by (1,5); (2,6)/(3,7)
+        # frontier; (0.5,1) frontier (cheapest).
+        assert sorted(zip(kept["x"], kept["y"])) == [
+            (0.5, 1), (1.0, 5), (1.0, 5), (2.0, 6), (3.0, 7)
+        ]
