@@ -1569,3 +1569,122 @@ def counting_bloom_screen(
     return _bloom_probe(
         batch_df, positions, id_col, text_col, n, num_bits, num_hashes
     )
+
+
+# ------------------------------------------------------------- containment
+# Asymmetric set containment C(A→B) = |A∩B| / |A| — the quote/subset-dup
+# detector.  Jaccard misses a short document wholly quoted inside a long
+# one (union is dominated by the long side); containment is exactly the
+# measure that catches it, which is why dedup pipelines run BOTH.
+
+_CONTAIN_LIVE: list[DataFrame] = []
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact n-gram containment pairs: every ORDERED pair (contained,
+    container) with |A∩B|/|A| >= threshold, A ≠ B.
+
+    Candidate generation prefix-filters the CONTAINED side only: if
+    C(A→B) >= t then |A∩B| >= ceil(t·|A|), so A's (|A| - ceil(t·|A|) + 1)
+    globally-rarest shingles must hit B — the container side keeps its
+    full posting list because |B| is unbounded (that asymmetry is the
+    whole difference from the Jaccard prefix join, where both sides
+    prune).  The join keys are still only A-PREFIX shingles — the rarest
+    per document — so ubiquitous shingles never fan out, same as
+    jaccard_pairs.
+
+    Sound pruning (kept-side epsilon slack, as jaccard_pairs):
+      size    — |B| >= |A∩B| >= t·|A|  (no upper bound on |B|);
+      position — a first prefix hit at position i leaves at most
+        1 + (|A| - i) further overlap, which must reach ceil(t·|A|).
+
+    Verification counts full intersections per surviving pair with JVM
+    array_intersect on per-document sorted shingle arrays.  The threshold
+    compare runs on the UNROUNDED IEEE quotient (n_inter and |A| are
+    integers, so Spark and the DuckDB oracle divide to bit-identical
+    doubles); only the reported column is rounded.
+
+    Returns (id_contained, id_container, containment) — directional, so a
+    mutual near-dup pair appears twice, as two containment facts.
+
+    Scale: shuffles carry (rare-shingle, id) prefix rows and bounded
+    candidate pairs, never text; the docs/sets frames persist across the
+    stages and release on the next call (same lifecycle as
+    jaccard_pairs)."""
+    from pyspark import StorageLevel
+
+    while _CONTAIN_LIVE:
+        _CONTAIN_LIVE.pop().unpersist(blocking=False)
+    sets = _token_sets(df, id_col, text_col, n)
+    eps = 1e-9
+    doc_freq = sets.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    docs = (
+        sets.join(doc_freq, "tok")
+        .groupBy("did")
+        .agg(F.array_sort(F.collect_list(F.struct("tok_df", "tok"))).alias("arr"))
+        .select(
+            "did",
+            F.size("arr").alias("sz"),
+            F.transform("arr", lambda s: s["tok"]).alias("toks"),
+            "arr",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CONTAIN_LIVE.append(docs)
+    need = F.ceil(F.lit(threshold) * F.col("sz") - eps).cast("int")
+    plen = (F.col("sz") - need + 1).cast("int")
+    prefix = docs.select(
+        "did", "sz", F.posexplode(F.slice("arr", F.lit(1), plen)).alias("pos0", "s")
+    ).select("did", F.col("s.tok").alias("tok"), (F.col("pos0") + 1).alias("pos"), "sz")
+    a = prefix.select(
+        F.col("did").alias("id_contained"),
+        "tok",
+        F.col("pos").alias("pos_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = docs.select(
+        F.col("did").alias("id_container"),
+        F.col("sz").alias("sz_b"),
+        F.explode("toks").alias("tok"),
+    )
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("id_contained") != F.col("id_container"))
+        .where(F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - eps)
+        .where(
+            F.lit(1) + (F.col("sz_a") - F.col("pos_a"))
+            >= F.ceil(F.lit(threshold) * F.col("sz_a") - eps)
+        )
+        .select("id_contained", "id_container", "sz_a")
+        .dropDuplicates(["id_contained", "id_container"])
+    )
+    arrays = docs.select("did", "toks")
+    inter = (
+        cand.join(
+            arrays.withColumnsRenamed({"did": "id_contained", "toks": "toks_a"}),
+            "id_contained",
+        )
+        .join(
+            arrays.withColumnsRenamed({"did": "id_container", "toks": "toks_b"}),
+            "id_container",
+        )
+        .select(
+            "id_contained",
+            "id_container",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+            "sz_a",
+        )
+    )
+    return inter.where(
+        F.col("n_inter") / F.col("sz_a").cast("double") >= F.lit(threshold)
+    ).select(
+        "id_contained",
+        "id_container",
+        F.round(F.col("n_inter") / F.col("sz_a").cast("double"), 4).alias("containment"),
+    )

@@ -3362,3 +3362,39 @@ def sim_ann_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         embeddings, query_ids=[1, 2, 3, 4, 5], k=5, num_cells=16,
         nprobes=(1, 2, 4, 8),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_contained, b.did AS id_container, count(*) AS n
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did <> b.did
+            GROUP BY 1, 2
+        )
+        SELECT id_contained, id_container,
+               round(n / CAST(sa.ss AS DOUBLE), 4) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.did = inter.id_contained
+        WHERE n / CAST(sa.ss AS DOUBLE) >= 0.9
+    """,
+    tags=("north-star", "dedup"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (trigram shingles, C >= 0.9):
+    catches a short document quoted wholesale inside a long one, which
+    Jaccard structurally misses (the long side inflates the union).
+    Directional output — (contained, container) — because "A is inside B"
+    and "B is inside A" are different curation decisions (drop the quote,
+    keep the source).  operators/dedup.py containment_pairs: prefix filter
+    on the contained side only, full postings on the container side, JVM
+    array_intersect verify; the threshold compares unrounded IEEE
+    quotients so Spark and DuckDB agree even on pairs landing exactly on
+    0.9 (sf0.01 has one)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return D.containment_pairs(documents, n=3, threshold=0.9)
