@@ -1023,3 +1023,68 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seqs.select(
         F.col("key").alias("user_id"), *Q.pattern_features(F.col("seq"))
     )
+
+
+@query(
+    "events_ewma_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type, a.day,
+               CAST(a.n AS BIGINT) AS n_events,
+               round(sum(b.n * pow(0.7, date_diff('day', b.day, a.day)))
+                     / sum(pow(0.7, date_diff('day', b.day, a.day))), 4) AS ewma
+        FROM daily a
+        JOIN daily b
+          ON a.event_type = b.event_type
+         AND date_diff('day', b.day, a.day) BETWEEN 0 AND 29
+        GROUP BY a.event_type, a.day, a.n
+    """,
+    tags=("events", "timeseries"),
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    type (α = 0.3), the standard trend-smoothing signal for volume
+    monitoring.  The recursive definition ewma_t = α·x_t + (1-α)·ewma_{t-1}
+    is a sequential dependency — hostile to distributed evaluation — so it
+    is re-expressed as the CLOSED FORM over a truncated 30-lag window:
+    weights (1-α)^Δ renormalized over the days present.  Truncation error
+    is bounded by (1-α)^30 ≈ 2e-5 of the weight mass — below the 4-decimal
+    output rounding — and the closed form is order-independent, which is
+    what lets both engines (and any partitioning) agree exactly.
+
+    Scale: the raw stream first collapses to (type, day) grain — the ONLY
+    pass over the 100 TB — then the band self-join runs on types × days
+    rows (KBs), partitioned by the equi key event_type with a ±30-day
+    band predicate; cost is 30 rows per anchor, not days²."""
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("n").alias("n_a")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("n_b"),
+    )
+    diff = F.datediff(F.col("day_a"), F.col("day_b"))
+    w = F.pow(F.lit(0.7), diff.cast("double"))
+    return (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b")) & diff.between(0, 29),
+        )
+        .groupBy("event_type", "day_a", "n_a")
+        .agg(F.round(F.sum(F.col("n_b") * w) / F.sum(w), 4).alias("ewma"))
+        .select(
+            "event_type",
+            F.col("day_a").alias("day"),
+            F.col("n_a").cast("bigint").alias("n_events"),
+            "ewma",
+        )
+    )
