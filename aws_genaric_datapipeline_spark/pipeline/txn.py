@@ -112,8 +112,16 @@ class TxnTable:
     def live_files(self, version: int | None = None) -> list[str]:
         """File names live at ``version`` (default: latest)."""
         v = self.latest_version() if version is None else version
+        commits = self._commits()
+        if commits and commits[0].get("base") and v < commits[0]["version"]:
+            # expire_snapshots collapsed history below this point; an
+            # expired version must FAIL loudly, not read back empty.
+            raise ValueError(
+                f"version {v} has been expired (earliest retained: "
+                f"{commits[0]['version']})"
+            )
         live: set[str] = set()
-        for c in self._commits():
+        for c in commits:
             if c["version"] > v:
                 break
             live -= set(c["removes"])
@@ -395,3 +403,73 @@ def compact(table: TxnTable, app_txn_id: str | None = None) -> int:
             f"compact based on version {base_version} lost to a concurrent commit"
         )
     return base_version + 1
+
+
+def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
+    """Bound the time-travel window to the last ``keep_last`` versions
+    (Iceberg's expire_snapshots): versions below the cutoff are removed
+    from the log, and the cutoff version's commit is REWRITTEN as a
+    self-contained checkpoint (its full live file set as adds, no
+    removes), so replay from the truncated log reconstructs every
+    retained version bit-for-bit.  Per-file column stats for the
+    checkpointed files are carried over, so read_pruned() skips exactly
+    as before.
+
+    After expiry, ``vacuum()`` reclaims the data files only expired
+    versions referenced — the disk-space payoff (before expiry, vacuum
+    keeps them because they back time travel).
+
+    Reading an expired version raises (live_files guard) rather than
+    silently returning an empty/wrong snapshot.  Two caveats, same as
+    the production formats: retention must exceed (a) the oldest
+    concurrent reader's pin, (b) the longest possible sink re-delivery
+    window — expired commits' ``app_txn_id``s are forgotten (except the
+    cutoff's own), so an ancient replayed micro-batch would no longer
+    dedupe.
+
+    The checkpoint swap uses write-temp + os.replace (atomic on POSIX
+    and the put-overwrite object-store analog); the O_EXCL race
+    discipline is unnecessary here because maintenance is single-writer
+    by contract (as in Delta/Iceberg, concurrent expiry is externally
+    serialized).
+
+    Returns the expired version numbers (empty list = nothing to do).
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    latest = table.latest_version()
+    cutoff = latest - keep_last + 1
+    commits = table._commits()
+    expired = [c["version"] for c in commits if c["version"] < cutoff]
+    if not expired:
+        return []
+    live = table.live_files(cutoff)
+    # Stats for the checkpointed files, harvested from any commit that
+    # added them (adds are unique per file name).
+    stats: dict[str, dict] = {}
+    for c in commits:
+        if c["version"] <= cutoff:
+            stats.update(
+                {n: s for n, s in c.get("stats", {}).items() if n in set(live)}
+            )
+    orig = next(c for c in commits if c["version"] == cutoff)
+    payload = json.dumps(
+        {
+            "version": cutoff,
+            "op": "checkpoint",
+            "base": True,
+            "adds": live,
+            "removes": [],
+            "app_txn_id": orig.get("app_txn_id"),
+            "committed_at": time.time(),
+            "stats": stats,
+        },
+        indent=1,
+    )
+    tmp = table._log_path(cutoff).with_suffix(".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+    os.replace(tmp, table._log_path(cutoff))
+    for v in expired:
+        table._log_path(v).unlink(missing_ok=True)
+    return expired

@@ -283,3 +283,76 @@ class TestSchemaEvolution:
         out = table.read_pruned("k", lower=100)
         assert set(out.columns) == {"k", "v", "extra"}
         assert [(r["k"], r["extra"]) for r in out.collect()] == [(500, 7)]
+
+
+class TestSnapshotExpiry:
+    def _build(self, spark, table):
+        # v1..v4: two appends, an overwrite, another append
+        table.append(_df(spark, [(1, "a")]))
+        table.append(_df(spark, [(2, "b")]))
+        table.overwrite(_df(spark, [(3, "c")]))
+        table.append(_df(spark, [(4, "d")]))
+
+    def test_expiry_bounds_time_travel_and_preserves_retained(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import expire_snapshots
+
+        self._build(spark, table)
+        before_v3 = _rows(table.read(3))
+        before_v4 = _rows(table.read(4))
+
+        expired = expire_snapshots(table, keep_last=2)
+        assert expired == [1, 2]
+        # retained versions replay bit-identically from the checkpoint
+        assert _rows(table.read(3)) == before_v3 == {(3, "c")}
+        assert _rows(table.read(4)) == before_v4 == {(3, "c"), (4, "d")}
+        assert table.latest_version() == 4
+        # expired versions fail loudly, not empty
+        with pytest.raises(ValueError, match="expired"):
+            table.read(2)
+        # history shows the checkpoint as the new base
+        ops = [h["op"] for h in table.history()]
+        assert ops == ["checkpoint", "append"]
+
+    def test_vacuum_reclaims_only_expired_backing_files(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import expire_snapshots
+
+        self._build(spark, table)
+        # files added by v1/v2 back time travel only; before expiry vacuum
+        # must keep them, after expiry it must drop exactly them
+        assert table.vacuum() == []
+        pre = set(table.live_files(2))
+        expire_snapshots(table, keep_last=2)
+        dropped = set(table.vacuum())
+        assert dropped == pre  # v1+v2 files (removed by v3's overwrite)
+        # the table still reads at every retained version
+        assert _rows(table.read()) == {(3, "c"), (4, "d")}
+        assert _rows(table.read(3)) == {(3, "c")}
+
+    def test_expiry_is_idempotent_and_writes_continue(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import expire_snapshots
+
+        self._build(spark, table)
+        expire_snapshots(table, keep_last=2)
+        assert expire_snapshots(table, keep_last=2) == []
+        v5 = table.append(_df(spark, [(5, "e")]))
+        assert v5 == 5
+        assert _rows(table.read()) == {(3, "c"), (4, "d"), (5, "e")}
+        # a second expiry can now shrink the window further
+        assert expire_snapshots(table, keep_last=1) == [3, 4]
+        assert _rows(table.read()) == {(3, "c"), (4, "d"), (5, "e")}
+        with pytest.raises(ValueError, match="expired"):
+            table.read(4)
+
+    def test_checkpoint_carries_pruning_stats(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import expire_snapshots
+
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        table.append(_df(spark, [(100, "x")]))
+        table.append(_df(spark, [(200, "y")]))
+        expire_snapshots(table, keep_last=1)
+        # stats survived the checkpoint rewrite (empty part files have no
+        # footer stats — they are read unconditionally, which is correct)
+        stats = table.file_stats()
+        assert any("k" in s for s in stats.values())
+        got = _rows(table.read_pruned("k", lower=150))
+        assert got == {(200, "y")}
