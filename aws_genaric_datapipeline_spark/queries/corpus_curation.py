@@ -2354,3 +2354,115 @@ def curate_classifier_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("cum_toks") - F.col("n_toks") < 150).select(
         F.col("did").alias("doc_id"), "source", "score_fp", "n_toks", "cum_toks"
     )
+
+
+_DUCK_QBP_CURR = """
+    CAST(4 * least(length(trim(text)) * 20, 10000)
+       + 3 * (CASE WHEN len({toks}) > 0
+                   AND length(trim(text)) - (len({toks}) - 1) >= 2 * len({toks})
+                   AND length(trim(text)) - (len({toks}) - 1) <= 12 * len({toks})
+              THEN 10000 ELSE 0 END)
+       + 3 * (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE (length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g'))
+                    * 10000) // length(trim(text)) END) AS BIGINT)
+""".format(toks=_DUCK_TOKS)
+
+
+@query(
+    "curate_curriculum_schedule",
+    oracle=f"""
+        WITH scored AS (
+            SELECT least({_DUCK_QBP_CURR} // 10000, 9) AS decile,
+                   len({_DUCK_TOKS}) AS n_toks
+            FROM documents
+        ),
+        buckets AS (
+            SELECT decile, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS bucket_tokens
+            FROM scored GROUP BY decile
+        ),
+        phases(phase, g) AS (VALUES ('warmup', 0), ('main', 1), ('polish', 3)),
+        mass AS (
+            SELECT phase, decile, n_docs, bucket_tokens,
+                   CAST(CASE g WHEN 0 THEN 1
+                               WHEN 1 THEN decile + 1
+                               ELSE (decile + 1) * (decile + 1) * (decile + 1)
+                        END AS BIGINT) * bucket_tokens AS m
+            FROM buckets, phases
+        )
+        SELECT phase, CAST(decile AS BIGINT) AS decile,
+               CAST(n_docs AS BIGINT) AS n_docs, bucket_tokens,
+               round(m / CAST(sum(m) OVER (PARTITION BY phase) AS DOUBLE), 6)
+                   AS sample_share,
+               CAST((m * (SELECT CAST(sum(bucket_tokens) AS BIGINT) FROM buckets))
+                    // sum(m) OVER (PARTITION BY phase) AS BIGINT)
+                   AS planned_tokens
+        FROM mass
+    """,
+    tags=("curation", "training"),
+)
+def curate_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum sampling schedule: given quality-score deciles
+    (VALUE-bucketed on the exact integer score — no global sort, unlike
+    ntile, so the bucketing needs no single-partition window at 100 TB)
+    and a 3-phase curriculum (warmup samples uniformly, main
+    proportional-to-quality, polish cubes the quality weight — the
+    FineWeb-Edu/Phi-style "anneal on the best data" recipe), emit the
+    per-(phase, decile) sampling share and a token plan for one epoch's
+    budget per phase.
+
+    All schedule arithmetic is INTEGER (weights (d+1)^γ with γ ∈ {0,1,3},
+    masses and the token plan in bigint; only the reported share divides
+    to double), so both engines agree bit-for-bit — no pow(), whose last-
+    ulp differences between libm implementations could flip a floor().
+
+    Scale: one pass scores documents (integer expression, map-side), the
+    schedule itself lives on ≤ 10 bucket rows × 3 phases."""
+    (documents,) = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = documents.select(
+        F.least(
+            F.floor(X.quality_score_bp(F.col("text")) / 10000).cast("bigint"),
+            F.lit(9),
+        ).alias("decile"),
+        F.size(X.tokens(F.trim(F.col("text")))).alias("n_toks"),
+    )
+    buckets = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("bucket_tokens"),
+    )
+    phases = documents.sparkSession.createDataFrame(
+        [("warmup", 0), ("main", 1), ("polish", 3)], "phase string, g int"
+    )
+    d1 = F.col("decile") + 1
+    weight = (
+        F.when(F.col("g") == 0, F.lit(1).cast("bigint"))
+        .when(F.col("g") == 1, d1.cast("bigint"))
+        .otherwise((d1 * d1 * d1).cast("bigint"))
+    )
+    mass = buckets.crossJoin(F.broadcast(phases)).select(
+        "phase",
+        "decile",
+        "n_docs",
+        "bucket_tokens",
+        (weight * F.col("bucket_tokens")).alias("m"),
+    )
+    w = Window.partitionBy("phase")
+    total = buckets.agg(F.sum("bucket_tokens").cast("bigint").alias("tot"))
+    return (
+        mass.crossJoin(F.broadcast(total))
+        .withColumn("sum_m", F.sum("m").over(w))
+        .select(
+            "phase",
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "bucket_tokens",
+            F.round(F.col("m") / F.col("sum_m").cast("double"), 6).alias(
+                "sample_share"
+            ),
+            # integral div, matching the oracle's `//`: double division +
+            # floor() would lose exactness once m·tot exceeds 2^53
+            F.expr("(m * tot) div sum_m").cast("bigint").alias("planned_tokens"),
+        )
+    )

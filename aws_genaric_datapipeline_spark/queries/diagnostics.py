@@ -666,3 +666,69 @@ def layout_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cd",
         zorder_value(F.col("ca"), F.col("cd"), bits=10).alias("zval"),
     ).where(F.col("o_orderkey") % 50 == 0)
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        ),
+        u AS (
+            SELECT event_type, n,
+                   ((('0x' || substr(md5('dpnoise-v1|' || event_type), 1, 8))
+                        ::BIGINT % 16777216) + 0.5) / 16777216.0 - 0.5 AS uu
+            FROM c
+        )
+        SELECT event_type,
+               CAST(1.0 AS DOUBLE) AS epsilon,
+               round(n + (-1.0) * sign(uu) * ln(1 - 2 * abs(uu)), 4)
+                   AS noisy_count
+        FROM u
+    """,
+    tags=("privacy", "diagnostics"),
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-type event counts: the
+    Laplace mechanism with sensitivity 1 (event-level neighboring — one
+    added/removed event changes one count by 1) and ε = 1.0 per released
+    count: noise ~ Laplace(1/ε) via inverse-CDF of a uniform draw.
+
+    The uniform is SEEDED from an md5 window of the release key — a
+    reproducible-noise mode: the pipeline's output is bit-stable across
+    reruns and engines (which is what lets the DuckDB oracle replay it,
+    and what a regression-tested release pipeline needs).  Deployment
+    note, stated honestly: seeded noise gives the calibration and
+    accounting of DP but NOT its guarantee against an adversary who
+    knows the seed recipe; a production release swaps the seeded uniform
+    for fresh randomness (one line) and keeps everything else — the
+    mechanism, sensitivity bound, and per-release ε accounting are the
+    auditable parts.  User-level DP would additionally bound per-user
+    contribution (events per user) before counting.
+
+    Scale: one grouped count (map-side combinable) and a scalar noise
+    expression per group — nothing here grows with row count."""
+    (events,) = load(spark, sf_dir, "events")
+    eps = 1.0
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dpnoise-v1|"), F.col("event_type"))), 1, 8), 16, 10).cast("bigint")
+            % F.lit(16777216)
+            + 0.5
+        )
+        / 16777216.0
+        - 0.5
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.lit(eps).alias("epsilon"),
+            F.round(
+                F.col("n")
+                + (-1.0 / eps) * F.signum(u) * F.log(1 - 2 * F.abs(u)),
+                4,
+            ).alias("noisy_count"),
+        )
+    )

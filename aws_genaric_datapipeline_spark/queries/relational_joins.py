@@ -477,3 +477,71 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o.o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS gross_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing", "scale"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over CO-BUCKETED catalog tables: both sides are
+    written bucketBy(16, key) + sortBy(key), so the join itself plans a
+    sort-merge over matching bucket ids with ZERO exchange and ZERO sort
+    — the shuffle was paid once at write time (tests/test_plans.py::
+    TestBucketedJoin asserts shuffle_count == 0 for exactly this shape).
+
+    This is the ingest-side contract for recurring fact-fact joins at
+    100 TB: re-shuffling 100 TB per query is the single largest avoidable
+    cost in a star-join workload, and bucketing amortizes it across every
+    downstream join/agg on the same key.  The query measures the whole
+    trade honestly — table build + co-located join — the way a nightly
+    pipeline pays it (build once, query many; only the join side of the
+    trade repeats in production).
+
+    Broadcast is disabled during the join so the plan demonstrates the
+    shuffle-free SMJ rather than broadcasting the (small at test SF)
+    orders side; restored after eager materialization."""
+    from aws_genaric_datapipeline_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    (orders, lineitem) = load(spark, sf_dir, "orders", "lineitem")
+    write_bucketed(
+        orders.select(
+            F.col("o_orderkey").alias("k"), "o_orderpriority"
+        ),
+        "bkt_q_orders",
+        ["k"],
+        16,
+        sort_cols=["k"],
+    )
+    write_bucketed(
+        lineitem.select(F.col("l_orderkey").alias("k"), "l_extendedprice"),
+        "bkt_q_lineitem",
+        ["k"],
+        16,
+        sort_cols=["k"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bkt_q_lineitem", "bkt_q_orders", ["k"])
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("gross_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -129,6 +129,14 @@ HEADLINE = [
     "curate_classifier_budget",
     "events_sequence_pattern",
     "layout_zorder_values",
+    "agg_bitmap_set_algebra",
+    "join_bloom_semi_reduction",
+    "skyline_pareto_parts",
+    "dedup_containment_pairs",
+    "events_ewma_daily",
+    "join_bucketed_colocated",
+    "privacy_dp_noisy_counts",
+    "curate_curriculum_schedule",
 ]
 
 
