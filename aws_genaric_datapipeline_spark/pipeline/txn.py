@@ -473,3 +473,78 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
     for v in expired:
         table._log_path(v).unlink(missing_ok=True)
     return expired
+
+
+def table_changes(
+    table: TxnTable,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change data feed between two committed versions (Delta's
+    table_changes): the row-level diff derived FROM THE SNAPSHOTS, so it
+    works for any pair of versions regardless of which operations
+    produced them (append/overwrite/merge/compact — compaction commits
+    correctly produce an EMPTY feed, since content is unchanged).
+
+    Returns one row per changed key:
+      keys..., change_type ('insert' | 'delete' | 'update_postimage'),
+      old_<col>..., new_<col>... for every non-key column (null on the
+      absent side of inserts/deletes).  Unchanged rows are filtered with
+      a null-safe struct compare, so evolution-added columns (null in
+      old files) diff correctly.
+
+    ``from_version=0`` diffs against the empty table (everything is an
+    insert) — the bootstrap form a downstream incremental consumer uses
+    on first sync.
+
+    Scale: one full-outer join keyed on the table key between two
+    snapshot scans — the operation an incremental downstream pays ONCE
+    per sync instead of reprocessing the table; at 100 TB both sides
+    prune to the key + compared columns, and a key-partitioned layout
+    turns it into a co-located join (see operators/bucketing.py).
+    """
+    new = table.read(to_version)
+    if from_version == 0:
+        old = new.where(F.lit(False))
+    else:
+        old = table.read(from_version)
+    val_cols = [c for c in new.columns if c not in keys]
+    for c in val_cols:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+    o = old.select(
+        *[F.col(k).alias(f"_k_old_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in val_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_k_new_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in val_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_k_old_{k}") == F.col(f"_k_new_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    old_key_null = F.col(f"_k_old_{keys[0]}").isNull()
+    new_key_null = F.col(f"_k_new_{keys[0]}").isNull()
+    change = (
+        F.when(old_key_null, F.lit("insert"))
+        .when(new_key_null, F.lit("delete"))
+        .otherwise(F.lit("update_postimage"))
+    )
+    same = F.struct(*[F.col(f"old_{c}") for c in val_cols]).eqNullSafe(
+        F.struct(*[F.col(f"new_{c}") for c in val_cols])
+    )
+    return (
+        j.where(old_key_null | new_key_null | ~same)
+        .select(
+            *[
+                F.coalesce(F.col(f"_k_new_{k}"), F.col(f"_k_old_{k}")).alias(k)
+                for k in keys
+            ],
+            change.alias("change_type"),
+            *[F.col(f"old_{c}") for c in val_cols],
+            *[F.col(f"new_{c}") for c in val_cols],
+        )
+    )

@@ -211,3 +211,235 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+_MRK_ROUNDS = 5
+
+
+def _mrk_round_sql(k: int) -> str:
+    prev = f"v{k - 1}"
+    return f"""
+        v{k} AS (
+            SELECT st.scen, st.state,
+                   st.pconv + coalesce(sum(t.p * prev.val), 0) AS val
+            FROM sts st
+            LEFT JOIN strans t
+              ON t.scen = st.scen AND t.src = st.state
+             AND t.dst NOT IN ('CONV', 'NULL')
+            LEFT JOIN {prev} prev
+              ON prev.scen = t.scen AND prev.state = t.dst
+            GROUP BY st.scen, st.state, st.pconv
+        )"""
+
+
+_MRK_BASE_CTES = """
+        ev AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        firstp AS (
+            SELECT user_id, min(rn) AS prn FROM ev
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        kept AS (
+            SELECT e.* FROM ev e LEFT JOIN firstp f ON e.user_id = f.user_id
+            WHERE f.prn IS NULL OR e.rn <= f.prn
+        ),
+        pairs AS (
+            SELECT user_id, event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY rn) AS nxt
+            FROM kept
+        ),
+        edges AS (
+            SELECT 'START' AS src,
+                   CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END AS dst
+            FROM kept WHERE rn = 1
+            UNION ALL
+            SELECT src,
+                   CASE WHEN nxt = 'purchase' THEN 'CONV'
+                        WHEN nxt IS NULL THEN 'NULL'
+                        ELSE nxt END AS dst
+            FROM pairs WHERE src <> 'purchase'
+        ),
+        trans AS (
+            SELECT src, dst,
+                   count(*) / CAST(sum(count(*)) OVER (PARTITION BY src)
+                                   AS DOUBLE) AS p
+            FROM edges GROUP BY src, dst
+        ),
+        chans AS (
+            SELECT DISTINCT src AS c FROM trans WHERE src <> 'START'
+        ),
+        scens AS (
+            SELECT 'none' AS scen, NULL AS removed
+            UNION ALL SELECT c, c FROM chans
+        ),
+        strans AS (
+            SELECT s.scen, t.src,
+                   CASE WHEN t.dst = s.removed THEN 'NULL' ELSE t.dst END AS dst,
+                   sum(t.p) AS p
+            FROM scens s JOIN trans t
+              ON s.removed IS NULL OR t.src <> s.removed
+            GROUP BY 1, 2, 3
+        ),
+        sts AS (
+            SELECT scen, src AS state,
+                   coalesce(sum(CASE WHEN dst = 'CONV' THEN p END), 0) AS pconv
+            FROM strans GROUP BY scen, src
+        ),
+        v0 AS (SELECT scen, state, pconv AS val FROM sts)"""
+
+
+@query(
+    "events_attribution_removal",
+    oracle=f"""
+        WITH {_MRK_BASE_CTES},
+        {",".join(_mrk_round_sql(k) for k in range(1, _MRK_ROUNDS + 1))}
+        SELECT c.c AS channel,
+               round(full_p.val, 4) AS p_conv_full,
+               round(rem.val, 4) AS p_conv_removed,
+               round(1 - rem.val / full_p.val, 4) AS removal_effect
+        FROM chans c
+        JOIN v{_MRK_ROUNDS} full_p
+          ON full_p.scen = 'none' AND full_p.state = 'START'
+        JOIN v{_MRK_ROUNDS} rem ON rem.scen = c.c AND rem.state = 'START'
+    """,
+    tags=("events", "attribution", "markov"),
+)
+def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014): model user
+    journeys as a first-order chain START → channels → CONV/NULL
+    (journeys truncate at the first purchase), then credit each channel
+    by how much conversion probability DISAPPEARS when it is removed
+    (its inbound edges re-routed to NULL) — the data-driven alternative
+    to last-touch heuristics (events_attribution_touch).
+
+    Absorption probability is evaluated as P(conversion within
+    {_MRK_ROUNDS} hops) — a FIXED-horizon unrolled iteration, not a
+    matrix solve, so the DuckDB oracle replays it exactly (same pattern
+    as the PageRank/LPA fixed-round oracles).
+
+    Scale: the only data-sized pass is journey → edge extraction (one
+    user_id shuffle + windows).  The chain lives on |channels|²·
+    |scenarios| rows (dozens); the {_MRK_ROUNDS}-round evaluation joins
+    frames of that size — driver-free, broadcast-class."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    kept = ev.join(F.broadcast(firstp), "user_id", "left").where(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    pairs = kept.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wk).alias("nxt"),
+        "rn",
+    )
+    start_edges = kept.where(F.col("rn") == 1).select(
+        F.lit("START").alias("src"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    step_edges = pairs.where(F.col("src") != "purchase").select(
+        "src",
+        F.when(F.col("nxt") == "purchase", "CONV")
+        .when(F.col("nxt").isNull(), "NULL")
+        .otherwise(F.col("nxt"))
+        .alias("dst"),
+    )
+    edges = start_edges.unionByName(step_edges)
+    ws = Window.partitionBy("src")
+    trans = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "src", "dst", (F.col("n") / F.sum("n").over(ws).cast("double")).alias("p")
+        )
+    )
+    chans = trans.where(F.col("src") != "START").select(
+        F.col("src").alias("c")
+    ).distinct()
+    scens = chans.select(
+        F.col("c").alias("scen"), F.col("c").alias("removed")
+    ).unionByName(
+        chans.sparkSession.createDataFrame(
+            [("none", None)], "scen string, removed string"
+        )
+    )
+    strans = (
+        F.broadcast(scens)
+        .join(trans, F.col("removed").isNull() | (F.col("src") != F.col("removed")))
+        .select(
+            "scen",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), "NULL")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p",
+        )
+        .groupBy("scen", "src", "dst")
+        .agg(F.sum("p").alias("p"))
+        .localCheckpoint(eager=True)  # tiny; cuts the re-derivation below
+    )
+    sts = strans.groupBy("scen", F.col("src").alias("state")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("dst") == "CONV", F.col("p"))), F.lit(0.0)
+        ).alias("pconv")
+    ).localCheckpoint(eager=True)
+    inner = strans.where(~F.col("dst").isin("CONV", "NULL")).select(
+        F.col("scen").alias("t_scen"),
+        F.col("src").alias("t_src"),
+        F.col("dst").alias("t_dst"),
+        F.col("p").alias("t_p"),
+    )
+    v = sts.select("scen", "state", F.col("pconv").alias("val"))
+    for _ in range(_MRK_ROUNDS):
+        v = (
+            sts.join(
+                inner,
+                (F.col("t_scen") == F.col("scen")) & (F.col("t_src") == F.col("state")),
+                "left",
+            )
+            .join(
+                v.select(
+                    F.col("scen").alias("v_scen"),
+                    F.col("state").alias("v_state"),
+                    F.col("val").alias("v_val"),
+                ),
+                (F.col("v_scen") == F.col("t_scen"))
+                & (F.col("v_state") == F.col("t_dst")),
+                "left",
+            )
+            .groupBy("scen", "state", "pconv")
+            .agg(
+                (
+                    F.first("pconv")
+                    + F.coalesce(F.sum(F.col("t_p") * F.col("v_val")), F.lit(0.0))
+                ).alias("val")
+            )
+            .select("scen", "state", "val")
+        )
+    full_p = v.where((F.col("scen") == "none") & (F.col("state") == "START")).select(
+        F.col("val").alias("pf")
+    )
+    rem = v.where(F.col("state") == "START").where(F.col("scen") != "none").select(
+        F.col("scen").alias("channel"), F.col("val").alias("pr")
+    )
+    return rem.crossJoin(F.broadcast(full_p)).select(
+        "channel",
+        F.round("pf", 4).alias("p_conv_full"),
+        F.round("pr", 4).alias("p_conv_removed"),
+        F.round(1 - F.col("pr") / F.col("pf"), 4).alias("removal_effect"),
+    )

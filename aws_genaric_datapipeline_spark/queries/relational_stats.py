@@ -622,3 +622,81 @@ def stats_pmi_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "stats_theilsen_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS d,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   (b.n - a.n) / CAST(b.d - a.d AS DOUBLE) AS s
+            FROM daily a
+            JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+        ),
+        ts_slope AS (
+            SELECT event_type, median(s) AS slope FROM slopes GROUP BY 1
+        )
+        SELECT d.event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(any_value(t.slope), 6) AS slope_per_day,
+               round(median(d.n - t.slope * d.d), 4) AS intercept
+        FROM daily d JOIN ts_slope t ON d.event_type = t.event_type
+        GROUP BY d.event_type
+    """,
+    tags=("stats", "robust"),
+)
+def stats_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume per type: the MEDIAN
+    of all pairwise slopes (breakdown point 29%, vs 0% for the OLS line
+    stats_regression fits — one bad ingest day cannot bend this trend),
+    with the standard median-residual intercept.
+
+    Slopes are exact IEEE quotients of integer differences and the
+    median picks (or averages two of) them deterministically, so both
+    engines agree bit-for-bit before the output rounding — no summation-
+    order sensitivity, unlike OLS's Σxy accumulations.
+
+    Scale: the raw stream collapses to (type, day) grain first; the
+    pairwise join is O(days²) per type on that tiny grain (66k pairs for
+    a year — nothing), NEVER on raw events.  For decade-scale spans, the
+    repeated-median or k-random-pairs estimator bounds it linearly."""
+    (events,) = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(
+        "event_type", F.col("d").alias("d_a"), F.col("n").alias("n_a")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("d_b"),
+        F.col("n").alias("n_b"),
+    )
+    slopes = (
+        a.join(b, (F.col("event_type") == F.col("et_b")) & (F.col("d_a") < F.col("d_b")))
+        .select(
+            "event_type",
+            ((F.col("n_b") - F.col("n_a")) / (F.col("d_b") - F.col("d_a")).cast("double")).alias("s"),
+        )
+        .groupBy("event_type")
+        .agg(F.median("s").alias("slope"))
+    )
+    return (
+        daily.join(F.broadcast(slopes), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.any_value("slope"), 6).alias("slope_per_day"),
+            F.round(F.median(F.col("n") - F.col("slope") * F.col("d")), 4).alias("intercept"),
+        )
+    )

@@ -589,3 +589,78 @@ def merge_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_versions).cast("bigint").alias("n_versions"),
         )
     )
+
+
+@query(
+    "txn_change_data_feed",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        upd AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) + 111 AS price_cents
+            FROM orders WHERE o_orderkey % 6 = 0 OR o_orderkey % 3 = 1
+        ),
+        v2 AS (
+            SELECT b.* FROM base b
+            WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+            UNION ALL SELECT * FROM upd
+        ),
+        v3 AS (SELECT * FROM v2 WHERE o_orderkey % 9 <> 0)
+        SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update_postimage' END AS change_type,
+               o.price_cents AS old_price_cents,
+               n.price_cents AS new_price_cents
+        FROM base o
+        FULL OUTER JOIN v3 n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.price_cents <> n.price_cents
+    """,
+    tags=("merge", "acid", "pipeline", "cdc"),
+)
+def txn_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the mini transaction-log format
+    (pipeline/txn.py table_changes): seed version 1 with an orders
+    slice, MERGE an update/insert batch as version 2, delete a key
+    range as version 3 (snapshot-filtered overwrite), then emit the
+    ROW-LEVEL diff v1 → v3 — inserts, deletes, and update postimages
+    with old/new values — the feed an incremental downstream consumes
+    instead of reprocessing the table (Delta CDF semantics, derived
+    from snapshots so it is operation-agnostic).
+
+    The oracle replays the same three commits relationally and diffs
+    declaratively; the Spark side must reproduce it through actual
+    parquet commits, log replay, and the full-outer diff."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        table_changes,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", cents.alias("price_cents")
+    )
+    upd = orders.where(
+        (F.col("o_orderkey") % 6 == 0) | (F.col("o_orderkey") % 3 == 1)
+    ).select("o_orderkey", (cents + 111).alias("price_cents"))
+
+    root = Path(tempfile.gettempdir()) / "aws_gdp_txn_cdf"
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    table.overwrite(base, app_txn_id="cdf-seed")
+    table.merge_upsert(upd, keys=["o_orderkey"], app_txn_id="cdf-delta")
+    table.overwrite(
+        table.read(2).where(F.col("o_orderkey") % 9 != 0),
+        app_txn_id="cdf-delete",
+    )
+    return table_changes(table, from_version=1, to_version=3, keys=["o_orderkey"])

@@ -137,6 +137,9 @@ HEADLINE = [
     "join_bucketed_colocated",
     "privacy_dp_noisy_counts",
     "curate_curriculum_schedule",
+    "txn_change_data_feed",
+    "stats_theilsen_trend",
+    "events_attribution_removal",
 ]
 
 

@@ -356,3 +356,53 @@ class TestSnapshotExpiry:
         assert any("k" in s for s in stats.values())
         got = _rows(table.read_pruned("k", lower=150))
         assert got == {(200, "y")}
+
+
+class TestChangeDataFeed:
+    def test_insert_update_delete_classified(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import table_changes
+
+        table.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        table.overwrite(_df(spark, [(1, "a"), (2, "B"), (4, "d")]))
+        got = {
+            (r["k"], r["change_type"], r["old_v"], r["new_v"])
+            for r in table_changes(table, 1, 2, keys=["k"]).collect()
+        }
+        assert got == {
+            (2, "update_postimage", "b", "B"),
+            (3, "delete", "c", None),
+            (4, "insert", None, "d"),
+        }
+
+    def test_bootstrap_from_version_zero_is_all_inserts(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import table_changes
+
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        got = table_changes(table, 0, 1, keys=["k"])
+        assert {r["change_type"] for r in got.collect()} == {"insert"}
+        assert got.count() == 2
+
+    def test_compaction_produces_empty_feed(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            compact,
+            table_changes,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        table.append(_df(spark, [(2, "b")]))
+        compact(table)
+        assert table_changes(table, 2, 3, keys=["k"]).count() == 0
+
+    def test_evolution_added_column_diffs_as_update(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import table_changes
+
+        table.overwrite(_df(spark, [(1, "a")]))
+        evolved = spark.createDataFrame(
+            [(1, "a", 9)], "k bigint, v string, w bigint"
+        )
+        table.overwrite(evolved)
+        rows = table_changes(table, 1, 2, keys=["k"]).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["change_type"] == "update_postimage"
+        assert r["old_w"] is None and r["new_w"] == 9
