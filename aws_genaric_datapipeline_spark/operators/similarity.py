@@ -1491,3 +1491,101 @@ def erase_from_ivf_index(spark, index_path: str, victim_ids: DataFrame) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     for cell in set(affected) - survivors:
         _shutil.rmtree(f"{index_path}/cells/cell_id={cell}", ignore_errors=True)
+
+
+# ----------------------------------------------------------- k-center coreset
+def _dist2_micro(a: Column, b: Column) -> Column:
+    """Squared euclidean distance quantized to integer micro-units.
+
+    Element ops run in DOUBLE with a fixed left-to-right accumulation
+    (both engines evaluate the same expression shape), then quantize:
+    floor(d² · 1e6) as bigint.  Every later comparison — running minima,
+    farthest-point argmax, nearest-center assignment — is then EXACT
+    integer arithmetic, so the greedy trajectory cannot diverge between
+    engines on a last-ulp tie; the only residual risk is a raw distance
+    landing within one ulp of a quantization boundary (same negligible
+    class as the rounded-threshold filters elsewhere)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(d2 * 1e6).cast("bigint")
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity coreset by greedy k-center (Gonzalez farthest-point):
+    seed with the smallest id, then k-1 times add the point FARTHEST
+    from its nearest chosen center (ties → smallest id).  The classic
+    2-approximation to the k-center cover, and the standard diverse-
+    subset selector for embedding-space data curation (pick prototypes
+    that SPAN the corpus, where uniform sampling oversamples dense
+    modes).
+
+    Returns one row per center: (round_idx, center_id, n_assigned,
+    max_dist2_micro) — assignment of every point to its nearest center
+    (quantized distance, ties → smaller round_idx), and the coverage
+    radius per center.
+
+    Scale: each greedy round is ONE map pass (distance to the newest
+    center, running integer min) + a global top-1 reduce; k rounds total,
+    nothing quadratic.  The per-round driver hop carries one (id, vector)
+    row — bounded control data, same class as the IVF centroid loop.  At
+    100 TB with large k, switch the exact top-1 to the k-center++ sampled
+    variant; the operator contract is unchanged."""
+    pts = ensure_parallelism(df).select(
+        F.col(id_col).alias("pid"), _dbl(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+    seed = pts.orderBy("pid").limit(1).collect()[0]
+    centers = [(0, int(seed["pid"]), list(seed["v"]))]
+    lit_v = lambda vec: F.array(*[F.lit(float(x)) for x in vec])  # noqa: E731
+    dmin = pts.select(
+        "pid", "v", _dist2_micro(F.col("v"), lit_v(centers[0][2])).alias("dq")
+    )
+    for r in range(1, k):
+        far = dmin.orderBy(F.desc("dq"), F.asc("pid")).limit(1).collect()[0]
+        centers.append((r, int(far["pid"]), list(far["v"])))
+        dmin = dmin.select(
+            "pid",
+            "v",
+            F.least(
+                F.col("dq"), _dist2_micro(F.col("v"), lit_v(far["v"]))
+            ).alias("dq"),
+        ).localCheckpoint(eager=True)  # k short plans, not one k-deep plan
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(r, cid, vec) for r, cid, vec in centers],
+        f"round_idx int, center_id bigint, cvec array<double>",
+    )
+    assigned = (
+        pts.crossJoin(F.broadcast(cdf))
+        .select(
+            "pid",
+            "round_idx",
+            "center_id",
+            _dist2_micro(F.col("v"), F.col("cvec")).alias("dq"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("dq"), F.asc("round_idx"))
+    best = assigned.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.groupBy("round_idx", "center_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            F.max("dq").alias("max_dist2_micro"),
+        )
+        .select(
+            F.col("round_idx").cast("bigint").alias("round_idx"),
+            "center_id",
+            "n_assigned",
+            "max_dist2_micro",
+        )
+    )

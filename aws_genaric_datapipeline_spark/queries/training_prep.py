@@ -449,3 +449,74 @@ def report_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_v2",
         "centroid_cosine",
     )
+
+
+_KC_K = 6
+
+
+def _kc_dist(a: str, b: str) -> str:
+    """Quantized squared euclidean distance — DuckDB replay of
+    operators/similarity._dist2_micro (double element ops, floor·1e6)."""
+    return (
+        f"CAST(floor(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))) * 1e6) AS BIGINT)"
+    )
+
+
+def _kc_round_sql(r: int) -> str:
+    prev = f"d{r - 1}"
+    return f"""
+        c{r} AS MATERIALIZED (
+            SELECT pid AS cid, v AS cv FROM {prev}
+            ORDER BY dq DESC, pid LIMIT 1
+        ),
+        d{r} AS MATERIALIZED (
+            SELECT p.pid, p.v, least(p.dq, {_kc_dist('p.v', f'c{r}.cv')}) AS dq
+            FROM {prev} p, c{r}
+        )"""
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=f"""
+        WITH pts AS (SELECT vec_id AS pid, embedding AS v FROM embeddings),
+        c0 AS MATERIALIZED (SELECT pid AS cid, v AS cv FROM pts ORDER BY pid LIMIT 1),
+        d0 AS MATERIALIZED (
+            SELECT p.pid, p.v, {_kc_dist('p.v', 'c0.cv')} AS dq FROM pts p, c0
+        ),
+        {",".join(_kc_round_sql(r) for r in range(1, _KC_K))},
+        centers AS ({" UNION ALL ".join(f"SELECT {r} AS round_idx, cid, cv FROM c{r}" for r in range(_KC_K))}),
+        assigned AS (
+            SELECT p.pid, c.round_idx, c.cid,
+                   {_kc_dist('p.v', 'c.cv')} AS dq,
+                   row_number() OVER (
+                       PARTITION BY p.pid
+                       ORDER BY {_kc_dist('p.v', 'c.cv')} ASC, c.round_idx ASC
+                   ) AS rn
+            FROM pts p, centers c
+        )
+        SELECT CAST(round_idx AS BIGINT) AS round_idx,
+               CAST(cid AS BIGINT) AS center_id,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               max(dq) AS max_dist2_micro
+        FROM assigned WHERE rn = 1
+        GROUP BY round_idx, cid
+    """,
+    tags=("training", "sampling", "coreset"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset over the embedding corpus: greedy k-center
+    (Gonzalez farthest-point, k=6) picks prototypes that SPAN the space
+    — the diverse-subset selector for curation/annotation budgets, where
+    uniform sampling oversamples dense modes and misses tails.  The
+    greedy trajectory runs on integer-quantized distances so both
+    engines walk the identical center sequence (see
+    operators/similarity.kcenter_coreset); the oracle unrolls all six
+    rounds declaratively and replays the nearest-center assignment."""
+    from aws_genaric_datapipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return kcenter_coreset(embeddings, k=_KC_K)

@@ -140,6 +140,7 @@ HEADLINE = [
     "txn_change_data_feed",
     "stats_theilsen_trend",
     "events_attribution_removal",
+    "sample_kcenter_coreset",
 ]
 
 

@@ -2875,3 +2875,59 @@ class TestSkyline:
         assert sorted(zip(kept["x"], kept["y"])) == [
             (0.5, 1), (1.0, 5), (1.0, 5), (2.0, 6), (3.0, 7)
         ]
+
+
+class TestKCenterCoreset:
+    def test_greedy_matches_reference_and_is_partition_invariant(self, spark):
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            kcenter_coreset,
+        )
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(120, 8)).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            (r["round_idx"], r["center_id"])
+            for r in kcenter_coreset(df, k=5).collect()
+        }
+
+        # driver-side reference greedy on the same quantized distances
+        def dq(a, b):
+            d = a.astype("float64") - b.astype("float64")
+            return int(np.floor(float((d * d).sum()) * 1e6))
+
+        centers = [0]
+        dmin = {i: dq(vecs[i], vecs[0]) for i in range(120)}
+        for _ in range(4):
+            far = max(range(120), key=lambda i: (dmin[i], -i))
+            centers.append(far)
+            for i in range(120):
+                dmin[i] = min(dmin[i], dq(vecs[i], vecs[far]))
+        assert got == {(r, c) for r, c in enumerate(centers)}
+
+        # partitioning must not change the trajectory
+        got2 = {
+            (r["round_idx"], r["center_id"])
+            for r in kcenter_coreset(df.repartition(13), k=5).collect()
+        }
+        assert got2 == got
+
+    def test_coverage_radius_shrinks_with_k(self, spark):
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            kcenter_coreset,
+        )
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(200, 6)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        r2 = max(r["max_dist2_micro"] for r in kcenter_coreset(df, k=2).collect())
+        r8 = max(r["max_dist2_micro"] for r in kcenter_coreset(df, k=8).collect())
+        assert r8 < r2
