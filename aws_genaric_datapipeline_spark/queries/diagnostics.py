@@ -732,3 +732,76 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("noisy_count"),
         )
     )
+
+
+@query(
+    "layout_dynamic_partition_pruning",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type,
+                   row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events e
+        JOIN dim d ON e.event_type = d.event_type AND d.rn <= 2
+        GROUP BY e.event_type
+    """,
+    tags=("layout", "scale", "pruning"),
+)
+def layout_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: the fact side is WRITTEN
+    partitioned on the join key (the ingest-side layout contract), the
+    dimension side carries a data-dependent filter (top-2 event types by
+    volume — not constant-foldable, so static pruning cannot apply), and
+    Catalyst injects a dynamicpruning subquery into the fact scan: only
+    the surviving partitions' files are ever opened
+    (tests/test_plans.py gates the injected filter).
+
+    This is the partition-layout twin of join_bloom_semi_reduction: the
+    bloom prunes ROWS pre-shuffle when the fact is unpartitioned; DPP
+    prunes whole DIRECTORIES pre-scan when the layout matches the join
+    key — at 100 TB the difference between reading 2/5 of the corpus
+    and reading none of the losing partitions' bytes at all.
+
+    The oracle replays the same top-2 selection relationally; the Spark
+    side must produce it through the actual partitioned write + pruned
+    scan."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    (events,) = load(spark, sf_dir, "events")
+    root = Path(tempfile.gettempdir()) / "aws_gdp_dpp_demo"
+    shutil.rmtree(root, ignore_errors=True)
+    events.select("event_type", "value").write.partitionBy("event_type").parquet(
+        str(root / "fact")
+    )
+    from pyspark.sql import Window
+
+    dim = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("event_type")))
+            .alias("rn"),
+        )
+    )
+    dim.write.parquet(str(root / "dim"))
+    fact = spark.read.parquet(str(root / "fact"))
+    dimr = spark.read.parquet(str(root / "dim")).where(F.col("rn") <= 2)
+    return (
+        fact.join(dimr, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )

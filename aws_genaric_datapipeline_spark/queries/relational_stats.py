@@ -700,3 +700,72 @@ def stats_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.median(F.col("n") - F.col("slope") * F.col("d")), 4).alias("intercept"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag,
+                   l_extendedprice AS price,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+        ),
+        cum AS (
+            SELECT l_returnflag, price, w,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM base
+        )
+        SELECT l_returnflag,
+               CAST(any_value(tw) AS BIGINT) AS total_weight,
+               round(min(price), 2) AS weighted_median_price
+        FROM cum
+        WHERE 2 * cw >= tw
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "robust"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact LOWER weighted median (smallest v with cumulative weight
+    ≥ half the total): the volume-weighted "typical price" — a plain
+    median treats a 1-unit and a 50-unit line item alike; this one
+    answers what price the MEDIAN UNIT shipped at.
+
+    The lower-median rule needs no interpolation, so the selection is
+    pure integer comparison on exact bigint cumulative weights (RANGE
+    frame ties accumulate together — duplicate prices cannot make the
+    answer order-dependent), deterministic across engines.
+
+    Scale: one shuffle on the group key; the cumulative window sorts
+    within group — for 100 TB single-group medians, switch to the
+    two-pass histogram narrowing of agg_quantile_histogram (same
+    output contract)."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    base = lineitem.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = base.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("tw").cast("bigint").alias("total_weight"),
+            F.round(F.min("price"), 2).alias("weighted_median_price"),
+        )
+    )

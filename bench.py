@@ -141,6 +141,8 @@ HEADLINE = [
     "stats_theilsen_trend",
     "events_attribution_removal",
     "sample_kcenter_coreset",
+    "agg_weighted_median",
+    "layout_dynamic_partition_pruning",
 ]
 
 

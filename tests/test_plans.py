@@ -979,3 +979,33 @@ class TestBloomSemiJoinReduction:
         df = QUERIES["join_bloom_semi_reduction"].fn(spark, SF)
         assert df.count() == 3
         assert {k: spark.conf.get(k) for k in keys} == before
+
+
+class TestDynamicPartitionPruning:
+    def test_dpp_subquery_injected_on_partitioned_fact(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        (events,) = load(spark, SF, "events")
+        events.select("event_type", "value").write.partitionBy(
+            "event_type"
+        ).parquet(str(tmp_path / "fact"))
+        dim = (
+            events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "event_type",
+                F.row_number()
+                .over(Window.orderBy(F.desc("c"), F.asc("event_type")))
+                .alias("rn"),
+            )
+        )
+        dim.write.parquet(str(tmp_path / "dim"))
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dimr = spark.read.parquet(str(tmp_path / "dim")).where(F.col("rn") <= 2)
+        j = fact.join(dimr, "event_type").groupBy("event_type").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), (
+            "partitioned fact + filtered dim must inject a DPP subquery"
+        )
+        assert j.count() == 2
