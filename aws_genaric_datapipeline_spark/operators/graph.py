@@ -574,3 +574,63 @@ def connected_components_star(
         )
         labels = labels.unionByName(extra)
     return labels
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 4,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, Bellman-Ford style: after
+    ``rounds`` relaxations, ``(node, dist)`` is the exact minimum path
+    weight from ANY seed over paths of at most ``rounds`` edges
+    (unreached nodes absent).  Weights must be non-negative integers —
+    integer distance arithmetic keeps every relaxation and the final
+    min bit-deterministic across engines and partitionings, which is
+    what lets a recursive-CTE oracle replay the fixpoint.
+
+    Each round is ONE join of the static symmetrized edge list against
+    the current distance frame + a min-aggregate — the Pregel SSSP cost
+    model, O(edges) per round with map-side-combining mins;
+    localCheckpoint caps lineage per round as in connected_components.
+    The hop cap is the distributed-world contract (bounded rounds, like
+    the fixed-round PageRank/LPA); diameter-unbounded graphs iterate
+    until a round changes nothing.
+    """
+    fwd = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
+    )
+    rev = edges.select(
+        F.col(dst).alias("s"), F.col(src).alias("d"), F.col(weight).alias("w")
+    )
+    sym = (
+        fwd.unionByName(rev)
+        .where(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).cast("bigint").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("d").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

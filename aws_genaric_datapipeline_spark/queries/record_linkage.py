@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_genaric_datapipeline_spark.operators import dedup as D
 from aws_genaric_datapipeline_spark.operators import linkage as L
-from aws_genaric_datapipeline_spark.operators.graph import bfs_hops
+from aws_genaric_datapipeline_spark.operators.graph import bfs_hops, sssp_weighted
 from aws_genaric_datapipeline_spark.queries.north_star import _DUCK_TRIGRAMS
 from aws_genaric_datapipeline_spark.queries.registry import query
 from aws_genaric_datapipeline_spark.tables import load
@@ -237,4 +237,75 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").cast("bigint").alias("node"),
         F.round("rank", 6).alias("rank"),
+    )
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id AS did, s.tok
+            FROM documents, UNNEST({_DUCK_TRIGRAMS}) AS s(tok)
+        ),
+        sizes AS (SELECT did, count(*) AS ss FROM sh GROUP BY did),
+        inter AS (
+            SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.tok = b.tok AND a.did < b.did
+            GROUP BY 1, 2
+        ),
+        wpairs AS (
+            SELECT id_a, id_b,
+                   10000 - CAST(round(
+                       round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4)
+                       * 10000) AS BIGINT) AS w
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.did
+            JOIN sizes sb ON inter.id_b = sb.did
+            WHERE round(n_inter / CAST(sa.ss + sb.ss - n_inter AS DOUBLE), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d, w FROM wpairs
+            UNION ALL
+            SELECT id_b, id_a, w FROM wpairs
+        ),
+        reach(node, dist, hop) AS (
+            SELECT doc_id, CAST(0 AS BIGINT), 0
+            FROM documents WHERE doc_id % 50 = 0
+            UNION
+            SELECT e.d, r.dist + e.w, r.hop + 1
+            FROM reach r JOIN edges e ON e.s = r.node
+            WHERE r.hop < 4
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(dist) AS BIGINT) AS dist_bp
+        FROM reach GROUP BY node
+    """,
+    tags=("north-star", "graph"),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths over the near-dup graph:
+    edge weight = dissimilarity in integer basis points
+    (10000 − 10000·jaccard), so the distance to the seed set measures
+    accumulated content drift, not just hop count (a chain of 0.99-
+    similar rewrites stays 'near', a chain of 0.5-similar ones does
+    not — the provenance-distance readout BFS hops cannot express).
+    Bellman-Ford relaxations (operators/graph.py sssp_weighted, 4
+    rounds) in pure integer arithmetic; the oracle's hop-capped
+    recursive CTE computes the same min-over-paths fixpoint."""
+    (documents,) = load(spark, sf_dir, "documents")
+    edges = D.jaccard_pairs(documents, n=3, threshold=0.5, hash_tokens=True)
+    weighted = edges.select(
+        "id_a",
+        "id_b",
+        (F.lit(10000) - F.round(F.col("jaccard") * 10000).cast("bigint")).alias(
+            "w_bp"
+        ),
+    )
+    seeds = documents.where(F.col("doc_id") % 50 == 0).select("doc_id")
+    out = sssp_weighted(
+        weighted, seeds, src="id_a", dst="id_b", weight="w_bp", rounds=4
+    )
+    return out.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("dist").cast("bigint").alias("dist_bp"),
     )

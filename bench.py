@@ -143,6 +143,7 @@ HEADLINE = [
     "sample_kcenter_coreset",
     "agg_weighted_median",
     "layout_dynamic_partition_pruning",
+    "graph_sssp_weighted",
 ]
 
 

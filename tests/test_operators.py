@@ -2931,3 +2931,55 @@ class TestKCenterCoreset:
         r2 = max(r["max_dist2_micro"] for r in kcenter_coreset(df, k=2).collect())
         r8 = max(r["max_dist2_micro"] for r in kcenter_coreset(df, k=8).collect())
         assert r8 < r2
+
+
+class TestSsspWeighted:
+    def test_matches_reference_dijkstra_within_hop_cap(self, spark):
+        import heapq
+
+        edges = [
+            (1, 2, 5), (2, 3, 5), (1, 3, 20), (3, 4, 1),
+            (5, 6, 2),  # separate component, unreachable from seed 1
+            (4, 4, 99),  # self loop ignored
+        ]
+        from aws_genaric_datapipeline_spark.operators.graph import sssp_weighted
+
+        df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+        seeds = spark.createDataFrame([(1,)], "node bigint")
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_weighted(df, seeds, rounds=4).collect()
+        }
+        # reference: Dijkstra over the symmetrized graph, paths <= 4 edges
+        adj = {}
+        for s, d, w in edges:
+            if s != d:
+                adj.setdefault(s, []).append((d, w))
+                adj.setdefault(d, []).append((s, w))
+        best = {(1, 0): 0}
+        pq = [(0, 1, 0)]
+        want = {}
+        while pq:
+            dist, node, hops = heapq.heappop(pq)
+            if node not in want or dist < want[node]:
+                want[node] = min(want.get(node, dist), dist)
+            if hops == 4:
+                continue
+            for d, w in adj.get(node, []):
+                if best.get((d, hops + 1), 1 << 60) > dist + w:
+                    best[(d, hops + 1)] = dist + w
+                    heapq.heappush(pq, (dist + w, d, hops + 1))
+        assert got == want == {1: 0, 2: 5, 3: 10, 4: 11}
+
+    def test_multi_source_takes_nearest_seed(self, spark):
+        from aws_genaric_datapipeline_spark.operators.graph import sssp_weighted
+
+        df = spark.createDataFrame(
+            [(1, 2, 10), (2, 3, 10), (4, 3, 1)], "src bigint, dst bigint, w bigint"
+        )
+        seeds = spark.createDataFrame([(1,), (4,)], "node bigint")
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_weighted(df, seeds, rounds=3).collect()
+        }
+        assert got == {1: 0, 4: 0, 3: 1, 2: 10}
