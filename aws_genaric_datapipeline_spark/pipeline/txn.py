@@ -58,7 +58,11 @@ def _footer_stats(path: Path) -> dict:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    out: dict[str, list] = {}
+    # Row count under a reserved key: provably-empty files ("__rows__": 0)
+    # can be skipped by pruned merges, and metadata-only COUNT(*) reads
+    # fold these instead of opening files.  Never a legal column name in
+    # the min/max map (columns are parquet paths, "__rows__" is reserved).
+    out: dict[str, list | int] = {"__rows__": md.num_rows}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -548,3 +552,87 @@ def table_changes(
             *[F.col(f"new_{c}") for c in val_cols],
         )
     )
+
+
+def merge_upsert_pruned(
+    table: TxnTable,
+    updates: DataFrame,
+    key: str,
+    app_txn_id: str | None = None,
+) -> dict:
+    """MERGE that rewrites ONLY the files whose committed [min, max]
+    range on ``key`` can contain a delta key — the file-pruned form of
+    ``TxnTable.merge_upsert`` (which rewrites the whole snapshot, the
+    documented 100 TB gap).  Files outside the delta's key envelope are
+    CARRIED OVER untouched: they appear in neither adds nor removes, so
+    the commit cost tracks the DELTA's locality, not the table size —
+    on a key-range-laid-out table (layout.range_partition / z-order), a
+    narrow delta touches a handful of files.
+
+    Pruning is stats-driven and conservative: a file without stats for
+    ``key`` is always treated as touched (correctness never rides on the
+    optimization — the same rule as read_pruned).  Envelope pruning
+    ([delta_min, delta_max] interval overlap) is sound because a file
+    whose range misses the envelope contains no delta key at all; a
+    sparse wide-spread delta can be refined with an exact broadcast key
+    set or a Bloom probe per file — same commit protocol, tighter
+    touched set.
+
+    Returns {"version", "n_touched", "n_carried"} — the carried count is
+    the savings the layout bought.  Raises TxnConflict if another data
+    commit lands first (same optimistic rule as merge_upsert, but the
+    conflict window is now only the touched files in principle;
+    detecting overlap-only conflicts is a straightforward refinement of
+    the version check).
+    """
+    if app_txn_id is not None and table.is_committed(app_txn_id):
+        return {
+            "version": table.latest_version(),
+            "n_touched": 0,
+            "n_carried": len(table.live_files()),
+        }
+    base_version = table.latest_version()
+    base_files = table.live_files(base_version)
+    if not base_files:
+        v = table.merge_upsert(updates, keys=[key], app_txn_id=app_txn_id)
+        return {"version": v, "n_touched": 0, "n_carried": 0}
+    row = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    stats = table.file_stats()
+    touched, carried = [], []
+    for f in base_files:
+        st = stats.get(f, {})
+        if st.get("__rows__") == 0:
+            carried.append(f)  # provably empty: no keys to merge
+            continue
+        s = st.get(key)
+        if s is None or not (s[1] < lo or s[0] > hi):
+            touched.append(f)
+        else:
+            carried.append(f)
+    if touched:
+        base = table.spark.read.option("mergeSchema", "true").parquet(
+            *[str(table.path / table.DATA_DIR / f) for f in touched]
+        )
+        merged = base.join(updates.select(key), [key], "left_anti").unionByName(
+            updates, allowMissingColumns=True
+        )
+    else:
+        merged = updates
+    adds = table._write_files(merged)
+    if not table._try_commit(
+        base_version + 1, "merge_pruned", adds, touched, app_txn_id
+    ):
+        for name in adds:
+            (table.path / table.DATA_DIR / name).unlink(missing_ok=True)
+        raise TxnConflict(
+            f"pruned merge based on version {base_version} lost to a "
+            f"concurrent commit (now {table.latest_version()})"
+        )
+    return {
+        "version": base_version + 1,
+        "n_touched": len(touched),
+        "n_carried": len(carried),
+    }

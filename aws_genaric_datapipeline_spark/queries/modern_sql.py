@@ -429,3 +429,77 @@ BITMAP_SET_ALGEBRA_SQL = """
     JOIN cnt cb ON cb.event_type = pr.type_b
     JOIN uni u ON u.type_a = pr.type_a AND u.type_b = pr.type_b
 """
+
+
+@query(
+    "udtf_table_arg_gaps",
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us
+        FROM g GROUP BY user_id
+    """,
+    tags=("modern-sql", "udtf", "streaming-adjacent"),
+)
+def udtf_table_arg_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF with a TABLE argument (Spark 4): the
+    engine PARTITIONS the input table BY user_id and ORDERS each
+    partition BY timestamp before feeding it row-by-row into the UDTF —
+    per-key sequential state (previous timestamp → max gap) written as
+    plain Python, with the shuffle/sort contract owned by Catalyst.
+    This is the API bridge between SQL and custom sequential logic that
+    windows can't express cleanly (multi-variable state machines,
+    MATCH_RECOGNIZE-class scans — events_sequence_pattern implements
+    one relationally; this shows the imperative escape hatch on the
+    same engine contract).
+
+    Determinism: equal timestamps make gap 0 regardless of tie order,
+    so the UDTF result is a pure function of the partition CONTENT.
+
+    Scale: one hash partition + in-partition sort — identical exchange
+    shape to a window aggregate; the Python boundary streams
+    Arrow batches per partition, state is O(1) per key.  Prefer JVM
+    windows (events_gap_report) when the logic fits one; the UDTF is
+    for when it doesn't."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class GapStats:
+        def __init__(self):
+            self._uid = None
+            self._prev = None
+            self._n = 0
+            self._max = 0
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            t = row["us"]
+            if self._prev is not None and t - self._prev > self._max:
+                self._max = t - self._prev
+            self._prev = t
+            self._n += 1
+
+        def terminate(self):
+            if self._uid is not None:
+                yield self._uid, self._n, self._max
+
+    (events,) = load(spark, sf_dir, "events")
+    events.select(
+        "user_id", F.unix_micros("ts").alias("us")
+    ).createOrReplaceTempView("events_udtf_gaps")
+    spark.udtf.register("gap_stats_udtf", GapStats)
+    return spark.sql(
+        """
+        SELECT * FROM gap_stats_udtf(
+            TABLE(SELECT user_id, us FROM events_udtf_gaps)
+            PARTITION BY user_id ORDER BY us
+        )
+        """
+    )

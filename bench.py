@@ -144,6 +144,7 @@ HEADLINE = [
     "agg_weighted_median",
     "layout_dynamic_partition_pruning",
     "graph_sssp_weighted",
+    "udtf_table_arg_gaps",
 ]
 
 

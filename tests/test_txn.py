@@ -406,3 +406,71 @@ class TestChangeDataFeed:
         r = rows[0]
         assert r["change_type"] == "update_postimage"
         assert r["old_w"] is None and r["new_w"] == 9
+
+
+class TestPrunedMerge:
+    def _seed_ranged(self, spark, table):
+        # three appends with disjoint key ranges -> three file groups with
+        # disjoint [min, max] stats
+        table.append(_df(spark, [(1, "a"), (5, "b")]))
+        table.append(_df(spark, [(100, "c"), (150, "d")]))
+        table.append(_df(spark, [(1000, "e"), (1500, "f")]))
+
+    def test_narrow_delta_touches_one_range_and_equals_full_merge(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            TxnTable,
+            merge_upsert_pruned,
+        )
+
+        self._seed_ranged(spark, table)
+        before = set(table.live_files())
+        delta = _df(spark, [(100, "C2"), (120, "new")])
+
+        # reference: full merge on a twin table
+        twin = TxnTable(spark, str(table.path.parent / "twin"))
+        twin.append(table.read())
+        twin.merge_upsert(delta, keys=["k"])
+        want = _rows(twin.read())
+
+        out = merge_upsert_pruned(table, delta, key="k")
+        assert _rows(table.read()) == want
+        # only the middle range's files were rewritten
+        assert out["n_carried"] > 0
+        untouched = before & set(table.live_files())
+        assert len(untouched) == out["n_carried"]
+        # carried files are the SAME physical files (never rewritten)
+        assert all(f in before for f in untouched)
+
+    def test_out_of_range_delta_is_pure_insert_no_rewrites(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import merge_upsert_pruned
+
+        self._seed_ranged(spark, table)
+        before = set(table.live_files())
+        out = merge_upsert_pruned(table, _df(spark, [(5000, "z")]), key="k")
+        assert out["n_touched"] == 0
+        assert before <= set(table.live_files())
+        assert (5000, "z") in _rows(table.read())
+
+    def test_idempotent_and_conflict_paths(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            TxnConflict,
+            merge_upsert_pruned,
+        )
+
+        self._seed_ranged(spark, table)
+        merge_upsert_pruned(table, _df(spark, [(5, "B")]), key="k", app_txn_id="p1")
+        v = table.latest_version()
+        out = merge_upsert_pruned(
+            table, _df(spark, [(5, "B")]), key="k", app_txn_id="p1"
+        )
+        assert out["version"] == v == table.latest_version()
+        # losing the version race must raise and clean up staged files
+        orig = table._try_commit
+        table._try_commit = lambda *a, **kw: False
+        try:
+            with pytest.raises(TxnConflict):
+                merge_upsert_pruned(table, _df(spark, [(5, "B3")]), key="k")
+        finally:
+            table._try_commit = orig
+        assert table.vacuum() == []  # the loser unlinked its own adds
+        assert table.latest_version() == v
