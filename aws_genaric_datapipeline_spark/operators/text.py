@@ -806,3 +806,24 @@ def subword_tokenize(
         F.col("t.n_subwords").alias("n_subwords"),
         F.col("t.stream").alias("subword_stream"),
     )
+
+
+def nfc_normalize_udf() -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF.
+
+    Spark SQL has no built-in Unicode normalizer; NFC is the standard
+    ingest hygiene pass for web corpora (decomposed sequences like
+    'e' + U+0301 must compare/hash equal to the composed 'é', or every
+    downstream exact-dedup fingerprint and join key silently splits).
+    Both Python's unicodedata and DuckDB's nfc_normalize implement the
+    Unicode-standard NFC, so the operator is oracle-checkable."""
+    import pandas as pd
+
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return F.pandas_udf(_norm, "string")

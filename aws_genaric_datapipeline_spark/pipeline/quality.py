@@ -88,3 +88,38 @@ def build_rules(cfg) -> list[Rule]:
         else:
             raise ValueError(f"unknown quality rule: {q.rule!r}")
     return out
+
+
+def quarantine_split(
+    df: DataFrame, rules: list["Rule"]
+) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (good, quarantined) by the rule set — the row-
+    level complement of the observe() metrics: metrics tell you a batch
+    is 2% bad, the split ROUTES those rows to a quarantine sink with the
+    failed rule names attached, so the good 98% still lands on time and
+    the bad rows are triageable (the Deequ/DLT "expectations with
+    quarantine" pattern).
+
+    ``failed_rules`` is a comma-joined sorted rule-name string — stable,
+    portable, and groupable for triage dashboards.  NULL predicate
+    results count as failures (a rule that cannot evaluate did not
+    pass).
+
+    Scale: one pass, row-parallel — the rule array evaluates inside
+    whole-stage codegen; no shuffle is introduced by the split itself
+    (each sink's write then partitions independently)."""
+    checks = F.array(
+        *[
+            F.when(
+                ~F.coalesce(r.predicate, F.lit(False)), F.lit(r.name)
+            ).otherwise(F.lit(None))
+            for r in rules
+        ]
+    )
+    tagged = df.withColumn(
+        "failed_rules",
+        F.array_join(F.array_sort(F.filter(checks, lambda x: x.isNotNull())), ","),
+    )
+    good = tagged.where(F.col("failed_rules") == "").drop("failed_rules")
+    quarantined = tagged.where(F.col("failed_rules") != "")
+    return good, quarantined

@@ -805,3 +805,78 @@ def layout_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("value_cents"),
         )
     )
+
+
+@query(
+    "dq_quarantine_split",
+    oracle="""
+        WITH corrupted AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+                        ELSE o_totalprice END AS price,
+                   CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                        ELSE o_orderstatus END AS status
+            FROM orders
+        ),
+        tagged AS (
+            SELECT o_orderkey,
+                   array_to_string(list_sort(list_filter([
+                       CASE WHEN NOT coalesce(price > 0, FALSE)
+                            THEN 'price_positive' END,
+                       CASE WHEN NOT coalesce(status IN ('O','F','P'), FALSE)
+                            THEN 'status_known' END
+                   ], x -> x IS NOT NULL)), ',') AS failed_rules
+            FROM corrupted
+        )
+        SELECT failed_rules,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM tagged WHERE failed_rules <> ''
+        GROUP BY failed_rules
+    """,
+    tags=("dq", "pipeline"),
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-with-quarantine (Deequ/DLT pattern): rows failing any
+    declared rule are ROUTED, not dropped — with the sorted failed-rule
+    list attached for triage — while the clean rows proceed (the batch
+    is late for no one).  Deterministic corruption (negated prices on
+    o_orderkey % 97, nulled statuses on % 89 — including keys hitting
+    BOTH rules at % 8633) is injected identically in both engines, so
+    the oracle checks routing AND reason-tagging.
+
+    Output is the triage summary per failed-rule combination; the split
+    operator itself (pipeline/quality.py quarantine_split) is exercised
+    end-to-end with both sinks in TestQuarantineSplit.
+
+    Scale: rule evaluation is one codegen'd row-parallel pass; the only
+    aggregation is over the (small) reason-combination space."""
+    from aws_genaric_datapipeline_spark.pipeline.quality import (
+        Rule,
+        quarantine_split,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    corrupted = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    rules = [
+        Rule("price_positive", F.col("price") > 0),
+        Rule("status_known", F.col("status").isin("O", "F", "P")),
+    ]
+    good, quarantined = quarantine_split(corrupted, rules)
+    return (
+        quarantined.groupBy("failed_rules")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )

@@ -3398,3 +3398,47 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.9 (sf0.01 has one)."""
     (documents,) = load(spark, sf_dir, "documents")
     return D.containment_pairs(documents, n=3, threshold=0.9)
+
+
+@query(
+    "text_unicode_normalize",
+    oracle="""
+        WITH decomposed AS (
+            SELECT doc_id,
+                   replace(text, 'e', 'e' || chr(769)) AS raw
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               CAST(nfc_normalize(raw) <> raw AS BOOLEAN) AS changed,
+               md5(nfc_normalize(raw)) AS norm_md5,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_norm
+        FROM decomposed
+    """,
+    tags=("north-star", "text", "hygiene"),
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the ingest hygiene pass that makes
+    decomposed sequences ('e' + combining acute) hash/compare equal to
+    their composed forms; without it, exact dedup fingerprints and join
+    keys silently split on byte-different equal-looking text.  The
+    fixture text is ASCII, so the query CONSTRUCTS decomposed forms
+    deterministically (every 'e' → 'e' + U+0301) in BOTH engines, then
+    proves the normalizer recomposes them: changed is true wherever an
+    'e' existed, and the md5 of the normalized text must match DuckDB's
+    utf8proc-based nfc_normalize byte-for-byte (both implement standard
+    NFC over UTF-8).
+
+    Scale: row-parallel Arrow-batched pandas UDF, no shuffle; at 100 TB
+    this rides the same ingest scan as the rest of the hygiene stack."""
+    (documents,) = load(spark, sf_dir, "documents")
+    raw = documents.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.regexp_replace("text", "e", "e\u0301").alias("raw"),  # e + combining acute
+    )
+    norm = X.nfc_normalize_udf()(F.col("raw"))
+    return raw.select(
+        "doc_id",
+        (norm != F.col("raw")).alias("changed"),
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )

@@ -145,6 +145,8 @@ HEADLINE = [
     "layout_dynamic_partition_pruning",
     "graph_sssp_weighted",
     "udtf_table_arg_gaps",
+    "dq_quarantine_split",
+    "text_unicode_normalize",
 ]
 
 

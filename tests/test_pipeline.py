@@ -420,3 +420,43 @@ class TestSchemaEvolution:
         )
         assert pipe.promote_batch("b1") == 1
         assert pipe.promote_batch("b2") == 1
+
+
+class TestQuarantineSplit:
+    def test_split_routes_and_tags_and_partitions_cleanly(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.pipeline.quality import (
+            Rule,
+            quarantine_split,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, 10.0, "O"),      # clean
+                (2, -5.0, "O"),      # price rule
+                (3, 10.0, "X"),      # status rule
+                (4, -1.0, None),     # both rules (and null predicate)
+                (5, None, "F"),      # null price -> fails price rule
+            ],
+            "k bigint, price double, status string",
+        )
+        rules = [
+            Rule("price_positive", F.col("price") > 0),
+            Rule("status_known", F.col("status").isin("O", "F", "P")),
+        ]
+        good, quarantined = quarantine_split(df, rules)
+        assert {r["k"] for r in good.collect()} == {1}
+        got = {r["k"]: r["failed_rules"] for r in quarantined.collect()}
+        assert got == {
+            2: "price_positive",
+            3: "status_known",
+            4: "price_positive,status_known",
+            5: "price_positive",
+        }
+        # both sinks write; the good sink has no failed_rules column
+        good.write.parquet(str(tmp_path / "good"))
+        quarantined.write.parquet(str(tmp_path / "quarantine"))
+        assert "failed_rules" not in spark.read.parquet(str(tmp_path / "good")).columns
+        q = spark.read.parquet(str(tmp_path / "quarantine"))
+        assert q.count() == 4 and "failed_rules" in q.columns
