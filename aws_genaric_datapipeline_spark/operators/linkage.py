@@ -115,3 +115,78 @@ def resolve_entities(
         "entity_size",
         F.count(F.lit(1)).over(Window.partitionBy("entity_id")).cast("bigint"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Similarity self-join on STRING edit distance: all distinct-value
+    pairs with levenshtein <= ``max_edits`` — the string-similarity
+    counterpart of the set-similarity joins (Jaccard/containment) in
+    operators/dedup.py, generalizing entity_resolution's within-block
+    Levenshtein-1 verify to an unblocked, index-driven join.
+
+    Shape (the production ed-join recipe):
+    1. DISTINCT-value reduction — an ed-join is a function of the string
+       SET; low-cardinality columns (names, categories, addresses)
+       collapse from N rows to |values| strings before any pairing.
+    2. Bigram-index candidates: pairs must share a distinct bigram.
+       Sound for k <= 2 whenever both strings have at least 5 bigram
+       tokens (>= 6 chars): two edits destroy at most 4 bigram tokens,
+       so a token — hence its type — survives in both strings.  Shorter
+       strings get a sentinel gram (emitted by every string under 8
+       chars, the longest a <6-char string can pair with at k = 2),
+       pairing the short tail exhaustively — a bounded bucket for
+       name-like data; adversarially short corpora band it by length
+       instead.
+    3. Length filter abs(len_a - len_b) <= k prunes before the verify.
+    4. JVM ``F.levenshtein`` verifies candidates exactly — no UDF.
+
+    Returns (name_a, name_b, edit_distance), name_a < name_b.
+
+    Scale: the join shuffles (gram, name) pairs over DISTINCT values
+    only; a ubiquitous gram fans out at most |values-sharing-gram| **2,
+    which length-banding bounds in adversarial cases — never N**2 of
+    the table.
+    """
+    names = (
+        df.select(F.col(col).alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
+        .withColumn("len", F.length("s"))
+    )
+    bigrams = names.select(
+        "s",
+        "len",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(len - 1, 1)),"
+                    " i -> substring(s, i, 2))"
+                )
+            )
+        ).alias("g"),
+    )
+    sentinel = names.where(F.col("len") < 8).select(
+        "s", "len", F.lit(" short").alias("g")
+    )
+    grams = bigrams.unionByName(sentinel)
+    a = grams.select(F.col("s").alias("a"), F.col("len").alias("la"), "g")
+    b = grams.select(F.col("s").alias("b"), F.col("len").alias("lb"), "g")
+    cand = (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .where(F.abs(F.col("la") - F.col("lb")) <= max_edits)
+        .select("a", "b")
+        .dropDuplicates()
+    )
+    return (
+        cand.select(
+            F.col("a").alias("name_a"),
+            F.col("b").alias("name_b"),
+            F.levenshtein("a", "b").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= max_edits)
+    )

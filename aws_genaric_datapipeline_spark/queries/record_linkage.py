@@ -309,3 +309,34 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("dist").cast("bigint").alias("dist_bp"),
     )
+
+
+@query(
+    "link_edit_distance_join",
+    oracle="""
+        WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+        SELECT a.s AS name_a, b.s AS name_b,
+               CAST(levenshtein(a.s, b.s) AS INT) AS edit_distance
+        FROM n a JOIN n b
+          ON a.s < b.s
+         AND abs(length(a.s) - length(b.s)) <= 2
+         AND levenshtein(a.s, b.s) <= 2
+    """,
+    tags=("linkage", "similarity", "string"),
+)
+def link_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity self-join: all part-name pairs within edit
+    distance 2 (typo/variant detection — the string counterpart of the
+    Jaccard/containment set-similarity joins).  operators/linkage.py
+    edit_distance_pairs: distinct-value reduction, then a shared-bigram
+    candidate index (sound for k<=2 on >=6-char strings; sentinel bucket
+    for the short tail), length filter, JVM levenshtein verify.  The
+    oracle affords the O(|values|^2) declarative form at test scale —
+    exactly what makes it trustworthy ground truth for the index-driven
+    join."""
+    from aws_genaric_datapipeline_spark.operators.linkage import (
+        edit_distance_pairs,
+    )
+
+    (part,) = load(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_name", max_edits=2)

@@ -147,6 +147,7 @@ HEADLINE = [
     "udtf_table_arg_gaps",
     "dq_quarantine_split",
     "text_unicode_normalize",
+    "link_edit_distance_join",
 ]
 
 

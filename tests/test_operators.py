@@ -2983,3 +2983,51 @@ class TestSsspWeighted:
             for r in sssp_weighted(df, seeds, rounds=3).collect()
         }
         assert got == {1: 0, 4: 0, 3: 1, 2: 10}
+
+
+class TestEditDistanceJoin:
+    def test_matches_brute_force_including_short_strings(self, spark):
+        from aws_genaric_datapipeline_spark.operators.linkage import (
+            edit_distance_pairs,
+        )
+
+        vals = [
+            "cold widget", "cold widgets", "bold widget",   # ed 1 chain
+            "abcdef", "azcdez",                              # ed 2, gram-sparse
+            "ab", "ac", "b",                                 # short tail
+            "zzzzzzzzzz", "cold gadget",                     # ed>2 from most
+        ]
+        rows = [(i, v) for i, v in enumerate(vals * 3)]  # duplicates collapse
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = {
+            (r["name_a"], r["name_b"], r["edit_distance"])
+            for r in edit_distance_pairs(df, "name", max_edits=2).collect()
+        }
+
+        def lev(a, b):
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def d(i, j):
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(
+                    d(i - 1, j) + 1,
+                    d(i, j - 1) + 1,
+                    d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+                )
+
+            return d(len(a), len(b))
+
+        uniq = sorted(set(vals))
+        want = {
+            (a, b, lev(a, b))
+            for i, a in enumerate(uniq)
+            for b in uniq[i + 1:]
+            if lev(a, b) <= 2
+        }
+        assert got == want
+        assert ("ab", "ac", 1) in got and ("ab", "b", 1) in got  # short bucket
+        assert ("abcdef", "azcdez", 2) in got  # 2 substitutions, sparse grams
