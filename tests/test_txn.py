@@ -474,3 +474,49 @@ class TestPrunedMerge:
             table._try_commit = orig
         assert table.vacuum() == []  # the loser unlinked its own adds
         assert table.latest_version() == v
+
+
+class TestStreamingCdcPipeline:
+    """End-to-end composition: a file STREAM of change rows drains through
+    foreachBatch into the txn table via idempotent MERGE commits, and the
+    change data feed then reports exactly the net row-level effect — the
+    full streaming-CDC-into-lakehouse loop (stream source → exactly-once
+    upsert → incremental downstream)."""
+
+    def test_stream_merge_then_cdf_reports_net_changes(self, spark, table, tmp_path):
+        from aws_genaric_datapipeline_spark.pipeline.txn import table_changes
+
+        table.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        v_seed = table.latest_version()
+
+        src = tmp_path / "changes"
+        _df(spark, [(2, "B"), (4, "d")]).write.parquet(str(src))
+        stream = spark.readStream.schema("k bigint, v string").parquet(str(src))
+
+        def apply_batch(batch_df, batch_id):
+            table.merge_upsert(
+                batch_df, keys=["k"], app_txn_id=f"cdc-{batch_id}"
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        v_after = table.latest_version()
+        assert _rows(table.read()) == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+        # redelivery of the same batch is a no-op commit
+        apply_batch(_df(spark, [(2, "B"), (4, "d")]), 0)
+        assert table.latest_version() == v_after
+
+        got = {
+            (r["k"], r["change_type"], r["old_v"], r["new_v"])
+            for r in table_changes(table, v_seed, v_after, keys=["k"]).collect()
+        }
+        assert got == {
+            (2, "update_postimage", "b", "B"),
+            (4, "insert", None, "d"),
+        }
