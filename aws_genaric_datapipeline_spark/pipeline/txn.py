@@ -382,21 +382,40 @@ def exactly_once_stream_sink(table: TxnTable, sink_id: str = "stream"):
     return _handle
 
 
-def compact(table: TxnTable, app_txn_id: str | None = None) -> int:
-    """Rewrite the current snapshot's files into one coalesced layout as
-    a single commit (adds the new files, removes every current one).
-    The table's CONTENT is unchanged — only the file count drops — and
+def compact(
+    table: TxnTable,
+    app_txn_id: str | None = None,
+    target_rows: int | None = None,
+) -> int:
+    """Rewrite the current snapshot's files into a coalesced layout as a
+    single commit (adds the new files, removes every current one).  The
+    table's CONTENT is unchanged — only the file count drops — and
     history still time-travels to pre-compaction versions (their files
     are referenced by earlier commits, so vacuum keeps them).  Small-file
     sprawl is the tax of per-batch streaming appends; this is the
-    periodic maintenance commit that pays it down."""
+    periodic maintenance commit that pays it down.
+
+    ``target_rows`` sizes the output: the committed per-file row counts
+    (``__rows__`` stats — no data scan) give the snapshot total, and the
+    rewrite repartitions to ceil(total / target_rows) files.  Default
+    remains a single file (test-scale tables); production picks
+    target_rows so a file lands near the ~128 MB scan-friendly size."""
     base_version = table.latest_version()
     base_files = table.live_files(base_version)
     if not base_files:
         return base_version
     if app_txn_id is not None and table.is_committed(app_txn_id):
         return table.latest_version()
-    snapshot = table.read(base_version).coalesce(1)
+    snapshot = table.read(base_version)
+    if target_rows:
+        stats = table.file_stats()
+        total = sum(
+            stats.get(f, {}).get("__rows__", 0) or 0 for f in base_files
+        )
+        n_out = max(1, -(-total // target_rows))
+        snapshot = snapshot.repartition(n_out)
+    else:
+        snapshot = snapshot.coalesce(1)
     adds = table._write_files(snapshot)
     if not table._try_commit(
         base_version + 1, "compact", adds, base_files, app_txn_id

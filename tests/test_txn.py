@@ -520,3 +520,21 @@ class TestStreamingCdcPipeline:
             (2, "update_postimage", "b", "B"),
             (4, "insert", None, "d"),
         }
+
+
+class TestCompactionTargetSize:
+    def test_target_rows_controls_output_file_count(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import compact
+
+        for lo in (0, 100, 200, 300):
+            table.append(_df(spark, [(lo + i, f"v{lo + i}") for i in range(25)]))
+        before = _rows(table.read())
+        # 100 rows total, target 30 -> ceil(100/30) = 4 data files
+        compact(table, target_rows=30)
+        data_files = [
+            f
+            for f in table.live_files()
+            if table.file_stats().get(f, {}).get("__rows__", 0) > 0
+        ]
+        assert len(data_files) == 4
+        assert _rows(table.read()) == before
