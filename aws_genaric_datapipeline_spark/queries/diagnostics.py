@@ -880,3 +880,73 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("bigint").alias("max_key"),
         )
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+        SELECT 'lineitem.l_orderkey -> orders' AS relation,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_orphans
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer[c_custkey <= 100]',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey
+                                    AND c.c_custkey <= 100))
+    """,
+    tags=("dq", "diagnostics"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned-foreign-key counts per
+    declared relation via anti joins — the cross-TABLE data-quality gate
+    (dq_dynamic_rules audits values within a table; this audits the
+    relationships a star schema promises).  The third relation audits
+    against a truncated parent slice, exercising the nonzero-orphan
+    path on clean fixtures.
+
+    Scale: each relation is one anti join keyed on the FK — semi-join
+    shuffle of key columns only; parent sides broadcast when they fit.
+    A zero row here is the audit's success statement, not a triviality:
+    at 100 TB this is the gate that catches a partially-loaded parent
+    table before downstream joins silently drop children."""
+    (orders, lineitem, customer) = load(
+        spark, sf_dir, "orders", "lineitem", "customer"
+    )
+
+    def audit(relation: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        orphans = child.join(
+            parent.select(pkey), child[ckey] == parent[pkey], "left_anti"
+        )
+        return child.agg(
+            F.lit(relation).alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+        ).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+
+    return (
+        audit("lineitem.l_orderkey -> orders", lineitem, "l_orderkey", orders, "o_orderkey")
+        .unionByName(
+            audit("orders.o_custkey -> customer", orders, "o_custkey", customer, "c_custkey")
+        )
+        .unionByName(
+            audit(
+                "orders.o_custkey -> customer[c_custkey <= 100]",
+                orders,
+                "o_custkey",
+                customer.where(F.col("c_custkey") <= 100),
+                "c_custkey",
+            )
+        )
+    )

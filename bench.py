@@ -148,6 +148,7 @@ HEADLINE = [
     "dq_quarantine_split",
     "text_unicode_normalize",
     "link_edit_distance_join",
+    "dq_referential_integrity",
 ]
 
 

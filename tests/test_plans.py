@@ -1009,3 +1009,49 @@ class TestDynamicPartitionPruning:
             "partitioned fact + filtered dim must inject a DPP subquery"
         )
         assert j.count() == 2
+
+
+class TestAqeSkewJoin:
+    def test_runtime_skew_split_fires_on_hot_key(self, spark):
+        import pyspark.sql.functions as F
+
+        keys = (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+        before = {k: spark.conf.get(k) for k in keys}
+        try:
+            # thresholds scaled so the synthetic hot key qualifies as
+            # skewed; force=true because the downstream global agg makes
+            # AQE conservative about introducing the split's extra
+            # shuffle (the production knob for exactly this shape)
+            spark.conf.set(keys[0], "16KB")
+            spark.conf.set(keys[1], "8KB")
+            spark.conf.set(keys[2], "2")
+            spark.conf.set(keys[3], "true")
+            spark.conf.set(keys[4], "-1")
+            spark.conf.set(keys[5], "false")
+            left = spark.range(0, 200_000).select(
+                F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+                F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pl"),
+            )
+            right = spark.range(0, 2_000).select(
+                F.col("id").alias("k"), F.lit("dim").alias("d")
+            )
+            j = left.join(right, "k").groupBy().count()
+            (n,) = j.collect()[0]
+            # 90% of left is key 7 (matches right's single key-7 row);
+            # the tail keys 9,19,...,1999 add 200 more matches
+            assert n == 180_200
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, (
+                "AQE must split the skewed partition at runtime "
+                "(skew=true missing from the final adaptive plan)"
+            )
+        finally:
+            for k, v in before.items():
+                spark.conf.set(k, v)
