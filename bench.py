@@ -149,6 +149,7 @@ HEADLINE = [
     "text_unicode_normalize",
     "link_edit_distance_join",
     "dq_referential_integrity",
+    "link_fellegi_sunter_scores",
 ]
 
 
