@@ -3442,3 +3442,92 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm.cast("binary")).alias("norm_md5"),
         F.length(norm).cast("bigint").alias("n_chars_norm"),
     )
+
+
+_MRL_DIMS = 16
+_MRL_K = 5
+_MRL_QUERIES = "(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)"
+
+
+def _mrl_topk_cte(tag: str, vec_expr: str) -> str:
+    return f"""
+        scored_{tag} AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.qv, {vec_expr}), 4) AS s
+            FROM q_{tag} q JOIN base b ON b.vec_id <> q.query_id
+        ),
+        top_{tag} AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+                  FROM scored_{tag})
+            WHERE rn <= {_MRL_K}
+        )"""
+
+
+@query(
+    "embed_matryoshka_report",
+    oracle=f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q_full AS (
+            SELECT vec_id AS query_id, v AS qv FROM base
+            WHERE vec_id IN {_MRL_QUERIES}
+        ),
+        q_trunc AS (
+            SELECT vec_id AS query_id, list_slice(v, 1, {_MRL_DIMS}) AS qv
+            FROM base WHERE vec_id IN {_MRL_QUERIES}
+        ),
+        {_mrl_topk_cte("full", "b.v")},
+        {_mrl_topk_cte("trunc", f"list_slice(b.v, 1, {_MRL_DIMS})")}
+        SELECT f.query_id,
+               CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+               CAST(count(t.neighbor_id) * 10000 / {_MRL_K} AS BIGINT)
+                   AS recall_bp
+        FROM top_full f
+        LEFT JOIN top_trunc t
+          ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        GROUP BY f.query_id
+    """,
+    tags=("north-star", "similarity", "embeddings"),
+)
+def embed_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality report: recall@{_MRL_K} of top-k
+    retrieval using only the FIRST {_MRL_DIMS} of 64 embedding dims
+    against the full-dimension ground truth — the measurement behind the
+    'can we store/serve the 4x-cheaper prefix?' decision MRL-style
+    embeddings pose (Kusupati et al. 2022).  Both retrievals are exact
+    brute force with the shared rounded-score/id tie rank, so the
+    overlap count is bit-deterministic.
+
+    Scale: the report costs two broadcast-query scans over the corpus
+    (queries are a fixed panel) — the same shape as sim_cosine_topk; at
+    100 TB the truncated leg reads {_MRL_DIMS}/64 of the vector bytes,
+    which is exactly the saving being measured."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    qids = list(range(1, 11))
+    full = S.cosine_topk(embeddings, query_ids=qids, k=_MRL_K).select(
+        "query_id", "neighbor_id"
+    )
+    truncated = embeddings.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    trunc = S.cosine_topk(truncated, query_ids=qids, k=_MRL_K).select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    return (
+        full.join(
+            trunc,
+            (F.col("query_id") == F.col("t_qid"))
+            & (F.col("neighbor_id") == F.col("t_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_nid").cast("bigint").alias("n_overlap"),
+            (F.count("t_nid") * 10000 / _MRL_K)
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+    )

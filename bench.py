@@ -150,6 +150,7 @@ HEADLINE = [
     "link_edit_distance_join",
     "dq_referential_integrity",
     "link_fellegi_sunter_scores",
+    "embed_matryoshka_report",
 ]
 
 
