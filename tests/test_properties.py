@@ -147,3 +147,26 @@ class TestAdaptiveSizingProperties:
         assert adaptive_num_cells(n * 2) >= c
         # power of two
         assert c & (c - 1) == 0
+
+
+class TestContainmentDominatesJaccard:
+    def test_every_jaccard_pair_appears_in_both_containment_directions(self, spark):
+        """C(A→B) = |A∩B|/|A| >= |A∩B|/|A∪B| = J(A,B), so at the SAME
+        threshold every Jaccard pair must surface as BOTH directional
+        containment facts — the algebraic bridge between the symmetric
+        and asymmetric near-dup operators, checked on real fixtures."""
+        from aws_genaric_datapipeline_spark.operators import dedup as D
+        from aws_genaric_datapipeline_spark.tables import load
+
+        (documents,) = load(spark, "/root/testdata/sf0.001", "documents")
+        jac = {
+            (r["id_a"], r["id_b"])
+            for r in D.jaccard_pairs(documents, n=3, threshold=0.5).collect()
+        }
+        cont = {
+            (r["id_contained"], r["id_container"])
+            for r in D.containment_pairs(documents, n=3, threshold=0.5).collect()
+        }
+        assert jac, "fixture must produce near-dup pairs"
+        for a, b in jac:
+            assert (a, b) in cont and (b, a) in cont, (a, b)
