@@ -459,3 +459,102 @@ def link_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fs_score"),
     )
+
+
+_SNM_WINDOW = 3
+
+
+@query(
+    "link_sorted_neighborhood",
+    oracle=f"""
+        WITH r AS (
+            SELECT c_custkey AS rid, c_name AS nm,
+                   row_number() OVER (ORDER BY c_name, c_custkey) AS pos
+            FROM customer
+        ),
+        cand AS (
+            SELECT a.rid AS id_a, a.nm AS nm_a, b.rid AS id_b, b.nm AS nm_b
+            FROM r a JOIN r b
+              ON b.pos > a.pos AND b.pos <= a.pos + {_SNM_WINDOW - 1}
+        )
+        SELECT id_a, id_b,
+               CAST(levenshtein(nm_a, nm_b) AS INT) AS edit_distance
+        FROM cand
+        WHERE levenshtein(nm_a, nm_b) <= 1
+    """,
+    tags=("linkage", "blocking"),
+)
+def link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo 1995)
+    — the THIRD blocking strategy alongside hash blocking
+    (link_entity_resolution) and gram indexing (link_edit_distance_join):
+    sort records by a discriminating key and pair each record with the
+    next w-1 in sort order, catching near-matches that hash blocks split
+    (a typo in the BLOCK key breaks hash blocking; the sort keeps
+    typo-neighbors adjacent).
+
+    The global rank is computed WITHOUT a single-partition window:
+    range-partition on the sort key, per-partition row_number, plus a
+    broadcast per-partition offset (cumulative counts over the tiny
+    partition census).  Because the sort key is unique, the resulting
+    rank is a pure function of the DATA — identical whatever the
+    sampled range boundaries — which is what lets the declarative
+    single-window oracle replay it.  Pairing is equi-ized: each row
+    emits its w-1 backward-target ranks and hash-joins on rank —
+    a plain equi join shuffling (rank, id, key) rows, never a
+    nested-loop band.
+
+    Scale: one range shuffle + in-partition sort (the cost class of any
+    global-order op, cf. layout_range_partition_bounds); candidates are
+    N·(w-1), linear in the table."""
+    (customer,) = load(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    r = customer.select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("nm")
+    )
+    parts = r.repartitionByRange(8, "nm", "rid").sortWithinPartitions(
+        "nm", "rid"
+    ).withColumn("pid", F.spark_partition_id())
+    census = (
+        parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    lw = Window.partitionBy("pid").orderBy("nm", "rid")
+    pos = (
+        parts.withColumn("local", F.row_number().over(lw))
+        .join(F.broadcast(census), "pid")
+        .select("rid", "nm", (F.col("local") + F.col("offset")).alias("pos"))
+    )
+    a = pos.select(
+        F.col("rid").alias("id_a"), F.col("nm").alias("nm_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    # equi-ized band join: each row emits w-1 backward-target ranks, so
+    # the pairing is a plain hash join on rank — never a nested loop
+    b = pos.select(
+        F.col("rid").alias("id_b"),
+        F.col("nm").alias("nm_b"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, _SNM_WINDOW)])
+        ).alias("delta"),
+        "pos",
+    ).select("id_b", "nm_b", (F.col("pos") - F.col("delta")).alias("pos_a"))
+    cand = a.join(b, "pos_a")
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("nm_a", "nm_b").alias("edit_distance"),
+    ).where(F.col("edit_distance") <= 1)

@@ -151,6 +151,7 @@ HEADLINE = [
     "dq_referential_integrity",
     "link_fellegi_sunter_scores",
     "embed_matryoshka_report",
+    "link_sorted_neighborhood",
 ]
 
 
