@@ -503,3 +503,73 @@ def udtf_table_arg_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "window_sliding_distinct_users",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        du AS (
+            SELECT DISTINCT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   user_id
+            FROM events
+        )
+        SELECT d.event_type, d.day,
+               CAST(count(DISTINCT u.user_id) AS BIGINT) AS uniques_7d
+        FROM days d
+        JOIN du u
+          ON u.event_type = d.event_type
+         AND u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.event_type, d.day
+    """,
+    tags=("window", "sketches", "timeseries"),
+)
+def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sliding-window distinct users (7-day, per event type) via
+    MERGEABLE bitmap states: per-(type, day, bucket) bitmaps are built
+    ONCE from the raw stream, then every window readout is a
+    bucket-aligned OR of seven daily states — the production shape for
+    sliding uniques, where count(DISTINCT) over each window would
+    re-shuffle raw ids seven times per day and HLL would surrender
+    exactness.  The same daily states serve any window length, backfill,
+    or dashboard drill without touching raw data again (they are the
+    distinct-count MV, windowed — cf. mv_incremental_distinct_refresh).
+
+    Scale: the raw 100 TB folds map-side into types × days × buckets
+    4 KB bitmaps; the window join runs on that tiny state grid, OR-ing
+    WITHIN (window, bucket) groups only — the same bucket discipline as
+    agg_bitmap_set_algebra."""
+    (events,) = load(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_swd")
+    return spark.sql(
+        """
+        WITH per AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   bitmap_bucket_number(user_id + 1) AS bk,
+                   bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+            FROM events_swd
+            GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE),
+                     bitmap_bucket_number(user_id + 1)
+        ),
+        anchors AS (SELECT DISTINCT event_type, day FROM per)
+        SELECT a.event_type, a.day,
+               CAST(sum(cnt) AS BIGINT) AS uniques_7d
+        FROM anchors a
+        JOIN (
+            SELECT a2.event_type, a2.day, p.bk,
+                   bitmap_count(bitmap_or_agg(p.b)) AS cnt
+            FROM (SELECT DISTINCT event_type, day FROM per) a2
+            JOIN per p
+              ON p.event_type = a2.event_type
+             AND p.day BETWEEN a2.day - INTERVAL 6 DAY AND a2.day
+            GROUP BY a2.event_type, a2.day, p.bk
+        ) w ON w.event_type = a.event_type AND w.day = a.day
+        GROUP BY a.event_type, a.day
+        """
+    )

@@ -152,6 +152,7 @@ HEADLINE = [
     "link_fellegi_sunter_scores",
     "embed_matryoshka_report",
     "link_sorted_neighborhood",
+    "window_sliding_distinct_users",
 ]
 
 
