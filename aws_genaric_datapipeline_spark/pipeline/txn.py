@@ -100,16 +100,20 @@ class TxnTable:
         return self.path / self.LOG_DIR / f"{version:020d}.json"
 
     def _commits(self) -> list[dict]:
+        # numeric-stem files only: the log dir also holds refs.json (tags)
         out = []
         for p in sorted((self.path / self.LOG_DIR).glob("*.json")):
-            with open(p) as fh:
-                out.append(json.load(fh))
+            if p.stem.isdigit():
+                with open(p) as fh:
+                    out.append(json.load(fh))
         return out
 
     def latest_version(self) -> int:
         """Highest committed version; 0 = empty table (no commits)."""
         versions = [
-            int(p.stem) for p in (self.path / self.LOG_DIR).glob("*.json")
+            int(p.stem)
+            for p in (self.path / self.LOG_DIR).glob("*.json")
+            if p.stem.isdigit()
         ]
         return max(versions, default=0)
 
@@ -466,6 +470,14 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
     expired = [c["version"] for c in commits if c["version"] < cutoff]
     if not expired:
         return []
+    pinned = {n: v for n, v in _load_refs(table).items() if v in set(expired)}
+    if pinned:
+        # Iceberg semantics: tagged snapshots are retained; expiring one
+        # requires an explicit delete_tag first — never a silent unpin.
+        raise ValueError(
+            f"cannot expire tagged versions {sorted(pinned.items())}; "
+            f"delete_tag first"
+        )
     live = table.live_files(cutoff)
     # Stats for the checkpointed files, harvested from any commit that
     # added them (adds are unique per file name).
@@ -655,3 +667,56 @@ def merge_upsert_pruned(
         "n_touched": len(touched),
         "n_carried": len(carried),
     }
+
+
+# ------------------------------------------------------------------- tags
+def _refs_path(table: TxnTable) -> Path:
+    return table.path / table.LOG_DIR / "refs.json"
+
+
+def _load_refs(table: TxnTable) -> dict:
+    p = _refs_path(table)
+    if not p.exists():
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def set_tag(table: TxnTable, name: str, version: int | None = None) -> int:
+    """Name a committed version (Iceberg-style tag): ``read_tag`` then
+    resolves the name forever — 'the snapshot we trained run 47 on', 'the
+    audited quarterly close' — independent of later writes.  Default is
+    the current latest version.  Publication is write-temp + os.replace
+    (atomic); tags are a tiny name→version map next to the log."""
+    v = table.latest_version() if version is None else version
+    versions = {c["version"] for c in table._commits()}
+    if v not in versions:
+        raise ValueError(f"cannot tag version {v}: not a committed version")
+    refs = _load_refs(table)
+    refs[name] = v
+    tmp = _refs_path(table).with_suffix(".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh, indent=1)
+    os.replace(tmp, _refs_path(table))
+    return v
+
+
+def read_tag(table: TxnTable, name: str) -> DataFrame:
+    """Snapshot read at a named tag."""
+    refs = _load_refs(table)
+    if name not in refs:
+        raise ValueError(f"unknown tag {name!r}; have {sorted(refs)}")
+    return table.read(version=refs[name])
+
+
+def delete_tag(table: TxnTable, name: str) -> None:
+    refs = _load_refs(table)
+    refs.pop(name, None)
+    tmp = _refs_path(table).with_suffix(".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh, indent=1)
+    os.replace(tmp, _refs_path(table))
+
+
+def list_tags(table: TxnTable) -> dict:
+    return dict(sorted(_load_refs(table).items()))

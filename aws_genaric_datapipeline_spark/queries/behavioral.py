@@ -443,3 +443,80 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pr", 4).alias("p_conv_removed"),
         F.round(1 - F.col("pr") / F.col("pf"), 4).alias("removal_effect"),
     )
+
+
+@query(
+    "events_markov_next_accuracy",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ),
+        t AS (
+            SELECT cur, nxt, count(*) AS n FROM seq
+            WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT cur, nxt AS predicted FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY cur ORDER BY n DESC, nxt) AS rn
+                FROM t
+            ) WHERE rn = 1
+        )
+        SELECT t.cur AS event_type, p.predicted,
+               CAST(sum(t.n) AS BIGINT) AS n_transitions,
+               CAST(sum(CASE WHEN t.nxt = p.predicted THEN t.n ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               round(sum(CASE WHEN t.nxt = p.predicted THEN t.n ELSE 0 END)
+                     / CAST(sum(t.n) AS DOUBLE), 4) AS top1_accuracy
+        FROM t JOIN pred p ON p.cur = t.cur
+        GROUP BY t.cur, p.predicted
+    """,
+    tags=("events", "markov", "ml-eval"),
+)
+def events_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction baseline and its in-sample top-1 accuracy:
+    the majority-successor predictor derived from the first-order
+    transition matrix (events_markov_transitions), evaluated against the
+    very transitions that trained it — the sanity floor every sequence
+    model must beat, and the deterministic-tie-break argmax pattern
+    (count desc, label) that keeps model selection reproducible across
+    engines.
+
+    Scale: one user_id-keyed window pass over the stream, then
+    everything runs on the |types|² transition grid."""
+    (events,) = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    t = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    pw = Window.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        t.withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    return (
+        t.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"), "predicted")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_transitions"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("nxt") == F.col("predicted"), F.col("n")).otherwise(0)
+                )
+                / F.sum("n").cast("double"),
+                4,
+            ).alias("top1_accuracy"),
+        )
+    )

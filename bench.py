@@ -153,6 +153,7 @@ HEADLINE = [
     "embed_matryoshka_report",
     "link_sorted_neighborhood",
     "window_sliding_distinct_users",
+    "events_markov_next_accuracy",
 ]
 
 

@@ -538,3 +538,54 @@ class TestCompactionTargetSize:
         ]
         assert len(data_files) == 4
         assert _rows(table.read()) == before
+
+
+class TestTags:
+    def test_tag_resolves_across_later_writes(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            list_tags,
+            read_tag,
+            set_tag,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        set_tag(table, "train-run-47")
+        table.overwrite(_df(spark, [(9, "z")]))
+        assert _rows(read_tag(table, "train-run-47")) == {(1, "a")}
+        assert list_tags(table) == {"train-run-47": 1}
+        # tagging a non-committed version is rejected
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not a committed"):
+            set_tag(table, "bogus", version=99)
+        with _pytest.raises(ValueError, match="unknown tag"):
+            read_tag(table, "nope")
+
+    def test_refs_file_does_not_corrupt_the_commit_log(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import set_tag
+
+        table.append(_df(spark, [(1, "a")]))
+        set_tag(table, "t1")
+        # log operations must ignore refs.json in the log dir
+        assert table.latest_version() == 1
+        assert [h["version"] for h in table.history()] == [1]
+        table.append(_df(spark, [(2, "b")]))
+        assert table.latest_version() == 2
+
+    def test_expiry_refuses_to_drop_tagged_versions(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            delete_tag,
+            expire_snapshots,
+            read_tag,
+            set_tag,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        table.append(_df(spark, [(2, "b")]))
+        table.append(_df(spark, [(3, "c")]))
+        set_tag(table, "audit", version=1)
+        with pytest.raises(ValueError, match="tagged"):
+            expire_snapshots(table, keep_last=1)
+        assert _rows(read_tag(table, "audit")) == {(1, "a")}
+        delete_tag(table, "audit")
+        assert expire_snapshots(table, keep_last=1) == [1, 2]
