@@ -2466,3 +2466,62 @@ def curate_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(m * tot) div sum_m").cast("bigint").alias("planned_tokens"),
         )
     )
+
+
+_CALIB_ORACLE_BODY, _CALIB_SIG = _logreg_cte_body()
+
+
+@query(
+    "curate_classifier_calibration",
+    oracle=f"""
+        WITH {_CALIB_ORACLE_BODY},
+        sc AS (
+            SELECT s.did, l.y,
+                   CAST({_CALIB_SIG.format(m='s.margin_fp')} AS BIGINT)
+                       AS score_fp
+            FROM scored s JOIN lab l USING (did)
+        )
+        SELECT CAST(least(score_fp // 100000, 9) AS BIGINT) AS score_decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(score_fp) // count(*) AS BIGINT) AS mean_score_fp,
+               CAST(sum(y) AS BIGINT) AS n_positive,
+               round(sum(y) / CAST(count(*) AS DOUBLE), 4) AS positive_rate
+        FROM sc
+        GROUP BY 1
+    """,
+    tags=("north-star", "curation", "classifier"),
+)
+def curate_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) report for the trained quality
+    classifier: corpus scored with the SAME bit-deterministic training
+    loop as text_quality_classifier, then bucketed by score decile with
+    the empirical positive rate per bucket — the diagram that tells a
+    model-in-the-loop curation gate whether score 0.8 MEANS 80%
+    (thresholds transfer) or the model is over/under-confident
+    (thresholds must be re-tuned per corpus).  Mean scores stay in exact
+    fixed-point integer division; only the empirical rate divides to
+    double.
+
+    Scale: training as in text_quality_classifier (two map-side folds
+    per round); the calibration itself is one 10-bucket aggregation."""
+    from aws_genaric_datapipeline_spark.operators import classifier as C
+
+    (documents,) = load(spark, sf_dir, "documents")
+    feat = C.centered_token_features(documents, num_buckets=32)
+    labels = documents.select(
+        F.col("doc_id").alias("did"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("bigint").alias("y"),
+    )
+    model = C.train_logreg(
+        spark, feat, labels, num_buckets=32, iters=5, eta_num=1, eta_den=2**20
+    )
+    scored = C.score_documents(spark, feat, model).join(labels, "did")
+    decile = F.least(F.expr("score_fp div 100000"), F.lit(9)).cast("bigint")
+    return scored.groupBy(decile.alias("score_decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(score_fp) div count(*)").cast("bigint").alias("mean_score_fp"),
+        F.sum("y").cast("bigint").alias("n_positive"),
+        F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "positive_rate"
+        ),
+    )

@@ -154,6 +154,7 @@ HEADLINE = [
     "link_sorted_neighborhood",
     "window_sliding_distinct_users",
     "events_markov_next_accuracy",
+    "curate_classifier_calibration",
 ]
 
 
