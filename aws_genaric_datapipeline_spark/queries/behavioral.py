@@ -520,3 +520,108 @@ def events_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_accuracy"),
         )
     )
+
+
+@query(
+    "events_ab_test_report",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id, user_id % 2 AS grp,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) >= 50000
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        g AS (
+            SELECT grp, count(*) AS n, sum(converted) AS conv
+            FROM assign GROUP BY grp
+        ),
+        wide AS (
+            SELECT
+                (SELECT n FROM g WHERE grp = 0) AS n_a,
+                (SELECT conv FROM g WHERE grp = 0) AS conv_a,
+                (SELECT n FROM g WHERE grp = 1) AS n_b,
+                (SELECT conv FROM g WHERE grp = 1) AS conv_b
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+               round(conv_a / CAST(n_a AS DOUBLE), 4) AS rate_a,
+               CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+               round(conv_b / CAST(n_b AS DOUBLE), 4) AS rate_b,
+               round(conv_b / CAST(n_b AS DOUBLE)
+                     - conv_a / CAST(n_a AS DOUBLE), 4) AS uplift,
+               round(
+                   (conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                   / sqrt(
+                       ((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                       * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 / n_a + 1.0 / n_b)
+                   ), 4) AS z_stat
+        FROM wide
+    """,
+    tags=("events", "experimentation"),
+)
+def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: user-level conversion (total
+    purchase value >= 500, in exact integer cents so the flag cannot
+    flip on a float summation boundary) split by a deterministic
+    assignment (user_id parity stands in for the experiment bucket
+    column), with rates, uplift, and the pooled two-proportion
+    z-statistic — the standard A/B decision surface.  Conversion is a
+    USER-level fold, not event counts — the classic clustered-
+    randomization mistake this query's shape avoids.
+
+    Scale: one groupBy(user) fold to conversion flags, one 2-row group
+    count, scalar arithmetic — nothing wider than user_id shuffles."""
+    (events,) = load(spark, sf_dir, "events")
+    assign = events.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            >= 50000,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select((F.col("user_id") % 2).alias("grp"), "converted")
+    g = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = (
+        g.groupBy()
+        .pivot("grp", [0, 1])
+        .agg(F.first("n").alias("n"), F.first("conv").alias("conv"))
+        .select(
+            F.col("0_n").alias("n_a"),
+            F.col("0_conv").alias("conv_a"),
+            F.col("1_n").alias("n_b"),
+            F.col("1_conv").alias("conv_b"),
+        )
+    )
+    ra = F.col("conv_a") / F.col("n_a").cast("double")
+    rb = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.round(ra, 4).alias("rate_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(rb, 4).alias("rate_b"),
+        F.round(rb - ra, 4).alias("uplift"),
+        F.round(
+            (rb - ra)
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            4,
+        ).alias("z_stat"),
+    )

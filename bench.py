@@ -155,6 +155,7 @@ HEADLINE = [
     "window_sliding_distinct_users",
     "events_markov_next_accuracy",
     "curate_classifier_calibration",
+    "events_ab_test_report",
 ]
 
 
