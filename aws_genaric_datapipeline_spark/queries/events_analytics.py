@@ -1088,3 +1088,102 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma",
         )
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+        WITH firstw AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        rev AS (
+            SELECT e.user_id, f.cohort_week,
+                   CAST(date_diff('week', f.cohort_week,
+                                  CAST(date_trunc('week', e.ts) AS DATE))
+                        AS BIGINT) AS age_weeks,
+                   CAST(round(e.value * 100) AS BIGINT) AS cents
+            FROM events e JOIN firstw f ON f.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+        ),
+        weekly AS (
+            SELECT cohort_week, age_weeks,
+                   CAST(sum(cents) AS BIGINT) AS week_cents
+            FROM rev WHERE age_weeks BETWEEN 0 AND 12
+            GROUP BY cohort_week, age_weeks
+        ),
+        sizes AS (
+            SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+            FROM firstw GROUP BY cohort_week
+        )
+        SELECT w.cohort_week, w.age_weeks, s.cohort_users,
+               CAST(sum(w.week_cents) OVER (
+                   PARTITION BY w.cohort_week ORDER BY w.age_weeks
+               ) AS BIGINT) AS cum_revenue_cents,
+               CAST(sum(w.week_cents) OVER (
+                   PARTITION BY w.cohort_week ORDER BY w.age_weeks
+               ) // s.cohort_users AS BIGINT) AS ltv_cents_per_user
+        FROM weekly w JOIN sizes s ON s.cohort_week = w.cohort_week
+    """,
+    tags=("events", "analytics", "cohort"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-seen week,
+    purchase revenue accumulated over cohort age (weeks 0-12), reported
+    as cumulative cents and exact integer LTV-per-user — the readout
+    behind payback-period and retention-economics decisions
+    (events_cohort_retention counts WHO returns; this prices WHAT they
+    return with).  All money stays in bigint cents with integral
+    division, so the curve is bit-deterministic.
+
+    Scale: one user_id shuffle for cohorting, one (cohort, age) grid
+    aggregation, and a window over the tiny grid — raw events never
+    enter the window."""
+    (events,) = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    firstw = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    rev = (
+        events.where(F.col("event_type") == "purchase")
+        .join(firstw, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", "ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("age_weeks"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .where(F.col("age_weeks").between(0, 12))
+    )
+    weekly = rev.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").cast("bigint").alias("week_cents")
+    )
+    sizes = firstw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.join(F.broadcast(sizes), "cohort_week")
+        .withColumn("cum_revenue_cents", F.sum("week_cents").over(w).cast("bigint"))
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            "cum_revenue_cents",
+            F.expr("cum_revenue_cents div cohort_users")
+            .cast("bigint")
+            .alias("ltv_cents_per_user"),
+        )
+    )

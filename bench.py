@@ -156,6 +156,7 @@ HEADLINE = [
     "events_markov_next_accuracy",
     "curate_classifier_calibration",
     "events_ab_test_report",
+    "events_cohort_ltv",
 ]
 
 
