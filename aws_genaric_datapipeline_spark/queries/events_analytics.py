@@ -1187,3 +1187,38 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ltv_cents_per_user"),
         )
     )
+
+
+@query(
+    "events_daily_percentile_bands",
+    oracle="""
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(value, 0.1), 4) AS p10,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("events", "stats", "timeseries"),
+)
+def events_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 value bands per event type — the percentile
+    ribbon behind latency/value dashboards, where means hide the tails.
+    Spark's exact `percentile` interpolates identically to DuckDB's
+    quantile_cont (same contract agg_percentile pins), so the bands are
+    oracle-checked to 4 decimals.
+
+    Scale: one (type, day) grouped aggregate; exact percentiles sort
+    within group — swap for the mergeable histogram sketch
+    (agg_quantile_histogram) when groups stop fitting a task."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.percentile("value", F.lit(0.1)), 4).alias("p10"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )

@@ -157,6 +157,7 @@ HEADLINE = [
     "curate_classifier_calibration",
     "events_ab_test_report",
     "events_cohort_ltv",
+    "events_daily_percentile_bands",
 ]
 
 
