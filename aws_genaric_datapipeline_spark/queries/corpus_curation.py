@@ -2525,3 +2525,80 @@ def curate_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             "positive_rate"
         ),
     )
+
+
+@query(
+    "text_readability_scores",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({_DUCK_TOKS}) AS n_words,
+                   greatest(len(regexp_split_to_array(trim(text), '[.!?]+'))
+                            - CASE WHEN regexp_matches(trim(text), '[.!?]\\s*$')
+                                   THEN 1 ELSE 0 END, 1) AS n_sentences,
+                   greatest(len(regexp_split_to_array(lower(text), '[aeiouy]+'))
+                            - 1, 1) AS n_syllables
+            FROM documents WHERE length(trim(text)) > 0
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CAST((206835 * n_sentences * n_words
+                      - 1015 * n_words * n_words
+                      - 84600 * n_syllables * n_sentences)
+                     // (n_sentences * n_words) AS BIGINT) AS flesch_milli
+        FROM base WHERE n_words > 0
+    """,
+    tags=("north-star", "text", "quality"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a deterministic
+    vowel-group syllable proxy — the classic readability feature
+    text-quality stacks add next to length/entropy/stopword signals
+    (dictionary syllabifiers disagree across versions; the vowel-group
+    count is the reproducible engine-portable stand-in, biased but
+    monotone with true syllables).  Sentence count = terminator-split
+    segments (trailing terminator excluded), floored at 1 so
+    fragment-only docs stay defined.
+
+    All arithmetic is EXACT INTEGER: the Flesch combination is a single
+    rational over the common denominator sentences*words, integral-
+    divided (truncate-toward-zero in both engines) to milli-points — the double form is unfixable here because real
+    corpora land scores exactly on .005 rounding boundaries (doc 493 at
+    sf0.001 scores exactly 85.165), where last-ulp operation-order
+    differences flip a 2-decimal round between engines.
+
+    Scale: pure row-parallel JVM regex — zero shuffles at any corpus
+    size, same class as the Gopher rule bundle."""
+    (documents,) = load(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_words = F.size(X.tokens(t))
+    n_sentences = F.greatest(
+        F.size(F.split(t, r"[.!?]+"))
+        - F.when(t.rlike(r"[.!?]\s*$"), 1).otherwise(0),
+        F.lit(1),
+    )
+    n_syllables = F.greatest(
+        F.size(F.split(F.lower(F.col("text")), r"[aeiouy]+")) - 1, F.lit(1)
+    )
+    base = documents.where(F.length(t) > 0).select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+        n_syllables.cast("bigint").alias("n_syllables"),
+    )
+    # integral div: both Spark's `div` and DuckDB's `//` truncate
+    # toward zero, so negative scores agree too
+    fm = F.expr(
+        "(206835 * n_sentences * n_words - 1015 * n_words * n_words"
+        " - 84600 * n_syllables * n_sentences)"
+        " div (n_sentences * n_words)"
+    )
+    return base.where(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        fm.cast("bigint").alias("flesch_milli"),
+    )

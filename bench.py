@@ -158,6 +158,7 @@ HEADLINE = [
     "events_ab_test_report",
     "events_cohort_ltv",
     "events_daily_percentile_bands",
+    "text_readability_scores",
 ]
 
 
