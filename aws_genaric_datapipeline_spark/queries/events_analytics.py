@@ -1222,3 +1222,83 @@ def events_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
     )
+
+
+@query(
+    "events_funnel_step_timing",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT 'view->click' AS step,
+               CAST(count(*) AS BIGINT) AS n_users,
+               median(epoch_us(c.t_click) - epoch_us(v.t_view)) / 1e6
+                   AS median_gap_s
+        FROM c JOIN v USING (user_id)
+        UNION ALL
+        SELECT 'click->purchase', CAST(count(*) AS BIGINT),
+               median(epoch_us(p.t_purchase) - epoch_us(c.t_click)) / 1e6
+        FROM p JOIN c USING (user_id)
+    """,
+    tags=("events", "funnel", "timeseries"),
+)
+def events_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel VELOCITY: exact median elapsed time between ordered funnel
+    steps (first view → first subsequent click → first subsequent
+    purchase per user) — events_funnel counts who survives each step;
+    this measures how long the survivors take, the number behind
+    time-to-convert SLAs and remarketing windows.  Gaps are exact
+    integer microseconds before the median (sub-second timestamps round
+    differently at second granularity across engines — the
+    events_gap_report lesson), divided to seconds only at the output.
+
+    Scale: three user-keyed min-aggregations + medians over one row per
+    converting user."""
+    (events,) = load(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    vc = c.agg(
+        F.lit("view->click").alias("step"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (
+            F.median(F.unix_micros("t_click") - F.unix_micros("t_view")) / 1e6
+        ).alias("median_gap_s"),
+    )
+    cp = p.agg(
+        F.lit("click->purchase").alias("step"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (
+            F.median(F.unix_micros("t_purchase") - F.unix_micros("t_click")) / 1e6
+        ).alias("median_gap_s"),
+    )
+    return vc.unionByName(cp)

@@ -159,6 +159,7 @@ HEADLINE = [
     "events_cohort_ltv",
     "events_daily_percentile_bands",
     "text_readability_scores",
+    "events_funnel_step_timing",
 ]
 
 
