@@ -38,6 +38,43 @@ def discounted_price_pandas_udf(extendedprice: Column, discount: Column) -> Colu
     return pandas_udf(_discounted_price, "double")(extendedprice, discount)
 
 
+def _trimmed_mean_cents(cents: pd.Series) -> int:
+    s = cents.sort_values().to_numpy()
+    k = len(s) // 10
+    kept = s[k : len(s) - k]
+    # int64 sum is exact; // is floor division in BOTH numpy and DuckDB,
+    # so the oracle replays this bit-for-bit even for negative sums.
+    return int(kept.sum() // len(kept))
+
+
+def _group_size(cents: pd.Series) -> int:
+    return int(len(cents))
+
+
+def group_size_udaf(cents: Column) -> Column:
+    """GROUPED_AGG pandas count — exists because Spark disallows mixing a
+    group-aggregate pandas UDF with non-pandas aggregates in one agg()
+    (INVALID_PANDAS_UDF_PLACEMENT); pairing two pandas UDAFs is legal."""
+    return pandas_udf(_group_size, "bigint")(cents)
+
+
+def trimmed_mean_cents_udaf(cents: Column) -> Column:
+    """GROUPED_AGG pandas UDF (Series -> scalar): 10%-trimmed mean over
+    integer cents — the one UDF species scalar/grouped-map/UDTF don't
+    cover.  Each group's values arrive as ONE pandas Series via Arrow;
+    Spark runs the partial/final split for plain aggs, but a grouped-agg
+    UDF needs the WHOLE group on one executor — same memory contract as
+    applyInPandas (salt or pre-aggregate heavy-hitter keys at scale).
+
+    Arithmetic is exact: inputs are bigint cents, the sum is an int64,
+    and the final floor division matches DuckDB ``//`` — so a relational
+    oracle (window rank + conditional sum) reproduces it bit-for-bit.
+
+    (Wrapped lazily: pandas_udf return-type parsing needs an active
+    SparkSession.)"""
+    return pandas_udf(_trimmed_mean_cents, "bigint")(cents)
+
+
 def zscore_per_group(
     df: DataFrame, group_col: str, value_col: str, keep_cols: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -42,11 +42,28 @@ band).
 Scale: per iteration the 100 TB corpus is scanned once for margins and
 once for gradients (both partial-aggregate map-side); driver state is
 the weight vector (KBs).  Iterations are FIXED (no data-dependent
-convergence test), so the job graph is static and replayable.  The
-dense doc x bucket grid multiplies rows by (num_buckets+1) — keep
-num_buckets modest (the default 32 is plenty for quality signals) or
-swap the grid for the sparse counts + per-bucket offset rewrite when
-the feature space grows.
+convergence test), so the job graph is static and replayable.
+
+Two feature layouts, bit-identical training results:
+
+- DENSE (``centered_token_features`` + ``train_logreg``): a doc x
+  (D+1) grid — simple, but multiplies rows by (num_buckets+1) and
+  pays a crossJoin densify; kept as the reference layout.
+- SPARSE (``sparse_token_features`` + ``train_logreg_sparse``, the
+  production path): only (doc, bucket) cells with a nonzero count are
+  materialized, plus one bias row per doc.  For an ABSENT bucket the
+  dense feature value is the constant z_j = trunc(-FEAT_SCALE *
+  total_j / N) — independent of the doc — so margins and gradients
+  decompose into a sparse sum plus driver-side per-bucket offsets:
+
+      m_i  = sum_present (x_ij - z_j) w_j + FEAT_SCALE w_D
+             + sum_j z_j w_j                      (constant per round)
+      g_j  = sum_present (x_ij - z_j) r_i + z_j * R,   R = sum_i r_i
+      g_D  = FEAT_SCALE * R
+
+  All terms are exact integers, so sparse training reproduces dense
+  weights bit-for-bit (asserted in tests) while scanning nnz-sized
+  frames instead of the 33x-amplified grid — the 100 TB posture.
 
 Reference: kaleshkk/aws-genaric-datapipeline has no model training; this
 extends the curation surface beyond the reference per the build brief.
@@ -180,6 +197,227 @@ def centered_token_features(
         F.lit(FEAT_SCALE).cast("bigint").alias("x"),
     )
     return dense.unionByName(bias)
+
+
+@dataclass(frozen=True)
+class SparseFeatures:
+    """Sparse feature layout for the fixed-point logistic regression:
+
+    - ``counts``: (did, j, cnt) — one row per (doc, bucket) with a
+      NONZERO hashed-token count (eagerly localCheckpointed: the
+      corpus explode+groupBy runs exactly once, and every training /
+      scoring scan reads the materialized nnz-sized frame);
+    - ``docs``: (did) — every document, including zero-token ones
+      (they still carry the bias feature and a margin);
+    - ``stats``: CenteringStats (corpus size + per-bucket totals) the
+      centering offsets derive from — frozen training-corpus stats
+      when scoring a later batch, self-derived when training.
+
+    ``delta()`` produces the (did, j, dx) frame the GD loop scans:
+    dx = x_ij - z_j for present buckets (z_j = the dense feature value
+    of an absent bucket) plus a bias row (did, D, FEAT_SCALE) per doc.
+    It is a broadcast join over the checkpointed counts — recomputing
+    it per scan costs one pass over nnz rows, never the corpus."""
+
+    counts: DataFrame
+    docs: DataFrame
+    stats: CenteringStats
+    num_buckets: int
+
+    def zero_values(self) -> list[int]:
+        """z_j for j in 0..D-1: the exact dense feature value of a
+        bucket ABSENT from a doc (cnt = 0), trunc toward zero —
+        identical to centered_token_features' expression at cnt=0."""
+        return [
+            _trunc_div(-FEAT_SCALE * t, self.stats.n) for t in self.stats.totals
+        ]
+
+    def delta(self) -> DataFrame:
+        spark = self.counts.sparkSession
+        n = self.stats.n
+        zdf = spark.createDataFrame(
+            [
+                (j, int(t), int(z))
+                for j, (t, z) in enumerate(
+                    zip(self.stats.totals, self.zero_values())
+                )
+            ],
+            "j bigint, total bigint, z bigint",
+        )
+        present = self.counts.join(F.broadcast(zdf), "j").select(
+            "did",
+            "j",
+            (
+                F.expr(
+                    f"CAST(({FEAT_SCALE} * ({n} * cnt - total)) div {n} AS BIGINT)"
+                )
+                - F.col("z")
+            ).alias("dx"),
+        )
+        bias = self.docs.select(
+            "did",
+            F.lit(self.num_buckets).cast("bigint").alias("j"),
+            F.lit(FEAT_SCALE).cast("bigint").alias("dx"),
+        )
+        return present.unionByName(bias)
+
+
+def sparse_token_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    stats: CenteringStats | None = None,
+) -> SparseFeatures:
+    """Build the sparse feature layout: ONE corpus explode+groupBy
+    (eagerly materialized), one tiny doc-id projection, and the
+    centering stats (frozen ``stats`` for ingest scoring, self-derived
+    for training — derived from the already-checkpointed counts, so no
+    extra corpus scan)."""
+    counts = (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("did", _bucket(F.col("tok"), num_buckets).alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    counts = ensure_parallelism(counts).localCheckpoint(eager=True)
+    docs = (
+        df.select(F.col(id_col).alias("did")).localCheckpoint(eager=True)
+    )
+    if stats is None:
+        by_j = {
+            r["j"]: r["total"]
+            for r in counts.groupBy("j")
+            .agg(F.sum("cnt").cast("bigint").alias("total"))
+            .collect()
+        }
+        stats = CenteringStats(
+            n=docs.count(),
+            totals=tuple(int(by_j.get(j, 0)) for j in range(num_buckets)),
+        )
+    return SparseFeatures(
+        counts=counts, docs=docs, stats=stats, num_buckets=num_buckets
+    )
+
+
+def train_logreg_sparse(
+    spark: SparkSession,
+    sp: SparseFeatures,
+    labels: DataFrame,
+    iters: int = 5,
+    eta_num: int = 1,
+    eta_den: int = 2**20,
+    l2_num: int = 0,
+    l2_den: int = 1,
+    init_weights: tuple[int, ...] | None = None,
+) -> LogRegModel:
+    """Batch GD over the SPARSE layout — bit-identical weights to
+    ``train_logreg`` on the dense grid (same update rule, same integer
+    arithmetic; the absent-bucket contributions enter as driver-side
+    offsets, see module docstring).  Per iteration ONE distributed
+    collect: the gradient agg over nnz-sized delta rows; margins fold
+    inside it, R (= sum of residuals) is recovered exactly from the
+    bias gradient g_D = FEAT_SCALE * R."""
+    D = sp.num_buckets
+    S = FP_SCALE
+    n = labels.count()
+    if n == 0:
+        raise ValueError("empty training set")
+    if init_weights is not None and len(init_weights) != D + 1:
+        raise ValueError(
+            f"init_weights needs {D + 1} entries, got {len(init_weights)}"
+        )
+    delta = sp.delta()
+    labels = labels.select(
+        "did", F.col("y").cast("bigint").alias("y")
+    ).localCheckpoint(eager=True)
+    z = sp.zero_values()
+    w = list(init_weights) if init_weights is not None else [0] * (D + 1)
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(j, wj) for j, wj in enumerate(w)], "j bigint, w bigint"
+        )
+        c_round = sum(zj * wj for zj, wj in zip(z, w))  # absent-bucket margin
+        margins = (
+            delta.join(F.broadcast(wdf), "j")
+            .groupBy("did")
+            .agg(
+                (F.sum(F.col("dx") * F.col("w")) + F.lit(c_round))
+                .cast("bigint")
+                .alias("m")
+            )
+        )
+        resid = labels.join(margins, "did").select(
+            "did",
+            (
+                F.expr(sig_fp_expr("m")) - F.col("y") * F.lit(S).cast("bigint")
+            ).alias("r"),
+        )
+        gp = {
+            r["j"]: r["g"]
+            for r in delta.join(resid, "did")
+            .groupBy("j")
+            .agg(F.sum(F.col("dx") * F.col("r")).cast("bigint").alias("g"))
+            .collect()
+        }
+        g_bias = gp.get(D, 0)
+        big_r = g_bias // FEAT_SCALE  # exact: g_D = FEAT_SCALE * sum(r)
+        grad = {j: gp.get(j, 0) + z[j] * big_r for j in range(D)}
+        grad[D] = g_bias
+        w = [
+            wj
+            - _trunc_div(
+                eta_num * (grad.get(j, 0) + _trunc_div(l2_num * wj * n, l2_den)),
+                eta_den * n,
+            )
+            for j, wj in enumerate(w)
+        ]
+    return LogRegModel(
+        num_buckets=D,
+        weights_fp=tuple(w),
+        iters=iters,
+        eta_num=eta_num,
+        eta_den=eta_den,
+        l2_num=l2_num,
+        l2_den=l2_den,
+    )
+
+
+def score_documents_sparse(
+    spark: SparkSession,
+    sp: SparseFeatures,
+    model: LogRegModel,
+) -> DataFrame:
+    """Apply a trained model over the SPARSE layout: same output
+    contract as ``score_documents`` ((did, margin_fp, score_fp, pred)),
+    bit-identical values, one nnz-sized join-aggregate (the weight
+    frame broadcasts; absent buckets enter as a driver-computed
+    constant)."""
+    wdf = spark.createDataFrame(
+        [(j, wj) for j, wj in enumerate(model.weights_fp)], "j bigint, w bigint"
+    )
+    c0 = sum(zj * wj for zj, wj in zip(sp.zero_values(), model.weights_fp))
+    margins = (
+        sp.delta()
+        .join(F.broadcast(wdf), "j")
+        .groupBy("did")
+        .agg(
+            (F.sum(F.col("dx") * F.col("w")) + F.lit(c0))
+            .cast("bigint")
+            .alias("margin_fp")
+        )
+    )
+    return margins.select(
+        "did",
+        "margin_fp",
+        F.expr(sig_fp_expr("margin_fp")).alias("score_fp"),
+        F.when(F.col("margin_fp") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pred"),
+    )
 
 
 def sig_fp_expr(m_col: str) -> str:

@@ -151,6 +151,14 @@ def edit_distance_pairs(
     which length-banding bounds in adversarial cases — never N**2 of
     the table.
     """
+    if not 1 <= max_edits <= 2:
+        # The bigram-survival candidate guarantee (step 2) and the <8-char
+        # sentinel bucket are derived for k <= 2; a larger k would silently
+        # return an INCOMPLETE pair set.  Fail loudly instead.
+        raise ValueError(
+            f"edit_distance_pairs supports max_edits in {{1, 2}} (bigram "
+            f"candidate completeness proof holds only there); got {max_edits}"
+        )
     names = (
         df.select(F.col(col).alias("s"))
         .where(F.col("s").isNotNull())

@@ -12,16 +12,18 @@ syntax with identical semantics in Java regex and RE2 (literals,
 classes, ``.*``, ``+`` — greedy, non-overlapping leftmost matches), so
 a DuckDB oracle replays match COUNTS and positions bit-for-bit.
 
-Scale: one shuffle of (user, char) rows; per-user sequences are bounded
-by per-user event counts (watch whales — cap or window the encoding for
-users with millions of events, e.g. per-session strings via
-session_window, which also matches how MATCH_RECOGNIZE partitions).
+Scale: one shuffle of (user, char) rows.  The DEFAULT encoding is
+per-SESSION (``encode_session_sequences``): a whale user with millions
+of events yields many bounded session strings, never one unbounded
+string — the same partitioning MATCH_RECOGNIZE uses.  The per-user
+form (``encode_sequences``) remains for corpora whose per-key event
+counts are known-bounded.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # event_type -> single encoding char (must stay in sync with the oracle)
 EVENT_CHARS = {
@@ -69,6 +71,59 @@ def encode_sequences(
                 "",
             ).alias("seq")
         )
+    )
+
+
+def encode_session_sequences(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_s: int = 21600,
+) -> DataFrame:
+    """(key, session_id, seq): per-SESSION journey strings — the
+    whale-safe default.  Sessions are cut with the same lag-gap-cumsum
+    the sessionize query uses (inactivity > ``gap_s`` seconds, default
+    6 h, epoch-second arithmetic so any engine replays the boundaries
+    exactly); within a session, chars are in (ts, tiebreak) order.
+
+    Scale: one shuffle on the key serves the lag window, the running
+    session counter, AND the per-session string agg (same partition
+    key throughout); the string length is bounded by session size —
+    per-user event counts never bound memory."""
+    es = F.col(ts_col).cast("double")
+    lag_w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    marked = events.select(
+        F.col(key_col).alias("key"),
+        F.col(tiebreak_col).alias("tb"),
+        es.alias("es"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            _event_char(F.col(type_col)).alias("ch"),
+        ).alias("ev"),
+        F.lag(es).over(lag_w).alias("prev_es"),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > gap_s),
+            1,
+        ).otherwise(0),
+    )
+    run_w = (
+        Window.partitionBy("key")
+        .orderBy("es", "tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(run_w).cast("bigint")
+    )
+    return sess.groupBy("key", "session_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("ev")), lambda s: s["ch"]),
+            "",
+        ).alias("seq")
     )
 
 

@@ -633,10 +633,30 @@ SUBWORD_MAX_LEN = max(len(t) for t in SUBWORD_VOCAB)
 SUBWORD_UNK = "<unk>"
 
 
+def _bpe_merge_fold(syms, a: str, b: str):
+    """Replace-last fold merging adjacent (a, b) -> a+b, left-to-right
+    non-overlapping (see bpe_learn docstring for the equivalence
+    argument)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 3,
+    batch_merges: int = 1,
 ) -> DataFrame:
     """Learn the first ``num_merges`` BPE merges from a corpus (Sennrich et
     al. 2016 — vocabulary training, the counterpart of subword_tokenize's
@@ -661,7 +681,20 @@ def bpe_learn(
     equivalent to the index walk because a merged symbol ``left+right`` is
     strictly longer than ``left`` and can never re-match it), so no Python
     touches data.
+
+    ``batch_merges``: merges accepted per counting round.  N=1 (default)
+    is textbook BPE and is what the driver oracle replays.  N>1 is the
+    production-scale variant several public tokenizer trainers use: one
+    pair histogram accepts up to N pairs, greedily by (count desc, left,
+    right), SKIPPING any pair sharing a symbol with an already-accepted
+    pair in the round — symbol-DISJOINT pairs cannot create or destroy
+    each other's occurrences, so each accepted pair's recorded count is
+    exactly its true count at the moment it is applied, and the emitted
+    table is a valid BPE merge table.  A 32k-merge vocabulary drops from
+    32k counting rounds (driver round-trips) to ~32k/N.
     """
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
     wt = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -674,7 +707,8 @@ def bpe_learn(
     vocab = wt.select("word", "freq", chars.alias("syms")).persist()
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, num_merges + 1):
+    while len(merges) < num_merges:
+        want = min(batch_merges, num_merges - len(merges))
         pair_structs = F.when(
             F.size("syms") >= 2,
             F.transform(
@@ -685,33 +719,35 @@ def bpe_learn(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        # Over-fetch: disjointness can reject candidates, so pull a few
+        # extra rows per accepted slot (still a vocab-sized TakeOrdered).
         top_rows = (
             vocab.select("freq", F.explode(pair_structs).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(4 * want)
             .collect()
         )
         if not top_rows:
             break
-        top = top_rows[0]
-        merges.append((rank, top["a"], top["b"], int(top["cnt"])))
-        a, b = top["a"], top["b"]
-        merged = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(a + b)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        nxt = vocab.select("word", "freq", merged.alias("syms")).persist()
+        used_syms: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for r in top_rows:
+            if len(accepted) == want:
+                break
+            a, b = r["a"], r["b"]
+            if a in used_syms or b in used_syms:
+                continue
+            accepted.append((a, b, int(r["cnt"])))
+            used_syms.update((a, b))
+        if not accepted:
+            break
+        col = F.col("syms")
+        for a, b, cnt in accepted:
+            merges.append((len(merges) + 1, a, b, cnt))
+            col = _bpe_merge_fold(col, a, b)
+        nxt = vocab.select("word", "freq", col.alias("syms")).persist()
         nxt.count()  # materialize before releasing the previous round
         vocab.unpersist()
         vocab = nxt

@@ -108,6 +108,11 @@ def quarantine_split(
     Scale: one pass, row-parallel — the rule array evaluates inside
     whole-stage codegen; no shuffle is introduced by the split itself
     (each sink's write then partitions independently)."""
+    bad = [r.name for r in rules if "," in r.name]
+    if bad:
+        # failed_rules is comma-joined; a comma inside a rule name would make
+        # the tag ambiguous for downstream triage parsing.
+        raise ValueError(f"rule names must not contain ',': {bad}")
     checks = F.array(
         *[
             F.when(

@@ -132,6 +132,15 @@ class TxnTable:
         for c in commits:
             if c["version"] > v:
                 break
+            if c.get("base"):
+                # A checkpoint commit is AUTHORITATIVE: its adds are the
+                # complete live set at that version.  Resetting here makes
+                # expire_snapshots crash-safe — if a crash (or a concurrent
+                # reader) catches the log between the checkpoint swap and
+                # the unlink of the old commit files, replaying commits
+                # 1..cutoff-1 *and* the checkpoint still yields exactly the
+                # checkpoint's file set, never resurrected pre-cutoff files.
+                live = set()
             live -= set(c["removes"])
             live |= set(c["adds"])
         return sorted(live)
@@ -628,21 +637,37 @@ def merge_upsert_pruned(
         v = table.merge_upsert(updates, keys=[key], app_txn_id=app_txn_id)
         return {"version": v, "n_touched": 0, "n_carried": 0}
     row = updates.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     lo, hi = row["lo"], row["hi"]
+    if row["n"] == 0:
+        # empty delta: the merge is a content no-op — commit nothing
+        return {
+            "version": base_version,
+            "n_touched": 0,
+            "n_carried": len(base_files),
+        }
     stats = table.file_stats()
     touched, carried = [], []
-    for f in base_files:
-        st = stats.get(f, {})
-        if st.get("__rows__") == 0:
-            carried.append(f)  # provably empty: no keys to merge
-            continue
-        s = st.get(key)
-        if s is None or not (s[1] < lo or s[0] > hi):
-            touched.append(f)
-        else:
-            carried.append(f)
+    if lo is None:
+        # Non-empty delta whose key is all-NULL: NULL never equi-matches an
+        # existing key, so no base file can contain a matching row — the
+        # correct merge is a pure append (every base file carried).  Without
+        # this guard the stats comparisons below would compare against None.
+        carried = list(base_files)
+    else:
+        for f in base_files:
+            st = stats.get(f, {})
+            if st.get("__rows__") == 0:
+                carried.append(f)  # provably empty: no keys to merge
+                continue
+            s = st.get(key)
+            if s is None or not (s[1] < lo or s[0] > hi):
+                touched.append(f)
+            else:
+                carried.append(f)
     if touched:
         base = table.spark.read.option("mergeSchema", "true").parquet(
             *[str(table.path / table.DATA_DIR / f) for f in touched]

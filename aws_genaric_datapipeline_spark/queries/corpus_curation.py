@@ -2135,15 +2135,19 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_genaric_datapipeline_spark.operators import classifier as C
 
     (documents,) = load(spark, sf_dir, "documents")
-    feat = C.centered_token_features(documents, num_buckets=32)
+    # SPARSE layout (round-10): bit-identical weights/scores to the dense
+    # grid, but GD scans nnz-sized frames instead of the 33x-amplified
+    # doc x bucket grid, and the corpus explode runs exactly once
+    # (tests/test_operators.py::TestSparseLogReg pins dense==sparse).
+    sp = C.sparse_token_features(documents, num_buckets=32)
     labels = documents.select(
         F.col("doc_id").alias("did"),
         F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("bigint").alias("y"),
     )
-    model = C.train_logreg(
-        spark, feat, labels, num_buckets=32, iters=5, eta_num=1, eta_den=2**20
+    model = C.train_logreg_sparse(
+        spark, sp, labels, iters=5, eta_num=1, eta_den=2**20
     )
-    scored = C.score_documents(spark, feat, model)
+    scored = C.score_documents_sparse(spark, sp, model)
     return (
         scored.join(labels, "did")
         .where(F.col("did") % 5 == 0)
@@ -2323,15 +2327,16 @@ def curate_classifier_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_genaric_datapipeline_spark.operators import classifier as C
 
     (documents,) = load(spark, sf_dir, "documents")
-    feat = C.centered_token_features(documents, num_buckets=32)
+    # SPARSE layout — see text_quality_classifier (bit-identical, nnz scans)
+    sp = C.sparse_token_features(documents, num_buckets=32)
     labels = documents.select(
         F.col("doc_id").alias("did"),
         F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("bigint").alias("y"),
     )
-    model = C.train_logreg(
-        spark, feat, labels, num_buckets=32, iters=5, eta_num=1, eta_den=2**20
+    model = C.train_logreg_sparse(
+        spark, sp, labels, iters=5, eta_num=1, eta_den=2**20
     )
-    scored = C.score_documents(spark, feat, model)
+    scored = C.score_documents_sparse(spark, sp, model)
     meta = documents.select(
         F.col("doc_id").alias("did"),
         "source",
@@ -2507,15 +2512,16 @@ def curate_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     from aws_genaric_datapipeline_spark.operators import classifier as C
 
     (documents,) = load(spark, sf_dir, "documents")
-    feat = C.centered_token_features(documents, num_buckets=32)
+    # SPARSE layout — see text_quality_classifier (bit-identical, nnz scans)
+    sp = C.sparse_token_features(documents, num_buckets=32)
     labels = documents.select(
         F.col("doc_id").alias("did"),
         F.when(F.col("n_chars") >= 300, 1).otherwise(0).cast("bigint").alias("y"),
     )
-    model = C.train_logreg(
-        spark, feat, labels, num_buckets=32, iters=5, eta_num=1, eta_den=2**20
+    model = C.train_logreg_sparse(
+        spark, sp, labels, iters=5, eta_num=1, eta_den=2**20
     )
-    scored = C.score_documents(spark, feat, model).join(labels, "did")
+    scored = C.score_documents_sparse(spark, sp, model).join(labels, "did")
     decile = F.least(F.expr("score_fp div 100000"), F.lit(9)).cast("bigint")
     return scored.groupBy(decile.alias("score_decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -775,7 +775,15 @@ def layout_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     from pathlib import Path
 
     (events,) = load(spark, sf_dir, "events")
-    root = Path(tempfile.gettempdir()) / "aws_gdp_dpp_demo"
+    # Path is derived from the Spark application id: unique per session, so
+    # two concurrent runs on one host never rmtree/read each other's files
+    # (a fixed shared path raced).  Same-session re-invocation still reuses
+    # and resets its own directory, which only invalidates its own earlier
+    # lazy DataFrame — the pre-existing contract.
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_dpp_demo_{spark.sparkContext.applicationId}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     events.select("event_type", "value").write.partitionBy("event_type").parquet(
         str(root / "fact")

@@ -977,18 +977,32 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sequence_pattern",
     oracle="""
         WITH e AS (
-            SELECT user_id, ts, event_id,
+            SELECT user_id, ts, event_id, epoch(ts) AS es,
+                   lag(epoch(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_es,
                    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
                         WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
                         WHEN 'error' THEN 'e' ELSE 'x' END AS ch
             FROM events
         ),
+        marked AS (
+            SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 21600
+                           THEN 1 ELSE 0 END AS is_new
+            FROM e
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, ch,
+                   sum(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY es, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        ),
         s AS (
-            SELECT user_id,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    string_agg(ch, '' ORDER BY ts, event_id) AS seq
-            FROM e GROUP BY user_id
+            FROM sess GROUP BY user_id, session_id
         )
-        SELECT user_id,
+        SELECT user_id, session_id,
                CAST(length(seq) AS BIGINT) AS seq_len,
                md5(seq) AS seq_md5,
                CAST(len(regexp_extract_all(seq, 'vc')) AS BIGINT) AS n_view_click,
@@ -1004,24 +1018,30 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-class row-pattern matching, Spark-first
-    (operators/sequences.py): encode each user's time-ordered events as
-    a char string (one groupBy), then evaluate regex row patterns over
-    it — immediate view→click adjacencies, the full
-    signup→…→purchase subsequence, and error-burst shape (count + max
-    run).  The per-user sequence md5 pins the ENCODING (order,
-    tie-breaks, alphabet) and the pattern counts pin the regex
-    semantics — Java regex and RE2 agree on this syntax class, so the
-    whole feature set is value-replayed.
+    (operators/sequences.py): encode each user SESSION's time-ordered
+    events as a char string (lag-gap-cumsum sessionization, 6-h gap —
+    same cut as events_sessionize_stats — then one groupBy), and
+    evaluate regex row patterns over it — immediate view→click
+    adjacencies, the full signup→…→purchase subsequence, and
+    error-burst shape (count + max run).  The per-session sequence md5
+    pins the ENCODING (session cuts, order, tie-breaks, alphabet) and
+    the pattern counts pin the regex semantics — Java regex and RE2
+    agree on this syntax class, so the whole feature set is
+    value-replayed.
 
-    Scale: one (user, char) shuffle; pattern evaluation is per-row JVM
-    regex over strings bounded by per-user event counts (whales → the
-    per-session encoding noted in the operator docstring)."""
+    Scale: one user-keyed shuffle serves the session windows and the
+    string agg; string length is bounded by SESSION size, so whale
+    users with unbounded event counts produce many bounded strings —
+    never one unbounded row (this is also how MATCH_RECOGNIZE
+    partitions)."""
     from aws_genaric_datapipeline_spark.operators import sequences as Q
 
     (events,) = load(spark, sf_dir, "events")
-    seqs = Q.encode_sequences(events)
+    seqs = Q.encode_session_sequences(events)
     return seqs.select(
-        F.col("key").alias("user_id"), *Q.pattern_features(F.col("seq"))
+        F.col("key").alias("user_id"),
+        "session_id",
+        *Q.pattern_features(F.col("seq")),
     )
 
 

@@ -571,7 +571,12 @@ def merge_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 6 == 0) | (F.col("o_orderkey") % 3 == 1)
     ).select("o_orderkey", "o_custkey", (cents + 111).alias("price_cents"))
 
-    root = Path(tempfile.gettempdir()) / "aws_gdp_txn_demo"
+    # App-id-derived path: unique per SparkSession so concurrent runs on one
+    # host never rmtree each other's table mid-scan (fixed paths raced).
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_demo_{spark.sparkContext.applicationId}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     table = TxnTable(spark, str(root))
     table.overwrite(base, app_txn_id="seed")
@@ -654,7 +659,12 @@ def txn_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 6 == 0) | (F.col("o_orderkey") % 3 == 1)
     ).select("o_orderkey", (cents + 111).alias("price_cents"))
 
-    root = Path(tempfile.gettempdir()) / "aws_gdp_txn_cdf"
+    # App-id-derived path: see merge_acid_upsert — avoids the cross-process
+    # fixed-path race.
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_cdf_{spark.sparkContext.applicationId}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     table = TxnTable(spark, str(root))
     table.overwrite(base, app_txn_id="cdf-seed")

@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_genaric_datapipeline_spark.functions import (
     discounted_price_pandas_udf,
+    group_size_udaf,
+    trimmed_mean_cents_udaf,
     zscore_per_group,
 )
 from aws_genaric_datapipeline_spark.queries.registry import query
@@ -37,6 +39,57 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag")
         .agg(F.round(F.sum("disc_price"), 2).alias("disc_revenue"))
+    )
+
+
+@query(
+    "udaf_grouped_trimmed_mean",
+    oracle="""
+        WITH v AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                             THEN cents END)
+                    // (max(n) - 2 * (max(n) // 10)) AS BIGINT)
+                   AS trimmed_mean_cents
+        FROM r GROUP BY event_type
+    """,
+    tags=("udf", "grouped-agg", "udaf"),
+)
+def udaf_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (the UDAF species — completes the
+    scalar / grouped-map / UDTF / SQL-UDF surface): per-event-type
+    10%-trimmed mean of ``value`` in exact integer cents
+    (functions/udfs.trimmed_mean_cents_udaf).  The trim is robust-stats
+    boilerplate a built-in can't express in one aggregate (it needs the
+    group's order statistics); the oracle replays it relationally with
+    a window rank + conditional sum, bit-for-bit thanks to the
+    integer-cents contract.
+
+    Scale: one shuffle on event_type; the whole group streams to one
+    executor as a single Arrow batch (grouped-agg contract) — bounded
+    here by event-type cardinality, salt-and-merge for whale keys."""
+    (events,) = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.where(F.col("value").isNotNull())
+        .select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            # group_size_udaf, not F.count: Spark disallows mixing pandas
+            # and non-pandas aggregates in one agg()
+            group_size_udaf(F.col("cents")).alias("n_events"),
+            trimmed_mean_cents_udaf(F.col("cents")).alias("trimmed_mean_cents"),
+        )
     )
 
 

@@ -108,7 +108,10 @@ def read_source(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
                     .option("numPartitions", str(src.num_partitions))
                 )
         df = reader.load()
-    elif src.kind in ("parquet", "orc", "text", "binaryFile"):
+    elif src.kind in ("parquet", "orc", "text", "binaryFile", "avro"):
+        # avro: requires the external spark-avro module (not bundled in
+        # this sandbox's pyspark — see sources/writers.py FORMATS note);
+        # when present it behaves like the other self-describing formats.
         # text → one `value:string` row per line (wholetext option for
         # doc-per-file); binaryFile → (path, modificationTime, length,
         # content) — the raw-media ingestion path feeding

@@ -10,7 +10,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-FORMATS = ("parquet", "orc", "csv", "json", "xml")
+# "avro" is accepted IF the spark-avro module is on the classpath: Avro has
+# been an EXTERNAL Spark module since 2.4 (org.apache.spark:spark-avro), and
+# this sandbox's pyspark distribution does not bundle it (only avro core
+# jars), so the format raises AnalysisException("Failed to find data source:
+# avro") here.  The writer/reader plumbing below treats it like any other
+# row-based interchange format; tests/test_cli_and_sinks.py gates the
+# round-trip on the module's presence.
+FORMATS = ("parquet", "orc", "csv", "json", "xml", "avro")
 
 
 def write_table(

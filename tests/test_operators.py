@@ -1300,6 +1300,82 @@ class TestBpeLearn:
         docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
         assert bpe_learn(docs, num_merges=5).count() == 0
 
+    def test_batch_merges_one_equals_default(self, spark):
+        """batch_merges=1 IS textbook BPE — bit-identical merge table to
+        the default path (the oracle-replayed contract)."""
+        from aws_genaric_datapipeline_spark.operators.text import bpe_learn
+
+        texts = ["banana bandana bananas", "abab abab abababab"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        base = [tuple(r) for r in bpe_learn(docs, num_merges=5).collect()]
+        batched1 = [
+            tuple(r)
+            for r in bpe_learn(docs, num_merges=5, batch_merges=1).collect()
+        ]
+        assert base == batched1 == self._ref(texts, 5)
+
+    def test_batched_merge_table_is_valid(self, spark):
+        """batch_merges>1 property contract: ranks are 1..k contiguous,
+        accepted pairs within a counting round are symbol-disjoint, every
+        recorded pair_count is the pair's TRUE frequency at the moment its
+        merge applies (replay against the reference index-walk), and
+        counts never increase within a round."""
+        from collections import Counter
+
+        from aws_genaric_datapipeline_spark.operators.text import bpe_learn
+
+        texts = [
+            "aaaa aaaa aaab ab ab k",
+            "banana bandana bananas",
+            "the theme then there",
+            "mississippi missive miss",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_learn(docs, num_merges=8, batch_merges=3)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert [g[0] for g in got] == list(range(1, len(got) + 1))
+        assert len(got) >= 4
+
+        # replay: apply each merge in rank order to the reference vocab and
+        # check the recorded count equals the true pair frequency just
+        # before that merge applies
+        wt = Counter(w for t in texts for w in t.split())
+        vocab = {w: list(w) for w in wt}
+        for _, a, b, cnt in got:
+            pc = 0
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    # overlapping adjacency count — the histogram's (and
+                    # textbook BPE's) counting convention
+                    if syms[i] == a and syms[i + 1] == b:
+                        pc += wt[w]
+            assert pc == cnt, (a, b, pc, cnt)
+            for w, syms in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                vocab[w] = res
+
+    def test_batch_merges_rejects_bad_value(self, spark):
+        from aws_genaric_datapipeline_spark.operators.text import bpe_learn
+
+        docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="batch_merges"):
+            bpe_learn(docs, num_merges=2, batch_merges=0)
+
 
 class TestLabelPropagation:
     def test_splits_bridged_triangles_that_cc_merges(self, spark):
@@ -2557,6 +2633,140 @@ class TestQualityClassifier:
             C.train_logreg(spark, feat, empty, num_buckets=4)
 
 
+class TestSparseLogReg:
+    """Sparse feature layout (round-10): SparseFeatures +
+    train_logreg_sparse + score_documents_sparse must be BIT-IDENTICAL
+    to the dense grid path on weights, margins, scores, and preds — the
+    sparse rewrite is a pure execution-layout change, never a numeric
+    one."""
+
+    D = 16
+    KW = dict(iters=4, eta_num=1, eta_den=2**20)
+
+    @pytest.fixture(scope="class")
+    def both(self, spark, documents):
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+
+        labels = documents.select(
+            F.col("doc_id").alias("did"),
+            F.when(F.col("n_chars") >= 300, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("y"),
+        )
+        feat = C.centered_token_features(documents, num_buckets=self.D)
+        sp = C.sparse_token_features(documents, num_buckets=self.D)
+        return C, feat, sp, labels
+
+    def test_weights_bit_identical(self, spark, both):
+        C, feat, sp, labels = both
+        dense = C.train_logreg(spark, feat, labels, num_buckets=self.D, **self.KW)
+        sparse = C.train_logreg_sparse(spark, sp, labels, **self.KW)
+        assert dense.weights_fp == sparse.weights_fp
+
+    def test_scores_bit_identical_including_zero_token_docs(
+        self, spark, documents
+    ):
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+
+        # append a zero-token doc: it has NO sparse count rows but must
+        # still get a margin (bias + absent-bucket constant)
+        extra = spark.createDataFrame(
+            [(999_999, "   ", "synth", 3)],
+            "doc_id bigint, text string, source string, n_chars bigint",
+        )
+        docs = documents.select("doc_id", "text", "source", "n_chars").unionByName(
+            extra
+        )
+        labels = docs.select(
+            F.col("doc_id").alias("did"),
+            F.when(F.col("n_chars") >= 300, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("y"),
+        )
+        feat = C.centered_token_features(docs, num_buckets=self.D)
+        sp = C.sparse_token_features(docs, num_buckets=self.D)
+        dense = C.train_logreg(spark, feat, labels, num_buckets=self.D, **self.KW)
+        sparse = C.train_logreg_sparse(spark, sp, labels, **self.KW)
+        assert dense.weights_fp == sparse.weights_fp
+        sd = {
+            r["did"]: (r["margin_fp"], r["score_fp"], r["pred"])
+            for r in C.score_documents(spark, feat, dense).collect()
+        }
+        ss = {
+            r["did"]: (r["margin_fp"], r["score_fp"], r["pred"])
+            for r in C.score_documents_sparse(spark, sp, sparse).collect()
+        }
+        assert sd == ss
+        assert 999_999 in ss  # the zero-token doc got scored
+
+    def test_l2_and_warm_start_equivalence(self, spark, both):
+        C, feat, sp, labels = both
+        kw = dict(eta_num=1, eta_den=2**20, l2_num=100_000, l2_den=1)
+        d2 = C.train_logreg(
+            spark, feat, labels, num_buckets=self.D, iters=2, **kw
+        )
+        s2 = C.train_logreg_sparse(spark, sp, labels, iters=2, **kw)
+        assert d2.weights_fp == s2.weights_fp
+        # warm-start composition holds across layouts too
+        s4 = C.train_logreg_sparse(
+            spark, sp, labels, iters=2, init_weights=s2.weights_fp, **kw
+        )
+        d4 = C.train_logreg(
+            spark,
+            feat,
+            labels,
+            num_buckets=self.D,
+            iters=4,
+            **kw,
+        )
+        assert s4.weights_fp == d4.weights_fp
+
+    def test_frozen_stats_scoring_path(self, spark, documents):
+        """Ingest-scoring form: a later batch centered with the TRAINING
+        corpus's frozen stats scores identically across layouts."""
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+
+        labels = documents.select(
+            F.col("doc_id").alias("did"),
+            F.when(F.col("n_chars") >= 300, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("y"),
+        )
+        stats = C.centering_stats(documents, num_buckets=self.D)
+        sp_train = C.sparse_token_features(documents, num_buckets=self.D)
+        assert sp_train.stats == stats  # self-derived == explicit capture
+        model = C.train_logreg_sparse(spark, sp_train, labels, **self.KW)
+        batch = documents.where(F.col("doc_id") % 7 == 0)
+        fb = C.centered_token_features(batch, num_buckets=self.D, stats=stats)
+        sb = C.sparse_token_features(batch, num_buckets=self.D, stats=stats)
+        want = {
+            r["did"]: r["margin_fp"]
+            for r in C.score_documents(spark, fb, model).collect()
+        }
+        got = {
+            r["did"]: r["margin_fp"]
+            for r in C.score_documents_sparse(spark, sb, model).collect()
+        }
+        assert want == got
+
+    def test_deterministic_under_repartitioning(self, spark, both):
+        C, feat, sp, labels = both
+        sparse = C.train_logreg_sparse(spark, sp, labels, **self.KW)
+        sp2 = C.SparseFeatures(
+            counts=sp.counts.repartition(13),
+            docs=sp.docs.repartition(5),
+            stats=sp.stats,
+            num_buckets=sp.num_buckets,
+        )
+        sparse2 = C.train_logreg_sparse(
+            spark, sp2, labels.repartition(7), **self.KW
+        )
+        assert sparse.weights_fp == sparse2.weights_fp
+
+
 class TestHtmlExtract:
     """operators/html.py — extraction chain and boilerplate rule edges
     the md5 oracle can't isolate."""
@@ -2829,6 +3039,49 @@ class TestSequencePatterns:
         b = {tuple(r) for r in Q.encode_sequences(events.repartition(13)).collect()}
         assert a == b
 
+    def test_session_encoding_cuts_on_gap(self, spark):
+        """Per-session encoding (whale-safe default): a >gap inactivity
+        splits the journey; within-gap events stay in one string; the
+        concatenation of a user's session strings equals the per-user
+        string (sessionization only CUTS, never reorders)."""
+        import datetime as dt
+
+        from aws_genaric_datapipeline_spark.operators import sequences as Q
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (1, 1, t0, "signup"),
+            (1, 2, t0 + dt.timedelta(minutes=5), "view"),
+            (1, 3, t0 + dt.timedelta(hours=7), "click"),   # > 6h gap: new sess
+            (1, 4, t0 + dt.timedelta(hours=7, minutes=1), "purchase"),
+            (2, 5, t0, "error"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        got = {
+            (r["key"], r["session_id"]): r["seq"]
+            for r in Q.encode_session_sequences(df).collect()
+        }
+        assert got == {(1, 1): "sv", (1, 2): "cp", (2, 1): "e"}
+        per_user = {r["key"]: r["seq"] for r in Q.encode_sequences(df).collect()}
+        joined = {}
+        for (k, sid), seq in sorted(got.items()):
+            joined[k] = joined.get(k, "") + seq
+        assert joined == per_user
+
+    def test_session_encoding_partition_invariant(self, spark):
+        from aws_genaric_datapipeline_spark.operators import sequences as Q
+        from aws_genaric_datapipeline_spark.tables import load
+
+        (events,) = load(spark, SF, "events")
+        a = {tuple(r) for r in Q.encode_session_sequences(events).collect()}
+        b = {
+            tuple(r)
+            for r in Q.encode_session_sequences(events.repartition(13)).collect()
+        }
+        assert a == b
+
 
 class TestSkyline:
     """skyline_2d vs the O(N²) brute force, including ties and duplicates."""
@@ -3031,3 +3284,17 @@ class TestEditDistanceJoin:
         assert got == want
         assert ("ab", "ac", 1) in got and ("ab", "b", 1) in got  # short bucket
         assert ("abcdef", "azcdez", 2) in got  # 2 substitutions, sparse grams
+
+    def test_max_edits_above_two_raises(self, spark):
+        """Round-10 ADVICE (low): the bigram-survival completeness proof
+        holds only for k <= 2; k >= 3 must fail loudly rather than silently
+        return an incomplete pair set."""
+        from aws_genaric_datapipeline_spark.operators.linkage import (
+            edit_distance_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "abc")], "id long, name string")
+        with pytest.raises(ValueError, match="max_edits"):
+            edit_distance_pairs(df, "name", max_edits=3)
+        with pytest.raises(ValueError, match="max_edits"):
+            edit_distance_pairs(df, "name", max_edits=0)

@@ -460,3 +460,18 @@ class TestQuarantineSplit:
         assert "failed_rules" not in spark.read.parquet(str(tmp_path / "good")).columns
         q = spark.read.parquet(str(tmp_path / "quarantine"))
         assert q.count() == 4 and "failed_rules" in q.columns
+
+    def test_comma_in_rule_name_rejected(self, spark):
+        """Round-10 ADVICE (low): failed_rules is comma-joined, so a comma
+        inside a rule name would make the tag ambiguous — reject it."""
+        import pyspark.sql.functions as F
+        import pytest
+
+        from aws_genaric_datapipeline_spark.pipeline.quality import (
+            Rule,
+            quarantine_split,
+        )
+
+        df = spark.createDataFrame([(1, 1.0)], "k bigint, price double")
+        with pytest.raises(ValueError, match="','"):
+            quarantine_split(df, [Rule("bad,name", F.col("price") > 0)])

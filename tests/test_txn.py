@@ -343,6 +343,40 @@ class TestSnapshotExpiry:
         with pytest.raises(ValueError, match="expired"):
             table.read(4)
 
+    def test_crash_window_cannot_resurrect_expired_removes(self, spark, table):
+        """Round-10 ADVICE (high): if a crash — or a concurrent reader —
+        catches the log BETWEEN the checkpoint swap and the unlink of the
+        expired commit files, replay sees commits 1..cutoff-1 AND the
+        checkpoint.  The `base: True` reset must make the checkpoint
+        authoritative, so files removed by the cutoff's overwrite are not
+        resurrected (pre-fix: reads returned deleted+duplicate rows,
+        permanently after a crash in that window)."""
+        import json
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import expire_snapshots
+
+        self._build(spark, table)  # v3 is an overwrite that removes v1+v2 files
+        # snapshot the expired commit payloads, as a crashed unlink would
+        saved = {
+            v: table._log_path(v).read_text() for v in (1, 2)
+        }
+        expire_snapshots(table, keep_last=2)
+        # simulate the crash window: expired logs are back on disk alongside
+        # the checkpoint (exactly the state between os.replace and unlink)
+        for v, payload in saved.items():
+            table._log_path(v).write_text(payload)
+        try:
+            # replay over [v1, v2, checkpoint(v3), v4] must equal the
+            # checkpointed snapshot — no v1/v2 files resurrected
+            ckpt = json.loads(table._log_path(3).read_text())
+            assert ckpt.get("base") is True
+            assert set(table.live_files(3)) == set(ckpt["adds"])
+            assert _rows(table.read(3)) == {(3, "c")}
+            assert _rows(table.read(4)) == {(3, "c"), (4, "d")}
+        finally:
+            for v in saved:
+                table._log_path(v).unlink(missing_ok=True)
+
     def test_checkpoint_carries_pruning_stats(self, spark, table):
         from aws_genaric_datapipeline_spark.pipeline.txn import expire_snapshots
 
@@ -450,6 +484,34 @@ class TestPrunedMerge:
         assert out["n_touched"] == 0
         assert before <= set(table.live_files())
         assert (5000, "z") in _rows(table.read())
+
+    def test_empty_delta_is_a_noop(self, spark, table):
+        """Round-10 ADVICE (low): an empty updates frame used to crash with
+        TypeError (min/max come back None and the stats loop compared
+        against None); it must be a content no-op instead."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import merge_upsert_pruned
+
+        self._seed_ranged(spark, table)
+        v, want = table.latest_version(), _rows(table.read())
+        n_files = len(table.live_files())
+        out = merge_upsert_pruned(table, _df(spark, []).limit(0), key="k")
+        assert out == {"version": v, "n_touched": 0, "n_carried": n_files}
+        assert table.latest_version() == v
+        assert _rows(table.read()) == want
+
+    def test_all_null_key_delta_appends_without_rewrites(self, spark, table):
+        """All-NULL-key delta: NULL never equi-matches an existing key, so
+        the correct merge is a pure append with every base file carried
+        (pre-fix: TypeError comparing bigint stats against None)."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import merge_upsert_pruned
+
+        self._seed_ranged(spark, table)
+        before = set(table.live_files())
+        out = merge_upsert_pruned(table, _df(spark, [(None, "nul")]), key="k")
+        assert out["n_touched"] == 0
+        assert out["n_carried"] == len(before)
+        assert before <= set(table.live_files())
+        assert (None, "nul") in _rows(table.read())
 
     def test_idempotent_and_conflict_paths(self, spark, table):
         from aws_genaric_datapipeline_spark.pipeline.txn import (
