@@ -319,7 +319,13 @@ def train_logreg_sparse(
     offsets, see module docstring).  Per iteration ONE distributed
     collect: the gradient agg over nnz-sized delta rows; margins fold
     inside it, R (= sum of residuals) is recovered exactly from the
-    bias gradient g_D = FEAT_SCALE * R."""
+    bias gradient g_D = FEAT_SCALE * R.
+
+    Loop plan shape (gated in TestRound10Plans): delta and labels are
+    persisted PRE-PARTITIONED on did, so the margin aggregate and both
+    did-joins are exchange-free every round — the only per-iteration
+    shuffle is the (D+1)-key gradient aggregate, and weights are literal
+    array expressions (no broadcast, no createDataFrame per round)."""
     D = sp.num_buckets
     S = FP_SCALE
     n = labels.count()
@@ -329,25 +335,35 @@ def train_logreg_sparse(
         raise ValueError(
             f"init_weights needs {D + 1} entries, got {len(init_weights)}"
         )
-    delta = sp.delta()
-    labels = labels.select(
-        "did", F.col("y").cast("bigint").alias("y")
-    ).localCheckpoint(eager=True)
+    # delta is scanned twice per iteration (margins fold + gradient join);
+    # materialize it once, PRE-PARTITIONED on did, via persist (NOT
+    # localCheckpoint: a checkpointed RDD scans back as
+    # UnknownPartitioning, while InMemoryTableScan keeps the repartition's
+    # hashpartitioning(did) — plan-gated in TestRound10Plans), so every
+    # per-iteration groupBy/join on did is exchange-free and the only
+    # per-iteration shuffle is the (D+1)-key gradient aggregate.  Weights
+    # enter as a LITERAL array expression, not a broadcast-joined frame:
+    # zero broadcasts and zero createDataFrame round-trips inside the loop.
+    from pyspark import StorageLevel
+
+    delta = sp.delta().repartition("did").persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        labels.select("did", F.col("y").cast("bigint").alias("y"))
+        .repartition("did")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    delta.count()
+    labels.count()
     z = sp.zero_values()
     w = list(init_weights) if init_weights is not None else [0] * (D + 1)
     for _ in range(iters):
-        wdf = spark.createDataFrame(
-            [(j, wj) for j, wj in enumerate(w)], "j bigint, w bigint"
-        )
+        warr = F.array(*[F.lit(int(wj)).cast("bigint") for wj in w])
+        wcol = F.element_at(warr, (F.col("j") + 1).cast("int"))
         c_round = sum(zj * wj for zj, wj in zip(z, w))  # absent-bucket margin
-        margins = (
-            delta.join(F.broadcast(wdf), "j")
-            .groupBy("did")
-            .agg(
-                (F.sum(F.col("dx") * F.col("w")) + F.lit(c_round))
-                .cast("bigint")
-                .alias("m")
-            )
+        margins = delta.groupBy("did").agg(
+            (F.sum(F.col("dx") * wcol) + F.lit(c_round))
+            .cast("bigint")
+            .alias("m")
         )
         resid = labels.join(margins, "did").select(
             "did",
@@ -374,6 +390,8 @@ def train_logreg_sparse(
             )
             for j, wj in enumerate(w)
         ]
+    delta.unpersist(blocking=False)
+    labels.unpersist(blocking=False)
     return LogRegModel(
         num_buckets=D,
         weights_fp=tuple(w),
@@ -392,22 +410,16 @@ def score_documents_sparse(
 ) -> DataFrame:
     """Apply a trained model over the SPARSE layout: same output
     contract as ``score_documents`` ((did, margin_fp, score_fp, pred)),
-    bit-identical values, one nnz-sized join-aggregate (the weight
-    frame broadcasts; absent buckets enter as a driver-computed
-    constant)."""
-    wdf = spark.createDataFrame(
-        [(j, wj) for j, wj in enumerate(model.weights_fp)], "j bigint, w bigint"
-    )
+    bit-identical values, one nnz-sized aggregate (weights enter as a
+    literal array expression; absent buckets as a driver-computed
+    constant — no join at all)."""
+    warr = F.array(*[F.lit(int(wj)).cast("bigint") for wj in model.weights_fp])
+    wcol = F.element_at(warr, (F.col("j") + 1).cast("int"))
     c0 = sum(zj * wj for zj, wj in zip(sp.zero_values(), model.weights_fp))
-    margins = (
-        sp.delta()
-        .join(F.broadcast(wdf), "j")
-        .groupBy("did")
-        .agg(
-            (F.sum(F.col("dx") * F.col("w")) + F.lit(c0))
-            .cast("bigint")
-            .alias("margin_fp")
-        )
+    margins = sp.delta().groupBy("did").agg(
+        (F.sum(F.col("dx") * wcol) + F.lit(c0))
+        .cast("bigint")
+        .alias("margin_fp")
     )
     return margins.select(
         "did",

@@ -92,19 +92,24 @@ def encode_session_sequences(
     session counter, AND the per-session string agg (same partition
     key throughout); the string length is bounded by session size —
     per-user event counts never bound memory."""
-    es = F.col(ts_col).cast("double")
-    lag_w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    marked = events.select(
+    # project to the ALIASED key first and window on that same attribute:
+    # a lag window on user_id followed by a running sum on its alias
+    # would not be recognized as co-partitioned and would pay a second
+    # Exchange (plan-gated single-shuffle in TestRound10Plans).  es
+    # (epoch seconds as double) preserves the ts order exactly, so both
+    # windows and the final agg ride one hashpartitioning(key).
+    base = events.select(
         F.col(key_col).alias("key"),
         F.col(tiebreak_col).alias("tb"),
-        es.alias("es"),
+        F.col(ts_col).cast("double").alias("es"),
         F.struct(
             F.col(ts_col).alias("ts"),
             F.col(tiebreak_col).alias("tb"),
             _event_char(F.col(type_col)).alias("ch"),
         ).alias("ev"),
-        F.lag(es).over(lag_w).alias("prev_es"),
-    ).withColumn(
+    )
+    lag_w = Window.partitionBy("key").orderBy("es", "tb")
+    marked = base.withColumn("prev_es", F.lag("es").over(lag_w)).withColumn(
         "is_new",
         F.when(
             F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > gap_s),

@@ -802,13 +802,38 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("north-star", "similarity", "text"),
 )
 def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse TF-IDF cosine similarity pairs (≥ 0.85) via inverted-index
-    self-join — the lexical complement to the dense-embedding cosine path
-    (sim_cosine_near_pairs).  Terms present in EVERY document are pruned
-    before the join (idf = 0 contributes nothing but would create the
-    biggest join buckets — the stopword-pruning skew guard)."""
+    """Exact TF-IDF cosine similarity pairs (≥ 0.85) — the lexical
+    complement to the dense-embedding cosine path (sim_cosine_near_pairs),
+    with TWO execution tiers picked by corpus shape:
+
+    - DENSE tier (vocabulary ≤ 4096 distinct terms AND the doc×vocab
+      matrix fits a broadcast): materialize each document's tf-idf vector
+      over the indexed vocabulary and compute all-pairs cosine as a
+      BLOCKED MATRIX PRODUCT (mapInPandas blocks × broadcast matrix, BLAS
+      dgemm).  Small-vocab/template corpora (this fixture: 31 terms,
+      every doc pair collides) are DENSE problems — an inverted-index
+      join degenerates to Σ df² ≈ N² rows of shuffle (round-9 shape:
+      118 s at sf0.1), while the matmul is sub-second arithmetic.
+    - SPARSE tier (real Zipf vocabularies): Bayardo-style PREFIX-FILTERED
+      inverted self-join.  Per doc, order terms rarest-first over the
+      unit-normalized vector and index only the prefix whose running tail
+      norm ≥ t_cand; a pair sharing no term in either prefix has (by
+      Cauchy-Schwarz over the shared terms, all in both tails)
+      cos < t_cand² < t, so candidates = prefix⋈full is EXACT, and
+      ubiquitous stopwords land in tails — their join buckets shrink from
+      df² to (dominated-docs)×df.
+
+    Both tiers are exact all-pairs: this query is the oracle anchor of
+    the similarity family; the 100 TB path for unbounded corpora is the
+    LSH/SemDeDup tier (sim_lsh_near_pairs, dedup_semantic_embeddings)."""
     from aws_genaric_datapipeline_spark.operators.text import tokens
 
+    from pyspark.sql import Window
+
+    T_OUT = 0.85
+    T_CAND = 0.80
+    DENSE_VOCAB_CAP = 4096
+    DENSE_CELLS_CAP = 200_000_000  # docs × vocab broadcast budget
     (documents,) = load(spark, sf_dir, "documents")
     toks = documents.select(
         F.col("doc_id").alias("did"), F.explode(tokens(F.col("text"))).alias("tok")
@@ -823,15 +848,55 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "did",
             "tok",
+            "df",
             (F.col("tf") * F.log(F.col("n") / F.col("df").cast("double"))).alias("w"),
         )
+        .localCheckpoint(eager=True)  # reused by every tier; cut the explode
     )
+
+    # one bounded fetch decides the tier: ≤ CAP+1 rows ever reach the driver
+    vocab_rows = df_t.limit(DENSE_VOCAB_CAP + 1).collect()
+    if len(vocab_rows) <= DENSE_VOCAB_CAP:
+        vocab = sorted(r["tok"] for r in vocab_rows)
+        vidx = {t: i for i, t in enumerate(vocab)}
+        rows = w.select("did", "tok", "w").collect()
+        n_docs = len({r["did"] for r in rows})
+        if n_docs * len(vocab) <= DENSE_CELLS_CAP:
+            return _tfidf_dense_pairs(spark, rows, vidx, T_OUT)
+        # fall through to the sparse tier if the matrix is too large
+
     norms = w.groupBy("did").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nr"))
-    a = w.select(F.col("did").alias("id_a"), "tok", F.col("w").alias("wa"))
-    b = w.select(F.col("did").alias("id_b"), "tok", F.col("w").alias("wb"))
+    tail = (
+        Window.partitionBy("did")
+        .orderBy(F.asc("df"), F.asc("tok"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prefix = (
+        w.join(norms.withColumnRenamed("did", "ndid"), F.col("did") == F.col("ndid"))
+        .select("did", "tok", "df", ((F.col("w") / F.col("nr")) ** 2).alias("nw2"))
+        .withColumn("tail2", F.sum("nw2").over(tail))
+        .where(F.col("tail2") >= F.lit(T_CAND * T_CAND))
+        .select("did", "tok")
+    )
+    cand = (
+        prefix.select(F.col("did").alias("id_a"), "tok")
+        .join(w.select(F.col("did").alias("id_b"), "tok"), "tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
     dots = (
-        a.join(b, "tok")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(
+            w.select(F.col("did").alias("id_a"), "tok", F.col("w").alias("wa")),
+            "id_a",
+        )
+        .join(
+            w.select(F.col("did").alias("id_b"), "tok", F.col("w").alias("wb")),
+            ["id_b", "tok"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
@@ -842,7 +907,53 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(norms.alias("na"), F.col("id_a") == F.col("na.did"))
         .join(norms.alias("nb"), F.col("id_b") == F.col("nb.did"))
         .select("id_a", "id_b", cos)
-        .where(F.col("tfidf_cosine") >= 0.85)
+        .where(F.col("tfidf_cosine") >= F.lit(T_OUT))
+    )
+
+
+def _tfidf_dense_pairs(spark, rows, vidx: dict, t_out: float) -> DataFrame:
+    """Dense tier of sim_tfidf_cosine_pairs: doc×vocab tf-idf matrix is
+    broadcast; executors each take a BLOCK of documents (mapInPandas) and
+    emit that block's qualifying pairs from one BLAS matrix product —
+    O(N²V) flops but zero shuffled candidate rows, the same blocked-brute
+    shape as the embedding exact tier (operators/similarity.py
+    cosine_near_pairs(exact=True), minus its crossJoin row explosion)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = sorted({r["did"] for r in rows})
+    pos = {d: i for i, d in enumerate(ids)}
+    mat = np.zeros((len(ids), len(vidx)), dtype=np.float64)
+    for r in rows:
+        mat[pos[r["did"]], vidx[r["tok"]]] = r["w"]
+    nr = np.sqrt((mat * mat).sum(axis=1))
+    id_arr = np.asarray(ids, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((id_arr, mat, nr))
+
+    def gen(batches):
+        ids_all, m_all, nr_all = bc.value
+        for pdf in batches:
+            block = pdf["i"].to_numpy()
+            dots = m_all[block] @ m_all.T  # BLAS: block × corpus
+            cos = np.round(
+                dots / np.outer(nr_all[block], nr_all), 4
+            )
+            bi, bj = np.nonzero(
+                (cos >= t_out) & (ids_all[block][:, None] < ids_all[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_all[block][bi],
+                    "id_b": ids_all[bj],
+                    "tfidf_cosine": cos[bi, bj],
+                }
+            )
+
+    blocks = spark.createDataFrame(
+        [(i,) for i in range(len(ids))], "i int"
+    ).repartition(max(2, len(ids) // 512))
+    return blocks.mapInPandas(
+        gen, schema="id_a bigint, id_b bigint, tfidf_cosine double"
     )
 
 

@@ -160,6 +160,18 @@ HEADLINE = [
     "events_daily_percentile_bands",
     "text_readability_scores",
     "events_funnel_step_timing",
+    # round 10: the previously non-gated heavy queries (VERDICT r9 #1)
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "sim_lsh_ann_topk",
+    "sim_tfidf_cosine_pairs",
+    "dedup_jaccard_trigram",
+    "dedup_simhash_pairs",
+    "events_sessionize_stats",
+    "search_phrase_positions",
+    "window_cumulative_distinct_users",
+    "sim_cosine_near_pairs",
+    "udaf_grouped_trimmed_mean",
 ]
 
 

@@ -1055,3 +1055,85 @@ class TestAqeSkewJoin:
         finally:
             for k, v in before.items():
                 spark.conf.set(k, v)
+
+
+class TestRound10Plans:
+    """Plan posture of the round-10 operators."""
+
+    def test_sparse_classifier_loop_is_exchange_free(self, spark):
+        """The sparse GD loop pre-partitions delta on did (persist, NOT
+        localCheckpoint — a checkpointed RDD reads back as
+        UnknownPartitioning, while InMemoryTableScan keeps the
+        hashpartitioning) and feeds weights as literal array
+        expressions, so the per-iteration margin aggregate introduces NO
+        new Exchange beyond the one-time repartition, and no join."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+        from aws_genaric_datapipeline_spark.plans.audit import shuffle_count
+        from aws_genaric_datapipeline_spark.tables import load as _load
+
+        (documents,) = _load(spark, SF, "documents")
+        sp = C.sparse_token_features(documents, num_buckets=8)
+        delta = sp.delta().repartition("did").persist()
+        try:
+            delta.count()
+            warr = F.array(*[F.lit(j).cast("bigint") for j in range(9)])
+            margins = delta.groupBy("did").agg(
+                F.sum(
+                    F.col("dx") * F.element_at(warr, (F.col("j") + 1).cast("int"))
+                )
+                .cast("bigint")
+                .alias("m")
+            )
+            plan = explain_str(margins)
+            # the LIVE plan is the tree section above the InMemoryTableScan;
+            # the cached-plan printout below it legitimately contains the
+            # one-time repartition Exchange and delta's broadcast join
+            tree = plan.split("\n\n")[0]
+            assert "InMemoryTableScan" in tree, plan[:2000]
+            live = tree.split("InMemoryTableScan")[0]
+            assert "Exchange" not in live, plan[:2000]
+            assert "Join" not in live, plan[:2000]
+        finally:
+            delta.unpersist()
+
+    def test_sparse_scoring_has_no_shuffle_join(self, spark):
+        """score_documents_sparse: the only join anywhere in the plan is
+        delta construction's BROADCAST of the D-row offset frame — never
+        a SortMergeJoin (a corpus shuffle on j would be the dense-grid
+        failure mode coming back)."""
+        from aws_genaric_datapipeline_spark.operators import classifier as C
+        from aws_genaric_datapipeline_spark.tables import load as _load
+
+        (documents,) = _load(spark, SF, "documents")
+        sp = C.sparse_token_features(documents, num_buckets=8)
+        model = C.LogRegModel(
+            num_buckets=8, weights_fp=tuple(range(9)), iters=0,
+            eta_num=1, eta_den=1,
+        )
+        plan = explain_str(C.score_documents_sparse(spark, sp, model))
+        assert "SortMergeJoin" not in plan, plan[:2000]
+
+    def test_tfidf_dense_tier_has_no_join(self, spark):
+        """On a broadcast-sized vocabulary the hybrid picks the dense
+        matmul tier: the returned plan is mapInPandas over block ids —
+        zero joins, zero candidate-pair shuffle (the round-9 inverted
+        self-join shape must be gone)."""
+        df = QUERIES["sim_tfidf_cosine_pairs"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "MapInPandas" in plan, plan[:2000]
+        assert "Join" not in plan, plan[:2000]
+
+    def test_session_sequences_single_user_shuffle(self, spark):
+        """Per-session encoding: the lag window, the running session
+        counter, and the per-session string agg all ride ONE Exchange on
+        the user key (hash partitioning on key satisfies the
+        (key, session_id) clustering of the final aggregate)."""
+        from aws_genaric_datapipeline_spark.operators import sequences as Q
+        from aws_genaric_datapipeline_spark.plans.audit import shuffle_count
+        from aws_genaric_datapipeline_spark.tables import load as _load
+
+        (events,) = _load(spark, SF, "events")
+        df = Q.encode_session_sequences(events)
+        assert shuffle_count(df) == 1, explain_str(df)[:2000]
