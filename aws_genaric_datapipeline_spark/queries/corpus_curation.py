@@ -958,6 +958,86 @@ def _tfidf_dense_pairs(spark, rows, vidx: dict, t_out: float) -> DataFrame:
 
 
 @query(
+    "curate_sequence_packing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len({_DUCK_TOKS}) AS n
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        c AS (
+            SELECT doc_id, n,
+                   coalesce(sum(n) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum_before
+            FROM t
+        )
+        SELECT CAST(cum_before // 2048 AS BIGINT) AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(sum(n) * 10000 // 2048 AS BIGINT) AS fill_bp
+        FROM c GROUP BY 1
+    """,
+    tags=("north-star", "curation", "packing"),
+)
+def curate_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training SEQUENCE PACKING at corpus scale: pack documents into
+    fixed-token-budget bins (2048) by contiguous greedy assignment —
+    each doc's bin is floor(tokens-before-it / budget) in deterministic
+    doc_id order, the streaming packing rule a tokenizer-side batcher
+    applies (a doc that straddles a boundary overflows its bin by < one
+    doc, the standard trade against re-ordering).  Emits per-bin
+    occupancy: doc count, token total, and fill rate in basis points
+    (the padding-waste signal that decides whether the budget or the
+    ordering needs tuning).
+
+    Relation to pack_token_bins (training_prep.py): that query emits the
+    per-document assignment via a single per-language window — fine when
+    every stratum fits one task; THIS query is the whale-safe form (the
+    running count is two-level, no stratum-sized window state) and the
+    occupancy REPORT consumed by batch-size planning.
+
+    Scale: the global running token count is inherently sequential, so
+    it is computed TWO-LEVEL exactly like events_late_arrival_profile —
+    per-1000-doc-bucket sums first (ordinary aggregation), the running
+    offset over the TINY bucket frame, broadcast back and added to the
+    within-bucket cumulative sum.  Identical arithmetic to a single
+    global window (offsets telescope), which is what the oracle runs —
+    but no single-partition global sort ever touches corpus-sized data."""
+    from pyspark.sql import Window
+
+    BUDGET = 2048
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = documents.where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.expr("doc_id div 1000").alias("bkt"),
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    btot = toks.groupBy("bkt").agg(F.sum("n_toks").alias("btoks"))
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt", F.coalesce(F.sum("btoks").over(off_w), F.lit(0)).alias("offset")
+    )
+    in_w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        toks.join(F.broadcast(offs), "bkt")
+        .withColumn(
+            "cum_before",
+            F.col("offset") + F.coalesce(F.sum("n_toks").over(in_w), F.lit(0)),
+        )
+        .withColumn("bin_id", F.expr(f"cum_before div {BUDGET}").cast("bigint"))
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.expr(f"sum(n_toks) * 10000 div {BUDGET}").cast("bigint").alias("fill_bp"),
+    )
+
+
+@query(
     "curate_top_quality_approx",
     oracle=f"""
         WITH base AS (

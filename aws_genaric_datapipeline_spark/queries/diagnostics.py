@@ -958,3 +958,4 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+

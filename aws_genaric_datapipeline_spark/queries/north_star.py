@@ -506,6 +506,111 @@ def graph_kcore_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_split_leakage_safe",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_NEARDUP_EDGE_CTES},
+        reach(node, label) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+        assign AS (
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        ),
+        sp AS (
+            SELECT doc_id, cluster_id,
+                   CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (SELECT *, ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                             1, 8))::BIGINT % 10 AS b
+                  FROM assign)
+        ),
+        leak AS (
+            SELECT count(*) AS leaked FROM pairs p
+            JOIN sp sa ON p.id_a = sa.doc_id
+            JOIN sp sb ON p.id_b = sb.doc_id
+            WHERE sa.split <> sb.split
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               CAST(leaked AS BIGINT) AS leaked_pairs
+        FROM sp CROSS JOIN leak
+        GROUP BY split, leaked
+    """,
+    tags=("north-star", "curation", "sampling", "dedup"),
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/valid/test split: near-duplicate CLUSTERS are
+    the assignment unit, not documents — every trigram-Jaccard (≥ 0.5)
+    cluster lands atomically in one split via an engine-portable md5
+    bucket of its cluster id (8/1/1), so no near-dup pair can straddle
+    train and eval (the contamination mode a doc-level random split
+    ships silently: an eval doc whose near-twin was trained on).  The
+    emitted ``leaked_pairs`` column IS the audit — provably 0 by
+    construction, and the oracle recomputes it from the raw pair set,
+    so a regression in clustering or hashing surfaces as a nonzero leak
+    or a split-count mismatch, not a silent quality drift.
+
+    Scale: one near-dup edge build (shared shape with the dedup family)
+    + the CC closure over pairs only; the corpus-sized work is one
+    left join of doc ids against the component frame and a 3-group
+    aggregate.  Singleton docs skip the graph entirely (cluster_id =
+    doc_id)."""
+    from aws_genaric_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        documents, n=3, threshold=0.5, hash_tokens=True
+    ).localCheckpoint(eager=True)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    assign = (
+        documents.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    sp = assign.withColumn(
+        "split",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    ).localCheckpoint(eager=True)  # reused by the aggregate AND the leak audit
+    leak = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_pairs"))
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_clusters", "leaked_pairs")
+    )
+
+
+@query(
     "graph_incremental_components",
     oracle=_CC_CLUSTERS_ORACLE,
     tags=("north-star", "dedup", "graph", "incremental"),
@@ -552,17 +657,12 @@ def graph_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _subword_oracle_sql() -> str:
-    """DuckDB replay of greedy longest-match subword tokenization
-    (operators/text.py subword_tokenize): the literal SUBWORD_VOCAB as a
-    VALUES table, a precomputed best-match-length table per (distinct
-    word, position), a recursive pointer chase that emits the maximal
-    munch segmentation (<unk> on no match), and per-document reassembly
-    in word order.  md5 of the full subword stream pins the entire
-    segmentation, not just counts."""
+def _subword_cte_body() -> str:
+    """Shared CTE chain replaying greedy longest-match subword
+    tokenization down to ``per_doc`` — used by text_subword_tokenize's
+    oracle and the per-source OOV report so the two can never drift."""
     vals = ", ".join(f"('{t}')" for t in X.SUBWORD_VOCAB)
-    return f"""
-        WITH RECURSIVE vocab(tok) AS (VALUES {vals}),
+    return f"""vocab(tok) AS (VALUES {vals}),
         words AS (
             SELECT doc_id, CAST(t.i AS INT) AS widx, l[CAST(t.i AS INT)] AS word
             -- explicit class, not \\s: RE2 \\s excludes \\x0b while the
@@ -606,7 +706,19 @@ def _subword_oracle_sql() -> str:
                    string_agg(d.toks, ' ' ORDER BY w.widx) AS stream
             FROM words w JOIN done d ON d.word = w.word
             GROUP BY 1
-        )
+        )"""
+
+
+def _subword_oracle_sql() -> str:
+    """DuckDB replay of greedy longest-match subword tokenization
+    (operators/text.py subword_tokenize): the literal SUBWORD_VOCAB as a
+    VALUES table, a precomputed best-match-length table per (distinct
+    word, position), a recursive pointer chase that emits the maximal
+    munch segmentation (<unk> on no match), and per-document reassembly
+    in word order.  md5 of the full subword stream pins the entire
+    segmentation, not just counts."""
+    return f"""
+        WITH RECURSIVE {_subword_cte_body()}
         SELECT doc_id,
                coalesce(p.n_words, 0) AS n_words,
                coalesce(p.n_subwords, 0) AS n_subwords,
@@ -634,6 +746,61 @@ def text_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_subwords",
         F.md5("subword_stream").alias("stream_md5"),
+    )
+
+
+@query(
+    "report_tokenizer_oov",
+    oracle=f"""
+        WITH RECURSIVE {_subword_cte_body()}
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(p.n_subwords, 0)) AS BIGINT) AS n_subwords,
+               CAST(sum(coalesce((length(p.stream)
+                        - length(replace(p.stream, '<unk>', ''))) // 5, 0))
+                    AS BIGINT) AS n_unk,
+               CAST(CASE WHEN sum(coalesce(p.n_subwords, 0)) = 0 THEN 0
+                    ELSE sum(coalesce((length(p.stream)
+                         - length(replace(p.stream, '<unk>', ''))) // 5, 0))
+                         * 10000 // sum(coalesce(p.n_subwords, 0)) END
+                    AS BIGINT) AS oov_bp
+        FROM documents d LEFT JOIN per_doc p ON p.did = d.doc_id
+        GROUP BY d.source
+    """,
+    tags=("north-star", "text", "tokenizer", "report"),
+)
+def report_tokenizer_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary-coverage report per source: the fraction of
+    subwords that fall out of SUBWORD_VOCAB (<unk> emissions, basis
+    points) — the go/no-go check before committing a tokenizer to a new
+    corpus slice (a source whose OOV rate spikes will waste its token
+    budget on <unk> and train nothing).  Shares the greedy
+    longest-match segmentation (and its recursive-replay oracle CTEs)
+    with text_subword_tokenize verbatim, and counts <unk> by the same
+    integer string arithmetic in both engines.
+
+    Scale: the segmentation pass is the same Arrow-batched map-side UDF
+    (broadcast vocab, per-batch word memo); the report adds one
+    source-grain aggregate."""
+    (documents,) = load(spark, sf_dir, "documents")
+    seg = X.subword_tokenize(documents)
+    unk = (
+        (F.length("subword_stream")
+         - F.length(F.replace(F.col("subword_stream"), F.lit("<unk>"), F.lit(""))))
+        / F.lit(5)
+    ).cast("bigint")
+    per_doc = seg.select("doc_id", "n_subwords", unk.alias("n_unk"))
+    joined = documents.select("doc_id", "source").join(per_doc, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce("n_subwords", F.lit(0))).cast("bigint").alias("n_subwords"),
+        F.sum(F.coalesce("n_unk", F.lit(0))).cast("bigint").alias("n_unk"),
+        F.expr(
+            "CASE WHEN sum(coalesce(n_subwords, 0)) = 0 THEN 0 "
+            "ELSE sum(coalesce(n_unk, 0)) * 10000 div sum(coalesce(n_subwords, 0)) END"
+        )
+        .cast("bigint")
+        .alias("oov_bp"),
     )
 
 

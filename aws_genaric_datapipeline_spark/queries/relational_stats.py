@@ -769,3 +769,4 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("price"), 2).alias("weighted_median_price"),
         )
     )
+

@@ -172,6 +172,9 @@ HEADLINE = [
     "window_cumulative_distinct_users",
     "sim_cosine_near_pairs",
     "udaf_grouped_trimmed_mean",
+    "sample_split_leakage_safe",
+    "curate_sequence_packing",
+    "report_tokenizer_oov",
 ]
 
 
