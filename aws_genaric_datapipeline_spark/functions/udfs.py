@@ -42,9 +42,13 @@ def _trimmed_mean_cents(cents: pd.Series) -> int:
     s = cents.sort_values().to_numpy()
     k = len(s) // 10
     kept = s[k : len(s) - k]
-    # int64 sum is exact; // is floor division in BOTH numpy and DuckDB,
-    # so the oracle replays this bit-for-bit even for negative sums.
-    return int(kept.sum() // len(kept))
+    total, n = int(kept.sum()), len(kept)
+    # int64 sum is exact.  The division must TRUNCATE TOWARD ZERO, not
+    # floor: DuckDB's `//` truncates ((-7) // 2 = -3) while Python/numpy
+    # floor ((-7) // 2 = -4) — they differ whenever the trimmed sum is
+    # negative and not an exact multiple of the kept count (refund-heavy
+    # groups).  Trunc-div keeps the oracle replay bit-for-bit.
+    return -((-total) // n) if total < 0 else total // n
 
 
 def _group_size(cents: pd.Series) -> int:

@@ -633,9 +633,6 @@ def merge_upsert_pruned(
         }
     base_version = table.latest_version()
     base_files = table.live_files(base_version)
-    if not base_files:
-        v = table.merge_upsert(updates, keys=[key], app_txn_id=app_txn_id)
-        return {"version": v, "n_touched": 0, "n_carried": 0}
     row = updates.agg(
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
@@ -643,12 +640,18 @@ def merge_upsert_pruned(
     ).collect()[0]
     lo, hi = row["lo"], row["hi"]
     if row["n"] == 0:
-        # empty delta: the merge is a content no-op — commit nothing
+        # empty delta: the merge is a content no-op — commit nothing.
+        # Checked BEFORE the empty-table branch, so an empty delta on an
+        # empty table is equally a no-op (no junk version 1, no consumed
+        # app_txn_id) — the two paths must agree on the contract.
         return {
             "version": base_version,
             "n_touched": 0,
             "n_carried": len(base_files),
         }
+    if not base_files:
+        v = table.merge_upsert(updates, keys=[key], app_txn_id=app_txn_id)
+        return {"version": v, "n_touched": 0, "n_carried": 0}
     stats = table.file_stats()
     touched, carried = [], []
     if lo is None:

@@ -854,14 +854,17 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # reused by every tier; cut the explode
     )
 
-    # one bounded fetch decides the tier: ≤ CAP+1 rows ever reach the driver
+    # tier decision from BOUNDED driver data only: a ≤ CAP+1-row vocab
+    # fetch plus one distributed distinct-count — BOTH caps are checked
+    # BEFORE any corpus-sized collect, so an oversized matrix falls
+    # through to the sparse tier without the driver ever materializing it
     vocab_rows = df_t.limit(DENSE_VOCAB_CAP + 1).collect()
     if len(vocab_rows) <= DENSE_VOCAB_CAP:
-        vocab = sorted(r["tok"] for r in vocab_rows)
-        vidx = {t: i for i, t in enumerate(vocab)}
-        rows = w.select("did", "tok", "w").collect()
-        n_docs = len({r["did"] for r in rows})
-        if n_docs * len(vocab) <= DENSE_CELLS_CAP:
+        n_docs = w.agg(F.countDistinct("did").alias("nd")).collect()[0]["nd"]
+        if n_docs * len(vocab_rows) <= DENSE_CELLS_CAP:
+            vocab = sorted(r["tok"] for r in vocab_rows)
+            vidx = {t: i for i, t in enumerate(vocab)}
+            rows = w.select("did", "tok", "w").collect()
             return _tfidf_dense_pairs(spark, rows, vidx, T_OUT)
         # fall through to the sparse tier if the matrix is too large
 

@@ -3298,3 +3298,62 @@ class TestEditDistanceJoin:
             edit_distance_pairs(df, "name", max_edits=3)
         with pytest.raises(ValueError, match="max_edits"):
             edit_distance_pairs(df, "name", max_edits=0)
+
+
+class TestTrimmedMeanUdaf:
+    """functions/udfs.py trimmed_mean_cents_udaf — the division-semantics
+    edge the sf fixtures (non-negative values) never exercise."""
+
+    def test_negative_trimmed_sum_truncates_like_duckdb(self, spark):
+        """Code-review finding (round 10): DuckDB `//` truncates toward
+        zero ((-7) // 2 = -3) while numpy floors (-4); a refund-heavy
+        group with a negative, non-divisible trimmed sum must match the
+        oracle's truncation."""
+        import duckdb
+
+        from aws_genaric_datapipeline_spark.functions import (
+            trimmed_mean_cents_udaf,
+        )
+
+        rows = [("refunds", c) for c in (-5, -2, 3)]  # sum -4 over 3 kept
+        df = spark.createDataFrame(rows, "event_type string, cents bigint")
+        got = (
+            df.groupBy("event_type")
+            .agg(trimmed_mean_cents_udaf(F.col("cents")).alias("tm"))
+            .first()["tm"]
+        )
+        want = duckdb.sql("SELECT (-5 + -2 + 3) // 3").fetchone()[0]
+        assert got == want == -1  # floor would give -2
+
+    def test_matches_plain_mean_when_no_trim(self, spark):
+        from aws_genaric_datapipeline_spark.functions import (
+            trimmed_mean_cents_udaf,
+        )
+
+        # n < 10 => k = 0, nothing trimmed: exact integer mean (trunc)
+        df = spark.createDataFrame(
+            [("t", c) for c in (10, 20, 31)], "event_type string, cents bigint"
+        )
+        got = (
+            df.groupBy("event_type")
+            .agg(trimmed_mean_cents_udaf(F.col("cents")).alias("tm"))
+            .first()["tm"]
+        )
+        assert got == 61 // 3
+
+    def test_trims_tails(self, spark):
+        from aws_genaric_datapipeline_spark.functions import (
+            trimmed_mean_cents_udaf,
+        )
+
+        # 10 values: k = 1 trims the min (-1000) and max (1000)
+        vals = [-1000, 1, 2, 3, 4, 5, 6, 7, 8, 1000]
+        df = spark.createDataFrame(
+            [("t", c) for c in vals], "event_type string, cents bigint"
+        )
+        got = (
+            df.groupBy("event_type")
+            .agg(trimmed_mean_cents_udaf(F.col("cents")).alias("tm"))
+            .first()["tm"]
+        )
+        assert got == sum(sorted(vals)[1:-1]) // 8

@@ -499,6 +499,25 @@ class TestPrunedMerge:
         assert table.latest_version() == v
         assert _rows(table.read()) == want
 
+    def test_empty_delta_on_empty_table_is_a_noop(self, spark, table):
+        """Code-review finding (round 10): the empty-delta check must run
+        BEFORE the empty-table branch, so an empty first micro-batch does
+        not commit a junk version 1 or consume its app_txn_id."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import merge_upsert_pruned
+
+        out = merge_upsert_pruned(
+            table, _df(spark, []).limit(0), key="k", app_txn_id="first"
+        )
+        assert out == {"version": 0, "n_touched": 0, "n_carried": 0}
+        assert table.latest_version() == 0
+        assert not table.is_committed("first")  # txn id NOT consumed
+        # the same app txn id can later commit real data
+        out2 = merge_upsert_pruned(
+            table, _df(spark, [(1, "a")]), key="k", app_txn_id="first"
+        )
+        assert out2["version"] == 1
+        assert _rows(table.read()) == {(1, "a")}
+
     def test_all_null_key_delta_appends_without_rewrites(self, spark, table):
         """All-NULL-key delta: NULL never equi-matches an existing key, so
         the correct merge is a pure append with every base file carried
