@@ -770,6 +770,12 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dense-tier thresholds for sim_tfidf_cosine_pairs (module-level so the
+# tier-equivalence test can force the sparse tier on a small corpus).
+_TFIDF_DENSE_VOCAB_CAP = 4096
+_TFIDF_DENSE_CELLS_CAP = 200_000_000  # docs × vocab broadcast budget
+
+
 @query(
     "sim_tfidf_cosine_pairs",
     oracle=f"""
@@ -832,8 +838,8 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     T_OUT = 0.85
     T_CAND = 0.80
-    DENSE_VOCAB_CAP = 4096
-    DENSE_CELLS_CAP = 200_000_000  # docs × vocab broadcast budget
+    DENSE_VOCAB_CAP = _TFIDF_DENSE_VOCAB_CAP
+    DENSE_CELLS_CAP = _TFIDF_DENSE_CELLS_CAP
     (documents,) = load(spark, sf_dir, "documents")
     toks = documents.select(
         F.col("doc_id").alias("did"), F.explode(tokens(F.col("text"))).alias("tok")

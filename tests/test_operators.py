@@ -3357,3 +3357,81 @@ class TestTrimmedMeanUdaf:
             .first()["tm"]
         )
         assert got == sum(sorted(vals)[1:-1]) // 8
+
+
+class TestTfidfHybridTiers:
+    """sim_tfidf_cosine_pairs picks dense matmul vs prefix-filtered
+    inverted join by corpus shape; both tiers are EXACT, so on a corpus
+    where both can run they must return the same pair set and values."""
+
+    def test_dense_and_sparse_tiers_agree(self, spark, monkeypatch):
+        from aws_genaric_datapipeline_spark.queries import corpus_curation as CC
+
+        dense = {
+            (r["id_a"], r["id_b"]): r["tfidf_cosine"]
+            for r in CC.sim_tfidf_cosine_pairs(spark, SF).collect()
+        }
+        # force the sparse tier (vocab cap below the fixture's 31 terms)
+        monkeypatch.setattr(CC, "_TFIDF_DENSE_VOCAB_CAP", 0)
+        sparse = {
+            (r["id_a"], r["id_b"]): r["tfidf_cosine"]
+            for r in CC.sim_tfidf_cosine_pairs(spark, SF).collect()
+        }
+        assert set(dense) == set(sparse)
+        for k in dense:
+            # identical pairs; values may differ only in the last rounding
+            # ulp (different float summation orders), never by >1e-4
+            assert abs(dense[k] - sparse[k]) <= 1e-4 + 1e-12, (k, dense[k], sparse[k])
+        assert len(dense) > 0
+
+
+class TestSequencePacking:
+    """curate_sequence_packing invariants the value oracle can't state."""
+
+    def test_packing_invariants(self, spark):
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.operators.text import tokens
+        from aws_genaric_datapipeline_spark.queries.corpus_curation import (
+            curate_sequence_packing,
+        )
+        from aws_genaric_datapipeline_spark.tables import load
+
+        BUDGET = 2048
+        bins = curate_sequence_packing(spark, SF).collect()
+        (documents,) = load(spark, SF, "documents")
+        stats = (
+            documents.where(F.length(F.trim("text")) > 0)
+            .select(F.size(tokens(F.col("text"))).alias("n"))
+            .agg(F.sum("n").alias("total"), F.max("n").alias("mx"),
+                 F.count("*").alias("docs"))
+            .first()
+        )
+        # every token lands in exactly one bin
+        assert sum(b["total_tokens"] for b in bins) == stats["total"]
+        assert sum(b["n_docs"] for b in bins) == stats["docs"]
+        # bin ids are the contiguous prefix 0..max
+        ids = sorted(b["bin_id"] for b in bins)
+        assert ids == list(range(len(ids)))
+        # contiguous packing bound: a bin overflows by less than one doc,
+        # and every bin except the last is at least full
+        for b in bins:
+            assert b["total_tokens"] < BUDGET + stats["mx"]
+            if b["bin_id"] != ids[-1]:
+                assert b["total_tokens"] >= BUDGET - stats["mx"] + 1
+
+
+class TestLeakageSafeSplit:
+    def test_split_partitions_and_never_leaks(self, spark):
+        from aws_genaric_datapipeline_spark.queries.north_star import (
+            sample_split_leakage_safe,
+        )
+        from aws_genaric_datapipeline_spark.tables import load
+
+        rows = {r["split"]: r for r in sample_split_leakage_safe(spark, SF).collect()}
+        (documents,) = load(spark, SF, "documents")
+        assert set(rows) <= {"train", "valid", "test"}
+        assert sum(r["n_docs"] for r in rows.values()) == documents.count()
+        for r in rows.values():
+            assert r["leaked_pairs"] == 0  # cluster-atomic by construction
+            assert r["n_clusters"] <= r["n_docs"]
