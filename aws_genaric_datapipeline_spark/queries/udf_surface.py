@@ -94,6 +94,80 @@ def udaf_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_window_trailing_trimmed",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, day,
+                   list(cents) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS vals
+            FROM d
+        ),
+        t AS (
+            SELECT event_type, day, len(vals) AS n,
+                   list_slice(list_sort(vals), len(vals) // 10 + 1,
+                              len(vals) - len(vals) // 10) AS kept
+            FROM w
+        )
+        SELECT event_type, day,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(CASE WHEN list_aggregate(kept, 'sum') < 0
+                    THEN -((-list_aggregate(kept, 'sum')) // len(kept))
+                    ELSE list_aggregate(kept, 'sum') // len(kept) END
+                    AS BIGINT) AS trimmed_mean_cents
+        FROM t
+    """,
+    tags=("udf", "grouped-agg", "udaf", "window"),
+)
+def udaf_window_trailing_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF used as a WINDOW function — the second
+    placement Spark supports for the UDAF species (bounded frames only):
+    a trailing 30-day 10%-trimmed mean of daily value totals per event
+    type, the robust rolling signal a volume monitor plots instead of a
+    spike-hostage moving average.  Arithmetic is the same exact
+    integer-cents contract as udaf_grouped_trimmed_mean (sort, trim
+    n//10 each end, truncate-toward-zero division), so the DuckDB window
+    replay (list() over the identical frame) is bit-for-bit.
+
+    Scale: the raw stream collapses to (type, day) grain FIRST — the
+    only data-sized pass; the windowed UDAF then runs on the tiny daily
+    frame, one Arrow batch per frame evaluation."""
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"),
+        trimmed_mean_cents_udaf(F.col("cents")).over(w).alias(
+            "trimmed_mean_cents"
+        ),
+    )
+
+
+@query(
     "udf_grouped_zscore",
     oracle="""
         SELECT event_id, event_type,

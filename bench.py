@@ -175,6 +175,7 @@ HEADLINE = [
     "sample_split_leakage_safe",
     "curate_sequence_packing",
     "report_tokenizer_oov",
+    "udaf_window_trailing_trimmed",
 ]
 
 
