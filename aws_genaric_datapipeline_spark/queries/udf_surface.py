@@ -128,12 +128,16 @@ def udaf_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udaf_window_trailing_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas UDF used as a WINDOW function — the second
     placement Spark supports for the UDAF species (bounded frames only):
-    a trailing 30-day 10%-trimmed mean of daily value totals per event
-    type, the robust rolling signal a volume monitor plots instead of a
-    spike-hostage moving average.  Arithmetic is the same exact
-    integer-cents contract as udaf_grouped_trimmed_mean (sort, trim
-    n//10 each end, truncate-toward-zero division), so the DuckDB window
-    replay (list() over the identical frame) is bit-for-bit.
+    a 10%-trimmed mean of each type's last 30 OBSERVED daily totals (a
+    ROWS frame — a pandas-UDAF window must be row-bounded, so on a type
+    with calendar gaps the frame deliberately spans more than 30
+    calendar days; a calendar-bounded variant would be a RANGE frame
+    with a JVM aggregate).  The robust rolling signal a volume monitor
+    plots instead of a spike-hostage moving average.  Arithmetic is the
+    same exact integer-cents contract as udaf_grouped_trimmed_mean
+    (sort, trim n//10 each end, truncate-toward-zero division), so the
+    DuckDB window replay (list() over the identical frame) is
+    bit-for-bit.
 
     Scale: the raw stream collapses to (type, day) grain FIRST — the
     only data-sized pass; the windowed UDAF then runs on the tiny daily

@@ -3377,12 +3377,19 @@ class TestTfidfHybridTiers:
             (r["id_a"], r["id_b"]): r["tfidf_cosine"]
             for r in CC.sim_tfidf_cosine_pairs(spark, SF).collect()
         }
-        assert set(dense) == set(sparse)
-        for k in dense:
-            # identical pairs; values may differ only in the last rounding
-            # ulp (different float summation orders), never by >1e-4
+        # The tiers sum floats in different orders (BLAS vs shuffle) and
+        # round with different half modes, so a pair whose cosine sits
+        # within one output ulp of the 0.85 threshold may legitimately
+        # appear in only one tier — tolerate EXACTLY that boundary case,
+        # nothing else.
+        for k in set(dense) - set(sparse):
+            assert abs(dense[k] - 0.85) <= 1e-4 + 1e-12, (k, dense[k])
+        for k in set(sparse) - set(dense):
+            assert abs(sparse[k] - 0.85) <= 1e-4 + 1e-12, (k, sparse[k])
+        for k in set(dense) & set(sparse):
+            # shared pairs: values differ only in the last rounding ulp
             assert abs(dense[k] - sparse[k]) <= 1e-4 + 1e-12, (k, dense[k], sparse[k])
-        assert len(dense) > 0
+        assert len(set(dense) & set(sparse)) > 0
 
 
 class TestSequencePacking:
@@ -3410,6 +3417,11 @@ class TestSequencePacking:
         # every token lands in exactly one bin
         assert sum(b["total_tokens"] for b in bins) == stats["total"]
         assert sum(b["n_docs"] for b in bins) == stats["docs"]
+        # precondition for the contiguity assertion below: no fixture doc
+        # spans a whole bin (a doc with n > 2*BUDGET legitimately skips a
+        # bin id) — make the assumption explicit so a regenerated fixture
+        # fails HERE, not on the invariant
+        assert stats["mx"] < BUDGET, "fixture grew a whale doc; contiguity no longer implied"
         # bin ids are the contiguous prefix 0..max
         ids = sorted(b["bin_id"] for b in bins)
         assert ids == list(range(len(ids)))
