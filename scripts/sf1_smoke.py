@@ -48,6 +48,10 @@ FAMILY = [
     "dedup_incremental_minhash",
     "dedup_incremental_simhash",
     "dedup_incremental_semantic",
+    # round-10 additions: the hybrid exact tf-idf tier (dense matmul at
+    # this vocab) and the cluster-atomic split (jaccard edges + CC)
+    "sim_tfidf_cosine_pairs",
+    "sample_split_leakage_safe",
 ]
 REPLICAS = 10
 
