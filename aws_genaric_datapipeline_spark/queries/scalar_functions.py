@@ -495,3 +495,54 @@ def func_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "func_collation_group",
+    oracle="""
+        WITH mixed AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                        WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                        ELSE upper(substr(c_mktsegment, 1, 1))
+                             || lower(substr(c_mktsegment, 2, 100)) END AS seg
+            FROM customer
+        )
+        SELECT min(seg) AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants
+        FROM mixed
+        GROUP BY lower(seg)
+    """,
+    tags=("functions", "strings", "collation", "spark4"),
+)
+def func_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATIONS: group a mixed-case segment column under
+    the UTF8_LCASE collation — case-insensitive equality expressed as a
+    COLUMN TYPE property instead of scattering lower() through every
+    comparison (the collation survives joins, aggs, and set ops on the
+    column).  The fixture derives three case variants per segment from
+    the key; grouping by the collated column must collapse them.  The
+    deterministic representative is min(original) (the group key itself
+    is whichever variant Spark surfaces — never emit it); the oracle
+    replays with lower()-keyed grouping, equivalent on this data.
+
+    Scale: collation comparisons run inside codegen like any string
+    equality (ICU key derivation per comparison); the aggregate is an
+    ordinary partial+final hash agg on the collated key."""
+    (customer,) = load(spark, sf_dir, "customer")
+    seg = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_mktsegment"))
+        .otherwise(F.initcap(F.lower("c_mktsegment")))
+    )
+    mixed = customer.select(seg.alias("seg"))
+    return (
+        mixed.groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.min("seg").alias("segment"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.countDistinct("seg").cast("bigint").alias("n_case_variants"),
+        )
+        .drop("k")
+    )

@@ -176,6 +176,7 @@ HEADLINE = [
     "curate_sequence_packing",
     "report_tokenizer_oov",
     "udaf_window_trailing_trimmed",
+    "func_collation_group",
 ]
 
 
