@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # Tiny per-language stopword marker sets for the heuristic language scorer.
 # Deliberately small and deterministic: the point is a cheap, SQL-expressible
@@ -421,6 +421,110 @@ def repeated_span_stats(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Excise cross-document repeated substrings — the DESTRUCTIVE half of
+    repeated_span_stats (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better", the ExactSubstr dedup pass): every
+    character position covered by a char-k-gram whose gram occurs in ≥ 2
+    distinct documents is cut from the (trimmed) text, overlapping and
+    adjacent gram hits first merged into maximal spans, and the surviving
+    segments reassembled in order.
+
+    Returns one row per input document:
+      (id, n_spans, n_removed_chars, cleaned) — documents shorter than
+    ``k`` (no grams) and documents with no repeated gram pass through
+    unchanged with n_spans = 0.
+
+    Engine shape (all JVM, no Python in the data path):
+      1. position explode → (doc, p, gram), one shuffle-free pass;
+      2. gram document-frequency groupBy (gram-keyed shuffle) → the df≥2
+         gram set — at 100 TB substitute xxhash64(gram) for the string
+         key, exactly as repeated_span_stats documents;
+      3. hits = positions ⋈ repeated-grams (gram-keyed), then per-doc
+         gaps-and-islands with ONE window pass: hits are fixed-length
+         intervals [p, p+k), so sorted-by-p ends are monotone and a new
+         island starts exactly when p - lag(p) > k (merges overlapping
+         AND adjacent spans);
+      4. span rebuild per doc: sort_array(collect_list(struct(s, e))) +
+         one JVM ``aggregate`` fold emitting the between-span substrings —
+         no second window, no per-doc Python.
+    Shuffles: gram-df, hit-join, per-doc window/groupBy — all on gram or
+    doc keys; skew bounded because a whale gram contributes (docs
+    containing it) rows of 16 bytes, and whale DOCS are bounded by
+    document size caps upstream (text_gopher_rules words_in_range)."""
+    t = F.trim(F.col(text_col))
+    grams = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - k + 1),
+            lambda i: t.substr(i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(
+        F.col(id_col).alias("did"), F.posexplode(grams).alias("p", "gram")
+    )
+    rep = (
+        pos.groupBy("gram")
+        .agg(F.count_distinct("did").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = pos.join(rep, "gram").select("did", "p")
+    w = Window.partitionBy("did").orderBy("p")
+    isl = hits.select(
+        "did",
+        "p",
+        F.sum(
+            F.when(
+                F.col("p") - F.lag("p").over(w) > F.lit(k), 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("isl"),
+    )
+    spans = (
+        isl.groupBy("did", "isl")
+        .agg(F.min("p").alias("s"), (F.max("p") + k).alias("e"))
+        .groupBy("did")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("n_removed_chars"),
+        )
+    )
+    doc_t = df.select(F.col(id_col).alias("did"), t.alias("t"))
+    folded = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit(0).alias("prev"), F.lit("").alias("acc")),
+        lambda acc, sp: F.struct(
+            sp["e"].cast("int").alias("prev"),
+            F.concat(
+                acc["acc"],
+                F.col("t").substr(
+                    acc["prev"] + 1, sp["s"].cast("int") - acc["prev"]
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.col("t").substr(acc["prev"] + 1, F.length("t") - acc["prev"]),
+        ),
+    )
+    return doc_t.join(spans, "did", "left").select(
+        F.col("did").alias(id_col),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_removed_chars", F.lit(0)).alias("n_removed_chars"),
+        F.when(F.col("spans").isNull(), F.col("t"))
+        .otherwise(folded)
+        .alias("cleaned"),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
@@ -652,6 +756,33 @@ def _bpe_merge_fold(syms, a: str, b: str):
     )
 
 
+def _bpe_accept_batch(
+    candidates: list[tuple[str, str, int]], want: int
+) -> list[tuple[str, str, int]]:
+    """Greedy symbol-disjoint acceptance for one bpe_learn counting round.
+
+    ``candidates`` is the (count desc, left, right) ordered pair histogram
+    prefix; accept up to ``want`` pairs such that applying the accepted
+    merges in order cannot perturb any other accepted pair's count.  That
+    requires disjointness over BOTH the raw symbols and each accepted
+    pair's merged OUTPUT symbol ``left+right``: a later candidate whose
+    left or right equals an accepted concatenation would gain new
+    occurrences mid-batch (e.g. accepting ('a','bc') creates 'abc' tokens
+    that a pending ('abc','d') would now match), making its recorded
+    pair_count and greedy rank stale — it must wait for the next counting
+    round instead."""
+    used_syms: set[str] = set()
+    accepted: list[tuple[str, str, int]] = []
+    for a, b, cnt in candidates:
+        if len(accepted) == want:
+            break
+        if a in used_syms or b in used_syms:
+            continue
+        accepted.append((a, b, cnt))
+        used_syms.update((a, b, a + b))
+    return accepted
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
@@ -687,8 +818,11 @@ def bpe_learn(
     production-scale variant several public tokenizer trainers use: one
     pair histogram accepts up to N pairs, greedily by (count desc, left,
     right), SKIPPING any pair sharing a symbol with an already-accepted
-    pair in the round — symbol-DISJOINT pairs cannot create or destroy
-    each other's occurrences, so each accepted pair's recorded count is
+    pair in the round — including the accepted pair's merged OUTPUT
+    symbol ``left+right``, since applying the merge creates new tokens of
+    that spelling which a pending pair could match — symbol-DISJOINT
+    pairs cannot create or destroy each other's occurrences, so each
+    accepted pair's recorded count is
     exactly its true count at the moment it is applied, and the emitted
     table is a valid BPE merge table.  A 32k-merge vocabulary drops from
     32k counting rounds (driver round-trips) to ~32k/N.
@@ -731,16 +865,9 @@ def bpe_learn(
         )
         if not top_rows:
             break
-        used_syms: set[str] = set()
-        accepted: list[tuple[str, str, int]] = []
-        for r in top_rows:
-            if len(accepted) == want:
-                break
-            a, b = r["a"], r["b"]
-            if a in used_syms or b in used_syms:
-                continue
-            accepted.append((a, b, int(r["cnt"])))
-            used_syms.update((a, b))
+        accepted = _bpe_accept_batch(
+            [(r["a"], r["b"], int(r["cnt"])) for r in top_rows], want
+        )
         if not accepted:
             break
         col = F.col("syms")

@@ -374,6 +374,48 @@ class TxnTable:
         return sorted(dropped)
 
 
+def merge_upsert_with_retry(
+    table: TxnTable,
+    updates: DataFrame,
+    keys: list[str],
+    app_txn_id: str | None = None,
+    max_retries: int = 20,
+    backoff_s: float = 0.05,
+) -> int:
+    """Bounded-retry MERGE for concurrent writers.
+
+    TxnTable.merge_upsert is strict OCC: it computes against a pinned
+    snapshot and raises TxnConflict if any other data commit lands first
+    (rewrite-all-files merge ⇒ every concurrent change conflicts).  Under
+    N racing writers that is the CORRECT primitive — no lost updates —
+    but each writer must rebase and retry to make progress.  This helper
+    is that loop: on conflict it sleeps a linearly growing backoff
+    (attempt × ``backoff_s``, deterministic — no randomness, so tests
+    replay) and calls merge_upsert again, which re-reads the NEW latest
+    snapshot, i.e. the retry is a semantic rebase, not a blind re-commit.
+
+    Liveness: every conflict means some OTHER writer committed, so with N
+    writers a writer retries at most N-1 times before winning; set
+    ``max_retries`` ≥ the expected writer fan-in.  Combined with the
+    create-exclusive log-file primitive (_try_commit) the outcome is
+    SERIALIZABLE: the final state equals replaying the writers' merges in
+    commit-version order (TestConcurrentWriters proves this by replay).
+
+    ``app_txn_id`` passes through, so a writer that is itself re-driven
+    (stream redelivery, job retry) stays exactly-once across the loop.
+    """
+    last: TxnConflict | None = None
+    for attempt in range(max_retries):
+        try:
+            return table.merge_upsert(updates, keys, app_txn_id=app_txn_id)
+        except TxnConflict as exc:
+            last = exc
+            time.sleep(backoff_s * (attempt + 1))
+    raise TxnConflict(
+        f"merge gave up after {max_retries} rebase attempts: {last}"
+    )
+
+
 def exactly_once_stream_sink(table: TxnTable, sink_id: str = "stream"):
     """foreachBatch handler giving a streaming query EXACTLY-ONCE
     delivery into a TxnTable: the micro-batch id becomes the commit's

@@ -555,6 +555,83 @@ def text_repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_span_removal",
+    oracle="""
+        WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+        g AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
+                   substr(t, CAST(u.i AS INT), 20) AS gram
+            FROM d, UNNEST(range(1, length(t) - 20 + 2)) AS u(i)
+            WHERE length(t) >= 20
+        ),
+        dup AS (
+            SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+            ) WHERE nd >= 2
+        ),
+        h AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
+        i1 AS (
+            SELECT doc_id, p,
+                   CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                             > 20 THEN 1 ELSE 0 END AS brk
+            FROM h
+        ),
+        i2 AS (
+            SELECT doc_id, p,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+            FROM i1
+        ),
+        sp AS (
+            SELECT doc_id, min(p) AS s, max(p) + 20 AS e
+            FROM i2 GROUP BY doc_id, isl
+        ),
+        sp2 AS (
+            SELECT doc_id, s, e,
+                   coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                       AS pe
+            FROM sp
+        ),
+        agg AS (
+            SELECT sp2.doc_id,
+                   string_agg(substr(d.t, CAST(pe + 1 AS INT),
+                                     CAST(s - pe AS INT)), '' ORDER BY s)
+                       AS head,
+                   max(e) AS laste,
+                   CAST(count(*) AS INT) AS n_spans,
+                   CAST(sum(e - s) AS BIGINT) AS n_removed_chars
+            FROM sp2 JOIN d ON sp2.doc_id = d.doc_id
+            GROUP BY sp2.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.n_removed_chars, 0) AS n_removed_chars,
+               md5(CASE WHEN a.doc_id IS NULL THEN d.t
+                        ELSE coalesce(a.head, '')
+                             || substr(d.t, CAST(a.laste + 1 AS INT))
+                   END) AS cleaned_md5
+        FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    tags=("north-star", "text", "dedup", "curation"),
+)
+def text_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022) — the destructive
+    counterpart of text_repeated_span_fraction: every char position
+    covered by a df≥2 char-20-gram is excised (overlapping/adjacent gram
+    hits merged into maximal spans), and the md5 of each reassembled
+    document pins the entire explode → df → islands → cut → reassemble
+    machinery against the full DuckDB replay, exactly as
+    text_segment_dedup does for line-level dedup."""
+    (documents,) = load(spark, sf_dir, "documents")
+    out = X.remove_repeated_spans(documents, k=20)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        F.col("n_removed_chars").cast("bigint").alias("n_removed_chars"),
+        F.md5("cleaned").alias("cleaned_md5"),
+    )
+
+
+@query(
     "text_repetition_stats",
     oracle=f"""
         WITH toks AS (
@@ -772,8 +849,52 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Dense-tier thresholds for sim_tfidf_cosine_pairs (module-level so the
 # tier-equivalence test can force the sparse tier on a small corpus).
+# These are the HARD CEILINGS; the effective caps are the min of these and
+# a spark.driver.memory-derived budget (see _tfidf_dense_caps), overridable
+# per-session via spark conf.  Sizing rule documented in SCALING.md.
 _TFIDF_DENSE_VOCAB_CAP = 4096
 _TFIDF_DENSE_CELLS_CAP = 200_000_000  # docs × vocab broadcast budget
+_TFIDF_DENSE_NNZ_CAP = 25_000_000  # Arrow-fetched (did, tok, w) rows
+
+
+def _parse_jvm_mem(s: str) -> int:
+    """Parse a JVM memory string ('2g', '512m', '1024k', '12345') to bytes."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _tfidf_dense_caps(spark: SparkSession) -> tuple[int, int, int]:
+    """Effective (vocab_cap, cells_cap, nnz_cap) for the dense tf-idf tier.
+
+    The doc×vocab float64 matrix costs cells×8 bytes on the driver and is
+    broadcast once; we budget it at 1/16 of spark.driver.memory, so
+    cells_cap = mem/128 (matrix + its broadcast pickle + headroom).  The
+    Arrow nnz fetch costs ~40 bytes/row in pandas; nnz_cap = mem/160.
+    Each is clamped by the module ceiling (so tests monkeypatching the
+    module constants still force tiers) and overridable via spark conf:
+      spark.genaric.tfidf.denseVocabCap / denseCellsCap / denseNnzCap.
+    """
+    try:
+        mem = _parse_jvm_mem(spark.conf.get("spark.driver.memory", "2g"))
+    except ValueError:
+        mem = 2 << 30
+    caps = []
+    for key, ceiling, derived in (
+        ("spark.genaric.tfidf.denseVocabCap", _TFIDF_DENSE_VOCAB_CAP, None),
+        ("spark.genaric.tfidf.denseCellsCap", _TFIDF_DENSE_CELLS_CAP, mem // 128),
+        ("spark.genaric.tfidf.denseNnzCap", _TFIDF_DENSE_NNZ_CAP, mem // 160),
+    ):
+        conf_val = spark.conf.get(key, None)
+        if conf_val is not None:
+            caps.append(int(conf_val))
+        elif derived is not None:
+            caps.append(min(ceiling, derived))
+        else:
+            caps.append(ceiling)
+    return caps[0], caps[1], caps[2]
 
 
 @query(
@@ -838,8 +959,7 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     T_OUT = 0.85
     T_CAND = 0.80
-    DENSE_VOCAB_CAP = _TFIDF_DENSE_VOCAB_CAP
-    DENSE_CELLS_CAP = _TFIDF_DENSE_CELLS_CAP
+    DENSE_VOCAB_CAP, DENSE_CELLS_CAP, DENSE_NNZ_CAP = _tfidf_dense_caps(spark)
     (documents,) = load(spark, sf_dir, "documents")
     toks = documents.select(
         F.col("doc_id").alias("did"), F.explode(tokens(F.col("text"))).alias("tok")
@@ -861,18 +981,25 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # tier decision from BOUNDED driver data only: a ≤ CAP+1-row vocab
-    # fetch plus one distributed distinct-count — BOTH caps are checked
-    # BEFORE any corpus-sized collect, so an oversized matrix falls
-    # through to the sparse tier without the driver ever materializing it
+    # fetch plus one distributed agg — ALL caps (vocab, docs×vocab cells,
+    # AND nnz row count) are checked BEFORE any corpus-sized fetch, so an
+    # oversized matrix or a dense-ish nnz set falls through to the sparse
+    # tier without the driver ever materializing it.  The nnz fetch itself
+    # is Arrow-batched (toPandas), never a collect() of Python Row objects.
     vocab_rows = df_t.limit(DENSE_VOCAB_CAP + 1).collect()
     if len(vocab_rows) <= DENSE_VOCAB_CAP:
-        n_docs = w.agg(F.countDistinct("did").alias("nd")).collect()[0]["nd"]
-        if n_docs * len(vocab_rows) <= DENSE_CELLS_CAP:
+        sizes = w.agg(
+            F.countDistinct("did").alias("nd"), F.count(F.lit(1)).alias("nnz")
+        ).collect()[0]
+        if (
+            sizes["nd"] * len(vocab_rows) <= DENSE_CELLS_CAP
+            and sizes["nnz"] <= DENSE_NNZ_CAP
+        ):
             vocab = sorted(r["tok"] for r in vocab_rows)
             vidx = {t: i for i, t in enumerate(vocab)}
-            rows = w.select("did", "tok", "w").collect()
-            return _tfidf_dense_pairs(spark, rows, vidx, T_OUT)
-        # fall through to the sparse tier if the matrix is too large
+            nnz_pdf = w.select("did", "tok", "w").toPandas()
+            return _tfidf_dense_pairs(spark, nnz_pdf, vidx, T_OUT)
+        # fall through to the sparse tier if the matrix or nnz is too large
 
     norms = w.groupBy("did").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nr"))
     tail = (
@@ -920,32 +1047,44 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tfidf_dense_pairs(spark, rows, vidx: dict, t_out: float) -> DataFrame:
+def _tfidf_dense_pairs(spark, nnz_pdf, vidx: dict, t_out: float) -> DataFrame:
     """Dense tier of sim_tfidf_cosine_pairs: doc×vocab tf-idf matrix is
     broadcast; executors each take a BLOCK of documents (mapInPandas) and
     emit that block's qualifying pairs from one BLAS matrix product —
     O(N²V) flops but zero shuffled candidate rows, the same blocked-brute
     shape as the embedding exact tier (operators/similarity.py
-    cosine_near_pairs(exact=True), minus its crossJoin row explosion)."""
+    cosine_near_pairs(exact=True), minus its crossJoin row explosion).
+
+    ``nnz_pdf`` is the Arrow-fetched (did, tok, w) pandas frame — bounded
+    by the caller's nnz cap — and the matrix is filled with one vectorized
+    fancy-index assignment, never a per-Row python loop."""
     import numpy as np
     import pandas as pd
 
-    ids = sorted({r["did"] for r in rows})
-    pos = {d: i for i, d in enumerate(ids)}
+    ids = np.sort(nnz_pdf["did"].unique()).astype(np.int64)
+    pos = pd.Series(np.arange(len(ids)), index=ids)
     mat = np.zeros((len(ids), len(vidx)), dtype=np.float64)
-    for r in rows:
-        mat[pos[r["did"]], vidx[r["tok"]]] = r["w"]
+    mat[
+        pos[nnz_pdf["did"].to_numpy()].to_numpy(),
+        nnz_pdf["tok"].map(vidx).to_numpy(),
+    ] = nnz_pdf["w"].to_numpy()
     nr = np.sqrt((mat * mat).sum(axis=1))
-    id_arr = np.asarray(ids, dtype=np.int64)
+    id_arr = ids
     bc = spark.sparkContext.broadcast((id_arr, mat, nr))
 
     def gen(batches):
+        import numpy as np
+
         ids_all, m_all, nr_all = bc.value
         for pdf in batches:
             block = pdf["i"].to_numpy()
             dots = m_all[block] @ m_all.T  # BLAS: block × corpus
-            cos = np.round(
-                dots / np.outer(nr_all[block], nr_all), 4
+            # HALF_UP to 4 dp (values non-negative: tf-idf weights ≥ 0),
+            # matching Spark F.round and the DuckDB oracle's round() —
+            # np.round is half-to-even and can disagree on threshold ties.
+            cos = (
+                np.floor(dots / np.outer(nr_all[block], nr_all) * 1e4 + 0.5)
+                / 1e4
             )
             bi, bj = np.nonzero(
                 (cos >= t_out) & (ids_all[block][:, None] < ids_all[None, :])

@@ -1369,12 +1369,115 @@ class TestBpeLearn:
                         i += 1
                 vocab[w] = res
 
+    def test_batch_acceptance_skips_concat_collisions(self):
+        """A pending candidate whose left or right symbol equals an
+        already-accepted pair's merged OUTPUT symbol must be deferred to
+        the next counting round: applying the accepted merge creates new
+        occurrences of that pending pair mid-batch, so its histogram count
+        (and greedy rank) would be stale at apply time.  Tracks both
+        orientations plus the plain raw-symbol overlap."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            _bpe_accept_batch,
+        )
+
+        # accepted ('a','bc') -> output 'abc'; ('abc','d') and ('d','abc')
+        # must be skipped; ('x','y') is disjoint and fills the batch
+        cands = [
+            ("a", "bc", 90),
+            ("abc", "d", 80),
+            ("d", "abc", 70),
+            ("x", "y", 60),
+        ]
+        assert _bpe_accept_batch(cands, 3) == [("a", "bc", 90), ("x", "y", 60)]
+        # raw-symbol overlap still rejected as before
+        assert _bpe_accept_batch([("a", "b", 9), ("b", "c", 8)], 2) == [
+            ("a", "b", 9)
+        ]
+        # want caps acceptance
+        assert _bpe_accept_batch([("a", "b", 9), ("c", "d", 8)], 1) == [
+            ("a", "b", 9)
+        ]
+
     def test_batch_merges_rejects_bad_value(self, spark):
         from aws_genaric_datapipeline_spark.operators.text import bpe_learn
 
         docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
         with pytest.raises(ValueError, match="batch_merges"):
             bpe_learn(docs, num_merges=2, batch_merges=0)
+
+
+class TestSpanRemoval:
+    """remove_repeated_spans (ExactSubstr dedup, Lee et al. 2022):
+    planted-boilerplate corpus — exactly the repeated chars get cut, the
+    post-removal corpus has repeated_span_fraction 0, and within-doc-only
+    repeats survive (df counts DISTINCT docs)."""
+
+    BOILER = "COMMON LICENSE HEADER TEXT BLOCK 1234567890"  # 43 chars
+
+    def _docs(self, spark):
+        phrase = "a phrase said twice here!"  # 25 chars, one doc only
+        rows = [
+            (1, self.BOILER + " unique alpha content one two"),
+            (2, "totally different body " + self.BOILER),
+            (3, "no shared material in this row at all, just prose"),
+            (4, "short"),
+            (5, phrase + phrase),
+        ]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_spans_removed_exactly(self, spark):
+        from aws_genaric_datapipeline_spark.operators.text import (
+            remove_repeated_spans,
+        )
+
+        rows, df = self._docs(spark)
+        out = {r["doc_id"]: r for r in remove_repeated_spans(df, k=20).collect()}
+        assert len(out) == 5
+        # the repeated grams are exactly those fully inside BOILER, so the
+        # merged span is exactly the 43 boilerplate chars in each doc
+        assert out[1]["cleaned"] == " unique alpha content one two"
+        assert out[2]["cleaned"] == "totally different body "
+        assert out[1]["n_spans"] == out[2]["n_spans"] == 1
+        assert (
+            out[1]["n_removed_chars"]
+            == out[2]["n_removed_chars"]
+            == len(self.BOILER)
+        )
+        # untouched docs pass through (trimmed) with zero spans
+        for did in (3, 4, 5):
+            assert out[did]["n_spans"] == 0
+            assert out[did]["n_removed_chars"] == 0
+            assert out[did]["cleaned"] == rows[did - 1][1].strip()
+
+    def test_post_removal_fraction_is_zero(self, spark):
+        from aws_genaric_datapipeline_spark.operators.text import (
+            remove_repeated_spans,
+            repeated_span_stats,
+        )
+
+        _, df = self._docs(spark)
+        cleaned = remove_repeated_spans(df, k=20).select(
+            "doc_id", F.col("cleaned").alias("text")
+        )
+        stats = repeated_span_stats(cleaned, k=20).collect()
+        assert stats and all(r["n_shared"] == 0 for r in stats)
+
+    def test_overlapping_hits_merge_into_maximal_spans(self, spark):
+        """Two docs sharing one long passage: every inner gram hits, but
+        the output is ONE maximal span, not per-gram fragments."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            remove_repeated_spans,
+        )
+
+        shared = "x" * 19 + "THE WHOLE SHARED PASSAGE RUNS ON AND ON" + "y" * 19
+        df = spark.createDataFrame(
+            [(1, "A" * 5 + shared + "B" * 5), (2, "C" * 5 + shared + "D" * 5)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in remove_repeated_spans(df, k=20).collect()}
+        assert out[1]["n_spans"] == 1
+        assert out[1]["n_removed_chars"] == len(shared)
+        assert out[1]["cleaned"] == "A" * 5 + "B" * 5
 
 
 class TestLabelPropagation:
@@ -3377,11 +3480,11 @@ class TestTfidfHybridTiers:
             (r["id_a"], r["id_b"]): r["tfidf_cosine"]
             for r in CC.sim_tfidf_cosine_pairs(spark, SF).collect()
         }
-        # The tiers sum floats in different orders (BLAS vs shuffle) and
-        # round with different half modes, so a pair whose cosine sits
-        # within one output ulp of the 0.85 threshold may legitimately
-        # appear in only one tier — tolerate EXACTLY that boundary case,
-        # nothing else.
+        # Both tiers round HALF_UP to 4 dp (the dense tier emulates it via
+        # floor(x*1e4+0.5)), but they still sum floats in different orders
+        # (BLAS vs shuffle), so a pair whose cosine sits within one output
+        # ulp of the 0.85 threshold may legitimately appear in only one
+        # tier — tolerate EXACTLY that boundary case, nothing else.
         for k in set(dense) - set(sparse):
             assert abs(dense[k] - 0.85) <= 1e-4 + 1e-12, (k, dense[k])
         for k in set(sparse) - set(dense):
@@ -3390,6 +3493,37 @@ class TestTfidfHybridTiers:
             # shared pairs: values differ only in the last rounding ulp
             assert abs(dense[k] - sparse[k]) <= 1e-4 + 1e-12, (k, dense[k], sparse[k])
         assert len(set(dense) & set(sparse)) > 0
+
+    def test_conf_nnz_cap_forces_sparse_tier(self, spark, monkeypatch):
+        """The dense-tier caps are spark-conf configurable (and by default
+        derived from spark.driver.memory — SCALING.md sizing rule); setting
+        the nnz cap to 0 must route the query through the sparse
+        prefix-filtered tier — the dense helper must not run at all."""
+        from aws_genaric_datapipeline_spark.queries import corpus_curation as CC
+
+        def boom(*a, **k):
+            raise AssertionError("dense tier ran despite denseNnzCap=0")
+
+        monkeypatch.setattr(CC, "_tfidf_dense_pairs", boom)
+        spark.conf.set("spark.genaric.tfidf.denseNnzCap", "0")
+        try:
+            assert CC._tfidf_dense_caps(spark)[2] == 0
+            assert CC.sim_tfidf_cosine_pairs(spark, SF).count() > 0
+        finally:
+            spark.conf.unset("spark.genaric.tfidf.denseNnzCap")
+
+    def test_dense_caps_derive_from_driver_memory(self, spark):
+        """Without conf overrides the cells/nnz caps scale with
+        spark.driver.memory but never exceed the module ceilings."""
+        from aws_genaric_datapipeline_spark.queries import corpus_curation as CC
+
+        vocab_cap, cells_cap, nnz_cap = CC._tfidf_dense_caps(spark)
+        assert vocab_cap == CC._TFIDF_DENSE_VOCAB_CAP
+        assert 0 < cells_cap <= CC._TFIDF_DENSE_CELLS_CAP
+        assert 0 < nnz_cap <= CC._TFIDF_DENSE_NNZ_CAP
+        assert CC._parse_jvm_mem("2g") == 2 << 30
+        assert CC._parse_jvm_mem("512m") == 512 << 20
+        assert CC._parse_jvm_mem("1024") == 1024
 
 
 class TestSequencePacking:

@@ -627,3 +627,119 @@ class TestStreamingClassifierScore:
         )
         q.awaitTermination(120)
         assert got == want
+
+
+class TestStreamingCdf:
+    """Change-data-feed as a streaming source (streaming/cdf.py): tail a
+    TxnTable's commit log, apply per-version table_changes diffs into a
+    downstream TxnTable exactly once — streamed feed ≡ batch
+    table_changes per version, replay-safe across restarts and even
+    checkpoint loss."""
+
+    def _mk(self, spark, tmp_path):
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+        src = TxnTable(spark, str(tmp_path / "src"))
+        dst = TxnTable(spark, str(tmp_path / "dst"))
+        return src, dst
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k bigint, v string")
+
+    @staticmethod
+    def _feed(dst):
+        return {
+            (r["k"], r["change_type"], r["old_v"], r["new_v"], r["_cdf_version"])
+            for r in dst.read().collect()
+        }
+
+    @staticmethod
+    def _batch_feed(src, lo, hi):
+        from aws_genaric_datapipeline_spark.pipeline.txn import table_changes
+
+        out = set()
+        for v in range(lo + 1, hi + 1):
+            for r in table_changes(src, v - 1, v, ["k"]).collect():
+                out.add((r["k"], r["change_type"], r["old_v"], r["new_v"], v))
+        return out
+
+    def test_streamed_feed_matches_batch_table_changes(self, spark, tmp_path):
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            stream_table_changes,
+        )
+
+        src, dst = self._mk(spark, tmp_path)
+        src.append(self._df(spark, [(1, "a"), (2, "b")]))          # v1 inserts
+        src.merge_upsert(self._df(spark, [(2, "B"), (3, "c")]), keys=["k"])  # v2
+        src.overwrite(self._df(spark, [(3, "c"), (4, "d")]))       # v3 deletes+insert
+        q = stream_table_changes(
+            spark, src, dst, ["k"], str(tmp_path / "ckpt"), sink_id="t"
+        )
+        q.awaitTermination(120)
+        assert self._feed(dst) == self._batch_feed(src, 0, 3)
+        # the bootstrap version arrived as pure inserts
+        v1 = {t for t in self._feed(dst) if t[4] == 1}
+        assert v1 == {(1, "insert", None, "a", 1), (2, "insert", None, "b", 1)}
+
+    def test_incremental_restart_applies_only_new_versions(self, spark, tmp_path):
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            stream_table_changes,
+        )
+
+        src, dst = self._mk(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        src.append(self._df(spark, [(1, "a")]))
+        stream_table_changes(spark, src, dst, ["k"], ckpt, sink_id="t").awaitTermination(120)
+        n_after_first = len(dst._commits())
+        # new upstream commits, then restart on the SAME checkpoint
+        src.append(self._df(spark, [(2, "b")]))
+        src.merge_upsert(self._df(spark, [(1, "A")]), keys=["k"])
+        stream_table_changes(spark, src, dst, ["k"], ckpt, sink_id="t").awaitTermination(120)
+        assert self._feed(dst) == self._batch_feed(src, 0, 3)
+        # exactly one dst commit per upstream version, never reapplied
+        assert len(dst._commits()) == n_after_first + 2
+
+    def test_checkpoint_loss_does_not_duplicate(self, spark, tmp_path):
+        """Even restarting from a FRESH checkpoint (total replay of the
+        commit-log file source) re-applies nothing: the per-version
+        app_txn_id makes every diff append idempotent."""
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            stream_table_changes,
+        )
+
+        src, dst = self._mk(spark, tmp_path)
+        src.append(self._df(spark, [(1, "a"), (2, "b")]))
+        src.overwrite(self._df(spark, [(2, "B")]))
+        stream_table_changes(
+            spark, src, dst, ["k"], str(tmp_path / "ckpt1"), sink_id="t"
+        ).awaitTermination(120)
+        first = self._feed(dst)
+        n_commits = len(dst._commits())
+        stream_table_changes(
+            spark, src, dst, ["k"], str(tmp_path / "ckpt2"), sink_id="t"
+        ).awaitTermination(120)
+        assert self._feed(dst) == first == self._batch_feed(src, 0, 2)
+        assert len(dst._commits()) == n_commits
+
+    def test_handler_replay_and_compaction_are_safe(self, spark, tmp_path):
+        """Direct foreachBatch re-delivery (Structured Streaming's
+        at-least-once contract) is a no-op, and a compaction commit
+        produces an EMPTY diff version rather than phantom changes."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import compact
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            cdf_applied_high_water,
+            cdf_foreach_batch,
+        )
+
+        src, dst = self._mk(spark, tmp_path)
+        src.append(self._df(spark, [(1, "a")]))
+        src.append(self._df(spark, [(2, "b")]))
+        compact(src)  # v3: content unchanged
+        handler = cdf_foreach_batch(src, dst, ["k"], sink_id="t")
+        handler(None, 0)
+        feed = self._feed(dst)
+        handler(None, 1)  # redelivery: nothing new upstream
+        assert self._feed(dst) == feed
+        assert cdf_applied_high_water(dst, "t") == 3
+        assert {t for t in feed if t[4] == 3} == set()  # empty compaction diff
+        assert {t[4] for t in feed} == {1, 2}

@@ -98,6 +98,132 @@ class TestMerge:
         assert table._try_commit(1, "append", ["x.parquet"], [], None) is False
 
 
+class TestConcurrentWriters:
+    """N writers racing real commits through the OCC loop
+    (merge_upsert_with_retry): LIVENESS — every writer lands;
+    NO LOST COMMITS — every app_txn_id appears exactly once in the log,
+    versions contiguous; SERIALIZABILITY — the final table equals
+    replaying the writers' operations in commit-version order."""
+
+    N = 6
+
+    def test_racing_merges_all_land_and_serialize(self, spark, tmp_path):
+        import concurrent.futures as cf
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            TxnTable,
+            merge_upsert_with_retry,
+        )
+
+        path = str(tmp_path / "tbl")
+        TxnTable(spark, path).append(_df(spark, [(0, "base")]))
+
+        def writer(i: int):
+            # own TxnTable instance per writer: the multi-process model —
+            # nothing shared but the directory
+            t = TxnTable(spark, path)
+            rows = [(i, f"w{i}"), (100, f"hot{i}")]  # unique key + HOT key
+            v = merge_upsert_with_retry(
+                t, _df(spark, rows), keys=["k"], app_txn_id=f"w{i}"
+            )
+            return i, v
+
+        with cf.ThreadPoolExecutor(self.N) as ex:
+            results = dict(ex.map(writer, range(1, self.N + 1)))
+
+        table = TxnTable(spark, path)
+        hist = table.history()
+        # liveness + no lost commits: contiguous versions, one commit per
+        # writer, each writer's reported version is its own log row
+        assert [h["version"] for h in hist] == list(range(1, self.N + 2))
+        assert sorted(h["app_txn_id"] for h in hist[1:]) == [
+            f"w{i}" for i in range(1, self.N + 1)
+        ]
+        for i, v in results.items():
+            assert hist[v - 1]["app_txn_id"] == f"w{i}"
+        # serializability: replay the merges in commit-version order
+        state = {0: "base"}
+        for h in hist[1:]:
+            i = int(h["app_txn_id"][1:])
+            state[i] = f"w{i}"
+            state[100] = f"hot{i}"
+        assert _rows(table.read()) == set(state.items())
+        # the hot key holds the LAST committer's value specifically
+        last = int(hist[-1]["app_txn_id"][1:])
+        assert (100, f"hot{last}") in _rows(table.read())
+
+    def test_mixed_appends_and_merges_serialize(self, spark, tmp_path):
+        """Blind appends (internal version-race retry) racing OCC merges:
+        all land, and replaying ops in version order reproduces the final
+        state — appended rows are never lost to a rewriting merge."""
+        import concurrent.futures as cf
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            TxnTable,
+            merge_upsert_with_retry,
+        )
+
+        path = str(tmp_path / "tbl")
+        TxnTable(spark, path)  # create dirs
+
+        def appender(i: int):
+            TxnTable(spark, path).append(
+                _df(spark, [(10 + i, f"a{i}")]), app_txn_id=f"app{i}"
+            )
+
+        def merger(i: int):
+            merge_upsert_with_retry(
+                TxnTable(spark, path),
+                _df(spark, [(50, f"m{i}")]),
+                keys=["k"],
+                app_txn_id=f"mrg{i}",
+            )
+
+        with cf.ThreadPoolExecutor(6) as ex:
+            futs = [ex.submit(appender, i) for i in range(3)]
+            futs += [ex.submit(merger, i) for i in range(3)]
+            for f in futs:
+                f.result()
+
+        table = TxnTable(spark, path)
+        hist = table.history()
+        assert [h["version"] for h in hist] == list(range(1, 7))
+        assert sorted(h["app_txn_id"] for h in hist) == sorted(
+            [f"app{i}" for i in range(3)] + [f"mrg{i}" for i in range(3)]
+        )
+        # replay in version order
+        state: dict[int, str] = {}
+        for h in hist:
+            tid = h["app_txn_id"]
+            if tid.startswith("app"):
+                i = int(tid[3:])
+                state[10 + i] = f"a{i}"
+            else:
+                state[50] = f"m{int(tid[3:])}"
+        assert _rows(table.read()) == set(state.items())
+
+    def test_retry_exhaustion_raises(self, spark, tmp_path, monkeypatch):
+        """A merge that loses every race gives up loudly (bounded loop),
+        never spins forever or commits a stale snapshot."""
+        from aws_genaric_datapipeline_spark.pipeline import txn as T
+
+        table = T.TxnTable(spark, str(tmp_path / "tbl"))
+        table.append(_df(spark, [(1, "a")]))
+
+        def always_conflict(*a, **k):
+            raise T.TxnConflict("forced")
+
+        monkeypatch.setattr(table, "merge_upsert", always_conflict)
+        with pytest.raises(T.TxnConflict, match="gave up after 3"):
+            T.merge_upsert_with_retry(
+                table,
+                _df(spark, [(2, "b")]),
+                keys=["k"],
+                max_retries=3,
+                backoff_s=0.0,
+            )
+
+
 class TestHygiene:
     def test_orphan_files_invisible_and_vacuumed(self, spark, table):
         """A writer that crashed after writing parquet but before
