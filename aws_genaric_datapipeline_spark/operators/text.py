@@ -188,6 +188,113 @@ def detect_language(text: Column, default: str = "und") -> Column:
     return best_lang
 
 
+def detect_language_trigram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Char-trigram naive-Bayes language ID (Cavnar & Trenkle 1994
+    n-gram text categorization, add-one-smoothed log-likelihood form):
+    TRAIN per-language trigram log-prob profiles from the labeled corpus,
+    then score every document by Σ count(g)·lp(g|ℓ) and take the argmax —
+    with the marker-stopword heuristic (detect_language) as the FALLBACK
+    tier for documents too short to contain a trigram.
+
+    Returns (id, lang_pred).  Covers every labeled language (unlike the
+    marker heuristic, which only knows the four marker sets — e.g. 'zh'
+    is now predictable because its profile is learned from the labels).
+
+    Determinism across engines: per-gram log-probs are INTEGER-quantized
+    (floor(1e6·ln((c+1)/(tot+V)))) before any summation, so document
+    scores are exact BIGINT sums and the argmax cannot flip on libm
+    last-ulp differences — the same quantize-then-compare rule the
+    k-center and curriculum operators use.  Ties break to the smallest
+    language code.
+
+    Scale shape: the MODEL is (lang × gram) — vocabulary-sized, broadcast
+    into the scoring join — and the corpus contributes one (doc, gram)
+    aggregation; scoring fans each doc-gram row out by |langs| (a small
+    constant), and the per-doc argmax window touches |langs| rows per
+    doc.  Unseen-gram mass enters as a per-language scalar times the
+    doc's gram count, so unmatched grams never materialize as rows."""
+    t = F.lower(F.trim(F.col(text_col)))
+    grams = F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: t.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tg = df.select(
+        F.col(id_col).alias("did"),
+        F.col(label_col).alias("lbl"),
+        F.explode(grams).alias("gram"),
+    )
+    dg = tg.groupBy("did", "gram").agg(F.count(F.lit(1)).alias("c"))
+    nd = dg.groupBy("did").agg(F.sum("c").alias("n"))
+    cl = tg.groupBy("lbl", "gram").agg(F.count(F.lit(1)).alias("cg"))
+    tot = cl.groupBy("lbl").agg(F.sum("cg").alias("tot"))
+    vv = tg.agg(F.count_distinct("gram").alias("v"))
+    prof = (
+        cl.join(F.broadcast(tot), "lbl")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "lbl",
+            "gram",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    (F.col("cg") + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                )
+            ).alias("lpq"),
+        )
+    )
+    unseen = (
+        tot.crossJoin(F.broadcast(vv))
+        .select(
+            "lbl",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")
+                )
+            ).alias("uq"),
+        )
+    )
+    match = (
+        dg.join(prof, "gram")
+        .join(F.broadcast(unseen), "lbl")
+        .groupBy("did", "lbl")
+        .agg(F.sum(F.col("c") * (F.col("lpq") - F.col("uq"))).alias("delta"))
+    )
+    scores = (
+        nd.crossJoin(F.broadcast(unseen))
+        .join(match, ["did", "lbl"], "left")
+        .select(
+            "did",
+            "lbl",
+            (
+                F.col("n") * F.col("uq") + F.coalesce("delta", F.lit(0))
+            ).alias("sq"),
+        )
+    )
+    w = Window.partitionBy("did").orderBy(F.desc("sq"), F.asc("lbl"))
+    pred = (
+        scores.select("did", "lbl", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("did", F.col("lbl").alias("tri_pred"))
+    )
+    base = df.select(F.col(id_col).alias("did"), F.col(text_col).alias("_txt"))
+    return base.join(pred, "did", "left").select(
+        F.col("did").alias(id_col),
+        F.coalesce(
+            F.col("tri_pred"), detect_language(F.col("_txt"))
+        ).alias("lang_pred"),
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1] from cheap surface statistics:
 
@@ -522,6 +629,71 @@ def remove_repeated_spans(
         F.when(F.col("spans").isNull(), F.col("t"))
         .otherwise(folded)
         .alias("cleaned"),
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    max_df: int = 1,
+) -> DataFrame:
+    """Segment-level (CCNet-style) dedup returning the REWRITTEN TEXT —
+    the operator form of the text_segment_dedup query (which emits only
+    the md5): split each doc into aligned ``seg_words``-word segments,
+    drop segments whose distinct-document frequency exceeds ``max_df``,
+    reassemble survivors in order.
+
+    Returns (id, n_segments, n_dropped, cleaned) for every input doc
+    (token-less docs pass through with cleaned = '').  Same two-shuffle
+    shape and skew posture as the query (see text_segment_dedup's
+    docstring); built for composition — curate_end_to_end chains it after
+    span removal."""
+    toks = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
+    idx_arr = F.when(n_seg >= 1, F.sequence(F.lit(1), n_seg)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.posexplode(
+                F.transform(
+                    idx_arr,
+                    lambda i: F.array_join(
+                        F.slice(toks, (i - 1) * seg_words + 1, seg_words), " "
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+        .select("did", (F.col("pos") + 1).alias("idx"), "seg")
+    )
+    freq = segs.groupBy("seg").agg(F.count_distinct("did").alias("df"))
+    keep = F.col("df") <= max_df
+    agg = (
+        segs.join(freq, "seg")
+        .groupBy("did")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count_if(~keep).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("idx", "seg")))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("did"))
+    return base.join(agg, "did", "left").select(
+        F.col("did").alias(id_col),
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )
 
 
@@ -882,6 +1054,79 @@ def bpe_learn(
     return spark.createDataFrame(
         merges,
         schema="merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply an ORDERED BPE merge table (bpe_learn's output) to every
+    document — the encode pass of the trained tokenizer: each word splits
+    to characters, then every merge applies in rank order with the same
+    left-to-right non-overlapping fold used during training, so encoding
+    a word the trainer saw reproduces the trainer's final segmentation
+    exactly (Sennrich et al. 2016 apply-time algorithm).
+
+    Returns one row per document:
+      (id, n_words, n_subwords, n_merged_subwords, stream_md5) where
+    stream_md5 hashes every subword of the doc in order joined by single
+    spaces — pinning the complete segmentation, as subword_tokenize does
+    for the fixed-vocab tokenizer.
+
+    Engine shape: the merge folds run over DISTINCT WORD TYPES only
+    (vocabulary-sized work, the corpus explode never pays the fold), then
+    a word-keyed join carries segments back to positions — AQE broadcasts
+    the vocab side when it is small, and at 100 TB the vocab frame is
+    still sketch-sized relative to the corpus.  All JVM expressions; no
+    Python in the data path."""
+    toks = tokens(F.col(text_col))
+    words = df.select(
+        F.col(id_col).alias("did"), F.posexplode(toks).alias("pos", "word")
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    syms = chars
+    for a, b in merges:
+        syms = _bpe_merge_fold(syms, a, b)
+    vocab_seg = words.select("word").distinct().select("word", syms.alias("syms"))
+    seg = words.join(vocab_seg, "word")
+    per_doc = seg.groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("syms")).alias("n_subwords"),
+        F.sum(
+            F.size(F.filter(F.col("syms"), lambda s: F.length(s) > 1))
+        ).alias("n_merged_subwords"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.array_join("syms", " ").alias("seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("stream_md5"),
+    )
+    base = df.select(F.col(id_col).alias("did"))
+    return base.join(per_doc, "did", "left").select(
+        F.col("did").alias(id_col),
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_subwords", F.lit(0)).cast("bigint").alias("n_subwords"),
+        F.coalesce("n_merged_subwords", F.lit(0))
+        .cast("bigint")
+        .alias("n_merged_subwords"),
+        F.coalesce("stream_md5", F.md5(F.lit(""))).alias("stream_md5"),
     )
 
 

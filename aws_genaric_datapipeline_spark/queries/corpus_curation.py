@@ -11,7 +11,7 @@ oracle-checked (no seeded hashes in this file; md5 is engine-portable).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from aws_genaric_datapipeline_spark.operators import dedup as D
 from aws_genaric_datapipeline_spark.operators import text as X
@@ -346,7 +346,10 @@ def _bpe_round_sql(r: int) -> str:
 
 
 _BPE_MERGES = 3
-_BPE_ORACLE = (
+# Shared training CTE prefix: word histogram, char split, and _BPE_MERGES
+# fully-replayed merge rounds — ends with the per-word-type final
+# segmentation ``syms{_BPE_MERGES}`` and per-round winners ``top{r}``.
+_BPE_TRAIN_CTES = (
     f"""
     WITH RECURSIVE wt AS (
         SELECT tok AS word, count(*) AS freq
@@ -361,6 +364,9 @@ _BPE_ORACLE = (
     ),
     """
     + ",\n".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))
+)
+_BPE_ORACLE = (
+    _BPE_TRAIN_CTES
     + "\n    "
     + "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_rank, a AS left_sym,"
@@ -384,6 +390,60 @@ def tokenizer_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merge table is value-checked end to end, not spot-checked."""
     (documents,) = load(spark, sf_dir, "documents")
     return X.bpe_learn(documents, num_merges=_BPE_MERGES)
+
+
+@query(
+    "tokenizer_bpe_apply",
+    oracle=_BPE_TRAIN_CTES
+    + f""",
+    toks AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos, ({_DUCK_TOKS})[u.i] AS word
+        FROM documents, UNNEST(range(1, len({_DUCK_TOKS}) + 1)) AS u(i)
+        WHERE length(trim(text)) > 0
+    ),
+    seg AS (
+        SELECT t.doc_id, t.pos, s.syms
+        FROM toks t JOIN syms{_BPE_MERGES} s ON t.word = s.word
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+               CAST(sum(len(list_filter(syms, x -> length(x) > 1)))
+                    AS BIGINT) AS n_merged_subwords,
+               md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+                   AS stream_md5
+        FROM seg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_subwords, 0) AS n_subwords,
+           coalesce(a.n_merged_subwords, 0) AS n_merged_subwords,
+           coalesce(a.stream_md5, md5('')) AS stream_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer chain: TRAIN the BPE merge table on the corpus
+    (bpe_learn, the same 3 merges tokenizer_bpe_learn verifies), then
+    ENCODE every document with it (bpe_apply) and report per-doc coverage
+    — word/subword/merged-subword counts plus the md5 of the complete
+    in-order subword stream.  The oracle replays the full train→apply
+    pipeline: every training round's histogram/arg-max/merge walk AND the
+    per-word-type final segmentation joined back to token positions, so
+    the trained-vocab application is value-checked end to end.
+
+    Driver data is exactly the merge table (_BPE_MERGES rows); the encode
+    pass itself folds over distinct word types only (see bpe_apply)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    trained = (
+        X.bpe_learn(documents, num_merges=_BPE_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in trained]
+    return X.bpe_apply(documents, merges)
 
 
 def _duck_entropy_cte(src: str, prefix: str = "ent") -> str:
@@ -554,62 +614,78 @@ def text_repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.repeated_span_stats(documents, k=20)
 
 
-@query(
-    "text_span_removal",
-    oracle="""
-        WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
-        g AS (
+def _duck_span_ctes(src: str, p: str = "sr") -> str:
+    """CTE chunk replaying remove_repeated_spans over ``src`` (needs
+    doc_id + text): ends with ``{p}(doc_id, n_spans, n_removed_chars,
+    cleaned)`` — shared by text_span_removal and curate_end_to_end."""
+    return f"""
+        {p}_d AS (SELECT doc_id, trim(text) AS t FROM {src}),
+        {p}_g AS (
             SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
                    substr(t, CAST(u.i AS INT), 20) AS gram
-            FROM d, UNNEST(range(1, length(t) - 20 + 2)) AS u(i)
+            FROM {p}_d, UNNEST(range(1, length(t) - 20 + 2)) AS u(i)
             WHERE length(t) >= 20
         ),
-        dup AS (
+        {p}_dup AS (
             SELECT gram FROM (
-                SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+                SELECT gram, count(DISTINCT doc_id) AS nd
+                FROM {p}_g GROUP BY gram
             ) WHERE nd >= 2
         ),
-        h AS (SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)),
-        i1 AS (
+        {p}_h AS (
+            SELECT doc_id, p FROM {p}_g
+            WHERE gram IN (SELECT gram FROM {p}_dup)
+        ),
+        {p}_i1 AS (
             SELECT doc_id, p,
                    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
                              > 20 THEN 1 ELSE 0 END AS brk
-            FROM h
+            FROM {p}_h
         ),
-        i2 AS (
+        {p}_i2 AS (
             SELECT doc_id, p,
                    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
-            FROM i1
+            FROM {p}_i1
         ),
-        sp AS (
+        {p}_sp AS (
             SELECT doc_id, min(p) AS s, max(p) + 20 AS e
-            FROM i2 GROUP BY doc_id, isl
+            FROM {p}_i2 GROUP BY doc_id, isl
         ),
-        sp2 AS (
+        {p}_sp2 AS (
             SELECT doc_id, s, e,
                    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
                        AS pe
-            FROM sp
+            FROM {p}_sp
         ),
-        agg AS (
-            SELECT sp2.doc_id,
+        {p}_agg AS (
+            SELECT {p}_sp2.doc_id,
                    string_agg(substr(d.t, CAST(pe + 1 AS INT),
                                      CAST(s - pe AS INT)), '' ORDER BY s)
                        AS head,
                    max(e) AS laste,
                    CAST(count(*) AS INT) AS n_spans,
                    CAST(sum(e - s) AS BIGINT) AS n_removed_chars
-            FROM sp2 JOIN d ON sp2.doc_id = d.doc_id
-            GROUP BY sp2.doc_id
-        )
-        SELECT d.doc_id,
-               coalesce(a.n_spans, 0) AS n_spans,
-               coalesce(a.n_removed_chars, 0) AS n_removed_chars,
-               md5(CASE WHEN a.doc_id IS NULL THEN d.t
+            FROM {p}_sp2 JOIN {p}_d d ON {p}_sp2.doc_id = d.doc_id
+            GROUP BY {p}_sp2.doc_id
+        ),
+        {p} AS (
+            SELECT d.doc_id,
+                   coalesce(a.n_spans, 0) AS n_spans,
+                   coalesce(a.n_removed_chars, 0) AS n_removed_chars,
+                   CASE WHEN a.doc_id IS NULL THEN d.t
                         ELSE coalesce(a.head, '')
                              || substr(d.t, CAST(a.laste + 1 AS INT))
-                   END) AS cleaned_md5
-        FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+                   END AS cleaned
+            FROM {p}_d d LEFT JOIN {p}_agg a ON d.doc_id = a.doc_id
+        )"""
+
+
+@query(
+    "text_span_removal",
+    oracle=f"""
+        WITH {_duck_span_ctes("documents")}
+        SELECT doc_id, n_spans, n_removed_chars, md5(cleaned) AS cleaned_md5
+        FROM sr
     """,
     tags=("north-star", "text", "dedup", "curation"),
 )
@@ -2946,4 +3022,142 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences",
         "n_syllables",
         fm.cast("bigint").alias("flesch_milli"),
+    )
+
+
+def _duck_segment_ctes(src: str, text_expr: str, p: str = "sg") -> str:
+    """CTE chunk replaying segment_dedup over ``src`` (doc_id +
+    ``text_expr``): ends with ``{p}(doc_id, n_segments, n_dropped,
+    cleaned)``.  Empty/whitespace text maps to ZERO segments (mirroring
+    Spark tokens()'s empty-array guard), which matters mid-pipeline where
+    an upstream pass can empty a document entirely."""
+    toks = (
+        f"CASE WHEN length(trim({text_expr})) = 0 THEN []::VARCHAR[] "
+        f"ELSE string_split_regex(trim({text_expr}), '\\s+') END"
+    )
+    return f"""
+        {p}_t AS (SELECT doc_id, {toks} AS toks FROM {src}),
+        {p}_segs AS (
+            SELECT doc_id, CAST(g.i AS INT) AS idx,
+                   array_to_string(
+                       list_slice(toks, (g.i - 1) * {_SEG_WORDS} + 1,
+                                  g.i * {_SEG_WORDS}), ' ') AS seg
+            FROM {p}_t, UNNEST(range(1,
+                CAST(ceil(len(toks) / {_SEG_WORDS}.0) AS INT) + 1)) AS g(i)
+        ),
+        {p}_freq AS (
+            SELECT seg, count(DISTINCT doc_id) AS df
+            FROM {p}_segs GROUP BY seg
+        ),
+        {p}_agg AS (
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(count(*) FILTER (f.df > {_SEG_MAX_DF}) AS BIGINT)
+                       AS n_dropped,
+                   coalesce(string_agg(s.seg, ' ' ORDER BY s.idx)
+                            FILTER (f.df <= {_SEG_MAX_DF}), '') AS cleaned
+            FROM {p}_segs s JOIN {p}_freq f ON f.seg = s.seg
+            GROUP BY s.doc_id
+        ),
+        {p} AS (
+            SELECT t.doc_id,
+                   coalesce(a.n_segments, 0) AS n_segments,
+                   coalesce(a.n_dropped, 0) AS n_dropped,
+                   coalesce(a.cleaned, '') AS cleaned
+            FROM {p}_t t LEFT JOIN {p}_agg a USING (doc_id)
+        )"""
+
+
+_GOPHER_PASSED = (
+    "words_in_range AND mean_word_len_ok AND stopwords_ok AND top_token_ok "
+    "AND symbol_ratio_ok AND bullet_lines_ok AND ellipsis_lines_ok "
+    "AND alpha_words_ok"
+)
+
+
+@query(
+    "curate_end_to_end",
+    oracle=f"""
+        WITH {_duck_gopher_cte("documents")},
+        surv AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN gflags g USING (doc_id)
+            WHERE {_GOPHER_PASSED}
+        ),
+        {_duck_span_ctes("surv", "sr")},
+        {_duck_segment_ctes("sr", "cleaned", "sg")},
+        fp AS (
+            SELECT sr.doc_id, sr.n_removed_chars, sg.n_segments,
+                   sg.n_dropped,
+                   md5(trim(regexp_replace(lower(sg.cleaned), '\\s+', ' ',
+                                           'g'))) AS final_md5
+            FROM sr JOIN sg USING (doc_id)
+        ),
+        grp AS (
+            SELECT final_md5, min(doc_id) AS keeper,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM fp GROUP BY 1
+        )
+        SELECT f.doc_id, f.n_removed_chars, f.n_segments, f.n_dropped,
+               g.dup_count, f.final_md5
+        FROM fp f
+        JOIN grp g ON f.final_md5 = g.final_md5 AND f.doc_id = g.keeper
+    """,
+    tags=("north-star", "curation", "dedup", "text"),
+)
+def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline, one query: Gopher rule pre-filter
+    (row-parallel, zero shuffle) → ExactSubstr span removal (df≥2 char
+    20-grams excised within the survivor set) → CCNet segment dedup over
+    the span-cleaned text (empty-doc safe) → exact near-final dedup by
+    normalized-content fingerprint (keep-min-id, dup_count).  Emits one
+    row per finally-kept document with the per-stage loss accounting and
+    the md5 of the final text — the full cleaning lineage a pretraining
+    data pipeline runs before tokenization, and the oracle replays every
+    stage end to end.
+
+    Scale: stage costs are exactly the component operators' documented
+    shapes (each stage consumes the previous frame without
+    re-materializing the corpus); the composition adds no new shuffle
+    beyond its parts."""
+    from aws_genaric_datapipeline_spark.operators.text import normalize_text
+
+    (documents,) = load(spark, sf_dir, "documents")
+    passed = X.gopher_rules(documents).where(F.col("passed")).select("doc_id")
+    # The two fan-out points each feed 2-3 downstream subtrees; without a
+    # cut, Spark re-derives the whole upstream per reference (measured: 20
+    # parquet scans of documents).  Eager localCheckpoints pin each stage
+    # to ONE evaluation — same pattern as sim_tfidf_cosine_pairs' shared w.
+    survivors = (
+        documents.join(passed, "doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    spans = X.remove_repeated_spans(survivors, k=20).localCheckpoint(
+        eager=True
+    )
+    segd = X.segment_dedup(
+        spans.select("doc_id", F.col("cleaned").alias("text"))
+    )
+    merged = spans.select("doc_id", "n_removed_chars").join(segd, "doc_id")
+    staged = merged.select(
+        "doc_id",
+        "n_removed_chars",
+        "n_segments",
+        "n_dropped",
+        F.md5(normalize_text(F.col("cleaned"))).alias("final_md5"),
+    )
+    w = Window.partitionBy("final_md5")
+    ranked = staged.select(
+        "*",
+        F.min("doc_id").over(w).alias("keeper"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("dup_count"),
+    )
+    return ranked.where(F.col("doc_id") == F.col("keeper")).select(
+        "doc_id",
+        "n_removed_chars",
+        "n_segments",
+        "n_dropped",
+        "dup_count",
+        "final_md5",
     )

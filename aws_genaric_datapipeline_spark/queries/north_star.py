@@ -256,36 +256,133 @@ def _duck_ratio(markers: tuple[str, ...]) -> str:
     )
 
 
+def _duck_lang_fallback() -> str:
+    """The marker-stopword heuristic as one CASE expression over `text` —
+    the fallback tier for documents too short to carry a trigram."""
+    s = {k: _duck_ratio(X.LANG_MARKERS[k]) for k in ("de", "en", "es", "fr")}
+    g = f"greatest({s['de']}, {s['en']}, {s['es']}, {s['fr']})"
+    return (
+        f"CASE WHEN {g} = 0 THEN 'und' "
+        f"WHEN {s['de']} = {g} THEN 'de' "
+        f"WHEN {s['en']} = {g} THEN 'en' "
+        f"WHEN {s['es']} = {g} THEN 'es' ELSE 'fr' END"
+    )
+
+
+# Shared trigram-profile CTE chain ending in pred(doc_id, lang, source,
+# lang_pred) — the full train→score→argmax replay of
+# operators/text.py detect_language_trigram, integer-quantized log-probs
+# so the argmax is exact cross-engine.
+_LANG_TRIGRAM_CTES = f"""
+    WITH dd AS (
+        SELECT doc_id, lang, source, text, lower(trim(text)) AS t
+        FROM documents
+    ),
+    tg AS (
+        SELECT doc_id, lang, substr(t, CAST(u.i AS INT), 3) AS gram
+        FROM dd, UNNEST(range(1, length(t) - 1)) AS u(i)
+        WHERE length(t) >= 3
+    ),
+    dg AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+    nd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM dg GROUP BY 1),
+    cl AS (SELECT lang, gram, count(*) AS cg FROM tg GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(cg) AS BIGINT) AS tot FROM cl GROUP BY 1),
+    vv AS (SELECT count(DISTINCT gram) AS v FROM tg),
+    prof AS (
+        SELECT cl.lang, cl.gram,
+               CAST(floor(1e6 * ln(CAST(cl.cg + 1 AS DOUBLE)
+                    / CAST(tot.tot + vv.v AS DOUBLE))) AS BIGINT) AS lpq
+        FROM cl JOIN tot USING (lang) CROSS JOIN vv
+    ),
+    unseen AS (
+        SELECT lang,
+               CAST(floor(1e6 * ln(1.0
+                    / CAST(tot + (SELECT v FROM vv) AS DOUBLE))) AS BIGINT)
+                   AS uq
+        FROM tot
+    ),
+    mtch AS (
+        SELECT dg.doc_id, p.lang, sum(dg.c * (p.lpq - u.uq)) AS delta
+        FROM dg JOIN prof p USING (gram) JOIN unseen u ON u.lang = p.lang
+        GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT nd.doc_id, u.lang, nd.n * u.uq + coalesce(m.delta, 0) AS sq
+        FROM nd CROSS JOIN unseen u
+        LEFT JOIN mtch m ON m.doc_id = nd.doc_id AND m.lang = u.lang
+    ),
+    tri AS (
+        SELECT doc_id, lang AS tri_pred FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY sq DESC, lang) AS rn
+            FROM sc
+        ) WHERE rn = 1
+    ),
+    pred AS (
+        SELECT dd.doc_id, dd.lang, dd.source,
+               coalesce(tri.tri_pred, {_duck_lang_fallback()}) AS lang_pred
+        FROM dd LEFT JOIN tri USING (doc_id)
+    )
+"""
+
+
 @query(
     "text_lang_detect",
-    oracle=f"""
-        WITH scored AS (
-            SELECT lang,
-                   {_duck_ratio(X.LANG_MARKERS['de'])} AS s_de,
-                   {_duck_ratio(X.LANG_MARKERS['en'])} AS s_en,
-                   {_duck_ratio(X.LANG_MARKERS['es'])} AS s_es,
-                   {_duck_ratio(X.LANG_MARKERS['fr'])} AS s_fr
-            FROM documents
-        )
-        SELECT lang,
-               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                    ELSE 'fr' END AS lang_pred,
-               count(*) AS doc_count
-        FROM scored
-        GROUP BY 1, 2
+    oracle=_LANG_TRIGRAM_CTES
+    + """
+        SELECT lang, lang_pred, count(*) AS doc_count
+        FROM pred GROUP BY 1, 2
     """,
     tags=("north-star", "text"),
 )
 def text_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic stopword-marker language ID vs the labeled lang column."""
+    """Language-ID confusion counts: char-trigram naive-Bayes profiles
+    trained from the labeled corpus (operators/text.py
+    detect_language_trigram — covers ALL labeled languages, including
+    'zh' which the marker heuristic cannot name), marker-stopword
+    heuristic as the fallback tier for trigram-less docs.  The oracle
+    replays training, scoring, and the quantized argmax in full."""
     (documents,) = load(spark, sf_dir, "documents")
+    preds = X.detect_language_trigram(documents)
     return (
-        documents.select("lang", X.detect_language(F.col("text")).alias("lang_pred"))
+        documents.select("doc_id", "lang")
+        .join(preds, "doc_id")
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+@query(
+    "report_lang_confusion_by_source",
+    oracle=_LANG_TRIGRAM_CTES
+    + """
+        SELECT source, lang, lang_pred, count(*) AS doc_count,
+               CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM pred GROUP BY 1, 2, 3
+    """,
+    tags=("north-star", "text", "reporting"),
+)
+def report_lang_confusion_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source language-ID confusion report: (source, labeled lang,
+    predicted lang, doc_count, n_correct) using the trained trigram
+    profiles — the drill-down a curation pipeline reads to find the
+    source whose documents mislabel or defeat the classifier."""
+    (documents,) = load(spark, sf_dir, "documents")
+    preds = X.detect_language_trigram(documents)
+    return (
+        documents.select("doc_id", "source", "lang")
+        .join(preds, "doc_id")
+        .groupBy("source", "lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_pred"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
     )
 
 

@@ -237,3 +237,84 @@ def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
+
+
+def _duck_cdf_diff(old_cte: str, new_cte: str, version: int) -> str:
+    """One table_changes(v-1, v) replay: full-outer join between snapshot
+    CTEs, null-safe value compare, change_type classification."""
+    return f"""
+        SELECT coalesce(n.k, o.k) AS k,
+               CASE WHEN o.k IS NULL THEN 'insert'
+                    WHEN n.k IS NULL THEN 'delete'
+                    ELSE 'update_postimage' END AS change_type,
+               o.v AS old_v, n.v AS new_v,
+               CAST({version} AS BIGINT) AS _cdf_version
+        FROM {old_cte} o FULL OUTER JOIN {new_cte} n ON o.k = n.k
+        WHERE o.k IS NULL OR n.k IS NULL OR o.v IS DISTINCT FROM n.v"""
+
+
+@query(
+    "stream_cdf_feed",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
+        ),
+        s1 AS (SELECT k, v FROM base WHERE k % 3 = 0),
+        upd AS (SELECT k, v || '+' AS v FROM base WHERE k % 2 = 0),
+        s2 AS (
+            SELECT k, v FROM s1 WHERE k NOT IN (SELECT k FROM upd)
+            UNION ALL SELECT k, v FROM upd
+        ),
+        s3 AS (SELECT k, v || '-' AS v FROM base WHERE k % 4 = 0),
+        s0 AS (SELECT k, v FROM s1 WHERE 1 = 0)
+        {_duck_cdf_diff('s0', 's1', 1)}
+        UNION ALL {_duck_cdf_diff('s1', 's2', 2)}
+        UNION ALL {_duck_cdf_diff('s2', 's3', 3)}
+    """,
+    tags=("streaming", "cdc", "txn"),
+)
+def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed consumed AS A STREAM, end to end: three upstream
+    commits (bootstrap append of k%3=0, MERGE of k%2=0 with '+'-suffixed
+    values, overwrite to k%4=0 with '-'-suffixed values) land in a real
+    TxnTable; streaming/cdf.py stream_table_changes then tails the commit
+    log with a genuine Structured Streaming file source (availableNow)
+    and appends each version's row-level diff into a downstream TxnTable
+    with per-version exactly-once app_txn_ids.  The returned frame is the
+    downstream table's CONTENT — so the oracle (three full-outer-join
+    snapshot diffs replayed in SQL) value-checks what the stream actually
+    delivered, inserts/updates/deletes and version stamps included.
+
+    Scale: the stream ships only ~1 KB commit JSONs; each version's
+    data-plane cost is one snapshot full-outer join (see streaming/cdf.py
+    for the 100 TB posture and self-healing offset design)."""
+    import tempfile
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+    from aws_genaric_datapipeline_spark.streaming.cdf import (
+        stream_table_changes,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v")
+    )
+    tmp = tempfile.mkdtemp(prefix="cdf_feed_")
+    src = TxnTable(spark, f"{tmp}/src")
+    dst = TxnTable(spark, f"{tmp}/dst")
+    src.append(base.where(F.col("k") % 3 == 0))
+    src.merge_upsert(
+        base.where(F.col("k") % 2 == 0).select(
+            "k", F.concat("v", F.lit("+")).alias("v")
+        ),
+        keys=["k"],
+    )
+    src.overwrite(
+        base.where(F.col("k") % 4 == 0).select(
+            "k", F.concat("v", F.lit("-")).alias("v")
+        )
+    )
+    stream_table_changes(
+        spark, src, dst, ["k"], f"{tmp}/ckpt", sink_id="q"
+    ).awaitTermination(300)
+    return dst.read()

@@ -52,6 +52,15 @@ FAMILY = [
     # this vocab) and the cluster-atomic split (jaccard edges + CC)
     "sim_tfidf_cosine_pairs",
     "sample_split_leakage_safe",
+    # round-11 additions (VERDICT item 5): the graph family (hash-min CC
+    # over shingle near-dup edges, star-alternation CC, LSH-edge label
+    # propagation), the trained classifier (GD loop over sparse hashed
+    # features), and the new ExactSubstr span-removal pass
+    "graph_incremental_components",
+    "graph_components_star",
+    "graph_label_propagation",
+    "text_quality_classifier",
+    "text_span_removal",
 ]
 REPLICAS = 10
 

@@ -1369,6 +1369,67 @@ class TestBpeLearn:
                         i += 1
                 vocab[w] = res
 
+    def test_apply_reproduces_training_segmentation(self, spark):
+        """Encoding a word the trainer saw with the trained merge table
+        reproduces the trainer's final symbol sequence — the train→apply
+        chain contract behind tokenizer_bpe_apply."""
+        import hashlib
+
+        from aws_genaric_datapipeline_spark.operators.text import (
+            bpe_apply,
+            bpe_learn,
+        )
+
+        texts = ["banana bandana bananas", "low lower lowest low"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_learn(docs, num_merges=4).orderBy("merge_rank").collect()
+        ]
+        out = {r["doc_id"]: r for r in bpe_apply(docs, merges).collect()}
+
+        # pure-python replay: char-split then rank-order left-to-right folds
+        def enc(word):
+            syms = list(word)
+            for a, b in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            return syms
+
+        for did, text in enumerate(texts):
+            segs = [s for w in text.split() for s in enc(w)]
+            assert out[did]["n_subwords"] == len(segs)
+            assert out[did]["n_merged_subwords"] == sum(
+                1 for s in segs if len(s) > 1
+            )
+            want_md5 = hashlib.md5(" ".join(segs).encode()).hexdigest()
+            assert out[did]["stream_md5"] == want_md5
+
+    def test_apply_with_no_merges_is_char_segmentation(self, spark):
+        from aws_genaric_datapipeline_spark.operators.text import bpe_apply
+
+        docs = spark.createDataFrame(
+            [(1, "ab c"), (2, "   ")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in bpe_apply(docs, []).collect()}
+        assert out[1]["n_words"] == 2
+        assert out[1]["n_subwords"] == 3  # a b | c
+        assert out[1]["n_merged_subwords"] == 0
+        # whitespace-only doc: zero counts, md5 of empty stream
+        import hashlib
+
+        assert out[2]["n_words"] == 0
+        assert out[2]["stream_md5"] == hashlib.md5(b"").hexdigest()
+
     def test_batch_acceptance_skips_concat_collisions(self):
         """A pending candidate whose left or right symbol equals an
         already-accepted pair's merged OUTPUT symbol must be deferred to
@@ -1404,6 +1465,55 @@ class TestBpeLearn:
         docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
         with pytest.raises(ValueError, match="batch_merges"):
             bpe_learn(docs, num_merges=2, batch_merges=0)
+
+
+class TestTrigramLangId:
+    """detect_language_trigram: profiles trained from labels separate
+    clearly distinct languages perfectly on resubstitution, cover labels
+    the marker heuristic cannot name (zh), and fall back to the marker
+    tier for trigram-less docs."""
+
+    def test_distinct_languages_classify_and_fallback(self, spark):
+        from aws_genaric_datapipeline_spark.operators.text import (
+            detect_language_trigram,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again", "en"),
+            (2, "she sells sea shells by the sea shore every morning", "en"),
+            (3, "der schnelle braune fuchs springt ueber den faulen hund", "de"),
+            (4, "die wuerde des menschen ist unantastbar und geschuetzt", "de"),
+            (5, "汉字文本的语言识别通过字符三元组模型来完成测试", "zh"),
+            (6, "这是另一份中文文档用来训练字符概率分布模型", "zh"),
+            (7, "zz", "en"),  # no trigram → marker fallback → 'und'
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {
+            r["doc_id"]: r["lang_pred"]
+            for r in detect_language_trigram(df).collect()
+        }
+        assert len(got) == 7
+        for did, _, lang in rows[:6]:
+            assert got[did] == lang, (did, got[did], lang)
+        assert got[7] == "und"
+
+    def test_fallback_uses_marker_heuristic(self, spark):
+        """A trigram-less doc whose two chars are no marker stays 'und',
+        but the fallback is the REAL heuristic: a one-word marker doc of
+        length < 3 ('le') classifies as French."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            detect_language_trigram,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "le", "fr"), (2, "matching body of french text le la", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r["doc_id"]: r["lang_pred"]
+            for r in detect_language_trigram(df).collect()
+        }
+        assert got[1] == "fr"
 
 
 class TestSpanRemoval:
@@ -1478,6 +1588,41 @@ class TestSpanRemoval:
         assert out[1]["n_spans"] == 1
         assert out[1]["n_removed_chars"] == len(shared)
         assert out[1]["cleaned"] == "A" * 5 + "B" * 5
+
+
+class TestSegmentDedupOperator:
+    """segment_dedup (text-returning operator form) must agree with the
+    registered text_segment_dedup query's md5 on the same corpus, and
+    handle empty/fully-dropped docs (reachable mid-pipeline after span
+    removal) with zero segments, not a phantom '' segment."""
+
+    def test_matches_query_md5_and_empty_guard(self, spark):
+        import hashlib
+
+        from aws_genaric_datapipeline_spark.operators.text import segment_dedup
+        from aws_genaric_datapipeline_spark.queries.corpus_curation import (
+            text_segment_dedup,
+        )
+
+        op = {
+            r["doc_id"]: r for r in segment_dedup(
+                spark.read.parquet(f"{SF}/documents.parquet")
+            ).collect()
+        }
+        q = {r["doc_id"]: r for r in text_segment_dedup(spark, SF).collect()}
+        assert set(op) == set(q)
+        for did, row in q.items():
+            assert op[did]["n_segments"] == row["n_segments"]
+            assert op[did]["n_dropped"] == row["n_dropped"]
+            got = hashlib.md5(op[did]["cleaned"].encode()).hexdigest()
+            assert got == row["cleaned_md5"], did
+
+        empty = spark.createDataFrame(
+            [(1, "   "), (2, "")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in segment_dedup(empty).collect()}
+        assert out[1]["n_segments"] == 0 and out[1]["cleaned"] == ""
+        assert out[2]["n_segments"] == 0 and out[2]["cleaned"] == ""
 
 
 class TestLabelPropagation:
