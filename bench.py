@@ -190,6 +190,7 @@ HEADLINE = [
     "tokenizer_bpe_apply",
     "stream_cdf_feed",
     "stream_cdf_replica",
+    "dedup_quality_survivor",
     "embed_int8_quantize",
     "q21_waiting_orders",
 ]
