@@ -257,7 +257,14 @@ def detect_language_trigram(
     )
     dg = dgl.select("did", "gram", "c")
     nd = dg.groupBy("did").agg(F.sum("c").alias("n"))
-    cl = dgl.groupBy("lbl", "gram").agg(F.sum("c").alias("cg"))
+    # NULL-labeled docs contribute no profile (a null is not a language)
+    # — filtering HERE also keeps the unlabeled vocabulary out of the
+    # scoring join's fan-out on unlabeled-heavy corpora
+    cl = (
+        dgl.where(F.col("lbl").isNotNull())
+        .groupBy("lbl", "gram")
+        .agg(F.sum("c").alias("cg"))
+    )
     # The per-language totals and the vocab size are |langs|+1 scalars —
     # collect them once and bake them into LITERAL expressions (a map
     # lookup and an exploded literal array) instead of broadcast-joining
@@ -268,12 +275,7 @@ def detect_language_trigram(
     # oracle's floor(ln(...)) to the shared quantize-then-compare rule.
     import math
 
-    tot_rows = (
-        dgl.where(F.col("lbl").isNotNull())
-        .groupBy("lbl")
-        .agg(F.sum("c").alias("tot"))
-        .collect()
-    )
+    tot_rows = cl.groupBy("lbl").agg(F.sum("cg").alias("tot")).collect()
     v = dgl.agg(F.count_distinct("gram").alias("v")).collect()[0]["v"]
     # unlabeled documents train NO profile (a null is not a language) but
     # still get scored against every real profile below

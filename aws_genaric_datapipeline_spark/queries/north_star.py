@@ -285,7 +285,10 @@ _LANG_TRIGRAM_CTES = f"""
     ),
     dg AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
     nd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM dg GROUP BY 1),
-    cl AS (SELECT lang, gram, count(*) AS cg FROM tg GROUP BY 1, 2),
+    cl AS (
+        SELECT lang, gram, count(*) AS cg FROM tg
+        WHERE lang IS NOT NULL GROUP BY 1, 2
+    ),
     tot AS (SELECT lang, CAST(sum(cg) AS BIGINT) AS tot FROM cl GROUP BY 1),
     vv AS (SELECT count(DISTINCT gram) AS v FROM tg),
     prof AS (
@@ -3796,86 +3799,3 @@ def embed_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-@query(
-    "dedup_quality_survivor",
-    oracle=f"""
-        WITH RECURSIVE {_DUCK_NEARDUP_EDGE_CTES},
-        reach(node, label) AS (
-            SELECT s, s FROM edges
-            UNION
-            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
-        ),
-        comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
-        qb AS (
-            SELECT doc_id,
-                   CAST(4 * least(length(trim(text)) * 20, 10000)
-                      + 3 * (CASE WHEN len({_DUCK_TOKS}) > 0
-                                  AND length(trim(text)) - (len({_DUCK_TOKS}) - 1)
-                                      >= 2 * len({_DUCK_TOKS})
-                                  AND length(trim(text)) - (len({_DUCK_TOKS}) - 1)
-                                      <= 12 * len({_DUCK_TOKS})
-                             THEN 10000 ELSE 0 END)
-                      + 3 * (CASE WHEN length(trim(text)) = 0 THEN 0
-                             ELSE (length(regexp_replace(trim(text),
-                                   '[^A-Za-z]', '', 'g')) * 10000)
-                                  // length(trim(text)) END) AS BIGINT)
-                       AS quality_bp
-            FROM documents
-        ),
-        member AS (
-            SELECT comp.node AS doc_id, comp.cluster_id,
-                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-                   qb.quality_bp
-            FROM comp JOIN qb ON qb.doc_id = comp.node
-        )
-        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
-               CAST(doc_id AS BIGINT) AS survivor_doc_id,
-               CAST(cluster_size AS BIGINT) AS cluster_size,
-               quality_bp AS survivor_quality_bp
-        FROM (
-            SELECT *, row_number() OVER (PARTITION BY cluster_id
-                        ORDER BY quality_bp DESC, doc_id) AS rn
-            FROM member
-        ) WHERE rn = 1
-    """,
-    tags=("north-star", "dedup", "graph", "curation"),
-)
-def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters with a QUALITY-BASED survivor policy: the same
-    trigram-Jaccard edge set and connected-component closure as
-    dedup_connected_clusters, but the kept document per cluster is the
-    argmax of the integer quality score (quality_score_bp — exact basis
-    points, so the cross-engine argmax cannot drift), doc_id ascending as
-    the tie-break.  This is the production survivor rule — keep the BEST
-    member of each duplicate cluster, not the smallest id — and the
-    oracle replays edges, closure, scores, and the argmax end to end.
-
-    Scale: adds exactly one broadcast-sized join (per-doc integer score)
-    and one cluster-keyed window to the documented cluster machinery."""
-    from pyspark.sql import Window
-
-    from aws_genaric_datapipeline_spark.operators.graph import (
-        dedup_cluster_assignments,
-    )
-
-    (documents,) = load(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(documents, n=3, threshold=0.5, hash_tokens=True)
-    clusters = dedup_cluster_assignments(pairs)
-    qb = documents.select(
-        "doc_id", X.quality_score_bp(F.col("text")).alias("quality_bp")
-    )
-    member = clusters.join(qb, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality_bp"), F.asc("doc_id")
-    )
-    return (
-        member.select("*", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("cluster_id").cast("bigint").alias("cluster_id"),
-            F.col("doc_id").cast("bigint").alias("survivor_doc_id"),
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
-            F.col("quality_bp").alias("survivor_quality_bp"),
-        )
-    )

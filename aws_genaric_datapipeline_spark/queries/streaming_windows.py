@@ -317,10 +317,11 @@ def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "k", F.concat("v", F.lit("-")).alias("v")
             )
         )
-        drained = stream_table_changes(
+        q = stream_table_changes(
             spark, src, dst, ["k"], f"{tmp}/ckpt", sink_id="q"
-        ).awaitTermination(300)
-        if not drained:
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # or the finally-rmtree pulls files from a live query
             raise RuntimeError(
                 "CDF stream did not drain within 300 s — refusing to return "
                 "a partial feed"
@@ -386,10 +387,11 @@ def stream_cdf_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.delete_keys(
             base.where(F.col("k") % 3 == 0).select("k"), ["k"]
         )
-        drained = stream_apply_changes(
+        q = stream_apply_changes(
             spark, src, rep, ["k"], f"{tmp}/ckpt", sink_id="q"
-        ).awaitTermination(300)
-        if not drained:
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # or the finally-rmtree pulls files from a live query
             raise RuntimeError(
                 "replica stream did not drain within 300 s — refusing to "
                 "return a partial replica"

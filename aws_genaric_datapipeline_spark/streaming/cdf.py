@@ -63,6 +63,38 @@ def cdf_applied_high_water(dst: TxnTable, sink_id: str) -> int:
     return hw
 
 
+def _commit_log_stream_writer(
+    spark: SparkSession,
+    src: TxnTable,
+    handler,
+    checkpoint_dir: str,
+    query_name: str,
+    available_now: bool,
+):
+    """Shared commit-log tailing plumbing for both CDF consumers.
+
+    Commit files are pretty-printed (multi-line) JSON, so the source MUST
+    read in multiLine mode — one record per file — or every row parses to
+    nulls.  The version filter drops refs.json (tags), the one non-commit
+    file living in the log dir.  Correctness never depends on these rows
+    (handlers re-derive state from the logs), but the rows being real
+    keeps them usable for metrics/filtering."""
+    commits = (
+        spark.readStream.schema("version bigint, op string")
+        .option("multiLine", "true")
+        .json(str(src.path / TxnTable.LOG_DIR))
+        .where(F.col("version").isNotNull())
+    )
+    writer = (
+        commits.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def cdf_foreach_batch(
     src: TxnTable,
     dst: TxnTable,
@@ -107,26 +139,14 @@ def stream_table_changes(
     with the same checkpoint (or even a FRESH checkpoint) never
     duplicates: the per-version app_txn_id makes re-application a no-op.
     """
-    # Commit files are pretty-printed (multi-line) JSON, so the source
-    # MUST read in multiLine mode — one record per file — or every row
-    # parses to nulls.  The version filter drops refs.json (tags), the one
-    # non-commit file living in the log dir.  Correctness never depends on
-    # these rows (the handler re-derives state from the logs), but the
-    # rows being real keeps them usable for metrics/filtering.
-    commits = (
-        spark.readStream.schema("version bigint, op string")
-        .option("multiLine", "true")
-        .json(str(src.path / TxnTable.LOG_DIR))
-        .where(F.col("version").isNotNull())
+    return _commit_log_stream_writer(
+        spark,
+        src,
+        cdf_foreach_batch(src, dst, keys, sink_id),
+        checkpoint_dir,
+        f"cdf-{sink_id}",
+        available_now,
     )
-    writer = (
-        commits.writeStream.foreachBatch(cdf_foreach_batch(src, dst, keys, sink_id))
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(f"cdf-{sink_id}")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def cdf_replica_foreach_batch(
@@ -191,19 +211,11 @@ def stream_apply_changes(
     keep ``replica`` content-equal to the upstream's latest snapshot.
     Returns the StreamingQuery.  Restart/checkpoint-loss safe for the
     same reasons as stream_table_changes (per-version marker commits)."""
-    commits = (
-        spark.readStream.schema("version bigint, op string")
-        .option("multiLine", "true")
-        .json(str(src.path / TxnTable.LOG_DIR))
-        .where(F.col("version").isNotNull())
+    return _commit_log_stream_writer(
+        spark,
+        src,
+        cdf_replica_foreach_batch(src, replica, keys, sink_id),
+        checkpoint_dir,
+        f"cdf-replica-{sink_id}",
+        available_now,
     )
-    writer = (
-        commits.writeStream.foreachBatch(
-            cdf_replica_foreach_batch(src, replica, keys, sink_id)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(f"cdf-replica-{sink_id}")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

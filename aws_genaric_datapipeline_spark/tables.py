@@ -29,6 +29,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def compile_sf_dir(sf_dir: str) -> str:
+    """The warm-up/compile scale for a timing run against ``sf_dir``: the
+    sibling sf0.001 directory when it exists (so whole-stage codegen and
+    Arrow workers warm on ~1k rows), else ``sf_dir`` itself.  Shared by
+    bench.py and scripts/full_sweep.py so the convention changes in one
+    place."""
+    from pathlib import Path
+
+    sibling = Path(sf_dir.rstrip("/")).parent / "sf0.001"
+    return str(sibling) if sibling.is_dir() else sf_dir
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

@@ -190,7 +190,6 @@ HEADLINE = [
     "tokenizer_bpe_apply",
     "stream_cdf_feed",
     "stream_cdf_replica",
-    "dedup_quality_survivor",
     "embed_int8_quantize",
     "q21_waiting_orders",
 ]
@@ -229,8 +228,9 @@ def main() -> None:
     # sf0.001 of sf_dir, falling back to sf_dir itself) so a custom
     # SPARK_GRAFT_SF_DIR still gets a real warm-up, and compile failures are
     # reported instead of silently re-absorbing codegen cost into the sweep.
-    sibling = Path(sf_dir.rstrip("/")).parent / "sf0.001"
-    compile_dir = str(sibling) if sibling.is_dir() else sf_dir
+    from aws_genaric_datapipeline_spark.tables import compile_sf_dir
+
+    compile_dir = compile_sf_dir(sf_dir)
     for name in HEADLINE:
         if name in QUERIES:
             try:

@@ -36,10 +36,9 @@ def main() -> None:
     spark.range(64, numPartitions=4).select(
         F.pandas_udf(lambda s: s, "long")(F.col("id"))
     ).count()
-    # compile scale: the sibling sf0.001 of the configured data root (same
-    # derivation as bench.py), falling back to the timed dir itself
-    sibling = Path(sf.rstrip("/")).parent / "sf0.001"
-    compile_dir = str(sibling) if sibling.is_dir() else sf
+    from aws_genaric_datapipeline_spark.tables import compile_sf_dir
+
+    compile_dir = compile_sf_dir(sf)
     out: dict[str, float | None] = {}
     for name in names:
         try:
