@@ -3798,4 +3798,3 @@ def embed_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bp"),
         )
     )
-

@@ -34,6 +34,7 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
+import json
 import re
 
 import pyspark.sql.functions as F
@@ -53,14 +54,25 @@ __all__ = [
 def cdf_applied_high_water(dst: TxnTable, sink_id: str) -> int:
     """Highest upstream version already applied into ``dst`` (0 = none),
     recovered from dst's own commit log app_txn_ids — restart-safe without
-    any state beside the two tables."""
+    any state beside the two tables.
+
+    Scans the commit log NEWEST-FIRST and stops at the first version
+    marker: upstream versions apply strictly in order, so the most recent
+    marker in dst's log is the maximum.  A continuous stream therefore
+    pays O(commits since the last marker) per trigger, not O(total
+    versions) — and the handlers additionally cache the mark between
+    triggers so steady-state triggers skip the log scan entirely."""
     pat = re.compile(re.escape(sink_id) + r"-v(\d+)$")
-    hw = 0
-    for c in dst._commits():
+    log_dir = dst.path / TxnTable.LOG_DIR
+    for p in sorted(log_dir.glob("*.json"), reverse=True):
+        if not p.stem.isdigit():
+            continue  # refs.json (tags)
+        with open(p) as fh:
+            c = json.load(fh)
         m = pat.match(c.get("app_txn_id") or "")
         if m:
-            hw = max(hw, int(m.group(1)))
-    return hw
+            return int(m.group(1))
+    return 0
 
 
 def _commit_log_stream_writer(
@@ -70,6 +82,7 @@ def _commit_log_stream_writer(
     checkpoint_dir: str,
     query_name: str,
     available_now: bool,
+    max_files_per_trigger: int | None = None,
 ):
     """Shared commit-log tailing plumbing for both CDF consumers.
 
@@ -78,12 +91,21 @@ def _commit_log_stream_writer(
     nulls.  The version filter drops refs.json (tags), the one non-commit
     file living in the log dir.  Correctness never depends on these rows
     (handlers re-derive state from the logs), but the rows being real
-    keeps them usable for metrics/filtering."""
-    commits = (
-        spark.readStream.schema("version bigint, op string")
-        .option("multiLine", "true")
-        .json(str(src.path / TxnTable.LOG_DIR))
-        .where(F.col("version").isNotNull())
+    keeps them usable for metrics/filtering.
+
+    ``max_files_per_trigger`` bounds how many commit files each
+    micro-batch lists (file-source backpressure): a consumer waking up to
+    a large backlog fires several small triggers instead of one huge one.
+    availableNow honors it too — the drain splits into multiple batches.
+    Safe at any value because handlers re-derive the version range from
+    the logs; it only controls trigger granularity."""
+    reader = spark.readStream.schema("version bigint, op string").option(
+        "multiLine", "true"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    commits = reader.json(str(src.path / TxnTable.LOG_DIR)).where(
+        F.col("version").isNotNull()
     )
     writer = (
         commits.writeStream.foreachBatch(handler)
@@ -100,6 +122,7 @@ def cdf_foreach_batch(
     dst: TxnTable,
     keys: list[str],
     sink_id: str = "cdf",
+    max_versions_per_batch: int | None = None,
 ):
     """foreachBatch handler: apply every not-yet-applied upstream version
     as one table_changes(v-1, v) diff appended to ``dst`` exactly once.
@@ -108,16 +131,33 @@ def cdf_foreach_batch(
     are re-derived from the logs so partially-listed files and replays
     self-heal.  Versions apply strictly in order — a downstream consumer
     reading dst sees diffs whose per-version ordering matches the
-    upstream commit order."""
+    upstream commit order.
+
+    ``max_versions_per_batch`` caps work per trigger: a replica catching
+    up after a long outage applies at most that many versions per
+    micro-batch instead of unbounded work in one trigger.  Safe at any
+    cap — per-version app_txn_ids make every split/replay idempotent,
+    and the remaining backlog drains on subsequent triggers.
+
+    The applied high-water mark is cached in the handler closure between
+    triggers, so steady-state triggers skip the commit-log scan; the
+    cache can only be stale-LOW (another writer with the same sink_id),
+    in which case the re-applied versions commit as idempotent no-ops."""
+    state: dict[str, int | None] = {"hw": None}
 
     def _handle(batch_df, _batch_id: int) -> None:
-        lo = cdf_applied_high_water(dst, sink_id)
+        lo = state["hw"]
+        if lo is None:
+            lo = cdf_applied_high_water(dst, sink_id)
         hi = src.latest_version()
+        if max_versions_per_batch is not None:
+            hi = min(hi, lo + max_versions_per_batch)
         for v in range(lo + 1, hi + 1):
             diff = table_changes(src, v - 1, v, keys).withColumn(
                 "_cdf_version", F.lit(v).cast("bigint")
             )
             dst.append(diff, app_txn_id=f"{sink_id}-v{v}")
+        state["hw"] = max(lo, hi)
 
     return _handle
 
@@ -130,6 +170,8 @@ def stream_table_changes(
     checkpoint_dir: str,
     sink_id: str = "cdf",
     available_now: bool = True,
+    max_versions_per_batch: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the CDF stream: tail ``src``'s commit log, append per-version
     row diffs into ``dst``.  Returns the StreamingQuery.
@@ -138,14 +180,20 @@ def stream_table_changes(
     (the incremental-batch form); False runs continuously.  Restarting
     with the same checkpoint (or even a FRESH checkpoint) never
     duplicates: the per-version app_txn_id makes re-application a no-op.
-    """
+
+    Backpressure knobs (both optional, both safe at any value):
+    ``max_files_per_trigger`` splits a backlog into several triggers at
+    the file source; ``max_versions_per_batch`` caps the versions applied
+    per trigger.  Under availableNow, pair them (files ≥ versions per
+    trigger) so the drain still reaches the head of the log."""
     return _commit_log_stream_writer(
         spark,
         src,
-        cdf_foreach_batch(src, dst, keys, sink_id),
+        cdf_foreach_batch(src, dst, keys, sink_id, max_versions_per_batch),
         checkpoint_dir,
         f"cdf-{sink_id}",
         available_now,
+        max_files_per_trigger,
     )
 
 
@@ -154,6 +202,7 @@ def cdf_replica_foreach_batch(
     replica: TxnTable,
     keys: list[str],
     sink_id: str = "cdf-replica",
+    max_versions_per_batch: int | None = None,
 ):
     """foreachBatch handler MAINTAINING A REPLICA table from the upstream
     CDF (Delta's APPLY CHANGES INTO): after version v applies, the
@@ -169,11 +218,24 @@ def cdf_replica_foreach_batch(
     the delete re-issues as a committed no-op and the marker lands.
 
     Same source-of-truth design as cdf_foreach_batch: the batch rows are
-    a wake-up signal; versions re-derive from the two commit logs."""
+    a wake-up signal; versions re-derive from the two commit logs.
+    ``max_versions_per_batch`` and the closure-cached high-water mark
+    behave exactly as on cdf_foreach_batch (bounded catch-up work per
+    trigger; cache stale-low at worst → idempotent no-op replays).
+
+    NOTE on the cache vs the two-commit version protocol: the marker
+    commit is the LAST substep of a version, so caching hi after the loop
+    never skips a half-applied version — a crash mid-version restarts the
+    handler with a fresh closure, which re-derives from the log."""
+    state: dict[str, int | None] = {"hw": None}
 
     def _handle(batch_df, _batch_id: int) -> None:
-        lo = cdf_applied_high_water(replica, sink_id)
+        lo = state["hw"]
+        if lo is None:
+            lo = cdf_applied_high_water(replica, sink_id)
         hi = src.latest_version()
+        if max_versions_per_batch is not None:
+            hi = min(hi, lo + max_versions_per_batch)
         for v in range(lo + 1, hi + 1):
             diff = table_changes(src, v - 1, v, keys).localCheckpoint(
                 eager=True
@@ -194,6 +256,7 @@ def cdf_replica_foreach_batch(
                 replica.append(ups, app_txn_id=vid)
             else:
                 replica.merge_upsert(ups, keys, app_txn_id=vid)
+        state["hw"] = max(lo, hi)
 
     return _handle
 
@@ -206,16 +269,22 @@ def stream_apply_changes(
     checkpoint_dir: str,
     sink_id: str = "cdf-replica",
     available_now: bool = True,
+    max_versions_per_batch: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the replica-maintenance stream: tail ``src``'s commit log and
     keep ``replica`` content-equal to the upstream's latest snapshot.
     Returns the StreamingQuery.  Restart/checkpoint-loss safe for the
-    same reasons as stream_table_changes (per-version marker commits)."""
+    same reasons as stream_table_changes (per-version marker commits).
+    Backpressure knobs as on stream_table_changes."""
     return _commit_log_stream_writer(
         spark,
         src,
-        cdf_replica_foreach_batch(src, replica, keys, sink_id),
+        cdf_replica_foreach_batch(
+            src, replica, keys, sink_id, max_versions_per_batch
+        ),
         checkpoint_dir,
         f"cdf-replica-{sink_id}",
         available_now,
+        max_files_per_trigger,
     )

@@ -9,8 +9,11 @@ from __future__ import annotations
 
 import math
 import sys
+from pathlib import Path
 
 import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF = "/root/testdata/sf0.001"
 argv = sys.argv[1:]

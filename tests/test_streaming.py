@@ -820,3 +820,93 @@ class TestStreamingCdfReplica:
         assert len(rep._commits()) == n_now
         assert self._rows(rep) == {(1, "A")}
         assert n_now > n_commits  # versions 2..3 did land exactly once
+
+
+class TestCdfBackpressure:
+    """Bounded work per trigger on the CDF consumers: max_versions_per_batch
+    caps how many upstream versions one micro-batch applies, and
+    maxFilesPerTrigger splits a commit-log backlog into several triggers —
+    a replica catching up after a long outage does bounded work per
+    trigger and still converges to the upstream snapshot."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k bigint, v string")
+
+    @staticmethod
+    def _rows(t):
+        return {(r["k"], r["v"]) for r in t.read().collect()}
+
+    def test_20_version_backlog_drains_over_multiple_triggers(self, spark, tmp_path):
+        """20-version upstream backlog, cap 5 versions/trigger and 5 commit
+        files/trigger: availableNow drains it over >= 4 triggers with the
+        replica content identical to the upstream snapshot."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            cdf_applied_high_water,
+            stream_apply_changes,
+        )
+
+        src = TxnTable(spark, str(tmp_path / "src"))
+        rep = TxnTable(spark, str(tmp_path / "rep"))
+        for i in range(1, 21):  # v1..v20: upserts with one delete mixed in
+            if i == 10:
+                src.delete_keys(spark.createDataFrame([(1,)], "k bigint"), ["k"])
+            else:
+                src.merge_upsert(self._df(spark, [(i % 4, f"v{i}")]), keys=["k"])
+        assert src.latest_version() == 20
+        q = stream_apply_changes(
+            spark,
+            src,
+            rep,
+            ["k"],
+            str(tmp_path / "ckpt"),
+            sink_id="bp",
+            max_versions_per_batch=5,
+            max_files_per_trigger=5,
+        )
+        assert q.awaitTermination(600)
+        assert len(q.recentProgress) >= 4  # the backlog split into triggers
+        assert cdf_applied_high_water(rep, "bp") == 20
+        assert self._rows(rep) == self._rows(src)
+
+    def test_capped_handler_does_bounded_work_per_call(self, spark, tmp_path):
+        """Direct handler calls: each applies exactly the cap, the
+        high-water mark advances cap-at-a-time, and the closure cache is
+        consistent with the log-derived mark."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            cdf_applied_high_water,
+            cdf_foreach_batch,
+        )
+
+        src = TxnTable(spark, str(tmp_path / "src"))
+        dst = TxnTable(spark, str(tmp_path / "dst"))
+        for i in range(1, 9):
+            src.append(self._df(spark, [(i, f"v{i}")]))
+        handler = cdf_foreach_batch(src, dst, ["k"], sink_id="t",
+                                    max_versions_per_batch=3)
+        for expect in (3, 6, 8, 8):  # 8 versions at cap 3: 3,3,2,0
+            handler(None, 0)
+            assert cdf_applied_high_water(dst, "t") == expect
+        # feed content identical to the uncapped form
+        assert {
+            (r["k"], r["new_v"], r["_cdf_version"]) for r in dst.read().collect()
+        } == {(i, f"v{i}", i) for i in range(1, 9)}
+
+    def test_high_water_scan_stops_at_newest_marker(self, spark, tmp_path):
+        """cdf_applied_high_water scans newest-first: a trailing -del
+        commit (no marker suffix) is skipped and the marker below found;
+        an unrelated sink_id yields 0."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            cdf_applied_high_water,
+        )
+
+        rep = TxnTable(spark, str(tmp_path / "rep"))
+        rep.append(self._df(spark, [(1, "a")]), app_txn_id="r-v7")
+        rep.delete_keys(
+            spark.createDataFrame([(1,)], "k bigint"), ["k"],
+            app_txn_id="r-v8-del",
+        )
+        assert cdf_applied_high_water(rep, "r") == 7
+        assert cdf_applied_high_water(rep, "other") == 0
