@@ -1201,6 +1201,320 @@ def bpe_apply(
     )
 
 
+# --------------------------------------------------------- unigram-LM tokenizer
+
+# Cost of an out-of-vocabulary piece in the Viterbi DP.  Real piece costs
+# are bounded by ~1e6·|ln(1/(tot+K))| ≈ 3e7, and a word contributes at
+# most 63 pieces, so any path through an OOV piece always loses; the
+# encode step multiplies by 64, keeping everything far inside int64.
+UNIGRAM_OOV_COST = 1_000_000_000_000
+
+
+def viterbi_pieces(
+    word: Column, costs: dict[str, int], max_piece_len: int = 4
+) -> Column:
+    """Minimum-cost segmentation of ``word`` into vocabulary pieces — the
+    Viterbi decode of a unigram language model over subword pieces (Kudo
+    2018, SentencePiece), with costs = integer-quantized negative
+    log-probs so the DP runs entirely on BIGINT sums and the argmin can
+    never flip on libm last-ulp differences (the lang-ID / k-center
+    quantize-then-compare rule).
+
+    DP, all-JVM: best[p] = min over j in [max(0, p-L), p-1] of
+    best[j] + cost(word[j+1..p]); each candidate encodes as
+    (best[j]+cost)·64 + j, so ONE integer array_min picks the minimum
+    cost with ties broken to the smallest j — i.e. the LONGEST final
+    piece, the standard greedy preference — deterministically.  A second
+    bounded fold unwinds the backpointers into the piece array.  Out-of-
+    vocab spans cost UNIGRAM_OOV_COST; single characters in the vocab
+    guarantee a finite path for any trained corpus.
+
+    Work is O(len·L) integer ops per WORD TYPE (callers segment distinct
+    words only); the vocabulary rides along as a literal map — model-
+    artifact-sized, never a join."""
+    if max_piece_len > 63:
+        raise ValueError("tie-break encoding supports pieces up to 63 chars")
+    cost_map = (
+        F.create_map(
+            *[
+                x
+                for p in sorted(costs)
+                for x in (F.lit(p), F.lit(int(costs[p])).cast("bigint"))
+            ]
+        )
+        if costs
+        else None
+    )
+    n = F.length(word)
+    inf = F.lit(UNIGRAM_OOV_COST).cast("bigint")
+
+    def piece_cost(start, length):  # 1-based start, char count
+        if cost_map is None:
+            return inf
+        return F.coalesce(
+            F.try_element_at(cost_map, word.substr(start, length)), inf
+        )
+
+    def step(acc, p):
+        lo = F.greatest(F.lit(0), p - F.lit(max_piece_len))
+        cands = F.transform(
+            F.sequence(lo, p - 1),
+            lambda j: (
+                F.element_at(acc["best"], (j + 1).cast("int"))
+                + piece_cost((j + 1).cast("int"), (p - j).cast("int"))
+            )
+            * 64
+            + j.cast("bigint"),
+        )
+        enc = F.array_min(cands)
+        return F.struct(
+            F.concat(acc["best"], F.array(F.shiftright(enc, 6))).alias("best"),
+            F.concat(
+                acc["back"], F.array(enc.bitwiseAND(F.lit(63)).cast("int"))
+            ).alias("back"),
+        )
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            F.array(F.lit(0).cast("bigint")).alias("best"),
+            F.array().cast("array<int>").alias("back"),
+        ),
+        step,
+    )
+    back = dp["back"]
+
+    def unwind(acc, _):
+        j = F.try_element_at(back, acc["i"])
+        return F.when(
+            acc["i"] > 0,
+            F.struct(
+                j.alias("i"),
+                F.concat(
+                    F.array(word.substr(j + 1, acc["i"] - j)), acc["pieces"]
+                ).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    bt = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            n.cast("int").alias("i"),
+            F.array().cast("array<string>").alias("pieces"),
+        ),
+        unwind,
+    )
+    return F.when(n >= 1, bt["pieces"]).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _unigram_quantized_costs(counts: dict[str, int]) -> dict[str, int]:
+    """Add-one-smoothed integer-quantized piece costs from Viterbi counts:
+    cost = -floor(1e6·ln((c+1)/(tot+K))).  math.floor∘math.log here
+    matches DuckDB's floor∘ln and Spark's F.floor∘F.log to the shared
+    quantize-then-compare rule (the lang-ID precedent, text.py:205)."""
+    import math
+
+    tot = sum(counts.values())
+    k = len(counts)
+    return {
+        p: -math.floor(1e6 * math.log((c + 1.0) / (tot + k)))
+        for p, c in counts.items()
+    }
+
+
+def unigram_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_multi: int = 48,
+    em_iters: int = 2,
+    keep_multi: int = 24,
+) -> DataFrame:
+    """Train a unigram-LM subword vocabulary (Kudo 2018 — the
+    SentencePiece-unigram family, the counterpart of bpe_learn) with
+    hard (Viterbi) EM over word types:
+
+      1. SEED: count every substring of length 1..``max_piece_len`` over
+         the word-type histogram (frequency-weighted); the seed vocab is
+         ALL single characters plus the top ``seed_multi`` multi-char
+         substrings by (count desc, piece asc).
+      2. EM ×``em_iters``: E-step Viterbi-segments every word type under
+         the current integer-quantized piece costs (viterbi_pieces);
+         piece counts are the frequency-weighted piece occurrences on
+         those best paths.  M-step re-quantizes costs from the counts.
+         Pieces with zero Viterbi count drop out (the pruning step of
+         unigram training); single characters always survive so every
+         word stays segmentable.
+      3. PRUNE: keep all single characters plus the top ``keep_multi``
+         multi-char pieces by (final count desc, piece asc), and emit
+         the final add-one-smoothed quantized log-probs.
+
+    Returns (piece, piece_len, vit_count, logprob_q) — the trained
+    tokenizer artifact; ``-logprob_q`` is the Viterbi cost unigram_apply
+    consumes.  Hard-EM (Viterbi counts instead of full forward-backward
+    expectations) is the standard deterministic variant; full soft EM
+    would put float log-sum-exp on the cross-engine compare path, which
+    the integer-quantized design deliberately avoids.
+
+    Scale shape (the bpe_learn posture): the corpus contributes ONE
+    explode+count shuffle (the word-type histogram, persisted); every EM
+    iteration is vocabulary-sized work — a Viterbi fold over word types
+    and a piece-count aggregation — and the only driver data is the
+    model-artifact-sized count table (≤ chars + seed_multi rows)."""
+    spark = df.sparkSession
+    wt = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    subs = (
+        wt.select(
+            "freq",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda s: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.lit(max_piece_len),
+                                    F.length("word") - s + 1,
+                                ),
+                            ),
+                            lambda ln: F.col("word").substr(
+                                s.cast("int"), ln.cast("int")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .persist()
+    )
+    chars = {
+        r["piece"]: int(r["cnt"])
+        for r in subs.where(F.length("piece") == 1).collect()
+    }
+    counts = dict(chars)
+    counts.update(
+        {
+            r["piece"]: int(r["cnt"])
+            for r in subs.where(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(seed_multi)
+            .collect()
+        }
+    )
+    subs.unpersist()
+    costs = _unigram_quantized_costs(counts)
+    for _ in range(em_iters):
+        vc = (
+            wt.select(
+                "freq",
+                F.explode(
+                    viterbi_pieces(F.col("word"), costs, max_piece_len)
+                ).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["cnt"]) for r in vc}
+        for ch in chars:  # coverage: zero-count chars stay in the model
+            counts.setdefault(ch, 0)
+        costs = _unigram_quantized_costs(counts)
+    wt.unpersist()
+    multi_final = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:keep_multi]
+    pruned = {p: c for p, c in counts.items() if len(p) == 1}
+    pruned.update(dict(multi_final))
+    final_costs = _unigram_quantized_costs(pruned)
+    rows = [
+        (p, len(p), int(pruned[p]), -int(final_costs[p]))
+        for p in sorted(pruned)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="piece string, piece_len int, vit_count bigint, logprob_q bigint",
+    )
+
+
+def unigram_apply(
+    df: DataFrame,
+    costs: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Encode every document with a trained unigram-LM vocabulary
+    (unigram_learn's artifact; ``costs`` maps piece → -logprob_q) — the
+    Viterbi decode pass of the SentencePiece-unigram tokenizer, mirroring
+    bpe_apply's contract: one row per document,
+    (id, n_words, n_pieces, n_multi_pieces, stream_md5) where stream_md5
+    hashes the complete in-order piece stream joined by single spaces.
+
+    Engine shape (same as bpe_apply): the Viterbi fold runs over DISTINCT
+    WORD TYPES only; a word-keyed join carries segmentations back to
+    token positions, and the vocabulary rides as a literal map — no
+    Python in the data path, no corpus-sized driver data."""
+    toks = tokens(F.col(text_col))
+    words = df.select(
+        F.col(id_col).alias("did"), F.posexplode(toks).alias("pos", "word")
+    )
+    vocab_seg = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            viterbi_pieces(F.col("word"), costs, max_piece_len).alias(
+                "pieces"
+            ),
+        )
+    )
+    seg = words.join(vocab_seg, "word")
+    per_doc = seg.groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("pieces")).alias("n_pieces"),
+        F.sum(
+            F.size(F.filter(F.col("pieces"), lambda s: F.length(s) > 1))
+        ).alias("n_multi_pieces"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.array_join("pieces", " ").alias("seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("stream_md5"),
+    )
+    base = df.select(F.col(id_col).alias("did"))
+    return base.join(per_doc, "did", "left").select(
+        F.col("did").alias(id_col),
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
+        F.coalesce("n_multi_pieces", F.lit(0))
+        .cast("bigint")
+        .alias("n_multi_pieces"),
+        F.coalesce("stream_md5", F.md5(F.lit(""))).alias("stream_md5"),
+    )
+
+
 def subword_tokenize(
     df,
     id_col: str = "doc_id",

@@ -446,6 +446,232 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_apply(documents, merges)
 
 
+# ------------------------------------------------- unigram-LM tokenizer oracle
+# Full-replay DuckDB mirror of operators/text.py unigram_learn/apply:
+# seed substring counts, hard-EM rounds (Viterbi DP as a recursive index
+# walk carrying best/backpointer lists, then frequency-weighted piece
+# counts), char-preserving keep sets, add-one-smoothed integer-quantized
+# costs, and the final prune — the same replay-everything posture as the
+# BPE oracle above.
+_UNI_L = 4
+_UNI_SEED_MULTI = 48
+_UNI_EM_ITERS = 2
+_UNI_KEEP_MULTI = 24
+_UNI_INF = 1_000_000_000_000  # text.UNIGRAM_OOV_COST
+
+
+def _unigram_quant_sql(src: str) -> str:
+    """cost = -floor(1e6·ln((cnt+1)/(tot+K))) over kept-set CTE ``src``."""
+    return (
+        f"CAST(-floor(1e6 * ln((cnt + 1.0) / ((SELECT sum(cnt) FROM {src})"
+        f" + (SELECT count(*) FROM {src})))) AS BIGINT)"
+    )
+
+
+def _unigram_vit_sql(tag: str, scores_src: str) -> str:
+    """Viterbi segmentation of every word type under ``scores_src``
+    (piece, cost): the DP carries best-cost and backpointer lists, each
+    candidate encoding as (best[j]+cost)·64+j so list_min picks (min
+    cost, min j = longest final piece) — bit-identical to
+    text.viterbi_pieces — then a second walk unwinds the backpointers."""
+    return f"""
+        usm{tag} AS MATERIALIZED (
+            SELECT map(list(piece ORDER BY piece),
+                       list(cost ORDER BY piece)) AS m
+            FROM {scores_src}
+        ),
+        uvit{tag} AS (
+            SELECT word, freq, 0 AS i, [CAST(0 AS BIGINT)] AS best,
+                   []::INT[] AS back
+            FROM wt
+            UNION ALL
+            SELECT word, freq, i + 1,
+                   list_append(best, enc // 64),
+                   list_append(back, CAST(enc % 64 AS INT))
+            FROM (
+                SELECT word, freq, i, best, back,
+                       list_min(list_transform(
+                           range(greatest(0, i + 1 - {_UNI_L}), i + 1),
+                           j -> (best[j + 1]
+                                 + coalesce(m[word[j + 1 : i + 1]][1],
+                                            CAST({_UNI_INF} AS BIGINT)))
+                                * 64 + j)) AS enc
+                FROM uvit{tag}, usm{tag} WHERE i < length(word)
+            )
+        ),
+        ubt{tag} AS (
+            SELECT word, freq, length(word) AS i, back,
+                   []::VARCHAR[] AS pieces
+            FROM uvit{tag} WHERE i = length(word)
+            UNION ALL
+            SELECT word, freq, back[i], back,
+                   list_prepend(word[back[i] + 1 : i], pieces)
+            FROM ubt{tag} WHERE i > 0
+        )"""
+
+
+def _unigram_round_sql(r: int) -> str:
+    """One hard-EM round: Viterbi under scores{r-1}, piece counts, the
+    char-preserving keep set, and re-quantized scores."""
+    return (
+        _unigram_vit_sql(str(r), f"uscores{r - 1}")
+        + f""",
+        ucnt{r} AS MATERIALIZED (
+            SELECT u.piece, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq, pieces FROM ubt{r} WHERE i = 0) s,
+                 UNNEST(s.pieces) AS u(piece)
+            GROUP BY u.piece
+        ),
+        ukept{r} AS MATERIALIZED (
+            SELECT piece, cnt FROM ucnt{r}
+            UNION ALL
+            SELECT c.piece, CAST(0 AS BIGINT) FROM uchars0 c
+            WHERE c.piece NOT IN (SELECT piece FROM ucnt{r})
+        ),
+        uscores{r} AS MATERIALIZED (
+            SELECT piece, {_unigram_quant_sql(f"ukept{r}")} AS cost
+            FROM ukept{r}
+        )"""
+    )
+
+
+_UNI_TRAIN_CTES = (
+    f"""
+    WITH RECURSIVE wt AS MATERIALIZED (
+        SELECT tok AS word, count(*) AS freq
+        FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+        WHERE length(trim(text)) > 0
+        GROUP BY tok
+    ),
+    usubs0 AS MATERIALIZED (
+        SELECT u.piece, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM wt, UNNEST(flatten(list_transform(range(1, length(word) + 1),
+             s -> list_transform(
+                 range(1, least({_UNI_L}, length(word) - s + 1) + 1),
+                 l -> word[s : s + l - 1])))) AS u(piece)
+        GROUP BY u.piece
+    ),
+    uchars0 AS MATERIALIZED (SELECT piece, cnt FROM usubs0 WHERE length(piece) = 1),
+    umulti0 AS MATERIALIZED (
+        SELECT piece, cnt FROM usubs0 WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {_UNI_SEED_MULTI}
+    ),
+    ukept0 AS MATERIALIZED (SELECT * FROM uchars0 UNION ALL SELECT * FROM umulti0),
+    uscores0 AS MATERIALIZED (
+        SELECT piece, {_unigram_quant_sql("ukept0")} AS cost FROM ukept0
+    ),
+    """
+    + ",\n".join(_unigram_round_sql(r) for r in range(1, _UNI_EM_ITERS + 1))
+)
+
+_UNI_FINAL_CTES = f""",
+    uprun AS MATERIALIZED (
+        SELECT piece, cnt FROM ukept{_UNI_EM_ITERS} WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM ukept{_UNI_EM_ITERS}
+            WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece LIMIT {_UNI_KEEP_MULTI})
+    ),
+    ufinal AS MATERIALIZED (
+        SELECT piece, CAST(length(piece) AS INT) AS piece_len,
+               cnt AS vit_count,
+               CAST(floor(1e6 * ln((cnt + 1.0) /
+                    ((SELECT sum(cnt) FROM uprun)
+                     + (SELECT count(*) FROM uprun)))) AS BIGINT) AS logprob_q
+        FROM uprun
+    )"""
+
+
+@query(
+    "tokenizer_unigram_learn",
+    oracle=_UNI_TRAIN_CTES
+    + _UNI_FINAL_CTES
+    + "\n    SELECT piece, piece_len, vit_count, logprob_q FROM ufinal",
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) tokenizer TRAINING (Kudo 2018),
+    hard-EM form: seed vocabulary from frequency-weighted substrings, two
+    Viterbi-EM rounds with integer-quantized costs, char-preserving
+    pruning, and the final add-one-smoothed quantized log-probs.  The
+    oracle replays every stage — the seed histogram, each EM round's
+    Viterbi DP (as a recursive best/backpointer walk), the piece counts,
+    the keep sets, and the final prune — so the trained artifact is
+    value-checked end to end, completing the production tokenizer pair
+    next to tokenizer_bpe_learn."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return X.unigram_learn(
+        documents,
+        max_piece_len=_UNI_L,
+        seed_multi=_UNI_SEED_MULTI,
+        em_iters=_UNI_EM_ITERS,
+        keep_multi=_UNI_KEEP_MULTI,
+    )
+
+
+@query(
+    "tokenizer_unigram_apply",
+    oracle=_UNI_TRAIN_CTES
+    + _UNI_FINAL_CTES
+    + f""",
+    uscoresF AS MATERIALIZED (SELECT piece, -logprob_q AS cost FROM ufinal),
+    {_unigram_vit_sql("F", "uscoresF")},
+    utoks AS MATERIALIZED (
+        SELECT doc_id, CAST(u.i AS INT) AS pos, ({_DUCK_TOKS})[u.i] AS word
+        FROM documents, UNNEST(range(1, len({_DUCK_TOKS}) + 1)) AS u(i)
+        WHERE length(trim(text)) > 0
+    ),
+    useg AS MATERIALIZED (
+        SELECT t.doc_id, t.pos, s.pieces
+        FROM utoks t JOIN (SELECT word, pieces FROM ubtF WHERE i = 0) s
+          ON t.word = s.word
+    ),
+    uagg AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+               CAST(sum(len(list_filter(pieces, x -> length(x) > 1)))
+                    AS BIGINT) AS n_multi_pieces,
+               md5(string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos))
+                   AS stream_md5
+        FROM useg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_pieces, 0) AS n_pieces,
+           coalesce(a.n_multi_pieces, 0) AS n_multi_pieces,
+           coalesce(a.stream_md5, md5('')) AS stream_md5
+    FROM documents d LEFT JOIN uagg a USING (doc_id)
+    """,
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end unigram tokenizer chain: TRAIN the vocabulary on the
+    corpus (unigram_learn — the same artifact tokenizer_unigram_learn
+    verifies), then Viterbi-ENCODE every document with it and report
+    per-doc coverage — word/piece/multi-char-piece counts plus the md5 of
+    the complete in-order piece stream, the twin of tokenizer_bpe_apply.
+    The oracle replays the full train→apply pipeline including the final
+    pruned-vocab Viterbi segmentation joined back to token positions.
+
+    Driver data is exactly the pruned vocabulary (chars + {keep} rows);
+    the encode pass folds over distinct word types only (unigram_apply).
+    """.format(keep=_UNI_KEEP_MULTI)
+    (documents,) = load(spark, sf_dir, "documents")
+    art = X.unigram_learn(
+        documents,
+        max_piece_len=_UNI_L,
+        seed_multi=_UNI_SEED_MULTI,
+        em_iters=_UNI_EM_ITERS,
+        keep_multi=_UNI_KEEP_MULTI,
+    ).collect()
+    costs = {r["piece"]: -int(r["logprob_q"]) for r in art}
+    return X.unigram_apply(
+        documents, costs, max_piece_len=_UNI_L
+    )
+
+
 def _duck_entropy_cte(src: str, prefix: str = "ent") -> str:
     """CTE chunk computing (doc_id, n, char_entropy) from ``src`` —
     shared verbatim by text_char_entropy and the v2 funnel so the two
@@ -953,10 +1179,21 @@ def _tfidf_dense_caps(spark: SparkSession) -> tuple[int, int, int]:
     module constants still force tiers) and overridable via spark conf:
       spark.genaric.tfidf.denseVocabCap / denseCellsCap / denseNnzCap.
     """
+    # Prefer the JVM's ACTUAL max heap (Runtime.maxMemory) — Spark's
+    # default driver heap is 1g, so a "2g" fallback would double the
+    # intended 1/16-of-heap budget on default-configured drivers.
+    mem = None
     try:
-        mem = _parse_jvm_mem(spark.conf.get("spark.driver.memory", "2g"))
-    except ValueError:
-        mem = 2 << 30
+        jvm = spark.sparkContext._jvm
+        if jvm is not None:
+            mem = int(jvm.java.lang.Runtime.getRuntime().maxMemory())
+    except Exception:
+        mem = None
+    if not mem or mem <= 0:
+        try:
+            mem = _parse_jvm_mem(spark.conf.get("spark.driver.memory", "1g"))
+        except ValueError:
+            mem = 1 << 30
     caps = []
     for key, ceiling, derived in (
         ("spark.genaric.tfidf.denseVocabCap", _TFIDF_DENSE_VOCAB_CAP, None),

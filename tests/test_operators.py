@@ -3721,14 +3721,21 @@ class TestTfidfHybridTiers:
             spark.conf.unset("spark.genaric.tfidf.denseNnzCap")
 
     def test_dense_caps_derive_from_driver_memory(self, spark):
-        """Without conf overrides the cells/nnz caps scale with
-        spark.driver.memory but never exceed the module ceilings."""
+        """Without conf overrides the cells/nnz caps derive from the
+        JVM's ACTUAL max heap (Runtime.maxMemory — not the conf string,
+        whose absence used to over-budget default 1g drivers as if they
+        had 2g) but never exceed the module ceilings."""
         from aws_genaric_datapipeline_spark.queries import corpus_curation as CC
 
         vocab_cap, cells_cap, nnz_cap = CC._tfidf_dense_caps(spark)
         assert vocab_cap == CC._TFIDF_DENSE_VOCAB_CAP
         assert 0 < cells_cap <= CC._TFIDF_DENSE_CELLS_CAP
         assert 0 < nnz_cap <= CC._TFIDF_DENSE_NNZ_CAP
+        heap = int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+        assert cells_cap == min(CC._TFIDF_DENSE_CELLS_CAP, heap // 128)
+        assert nnz_cap == min(CC._TFIDF_DENSE_NNZ_CAP, heap // 160)
         assert CC._parse_jvm_mem("2g") == 2 << 30
         assert CC._parse_jvm_mem("512m") == 512 << 20
         assert CC._parse_jvm_mem("1024") == 1024
@@ -3789,3 +3796,117 @@ class TestLeakageSafeSplit:
         for r in rows.values():
             assert r["leaked_pairs"] == 0  # cluster-atomic by construction
             assert r["n_clusters"] <= r["n_docs"]
+
+
+class TestUnigramTokenizer:
+    """unigram_learn / unigram_apply / viterbi_pieces (operators/text.py):
+    the SentencePiece-unigram family trained by hard (Viterbi) EM with
+    integer-quantized costs — companion of TestBpeLearn."""
+
+    L = 4
+    INF = 10**12
+
+    def _vit_ref(self, word, costs):
+        """Python reference of the DP spec: min cost, ties to smallest j
+        (longest final piece), encoded as cost*64+j exactly like the
+        engine and the DuckDB oracle."""
+        n = len(word)
+        best = [0] * (n + 1)
+        back = [0] * (n + 1)
+        for p in range(1, n + 1):
+            e = min(
+                (best[j] + costs.get(word[j:p], self.INF)) * 64 + j
+                for j in range(max(0, p - self.L), p)
+            )
+            best[p] = e >> 6
+            back[p] = e & 63
+        pieces, i = [], n
+        while i > 0:
+            j = back[i]
+            pieces.insert(0, word[j:i])
+            i = j
+        return pieces
+
+    def test_viterbi_matches_reference_and_tiebreak(self, spark):
+        from aws_genaric_datapipeline_spark.operators.text import (
+            viterbi_pieces,
+        )
+
+        costs = {
+            "a": 100, "b": 200, "c": 300, "d": 50,
+            "ab": 150, "ba": 10, "abc": 500, "bc": 120, "cd": 90,
+            "abcd": 460,
+        }
+        words = ["abab", "abcd", "dcba", "aaaa", "b", "abcdabcd", "zzz"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: r["p"]
+            for r in df.select(
+                "word", viterbi_pieces(F.col("word"), costs, self.L).alias("p")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == self._vit_ref(w, costs), w
+        # 'abcd' is a direct tie-break probe: piece 'abcd' (460) vs
+        # 'abc'+'d' (550) vs 'ab'+'cd' (240) — min cost wins
+        assert got["abcd"] == ["ab", "cd"]
+
+    def test_learn_artifact_invariants_and_coverage(self, spark):
+        from aws_genaric_datapipeline_spark.operators.text import (
+            unigram_apply,
+            unigram_learn,
+            viterbi_pieces,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        art = unigram_learn(
+            docs, max_piece_len=self.L, seed_multi=48, em_iters=2,
+            keep_multi=24,
+        ).collect()
+        pieces = {r["piece"]: r for r in art}
+        # every artifact row is shape-consistent
+        for r in art:
+            assert 1 <= r["piece_len"] == len(r["piece"]) <= self.L
+            assert r["vit_count"] >= 0
+            assert r["logprob_q"] < 0  # ln of a probability < 1
+        assert sum(1 for r in art if r["piece_len"] > 1) <= 24
+        # coverage: the pruned vocab segments EVERY corpus word without
+        # the OOV cost path (single chars always survive)
+        costs = {r["piece"]: -int(r["logprob_q"]) for r in art}
+        wt = (
+            docs.select(F.explode_outer(F.split(F.trim("text"), r"\s+")).alias("word"))
+            .where(F.length("word") > 0)
+            .distinct()
+        )
+        segged = wt.select(
+            "word", viterbi_pieces(F.col("word"), costs, self.L).alias("p")
+        ).collect()
+        for r in segged:
+            assert "".join(r["p"]) == r["word"]
+            assert all(p in pieces for p in r["p"]), (r["word"], r["p"])
+        # apply: per-doc counts are internally consistent
+        out = unigram_apply(docs, costs, max_piece_len=self.L).collect()
+        for r in out:
+            assert r["n_pieces"] >= r["n_words"] >= 0
+            assert 0 <= r["n_multi_pieces"] <= r["n_pieces"]
+
+    def test_empty_and_oov_are_deterministic(self, spark):
+        from aws_genaric_datapipeline_spark.operators.text import (
+            unigram_apply,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "hello hello world"), (2, ""), (3, None), (4, "  ")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in unigram_apply(docs, {"h": 1, "e": 1}, max_piece_len=4)
+            .collect()
+        }
+        import hashlib
+
+        empty_md5 = hashlib.md5(b"").hexdigest()
+        for d in (2, 3, 4):
+            assert out[d]["n_words"] == 0 and out[d]["stream_md5"] == empty_md5
+        assert out[1]["n_words"] == 3
