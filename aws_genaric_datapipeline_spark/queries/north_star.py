@@ -1318,9 +1318,14 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM q JOIN base b ON b.vec_id <> q.query_id
             ) WHERE rn <= 5
         ),
+        bs AS (
+            SELECT * FROM base
+            WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 = 0
+        ),
         np AS (
             SELECT count(*) AS n
-            FROM base a JOIN base b ON a.vec_id < b.vec_id
+            FROM bs a JOIN bs b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
         )
         SELECT 'ivf_topk'       AS method, (SELECT n FROM topk) AS n_exact, true AS recall_ok
@@ -1348,13 +1353,32 @@ def sim_ann_recall_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin at sf0.001 and sf0.01 (observed 0.60-0.64 / 0.36-0.44 /
     0.72-0.80 / 0.93-1.0; all deterministic — seeded hyperplanes, seeded
     k-means init, static corpus).  A red row = a broken recall contract,
-    not a representation diff."""
+    not a representation diff.
+
+    The near-pair leg audits a deterministic md5-bucketed 10% sub-corpus
+    (see the inline note): per-pair LSH hit probability is a function of
+    the two vectors alone, so sampling changes the audit's COST (~100×
+    less crossJoin), not the contract.  The top-k legs already use a
+    fixed 5-query panel (linear scans, no sampling needed)."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     qids = [1, 2, 3, 4, 5]
     exact_tk = S.cosine_topk(embeddings, query_ids=qids, k=5).select(
         "query_id", "neighbor_id"
     )
-    exact_np = S.cosine_near_pairs(embeddings, threshold=0.45, exact=True).select(
+    # The near-pair ground truth is the one quadratic scan here (brute
+    # crossJoin): audit it on a deterministic md5-bucketed 10% sub-corpus
+    # — per-pair LSH hit probability depends only on the two vectors, so
+    # the sampled contract is the full contract restricted to sampled
+    # pairs at ~1% of the scan cost.  The full-corpus form stays a pytest
+    # audit (TestSketchContractsFullCorpus).
+    emb_s = embeddings.where(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10
+        == 0
+    )
+    exact_np = S.cosine_near_pairs(emb_s, threshold=0.45, exact=True).select(
         "id_a", "id_b"
     )
 
@@ -1373,7 +1397,7 @@ def sim_ann_recall_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = S.ivf_topk(embeddings, query_ids=qids, k=5, num_cells=16, nprobe=6)
     ivf_idx = sim_ivf_query_only(spark, sf_dir)
     lsh = S.lsh_bucketed_topk(embeddings, query_ids=qids, k=5, num_planes=4, num_tables=8)
-    lshnp = S.cosine_near_pairs(embeddings, threshold=0.45, num_planes=3, num_tables=12)
+    lshnp = S.cosine_near_pairs(emb_s, threshold=0.45, num_planes=3, num_tables=12)
     return (
         contract("ivf_topk", exact_tk, ivf, 0.5)
         .unionAll(contract("ivf_index_query", exact_tk, ivf_idx, 0.3))
@@ -2478,7 +2502,10 @@ def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH nd AS (
             SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
-            FROM documents WHERE text IS NOT NULL
+            FROM documents
+            WHERE text IS NOT NULL
+              AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 = 0
         ),
         g AS (
             SELECT DISTINCT doc_id AS did, substr(nt, CAST(t.i AS INT), 34) AS gram
@@ -2514,10 +2541,17 @@ def dedup_sketch_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
       simhash_hamming_complete — the pigeonhole contract of the 4x16-bit
         banding: EVERY pair at hamming distance <= 3 must be emitted by
         simhash_near_pairs.  Ground truth is a brute-force all-pairs
-        hamming scan over the 64-bit signature frame (8 bytes/row — a
-        documented audit-tier crossJoin like the brute cosine oracle
-        tiers, never a production path; the production operator is the
-        banded equi-join it audits).
+        hamming scan over the 64-bit signature frame.
+
+    BOTH ground truths audit a deterministic md5-bucketed 10% SUB-CORPUS
+    (doc_id hash bucket 0), not the full table: the winnow anchor set is
+    an uncapped 34-char-gram self-join and the simhash ground truth a
+    signature crossJoin — quadratic audit-tier scans whose cost the
+    sampling cuts ~100× while each contract stays EXACT per sampled pair
+    (fingerprints and signatures are per-document, and no df-cap/pruning
+    is in play, so restricting both sides to the sample equals the
+    full-corpus contract restricted to sample pairs).  The FULL-corpus
+    forms remain pytest audits (TestSketchContractsFullCorpus).
 
     Unlike the probabilistic ANN recall bounds, both contracts are exact
     consequences of the algorithms — a red row is an implementation bug,
@@ -2525,7 +2559,18 @@ def dedup_sketch_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_genaric_datapipeline_spark.operators.text import normalize_text
 
     (documents,) = load(spark, sf_dir, "documents")
-    docs = documents.where(F.col("text").isNotNull())
+    docs = documents.where(
+        F.col("text").isNotNull()
+        & (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+            == 0
+        )
+    )
 
     # -- winnow: guaranteed pairs = pairs sharing a normalized 34-char gram
     t = 34  # w + k - 1 for the default winnow_near_pairs(k=25, w=10)
@@ -2563,7 +2608,10 @@ def dedup_sketch_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- simhash: brute-force hamming<=3 ground truth vs the banded operator
-    sig = D.simhash(docs)
+    # ONE signature pass feeds both sides (simhash_near_pairs ≡
+    # hamming_near_pairs over the simhash frame — its generic form); the
+    # eager checkpoint pins the 64-aggregate reduction to one evaluation.
+    sig = D.simhash(docs).localCheckpoint(eager=True)
     ham = (
         sig.select(F.col("did").alias("id_a"), F.col("simhash").alias("sh_a"))
         .crossJoin(sig.select(F.col("did").alias("id_b"), F.col("simhash").alias("sh_b")))
@@ -2571,7 +2619,9 @@ def dedup_sketch_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
         .select("id_a", "id_b")
     )
-    sp = D.simhash_near_pairs(docs).select("id_a", "id_b")
+    sp = D.hamming_near_pairs(sig, id_col="did", hash_col="simhash").select(
+        "id_a", "id_b"
+    )
     s_missing = ham.join(sp, ["id_a", "id_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_missing")
     )

@@ -3910,3 +3910,85 @@ class TestUnigramTokenizer:
         for d in (2, 3, 4):
             assert out[d]["n_words"] == 0 and out[d]["stream_md5"] == empty_md5
         assert out[1]["n_words"] == 3
+
+
+class TestSketchContractsFullCorpus:
+    """FULL-corpus forms of the audit-tier contracts whose bench queries
+    now sample a deterministic 10% sub-corpus (dedup_sketch_guarantees,
+    sim_ann_recall_guarantees): the quadratic ground-truth scans run here
+    at sf0.001 where they are cheap, so the exact guarantees stay audited
+    corpus-wide every pytest run."""
+
+    def test_winnow_substring_recall_full_corpus(self, spark):
+        from aws_genaric_datapipeline_spark.operators import dedup as D
+        from aws_genaric_datapipeline_spark.operators.text import (
+            normalize_text,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+            F.col("text").isNotNull()
+        )
+        t = 34  # w + k - 1 for winnow_near_pairs(k=25, w=10)
+        nd = docs.select("doc_id", normalize_text(F.col("text")).alias("nt"))
+        grams = nd.where(F.length("nt") >= t).select(
+            F.col("doc_id").alias("did"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("nt") - (t - 1)),
+                        lambda i: F.col("nt").substr(i, F.lit(t)),
+                    )
+                )
+            ).alias("gram"),
+        )
+        gp = (
+            grams.select(F.col("did").alias("id_a"), "gram")
+            .join(grams.select(F.col("did").alias("id_b"), "gram"), "gram")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        assert gp.count() > 0  # the corpus does contain guaranteed pairs
+        wp = D.winnow_near_pairs(
+            docs, min_shared=1, max_doc_freq=1 << 40
+        ).select("id_a", "id_b")
+        assert gp.join(wp, ["id_a", "id_b"], "left_anti").count() == 0
+
+    def test_simhash_hamming_complete_full_corpus(self, spark):
+        from aws_genaric_datapipeline_spark.operators import dedup as D
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+            F.col("text").isNotNull()
+        )
+        sig = D.simhash(docs).localCheckpoint(eager=True)
+        ham = (
+            sig.select(F.col("did").alias("id_a"), F.col("simhash").alias("a"))
+            .crossJoin(
+                sig.select(F.col("did").alias("id_b"), F.col("simhash").alias("b"))
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(F.bit_count(F.col("a").bitwiseXOR(F.col("b"))) <= 3)
+            .select("id_a", "id_b")
+        )
+        sp = D.simhash_near_pairs(docs).select("id_a", "id_b")
+        assert ham.join(sp, ["id_a", "id_b"], "left_anti").count() == 0
+
+    def test_lsh_near_pair_recall_full_corpus(self, spark):
+        from aws_genaric_datapipeline_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in S.cosine_near_pairs(
+                emb, threshold=0.45, exact=True
+            ).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in S.cosine_near_pairs(
+                emb, threshold=0.45, num_planes=3, num_tables=12
+            ).collect()
+        }
+        assert exact, "corpus has near pairs"
+        assert len(got & exact) >= 0.8 * len(exact)
