@@ -2263,6 +2263,153 @@ def multimodal_jpeg_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curate_image_caption_rules",
+    oracle=_LANG_TRIGRAM_CTES
+    + f""",
+    ic AS (
+        SELECT d.doc_id,
+               CAST(8 * (1 + d.doc_id % 7) AS INT) AS width,
+               CAST(8 * (1 + (d.doc_id * 3) % 6) AS INT) AS height,
+               CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                    ELSE len({_DUCK_TOKS.replace('text', 'd.text')}) END
+                    AS BIGINT) AS n_caption_tokens,
+               p.lang, p.lang_pred
+        FROM documents d JOIN pred p USING (doc_id)
+        WHERE d.text IS NOT NULL AND length(d.text) > 0
+          AND octet_length(encode(d.text)) = length(d.text)
+    )
+    SELECT doc_id, width, height, n_caption_tokens,
+           (width * height >= 1024) AS flag_res,
+           (width <= 2 * height AND height <= 2 * width) AS flag_aspect,
+           (n_caption_tokens BETWEEN 3 AND 40) AS flag_caplen,
+           (lang IS NOT NULL AND lang_pred = lang) AS flag_lang,
+           ((width * height >= 1024)
+            AND (width <= 2 * height AND height <= 2 * width)
+            AND (n_caption_tokens BETWEEN 3 AND 40)
+            AND (lang IS NOT NULL AND lang_pred = lang)) AS keep
+    FROM ic
+    """,
+    tags=("north-star", "multimodal", "curation"),
+)
+def curate_image_caption_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style rule-based image–caption pair curation — the multimodal
+    twin of curate_funnel_v2: each document becomes an (image, caption)
+    pair (image = its text bytes rendered as a grayscale JPEG whose
+    dimensions derive deterministically from doc_id, so the fixture spans
+    8×8..56×48; caption = the text), then four standard filters compose:
+
+      flag_res    — minimum resolution (width·height ≥ 1024 px)
+      flag_aspect — aspect ratio within [1/2, 2] (integer cross-compare)
+      flag_caplen — caption length 3..40 whitespace tokens
+      flag_lang   — trigram-NB predicted caption language matches the
+                    labeled lang (detect_language_trigram; NULL label
+                    never matches — a pair without a language is dropped)
+
+    and ``keep`` is their conjunction.  width/height come from a REAL
+    encode→decode round trip: the engine's own baseline JPEG codec
+    (operators/jpegcodec.py) encodes each tile and the decoded ndarray's
+    shape — not the metadata — feeds the rules, so the oracle's
+    arithmetic replay of the dimensions also proves the codec preserved
+    them.  All rules are integer/boolean-exact (text_gopher_rules
+    posture): no float boundary can flip a flag cross-engine.
+
+    Scale: one Arrow-batched mapInPandas per codec direction over the
+    image corpus (the documented multimodal envelope), the vocabulary-
+    sized language model broadcast into scoring (text.py:205), and
+    everything downstream is (id, dims, flags) rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from aws_genaric_datapipeline_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    docs = documents.where(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.jpegcodec import (
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 8 * (1 + int(did) % 7)
+                h = 8 * (1 + (int(did) * 3) % 6)
+                raw = (text or "").encode("utf-8")
+                n = w * h
+                buf = (raw * (n // max(len(raw), 1) + 1))[:n] if raw else bytes(n)
+                tile = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+                blobs.append(encode_jpeg(tile, quality=100))
+                metas.append(
+                    {"kind": "image", "mime": "image/jpeg", "width": w,
+                     "height": h, "duration_ms": 0}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    def _decode_dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_genaric_datapipeline_spark.operators.jpegcodec import (
+            decode_jpeg,
+        )
+
+        for pdf in batches:
+            ws, hs = [], []
+            for payload in pdf["media"]:
+                arr = decode_jpeg(bytes(payload))
+                hs.append(int(arr.shape[0]))
+                ws.append(int(arr.shape[1]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs}
+            )
+
+    media = ensure_parallelism(docs.select("doc_id", "text")).mapInPandas(
+        _render, schema=M.MEDIA_SCHEMA
+    )
+    dims = media.mapInPandas(
+        _decode_dims, schema="doc_id long, width int, height int"
+    )
+    preds = X.detect_language_trigram(documents)
+    caps = docs.select(
+        "doc_id",
+        "lang",
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_caption_tokens"),
+    )
+    flag_res = F.col("width") * F.col("height") >= 1024
+    flag_aspect = (F.col("width") <= 2 * F.col("height")) & (
+        F.col("height") <= 2 * F.col("width")
+    )
+    flag_caplen = F.col("n_caption_tokens").between(3, 40)
+    flag_lang = F.col("lang").isNotNull() & (
+        F.col("lang_pred") == F.col("lang")
+    )
+    return (
+        caps.join(dims, "doc_id")
+        .join(preds, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "n_caption_tokens",
+            flag_res.alias("flag_res"),
+            flag_aspect.alias("flag_aspect"),
+            flag_caplen.alias("flag_caplen"),
+            flag_lang.alias("flag_lang"),
+            (flag_res & flag_aspect & flag_caplen & flag_lang).alias("keep"),
+        )
+    )
+
+
 # Quality score in exact integer basis points — same arithmetic as
 # operators/text.py quality_score_bp (shared by the quality + curation
 # oracles).
