@@ -158,26 +158,235 @@ class TxnTable:
             for c in self._commits()
         ]
 
+    # ------------------------------------------------- schema evolution
+    def _schema_commits(self, upto: int | None = None) -> list[dict]:
+        """Schema snapshots [{version, fields}] ascending, where fields is
+        [{"id": int, "name": str}, ...] — one entry per rename/drop commit
+        plus any history carried forward by an expire_snapshots
+        checkpoint.  Empty list = never evolved (identity mapping)."""
+        snaps: dict[int, dict] = {}
+        for c in self._commits():
+            for h in c.get("schema_history") or []:
+                snaps.setdefault(h["version"], h)
+            if c.get("schema"):
+                snaps[c["version"]] = {
+                    "version": c["version"],
+                    "fields": c["schema"]["fields"],
+                    "pre_fields": c["schema"].get(
+                        "pre_fields", c["schema"]["fields"]
+                    ),
+                }
+        out = [snaps[v] for v in sorted(snaps)]
+        if upto is not None:
+            out = [s for s in out if s["version"] <= upto]
+        return out
+
+    def _file_add_versions(self) -> dict[str, int]:
+        """File name -> version whose commit FIRST added it (the write
+        era deciding which physical column names the file carries).
+        Checkpoint commits carry the original versions forward in
+        ``add_versions``; their own re-adds only backstop files with no
+        recorded origin."""
+        out: dict[str, int] = {}
+        for c in self._commits():
+            for f, v in (c.get("add_versions") or {}).items():
+                out.setdefault(f, int(v))
+            for f in c["adds"]:
+                out.setdefault(f, c["version"])
+        return out
+
+    @staticmethod
+    def _physical_name(
+        fid: int, write_version: int, schemas: list[dict]
+    ) -> str | None:
+        """Physical column name field ``fid`` had in files written at
+        ``write_version``: its name in the latest schema snapshot at or
+        before the write, else (field registered only at a later schema
+        commit — every pre-bootstrap column, and any column appended
+        mid-era) its name in the earliest LATER snapshot's PRE-change
+        field list.  The pre list is sound because a column's name cannot
+        change between the write and its first registration — renames
+        only happen via schema commits, and each one registers all
+        then-current columns in its pre list before mutating."""
+        latest: str | None = None
+        for s in schemas:
+            if s["version"] <= write_version:
+                names = {f["id"]: f["name"] for f in s["fields"]}
+                if fid in names:
+                    latest = names[fid]
+            else:
+                if latest is not None:
+                    break
+                pre = {f["id"]: f["name"] for f in s["pre_fields"]}
+                if fid in pre:
+                    return pre[fid]
+        return latest
+
+    def _current_fields(self) -> list[dict]:
+        """Registered fields at the latest version, refreshed with ids
+        for any columns present in the current snapshot but not yet
+        registered (bootstraps identity ids on the first schema change;
+        later, folds additively-evolved columns into the registry)."""
+        schemas = self._schema_commits()
+        fields = (
+            [dict(f) for f in schemas[-1]["fields"]] if schemas else []
+        )
+        max_id = max(
+            (
+                f["id"]
+                for s in schemas
+                for f in (s["fields"] + s["pre_fields"])
+            ),
+            default=0,
+        )
+        try:
+            snapshot_cols = self.read().columns
+        except ValueError:  # empty table
+            snapshot_cols = []
+        known = {f["name"] for f in fields}
+        for c in snapshot_cols:
+            if c not in known:
+                max_id += 1
+                fields.append({"id": max_id, "name": c})
+        return fields
+
+    def _commit_schema(
+        self, op: str, mutate, max_retries: int = 10
+    ) -> int:
+        """Commit a schema change: ``mutate(fields)`` edits the refreshed
+        field list in place (rename/drop).  Fields are recomputed per
+        retry so a lost version race re-validates against the winner."""
+        for _ in range(max_retries):
+            pre = self._current_fields()
+            fields = [dict(f) for f in pre]
+            mutate(fields)
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v,
+                op,
+                [],
+                [],
+                None,
+                extra={"schema": {"fields": fields, "pre_fields": pre}},
+            ):
+                return v
+        raise TxnConflict(f"{op} lost {max_retries} version races")
+
+    def rename_column(self, old: str, new: str, max_retries: int = 10) -> int:
+        """Rename a column by FIELD ID (Iceberg semantics): a metadata-only
+        commit — no data files rewritten.  Reads map each file's physical
+        column names to the logical names of the schema in force at the
+        requested version, so old files surface the renamed column under
+        its new name, time travel to pre-rename versions shows the old
+        name, and table_changes across the rename boundary diffs the
+        column as ITSELF (a pure-rename version yields an empty feed)."""
+
+        def _mut(fields: list[dict]) -> None:
+            names = {f["name"] for f in fields}
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column already exists: {new!r}")
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+                    return
+
+        return self._commit_schema("rename_column", _mut, max_retries)
+
+    def drop_column(self, name: str, max_retries: int = 10) -> int:
+        """Drop a column by FIELD ID: metadata-only — old files keep the
+        physical column, but reads at or after the drop never surface it
+        (and a later new column reusing the name gets a FRESH id, never
+        resurrecting dropped data).  Time travel before the drop still
+        shows it."""
+
+        def _mut(fields: list[dict]) -> None:
+            if name not in {f["name"] for f in fields}:
+                raise ValueError(f"no such column: {name!r}")
+            fields[:] = [f for f in fields if f["name"] != name]
+
+        return self._commit_schema("drop_column", _mut, max_retries)
+
     # ----------------------------------------------------------------- read
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, schema_version: int | None = None
+    ) -> DataFrame:
         """Snapshot read (time travel with ``version``).
 
         ``mergeSchema`` gives ADDITIVE schema evolution for free: a
         commit may add columns, and older files surface them as null —
         the Delta/Iceberg add-column semantics.  Time travel to a
         pre-evolution version reads only pre-evolution files and so
-        shows the old schema.  (Renames/drops need field-id mapping —
-        out of scope; appends with missing existing columns likewise
-        surface nulls rather than failing, matching parquet merge.)"""
+        shows the old schema.
+
+        Renames/drops resolve through FIELD IDS (rename_column /
+        drop_column): live files group by the physical-name mapping of
+        their write era, each group's physical columns alias to the
+        logical names of the schema in force at the target version, and
+        the groups union by name (missing columns null-fill).  A table
+        that never evolved takes the single mergeSchema read — zero
+        overhead.  ``schema_version`` reads ``version``'s DATA under a
+        different version's NAMES (table_changes uses it to diff across
+        a rename boundary)."""
         files = self.live_files(version)
         if not files:
             raise ValueError(
                 f"table {self.path} has no data at version "
                 f"{self.latest_version() if version is None else version}"
             )
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *[str(self.path / self.DATA_DIR / f) for f in files]
+        target = (
+            schema_version
+            if schema_version is not None
+            else (version if version is not None else self.latest_version())
         )
+        schemas = self._schema_commits(target)
+        if not schemas:
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                *[str(self.path / self.DATA_DIR / f) for f in files]
+            )
+        current = schemas[-1]["fields"]
+        cur_names = {f["name"] for f in current}
+        universe = sorted(
+            {
+                f["id"]
+                for s in schemas
+                for f in (s["fields"] + s["pre_fields"])
+            }
+        )
+        addv = self._file_add_versions()
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            wv = addv.get(f, 0)
+            key = tuple(
+                (fid, self._physical_name(fid, wv, schemas))
+                for fid in universe
+            )
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for key, fs in groups.items():
+            mapping = dict(key)
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[str(self.path / self.DATA_DIR / f) for f in fs]
+            )
+            claimed = {pn for pn in mapping.values() if pn}
+            cols = [
+                F.col(mapping[f["id"]]).alias(f["name"])
+                for f in current
+                if mapping.get(f["id"]) and mapping[f["id"]] in df.columns
+            ]
+            # unregistered additive columns pass through under their own
+            # (physical == logical) name
+            cols += [
+                F.col(c)
+                for c in df.columns
+                if c not in claimed and c not in cur_names
+            ]
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def file_stats(self) -> dict[str, dict]:
         """name -> {column: [min, max]} harvested at commit time."""
@@ -199,7 +408,20 @@ class TxnTable:
         prunes rows).  Files without stats for the column are always
         read — pruning is an OPTIMIZATION, never a correctness gate.
         This is the Delta-style skip that turns a key-range query on a
-        range-laid-out table into a handful of file opens."""
+        range-laid-out table into a handful of file opens.
+
+        On a table with rename/drop history the stats keys are PHYSICAL
+        write-time names, so file pruning by the logical name would be
+        unsound — the read falls back to the exact filter over the
+        field-id-resolved snapshot (correct, just unpruned; re-harvesting
+        stats under logical names at compaction would restore the skip)."""
+        if self._schema_commits(version):
+            df = self.read(version)
+            if lower is not None:
+                df = df.where(F.col(column) >= F.lit(lower))
+            if upper is not None:
+                df = df.where(F.col(column) <= F.lit(upper))
+            return df
         files = self.live_files(version)
         if not files:
             raise ValueError(f"table {self.path} has no data")
@@ -262,8 +484,11 @@ class TxnTable:
         adds: list[str],
         removes: list[str],
         app_txn_id: str | None,
+        extra: dict | None = None,
     ) -> bool:
-        """Atomically publish ``version``; False if someone else won it."""
+        """Atomically publish ``version``; False if someone else won it.
+        ``extra`` merges additional metadata into the commit (schema
+        evolution records)."""
         pending = getattr(self, "_pending_stats", {})
         payload = json.dumps(
             {
@@ -274,6 +499,7 @@ class TxnTable:
                 "app_txn_id": app_txn_id,
                 "committed_at": time.time(),
                 "stats": {n: pending[n] for n in adds if n in pending},
+                **(extra or {}),
             },
             indent=1,
         )
@@ -576,6 +802,17 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
                 {n: s for n, s in c.get("stats", {}).items() if n in set(live)}
             )
     orig = next(c for c in commits if c["version"] == cutoff)
+    # Schema-evolution continuity: the checkpoint carries forward (a) the
+    # full schema-snapshot history at or below the cutoff and (b) each
+    # surviving file's ORIGINAL add version, so field-id resolution for
+    # pre-cutoff files (which keep their write-era physical column names)
+    # still works after the originating commits are unlinked.
+    schema_history = table._schema_commits(cutoff)
+    addv = {
+        f: v
+        for f, v in table._file_add_versions().items()
+        if f in set(live)
+    }
     payload = json.dumps(
         {
             "version": cutoff,
@@ -586,6 +823,11 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
             "app_txn_id": orig.get("app_txn_id"),
             "committed_at": time.time(),
             "stats": stats,
+            **(
+                {"schema_history": schema_history, "add_versions": addv}
+                if schema_history
+                else {}
+            ),
         },
         indent=1,
     )
@@ -627,11 +869,15 @@ def table_changes(
     prune to the key + compared columns, and a key-partitioned layout
     turns it into a co-located join (see operators/bucketing.py).
     """
+    # Both snapshots read under to_version's NAMES (field-id resolution):
+    # a version that only renames a column therefore diffs as an empty
+    # feed, and updates across the boundary diff the renamed column as
+    # itself — CDF stays correct through schema evolution.
     new = table.read(to_version)
     if from_version == 0:
         old = new.where(F.lit(False))
     else:
-        old = table.read(from_version)
+        old = table.read(from_version, schema_version=to_version)
     val_cols = [c for c in new.columns if c not in keys]
     for c in val_cols:
         if c not in old.columns:

@@ -851,3 +851,104 @@ class TestDeleteKeys:
         # the interloper's row is intact, ours never half-applied
         assert (9, "z") in _rows(table.read())
         assert (1, "a") in _rows(table.read())
+
+
+class TestTxnEvolution:
+    """rename_column / drop_column via per-column FIELD IDS: metadata-only
+    commits, old files keep write-era physical names, reads resolve
+    physical -> logical by id, time travel shows era-correct names, and
+    CDF across a rename boundary stays correct."""
+
+    def test_rename_maps_old_files_and_time_travel(self, spark, table):
+        table.append(_df(spark, [(1, "a")]))            # v1: old physical 'v'
+        v_ren = table.rename_column("v", "val")         # v2: metadata only
+        table.append(                                   # v3: new physical 'val'
+            spark.createDataFrame([(2, "b")], "k bigint, val string")
+        )
+        assert sorted(table.read().columns) == ["k", "val"]
+        assert {(r["k"], r["val"]) for r in table.read().collect()} == {
+            (1, "a"),
+            (2, "b"),
+        }
+        # time travel BEFORE the rename shows the old name
+        assert sorted(table.read(version=1).columns) == ["k", "v"]
+        # rename was metadata-only: no data files added or removed
+        ren = next(c for c in table._commits() if c["version"] == v_ren)
+        assert ren["op"] == "rename_column" and not ren["adds"] and not ren["removes"]
+
+    def test_drop_hides_column_and_fresh_id_on_name_reuse(self, spark, table):
+        table.append(_df(spark, [(1, "a")]))
+        table.drop_column("v")
+        assert table.read().columns == ["k"]
+        assert table.read(version=1).columns == ["k", "v"]  # pre-drop
+        # re-adding a column NAMED v gets a fresh field id: old data never
+        # resurrects under the reused name
+        table.append(spark.createDataFrame([(2, "B")], "k bigint, v string"))
+        got = {(r["k"], r["v"]) for r in table.read().collect()}
+        assert got == {(1, None), (2, "B")}
+
+    def test_rename_then_rename_and_swap_names(self, spark, table):
+        table.append(_df(spark, [(1, "a")]))
+        table.rename_column("v", "w")
+        table.rename_column("k", "v")  # reuse the vacated name
+        assert sorted(table.read().columns) == ["v", "w"]
+        assert {(r["v"], r["w"]) for r in table.read().collect()} == {(1, "a")}
+
+    def test_validation_errors(self, spark, table):
+        table.append(_df(spark, [(1, "a")]))
+        with pytest.raises(ValueError, match="no such column"):
+            table.rename_column("zz", "y")
+        with pytest.raises(ValueError, match="already exists"):
+            table.rename_column("v", "k")
+        with pytest.raises(ValueError, match="no such column"):
+            table.drop_column("zz")
+
+    def test_cdf_across_rename_boundary(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import table_changes
+
+        table.append(_df(spark, [(1, "a"), (2, "b")]))      # v1
+        table.rename_column("v", "val")                     # v2: pure rename
+        table.merge_upsert(                                 # v3: real change
+            spark.createDataFrame([(2, "B")], "k bigint, val string"),
+            keys=["k"],
+        )
+        # the pure-rename version diffs as EMPTY — no phantom changes
+        assert table_changes(table, 1, 2, ["k"]).count() == 0
+        # across the boundary the renamed column diffs as itself
+        diff = {
+            (r["k"], r["change_type"], r["old_val"], r["new_val"])
+            for r in table_changes(table, 1, 3, ["k"]).collect()
+        }
+        assert diff == {(2, "update_postimage", "b", "B")}
+
+    def test_expire_preserves_field_id_resolution(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            expire_snapshots,
+        )
+
+        table.append(_df(spark, [(1, "a")]))                # v1 (old names)
+        table.rename_column("v", "val")                     # v2
+        table.append(
+            spark.createDataFrame([(2, "b")], "k bigint, val string")
+        )                                                   # v3
+        table.append(
+            spark.createDataFrame([(3, "c")], "k bigint, val string")
+        )                                                   # v4
+        expired = expire_snapshots(table, keep_last=2)      # drops v1, v2
+        assert expired == [1, 2]
+        # v1's file still carries physical 'v'; the carried schema history
+        # + original add versions must keep mapping it to 'val'
+        assert {(r["k"], r["val"]) for r in table.read().collect()} == {
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        }
+
+    def test_read_pruned_falls_back_correct_after_rename(self, spark, table):
+        table.append(_df(spark, [(1, "a"), (5, "e"), (9, "i")]))
+        table.rename_column("k", "key")
+        got = {
+            (r["key"], r["v"])
+            for r in table.read_pruned("key", lower=4, upper=9).collect()
+        }
+        assert got == {(5, "e"), (9, "i")}
