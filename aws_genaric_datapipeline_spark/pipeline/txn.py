@@ -956,6 +956,15 @@ def merge_upsert_pruned(
             "n_touched": 0,
             "n_carried": len(table.live_files()),
         }
+    if table._schema_commits():
+        # rename/drop history: file stats and raw file reads use PHYSICAL
+        # write-era names, so pruning by the logical key would be unsound.
+        # Fall back to the full-snapshot MERGE (field-id-resolved read,
+        # correct but unpruned).  Restoring the pruned path on an evolved
+        # table would need stats keyed by field id — a straightforward
+        # refinement left undone; this guard keeps correctness absolute.
+        v = table.merge_upsert(updates, keys=[key], app_txn_id=app_txn_id)
+        return {"version": v, "n_touched": len(table.live_files(v - 1)), "n_carried": 0}
     base_version = table.latest_version()
     base_files = table.live_files(base_version)
     row = updates.agg(

@@ -952,3 +952,22 @@ class TestTxnEvolution:
             for r in table.read_pruned("key", lower=4, upper=9).collect()
         }
         assert got == {(5, "e"), (9, "i")}
+
+    def test_pruned_merge_falls_back_correct_after_rename(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            merge_upsert_pruned,
+        )
+
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        table.rename_column("v", "val")
+        res = merge_upsert_pruned(
+            table,
+            spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, val string"),
+            key="k",
+        )
+        assert res["version"] == 3
+        assert {(r["k"], r["val"]) for r in table.read().collect()} == {
+            (1, "a"),
+            (2, "B"),
+            (3, "c"),
+        }
