@@ -674,3 +674,75 @@ def txn_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         app_txn_id="cdf-delete",
     )
     return table_changes(table, from_version=1, to_version=3, keys=["o_orderkey"])
+
+
+@query(
+    "txn_schema_evolution",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS amount_cents
+            FROM orders WHERE o_orderkey % 4 = 0
+        ),
+        add2 AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS amount_cents
+            FROM orders WHERE o_orderkey % 4 = 1
+        ),
+        snap AS (SELECT * FROM base UNION ALL SELECT * FROM add2)
+        SELECT s.o_orderkey, s.amount_cents,
+               b.amount_cents AS v1_price_cents
+        FROM snap s LEFT JOIN base b USING (o_orderkey)
+    """,
+    tags=("merge", "acid", "pipeline", "evolution"),
+)
+def txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id schema evolution end to end (pipeline/txn.py
+    rename_column/drop_column — Iceberg rename/drop semantics over the
+    mini transaction log): seed v1 with (o_orderkey, price_cents), RENAME
+    price_cents→amount_cents (v2, metadata-only), append a batch under
+    the NEW name carrying an extra ``status`` column (v3, additive
+    evolution), then DROP status (v4).
+
+    The emitted frame proves all four behaviors at once: the latest
+    snapshot surfaces v1's files (physical column ``price_cents``) under
+    the logical name ``amount_cents``; the appended rows union in by
+    name; the dropped ``status`` column must be ABSENT (the driver's
+    sorted-schema compare fails if a drop leaks); and the
+    ``v1_price_cents`` leg time-travels to version 1, whose era-correct
+    OLD column name must still resolve.  The oracle replays the content
+    relationally — the Spark side must get there through actual parquet
+    commits, metadata-only schema commits, and era-mapped reads."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", cents.alias("price_cents")
+    )
+    add2 = orders.where(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey",
+        (cents + 7).alias("amount_cents"),
+        F.lit("late").alias("status"),
+    )
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_evo_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    table.overwrite(base, app_txn_id="evo-seed")        # v1: old name
+    table.rename_column("price_cents", "amount_cents")  # v2: metadata only
+    table.append(add2, app_txn_id="evo-add")            # v3: new name + status
+    table.drop_column("status")                         # v4: metadata only
+    latest = table.read()
+    v1 = table.read(version=1).select(
+        "o_orderkey", F.col("price_cents").alias("v1_price_cents")
+    )
+    return latest.join(v1, "o_orderkey", "left").select(
+        "o_orderkey", "amount_cents", "v1_price_cents"
+    )
