@@ -192,6 +192,139 @@ HEADLINE = [
     "stream_cdf_replica",
     "embed_int8_quantize",
     "q21_waiting_orders",
+    # round-12: full-registry gate — every registered query is now
+    # gated and benched (VERDICT r11 item 6)
+    "agg_bitwise",
+    "agg_collect_sorted",
+    "agg_conditional",
+    "agg_decimal_exact",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having_large_orders",
+    "agg_hll_mergeable",
+    "agg_min_max_by",
+    "agg_mode_median",
+    "agg_percentile",
+    "agg_quantile_histogram",
+    "agg_rollup",
+    "agg_stats",
+    "agg_string_sorted",
+    "cdc_apply_changelog",
+    "chunk_token_windows",
+    "curate_image_caption_rules",
+    "curate_mix_ratios",
+    "curate_top_quality_approx",
+    "dedup_exact_distinct",
+    "dedup_incremental_batch",
+    "diag_key_skew",
+    "dq_benford_first_digit",
+    "dq_dynamic_rules",
+    "embed_label_centroids",
+    "embed_projection_distortion_check",
+    "embed_random_projection",
+    "events_anomaly_zscore",
+    "events_attribution_touch",
+    "events_dow_seasonal_residuals",
+    "events_gap_report",
+    "events_heavy_hitter_types",
+    "events_impute_missing",
+    "events_markov_transitions",
+    "events_resample_interpolate",
+    "events_resample_locf",
+    "events_rfm_segments",
+    "events_winsorize_by_type",
+    "filter_predicates",
+    "func_arrays",
+    "func_conditional",
+    "func_date_parse_roundtrip",
+    "func_dates",
+    "func_edit_distance",
+    "func_explode_tokens",
+    "func_map_from_json",
+    "func_math",
+    "func_regexp",
+    "func_strings",
+    "func_struct_access",
+    "func_timestamps",
+    "func_try_arithmetic",
+    "func_url_parse",
+    "func_variant_json",
+    "join_full_outer",
+    "join_inner_equi",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_nullsafe",
+    "join_range_events",
+    "join_theta_pairs",
+    "lateral_top_orders_per_customer",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_real_decode",
+    "multimodal_video_frames",
+    "pack_token_bins",
+    "pipe_syntax_revenue",
+    "pivot_status_by_priority",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_pseudonymize_join",
+    "projection_cast",
+    "q11_important_stock",
+    "q12_shipping_modes",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q22_dormant_rich_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "report_psi_value_drift",
+    "report_source_kl_divergence",
+    "sales_monthly_yoy",
+    "sample_hash_deterministic",
+    "sample_quantile_bins",
+    "sample_stratified_by_lang",
+    "sample_temporal_holdout",
+    "scd2_event_type_intervals",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_by_name",
+    "sort_limit_global",
+    "stats_chi2_categorical_drift",
+    "stats_corr_covar",
+    "stats_ks_drift",
+    "stats_mad_outliers",
+    "stats_moments",
+    "stats_pmi_event_pairs",
+    "stats_price_histogram",
+    "stream_enrich_dim",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "subq_exists_late_lineitem",
+    "subq_scalar_below_avg_qty",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "tokenizer_unigram_apply",
+    "tokenizer_unigram_learn",
+    "txn_schema_evolution",
+    "udf_grouped_zscore",
+    "udf_scalar_pandas",
+    "udtf_token_positions",
+    "unpivot_price_components",
+    "window_first_last",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_ntile_cume",
+    "window_range_numeric",
+    "window_rank_dense",
+    "window_running_sum",
 ]
 
 
