@@ -1222,12 +1222,15 @@ def viterbi_pieces(
 
     DP, all-JVM: best[p] = min over j in [max(0, p-L), p-1] of
     best[j] + cost(word[j+1..p]); each candidate encodes as
-    (best[j]+cost)·64 + j, so ONE integer array_min picks the minimum
-    cost with ties broken to the smallest j — i.e. the LONGEST final
-    piece, the standard greedy preference — deterministically.  A second
-    bounded fold unwinds the backpointers into the piece array.  Out-of-
-    vocab spans cost UNIGRAM_OOV_COST; single characters in the vocab
-    guarantee a finite path for any trained corpus.
+    (best[j]+cost)·64 + (64 - piece_len), so ONE integer array_min picks
+    the minimum cost with ties broken to the LARGEST piece length — the
+    standard longest-piece greedy preference — deterministically.  The
+    encoded tail is the RELATIVE offset (piece length ≤ max_piece_len ≤
+    63), never the absolute position, so words of any length stay exact;
+    the backpointer array stores the winning piece length.  A second
+    bounded fold unwinds it into the piece array.  Out-of-vocab spans
+    cost UNIGRAM_OOV_COST; single characters in the vocab guarantee a
+    finite path for any trained corpus.
 
     Work is O(len·L) integer ops per WORD TYPE (callers segment distinct
     words only); the vocabulary rides along as a literal map — model-
@@ -1264,13 +1267,16 @@ def viterbi_pieces(
                 + piece_cost((j + 1).cast("int"), (p - j).cast("int"))
             )
             * 64
-            + j.cast("bigint"),
+            + (F.lit(64) - (p - j)).cast("bigint"),
         )
         enc = F.array_min(cands)
         return F.struct(
             F.concat(acc["best"], F.array(F.shiftright(enc, 6))).alias("best"),
             F.concat(
-                acc["back"], F.array(enc.bitwiseAND(F.lit(63)).cast("int"))
+                acc["back"],
+                F.array(
+                    (F.lit(64) - enc.bitwiseAND(F.lit(63))).cast("int")
+                ),
             ).alias("back"),
         )
 
@@ -1285,13 +1291,14 @@ def viterbi_pieces(
     back = dp["back"]
 
     def unwind(acc, _):
-        j = F.try_element_at(back, acc["i"])
+        plen = F.try_element_at(back, acc["i"])  # winning piece length
+        j = acc["i"] - plen
         return F.when(
             acc["i"] > 0,
             F.struct(
                 j.alias("i"),
                 F.concat(
-                    F.array(word.substr(j + 1, acc["i"] - j)), acc["pieces"]
+                    F.array(word.substr(j + 1, plen)), acc["pieces"]
                 ).alias("pieces"),
             ),
         ).otherwise(acc)

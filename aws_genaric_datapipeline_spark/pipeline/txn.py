@@ -117,10 +117,13 @@ class TxnTable:
         ]
         return max(versions, default=0)
 
-    def live_files(self, version: int | None = None) -> list[str]:
-        """File names live at ``version`` (default: latest)."""
+    def live_files(
+        self, version: int | None = None, commits: list[dict] | None = None
+    ) -> list[str]:
+        """File names live at ``version`` (default: latest).  ``commits``
+        lets callers reuse an already-parsed log."""
         v = self.latest_version() if version is None else version
-        commits = self._commits()
+        commits = self._commits() if commits is None else commits
         if commits and commits[0].get("base") and v < commits[0]["version"]:
             # expire_snapshots collapsed history below this point; an
             # expired version must FAIL loudly, not read back empty.
@@ -159,13 +162,16 @@ class TxnTable:
         ]
 
     # ------------------------------------------------- schema evolution
-    def _schema_commits(self, upto: int | None = None) -> list[dict]:
+    def _schema_commits(
+        self, upto: int | None = None, commits: list[dict] | None = None
+    ) -> list[dict]:
         """Schema snapshots [{version, fields}] ascending, where fields is
         [{"id": int, "name": str}, ...] — one entry per rename/drop commit
         plus any history carried forward by an expire_snapshots
-        checkpoint.  Empty list = never evolved (identity mapping)."""
+        checkpoint.  Empty list = never evolved (identity mapping).
+        ``commits`` lets callers reuse an already-parsed log."""
         snaps: dict[int, dict] = {}
-        for c in self._commits():
+        for c in self._commits() if commits is None else commits:
             for h in c.get("schema_history") or []:
                 snaps.setdefault(h["version"], h)
             if c.get("schema"):
@@ -181,14 +187,16 @@ class TxnTable:
             out = [s for s in out if s["version"] <= upto]
         return out
 
-    def _file_add_versions(self) -> dict[str, int]:
+    def _file_add_versions(
+        self, commits: list[dict] | None = None
+    ) -> dict[str, int]:
         """File name -> version whose commit FIRST added it (the write
         era deciding which physical column names the file carries).
         Checkpoint commits carry the original versions forward in
         ``add_versions``; their own re-adds only backstop files with no
         recorded origin."""
         out: dict[str, int] = {}
-        for c in self._commits():
+        for c in self._commits() if commits is None else commits:
             for f, v in (c.get("add_versions") or {}).items():
                 out.setdefault(f, int(v))
             for f in c["adds"]:
@@ -328,8 +336,14 @@ class TxnTable:
         that never evolved takes the single mergeSchema read — zero
         overhead.  ``schema_version`` reads ``version``'s DATA under a
         different version's NAMES (table_changes uses it to diff across
-        a rename boundary)."""
-        files = self.live_files(version)
+        a rename boundary).
+
+        The commit log is parsed ONCE per read and shared by the three
+        log-derived views (live set, schema chain, add versions) — a
+        CDF consumer replaying k versions over an n-commit log pays
+        O(k·n) parses, not O(3·k·n)."""
+        commits = self._commits()
+        files = self.live_files(version, commits=commits)
         if not files:
             raise ValueError(
                 f"table {self.path} has no data at version "
@@ -340,7 +354,7 @@ class TxnTable:
             if schema_version is not None
             else (version if version is not None else self.latest_version())
         )
-        schemas = self._schema_commits(target)
+        schemas = self._schema_commits(target, commits=commits)
         if not schemas:
             return self.spark.read.option("mergeSchema", "true").parquet(
                 *[str(self.path / self.DATA_DIR / f) for f in files]
@@ -354,7 +368,7 @@ class TxnTable:
                 for f in (s["fields"] + s["pre_fields"])
             }
         )
-        addv = self._file_add_versions()
+        addv = self._file_add_versions(commits)
         groups: dict[tuple, list[str]] = {}
         for f in files:
             wv = addv.get(f, 0)

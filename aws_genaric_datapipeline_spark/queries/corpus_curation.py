@@ -457,7 +457,7 @@ _UNI_L = 4
 _UNI_SEED_MULTI = 48
 _UNI_EM_ITERS = 2
 _UNI_KEEP_MULTI = 24
-_UNI_INF = 1_000_000_000_000  # text.UNIGRAM_OOV_COST
+_UNI_INF = X.UNIGRAM_OOV_COST  # single source of truth with the operator
 
 
 def _unigram_quant_sql(src: str) -> str:
@@ -470,10 +470,11 @@ def _unigram_quant_sql(src: str) -> str:
 
 def _unigram_vit_sql(tag: str, scores_src: str) -> str:
     """Viterbi segmentation of every word type under ``scores_src``
-    (piece, cost): the DP carries best-cost and backpointer lists, each
-    candidate encoding as (best[j]+cost)·64+j so list_min picks (min
-    cost, min j = longest final piece) — bit-identical to
-    text.viterbi_pieces — then a second walk unwinds the backpointers."""
+    (piece, cost): the DP carries best-cost and piece-length backpointer
+    lists, each candidate encoding as (best[j]+cost)·64 + (64-piece_len)
+    so list_min picks (min cost, LONGEST piece) — bit-identical to
+    text.viterbi_pieces, relative-offset encoding so any word length is
+    exact — then a second walk unwinds the piece lengths."""
     return f"""
         usm{tag} AS MATERIALIZED (
             SELECT map(list(piece ORDER BY piece),
@@ -487,7 +488,7 @@ def _unigram_vit_sql(tag: str, scores_src: str) -> str:
             UNION ALL
             SELECT word, freq, i + 1,
                    list_append(best, enc // 64),
-                   list_append(back, CAST(enc % 64 AS INT))
+                   list_append(back, CAST(64 - (enc % 64) AS INT))
             FROM (
                 SELECT word, freq, i, best, back,
                        list_min(list_transform(
@@ -495,7 +496,7 @@ def _unigram_vit_sql(tag: str, scores_src: str) -> str:
                            j -> (best[j + 1]
                                  + coalesce(m[word[j + 1 : i + 1]][1],
                                             CAST({_UNI_INF} AS BIGINT)))
-                                * 64 + j)) AS enc
+                                * 64 + (64 - (i + 1 - j)))) AS enc
                 FROM uvit{tag}, usm{tag} WHERE i < length(word)
             )
         ),
@@ -504,8 +505,8 @@ def _unigram_vit_sql(tag: str, scores_src: str) -> str:
                    []::VARCHAR[] AS pieces
             FROM uvit{tag} WHERE i = length(word)
             UNION ALL
-            SELECT word, freq, back[i], back,
-                   list_prepend(word[back[i] + 1 : i], pieces)
+            SELECT word, freq, i - back[i], back,
+                   list_prepend(word[i - back[i] + 1 : i], pieces)
             FROM ubt{tag} WHERE i > 0
         )"""
 

@@ -22,6 +22,27 @@ from aws_genaric_datapipeline_spark.operators import text as X
 from aws_genaric_datapipeline_spark.queries.registry import query
 from aws_genaric_datapipeline_spark.tables import load
 
+def _md5_bucket10(col: F.Column) -> F.Column:
+    """Deterministic 10% sub-corpus predicate (md5 bucket 0 of 10) — the
+    shared sampler for the audit-tier ground truths.  MUST stay the
+    byte-for-byte twin of _DUCK_MD5_BUCKET10: a one-character drift
+    silently changes which sub-corpus a contract audits."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 10
+        == 0
+    )
+
+
+# DuckDB twin of _md5_bucket10 (format with col=<id column expression>)
+_DUCK_MD5_BUCKET10 = (
+    "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 10 = 0"
+)
+
+
 def _ivf_oracle_sql(nprobe: int, num_cells: int = 16, k: int = 5, dim: int = 64) -> str:
     """Oracle SQL replaying the ENTIRE IVF pipeline (similarity.py
     ivf_train_centroids + _assign_cells + top-k re-rank) in DuckDB:
@@ -1320,8 +1341,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bs AS (
             SELECT * FROM base
-            WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-                       AS BIGINT) % 10 = 0
+            WHERE {bucket_vec}
         ),
         np AS (
             SELECT count(*) AS n
@@ -1335,7 +1355,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'lsh_topk',       (SELECT n FROM topk),                      true
         UNION ALL
         SELECT 'lsh_near_pairs', (SELECT n FROM np),                        true
-    """,
+    """.replace("{bucket_vec}", _DUCK_MD5_BUCKET10.format(col="vec_id")),
     tags=("north-star", "similarity"),
 )
 def sim_ann_recall_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1371,13 +1391,7 @@ def sim_ann_recall_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sampled contract is the full contract restricted to sampled
     # pairs at ~1% of the scan cost.  The full-corpus form stays a pytest
     # audit (TestSketchContractsFullCorpus).
-    emb_s = embeddings.where(
-        F.conv(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        % 10
-        == 0
-    )
+    emb_s = embeddings.where(_md5_bucket10(F.col("vec_id")))
     exact_np = S.cosine_near_pairs(emb_s, threshold=0.45, exact=True).select(
         "id_a", "id_b"
     )
@@ -2651,8 +2665,7 @@ def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
             FROM documents
             WHERE text IS NOT NULL
-              AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                       AS BIGINT) % 10 = 0
+              AND {bucket_doc}
         ),
         g AS (
             SELECT DISTINCT doc_id AS did, substr(nt, CAST(t.i AS INT), 34) AS gram
@@ -2668,7 +2681,7 @@ def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'simhash_hamming_complete',
                (SELECT count(*) FROM gp), true
-    """,
+    """.replace("{bucket_doc}", _DUCK_MD5_BUCKET10.format(col="doc_id")),
     tags=("north-star", "dedup"),
 )
 def dedup_sketch_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2707,16 +2720,7 @@ def dedup_sketch_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = load(spark, sf_dir, "documents")
     docs = documents.where(
-        F.col("text").isNotNull()
-        & (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 10
-            == 0
-        )
+        F.col("text").isNotNull() & _md5_bucket10(F.col("doc_id"))
     )
 
     # -- winnow: guaranteed pairs = pairs sharing a normalized 34-char gram

@@ -743,6 +743,7 @@ def txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = table.read(version=1).select(
         "o_orderkey", F.col("price_cents").alias("v1_price_cents")
     )
-    return latest.join(v1, "o_orderkey", "left").select(
-        "o_orderkey", "amount_cents", "v1_price_cents"
-    )
+    # deliberately NO projection of latest's columns: if drop_column ever
+    # leaked ``status`` into the snapshot, the extra column must reach the
+    # driver's sorted-schema compare and fail the gate
+    return latest.join(v1, "o_orderkey", "left")

@@ -184,8 +184,14 @@ def stream_table_changes(
     Backpressure knobs (both optional, both safe at any value):
     ``max_files_per_trigger`` splits a backlog into several triggers at
     the file source; ``max_versions_per_batch`` caps the versions applied
-    per trigger.  Under availableNow, pair them (files ≥ versions per
-    trigger) so the drain still reaches the head of the log."""
+    per trigger.  Setting only the version cap would STRAND a backlog —
+    availableNow delivers every pending commit file in one batch, the
+    capped handler applies one chunk, and the drained stream stops with
+    versions unapplied — so the version cap defaults the file cap to the
+    same value: each capped trigger then has a following trigger until
+    the log's head, under availableNow and continuous mode alike."""
+    if max_versions_per_batch is not None and max_files_per_trigger is None:
+        max_files_per_trigger = max_versions_per_batch
     return _commit_log_stream_writer(
         spark,
         src,
@@ -195,6 +201,45 @@ def stream_table_changes(
         available_now,
         max_files_per_trigger,
     )
+
+
+def _replica_apply_schema_op(replica: TxnTable, commit: dict) -> bool:
+    """Propagate an upstream rename_column/drop_column commit onto the
+    replica so post-evolution diffs merge cleanly (without this, the
+    first post-rename upsert wedges the replica's MERGE on a missing
+    column).  Returns True if ``commit`` was a schema op.
+
+    Idempotent under crash-replay: a rename whose old name is already
+    gone is accepted iff the new name is present (the prior application
+    committed but the marker didn't); same rule for drops."""
+    if commit.get("op") not in ("rename_column", "drop_column"):
+        return False
+    try:
+        replica.read()
+    except ValueError:
+        # empty replica: nothing to rename/drop; later diffs arrive
+        # under the post-evolution names already
+        return True
+    pre = {f["id"]: f["name"] for f in commit["schema"]["pre_fields"]}
+    post = {f["id"]: f["name"] for f in commit["schema"]["fields"]}
+    if commit["op"] == "rename_column":
+        fid = next(
+            i for i in post if i in pre and post[i] != pre[i]
+        )
+        old, new = pre[fid], post[fid]
+        try:
+            replica.rename_column(old, new)
+        except ValueError:
+            if new not in replica.read().columns:
+                raise
+    else:
+        for name in (pre[i] for i in pre if i not in post):
+            try:
+                replica.drop_column(name)
+            except ValueError:
+                if name in replica.read().columns:
+                    raise
+    return True
 
 
 def cdf_replica_foreach_batch(
@@ -237,6 +282,15 @@ def cdf_replica_foreach_batch(
         if max_versions_per_batch is not None:
             hi = min(hi, lo + max_versions_per_batch)
         for v in range(lo + 1, hi + 1):
+            # upstream schema ops replay onto the replica FIRST so the
+            # version's (empty) diff and all later merges see the evolved
+            # names; the marker commit below still records the version
+            try:
+                with open(src._log_path(v)) as fh:
+                    commit = json.load(fh)
+            except FileNotFoundError:  # expired upstream history
+                commit = {}
+            _replica_apply_schema_op(replica, commit)
             diff = table_changes(src, v - 1, v, keys).localCheckpoint(
                 eager=True
             )
@@ -276,7 +330,11 @@ def stream_apply_changes(
     keep ``replica`` content-equal to the upstream's latest snapshot.
     Returns the StreamingQuery.  Restart/checkpoint-loss safe for the
     same reasons as stream_table_changes (per-version marker commits).
-    Backpressure knobs as on stream_table_changes."""
+    Backpressure knobs as on stream_table_changes, including the
+    version-cap → file-cap pairing that keeps a capped availableNow
+    drain from stranding the backlog."""
+    if max_versions_per_batch is not None and max_files_per_trigger is None:
+        max_files_per_trigger = max_versions_per_batch
     return _commit_log_stream_writer(
         spark,
         src,

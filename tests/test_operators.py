@@ -3807,24 +3807,26 @@ class TestUnigramTokenizer:
     INF = 10**12
 
     def _vit_ref(self, word, costs):
-        """Python reference of the DP spec: min cost, ties to smallest j
-        (longest final piece), encoded as cost*64+j exactly like the
-        engine and the DuckDB oracle."""
+        """Python reference of the DP spec: min cost, ties to the LONGEST
+        piece, encoded as cost*64 + (64 - piece_len) exactly like the
+        engine and the DuckDB oracle (relative offset — exact for any
+        word length, unlike an absolute-position tail)."""
         n = len(word)
         best = [0] * (n + 1)
         back = [0] * (n + 1)
         for p in range(1, n + 1):
             e = min(
-                (best[j] + costs.get(word[j:p], self.INF)) * 64 + j
+                (best[j] + costs.get(word[j:p], self.INF)) * 64
+                + (64 - (p - j))
                 for j in range(max(0, p - self.L), p)
             )
             best[p] = e >> 6
-            back[p] = e & 63
+            back[p] = 64 - (e & 63)  # winning piece length
         pieces, i = [], n
         while i > 0:
-            j = back[i]
-            pieces.insert(0, word[j:i])
-            i = j
+            plen = back[i]
+            pieces.insert(0, word[i - plen : i])
+            i -= plen
         return pieces
 
     def test_viterbi_matches_reference_and_tiebreak(self, spark):
@@ -3837,7 +3839,11 @@ class TestUnigramTokenizer:
             "ab": 150, "ba": 10, "abc": 500, "bc": 120, "cd": 90,
             "abcd": 460,
         }
-        words = ["abab", "abcd", "dcba", "aaaa", "b", "abcdabcd", "zzz"]
+        # the 80-char word regression-probes the relative-offset encoding:
+        # an absolute-position tail overflows its 6 bits past position 63
+        # and silently corrupts the segmentation (round-12 review finding)
+        words = ["abab", "abcd", "dcba", "aaaa", "b", "abcdabcd", "zzz",
+                 "abcd" * 20]
         df = spark.createDataFrame([(w,) for w in words], "word string")
         got = {
             r["word"]: r["p"]

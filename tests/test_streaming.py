@@ -910,3 +910,43 @@ class TestCdfBackpressure:
         )
         assert cdf_applied_high_water(rep, "r") == 7
         assert cdf_applied_high_water(rep, "other") == 0
+
+
+class TestCdfReplicaSchemaEvolution:
+    """Upstream rename_column/drop_column commits replay onto the replica
+    (round-12 review finding: without propagation, the first post-rename
+    upsert wedged the replica's MERGE on a missing column forever)."""
+
+    def _df(self, spark, rows, schema="k bigint, v string"):
+        return spark.createDataFrame(rows, schema)
+
+    def test_rename_mid_stream_then_upsert(self, spark, tmp_path):
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            cdf_applied_high_water,
+            stream_apply_changes,
+        )
+
+        src = TxnTable(spark, str(tmp_path / "src"))
+        rep = TxnTable(spark, str(tmp_path / "rep"))
+        ckpt = str(tmp_path / "ckpt")
+        src.append(self._df(spark, [(1, "a"), (2, "b")]))     # v1
+        stream_apply_changes(spark, src, rep, ["k"], ckpt, sink_id="r").awaitTermination(120)
+        src.rename_column("v", "val")                          # v2
+        src.merge_upsert(                                      # v3
+            self._df(spark, [(2, "B")], "k bigint, val string"), keys=["k"]
+        )
+        src.drop_column("val")                                 # v4
+        src.append(self._df(spark, [(3,)], "k bigint"))        # v5
+        stream_apply_changes(spark, src, rep, ["k"], ckpt, sink_id="r").awaitTermination(120)
+        assert cdf_applied_high_water(rep, "r") == 5
+        assert sorted(rep.read().columns) == sorted(src.read().columns)
+        assert {tuple(r) for r in rep.read().select("k").collect()} == {
+            (1,), (2,), (3,),
+        }
+        # re-running the whole stream from a FRESH checkpoint replays the
+        # schema ops idempotently (old name gone, new name present)
+        stream_apply_changes(
+            spark, src, rep, ["k"], str(tmp_path / "ckpt2"), sink_id="r"
+        ).awaitTermination(120)
+        assert sorted(rep.read().columns) == sorted(src.read().columns)
