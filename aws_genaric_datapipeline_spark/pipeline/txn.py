@@ -355,6 +355,15 @@ class TxnTable:
             else (version if version is not None else self.latest_version())
         )
         schemas = self._schema_commits(target, commits=commits)
+        return self._read_resolved(files, schemas, commits)
+
+    def _read_resolved(
+        self, files: list[str], schemas: list[dict], commits: list[dict]
+    ) -> DataFrame:
+        """Era-grouped read of ``files`` under the LAST snapshot in
+        ``schemas`` (the field-id resolution engine behind read(),
+        read_pruned() and the pruned merge); identity mergeSchema read
+        when the table never evolved."""
         if not schemas:
             return self.spark.read.option("mergeSchema", "true").parquet(
                 *[str(self.path / self.DATA_DIR / f) for f in files]
@@ -402,10 +411,37 @@ class TxnTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    def file_stats(self) -> dict[str, dict]:
-        """name -> {column: [min, max]} harvested at commit time."""
+    def _stats_physical_name(
+        self,
+        column: str,
+        file: str,
+        schemas: list[dict],
+        addv: dict[str, int],
+    ) -> str | None:
+        """The PHYSICAL name logical ``column`` had when ``file`` was
+        written — the key its committed stats live under.  None means
+        the column did not exist for that file (callers must treat the
+        file as unprunable... it trivially contains no such values, but
+        evolution-added columns surface as null there, and null never
+        passes a range filter — so skipping is also sound; we return
+        None and let callers read conservatively)."""
+        if not schemas:
+            return column
+        current = schemas[-1]["fields"]
+        fid = next(
+            (f["id"] for f in current if f["name"] == column), None
+        )
+        if fid is None:
+            # unregistered additive column: physical == logical everywhere
+            return column
+        return self._physical_name(fid, addv.get(file, 0), schemas)
+
+    def file_stats(self, commits: list[dict] | None = None) -> dict[str, dict]:
+        """name -> {column: [min, max]} harvested at commit time.  Keys
+        are PHYSICAL write-era column names; resolve logical names
+        through _stats_physical_name on evolved tables."""
         out: dict[str, dict] = {}
-        for c in self._commits():
+        for c in self._commits() if commits is None else commits:
             out.update(c.get("stats", {}))
         return out
 
@@ -424,25 +460,23 @@ class TxnTable:
         This is the Delta-style skip that turns a key-range query on a
         range-laid-out table into a handful of file opens.
 
-        On a table with rename/drop history the stats keys are PHYSICAL
-        write-time names, so file pruning by the logical name would be
-        unsound — the read falls back to the exact filter over the
-        field-id-resolved snapshot (correct, just unpruned; re-harvesting
-        stats under logical names at compaction would restore the skip)."""
-        if self._schema_commits(version):
-            df = self.read(version)
-            if lower is not None:
-                df = df.where(F.col(column) >= F.lit(lower))
-            if upper is not None:
-                df = df.where(F.col(column) <= F.lit(upper))
-            return df
-        files = self.live_files(version)
+        Rename/drop history is transparent: stats keys are PHYSICAL
+        write-era names, so the skip resolves logical → field id →
+        per-file physical name before the lookup (the Iceberg stats-by-
+        field-id shape), and the chosen files read through the same
+        era-mapped resolution as read()."""
+        commits = self._commits()
+        files = self.live_files(version, commits=commits)
         if not files:
             raise ValueError(f"table {self.path} has no data")
-        stats = self.file_stats()
+        target = version if version is not None else self.latest_version()
+        schemas = self._schema_commits(target, commits=commits)
+        addv = self._file_add_versions(commits) if schemas else {}
+        stats = self.file_stats(commits)
         chosen = []
         for f in files:
-            s = stats.get(f, {}).get(column)
+            pname = self._stats_physical_name(column, f, schemas, addv)
+            s = stats.get(f, {}).get(pname) if pname else None
             if s is None:
                 chosen.append(f)
                 continue
@@ -456,9 +490,7 @@ class TxnTable:
             return (
                 self.read(version).where(F.lit(False))
             )  # schema-correct empty frame
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[str(self.path / self.DATA_DIR / f) for f in chosen]
-        )
+        df = self._read_resolved(chosen, schemas, commits)
         if lower is not None:
             df = df.where(F.col(column) >= F.lit(lower))
         if upper is not None:
@@ -970,17 +1002,11 @@ def merge_upsert_pruned(
             "n_touched": 0,
             "n_carried": len(table.live_files()),
         }
-    if table._schema_commits():
-        # rename/drop history: file stats and raw file reads use PHYSICAL
-        # write-era names, so pruning by the logical key would be unsound.
-        # Fall back to the full-snapshot MERGE (field-id-resolved read,
-        # correct but unpruned).  Restoring the pruned path on an evolved
-        # table would need stats keyed by field id — a straightforward
-        # refinement left undone; this guard keeps correctness absolute.
-        v = table.merge_upsert(updates, keys=[key], app_txn_id=app_txn_id)
-        return {"version": v, "n_touched": len(table.live_files(v - 1)), "n_carried": 0}
+    commits = table._commits()
     base_version = table.latest_version()
-    base_files = table.live_files(base_version)
+    base_files = table.live_files(base_version, commits=commits)
+    schemas = table._schema_commits(base_version, commits=commits)
+    addv = table._file_add_versions(commits) if schemas else {}
     row = updates.agg(
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
@@ -1000,7 +1026,7 @@ def merge_upsert_pruned(
     if not base_files:
         v = table.merge_upsert(updates, keys=[key], app_txn_id=app_txn_id)
         return {"version": v, "n_touched": 0, "n_carried": 0}
-    stats = table.file_stats()
+    stats = table.file_stats(commits)
     touched, carried = [], []
     if lo is None:
         # Non-empty delta whose key is all-NULL: NULL never equi-matches an
@@ -1014,15 +1040,20 @@ def merge_upsert_pruned(
             if st.get("__rows__") == 0:
                 carried.append(f)  # provably empty: no keys to merge
                 continue
-            s = st.get(key)
+            # stats live under the file's PHYSICAL write-era key name
+            # (rename/drop transparent — the read_pruned resolution rule)
+            pname = table._stats_physical_name(key, f, schemas, addv)
+            s = st.get(pname) if pname else None
             if s is None or not (s[1] < lo or s[0] > hi):
                 touched.append(f)
             else:
                 carried.append(f)
     if touched:
-        base = table.spark.read.option("mergeSchema", "true").parquet(
-            *[str(table.path / table.DATA_DIR / f) for f in touched]
-        )
+        # era-mapped read: touched files surface under LOGICAL names, so
+        # the anti-join/union against the (logical-named) delta is sound
+        # on evolved tables and the rewrite normalizes them to current
+        # names (stats re-harvest under those at commit).
+        base = table._read_resolved(touched, schemas, commits)
         merged = base.join(updates.select(key), [key], "left_anti").unionByName(
             updates, allowMissingColumns=True
         )

@@ -944,30 +944,54 @@ class TestTxnEvolution:
             (3, "c"),
         }
 
-    def test_read_pruned_falls_back_correct_after_rename(self, spark, table):
-        table.append(_df(spark, [(1, "a"), (5, "e"), (9, "i")]))
+    def test_read_pruned_resolves_stats_through_rename(self, spark, table):
+        """File skipping stays ACTIVE on evolved tables: stats live under
+        physical write-era names, and the skip resolves logical → field
+        id → per-file physical name (Iceberg stats-by-field-id shape)."""
+        table.append(_df(spark, [(1, "a"), (2, "b")]))    # file range k=[1,2]
+        table.append(_df(spark, [(8, "h"), (9, "i")]))    # file range k=[8,9]
         table.rename_column("k", "key")
         got = {
             (r["key"], r["v"])
-            for r in table.read_pruned("key", lower=4, upper=9).collect()
+            for r in table.read_pruned("key", lower=8, upper=9).collect()
         }
-        assert got == {(5, "e"), (9, "i")}
+        assert got == {(8, "h"), (9, "i")}
+        # white-box: the logical key resolves to the old physical name for
+        # pre-rename files, so their committed [min,max] stats still prune
+        commits = table._commits()
+        schemas = table._schema_commits(commits=commits)
+        addv = table._file_add_versions(commits)
+        stats = table.file_stats(commits)
+        v1_files = [f for f, v in addv.items() if v == 1]
+        assert all(
+            table._stats_physical_name("key", f, schemas, addv) == "k"
+            for f in v1_files
+        )
+        # at least one v1 part file carries k-stats, and they are keyed
+        # under the PHYSICAL name (empty part files carry none)
+        ranged = [stats[f]["k"] for f in v1_files if "k" in stats.get(f, {})]
+        assert ranged and all(1 <= mn <= mx <= 2 for mn, mx in ranged)
 
-    def test_pruned_merge_falls_back_correct_after_rename(self, spark, table):
+    def test_pruned_merge_prunes_and_merges_through_rename(self, spark, table):
         from aws_genaric_datapipeline_spark.pipeline.txn import (
             merge_upsert_pruned,
         )
 
-        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        table.append(_df(spark, [(1, "a"), (2, "b")]))    # keys [1,2]
+        table.append(_df(spark, [(8, "h")]))              # keys [8,8]
         table.rename_column("v", "val")
         res = merge_upsert_pruned(
             table,
             spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, val string"),
             key="k",
         )
-        assert res["version"] == 3
+        assert res["version"] == 4
+        # the [8,8] file is OUTSIDE the delta envelope [2,3]: pruning must
+        # stay active through the rename (stats resolved by field id)
+        assert res["n_carried"] >= 1 and res["n_touched"] >= 1
         assert {(r["k"], r["val"]) for r in table.read().collect()} == {
             (1, "a"),
             (2, "B"),
             (3, "c"),
+            (8, "h"),
         }
