@@ -1137,3 +1137,77 @@ class TestRound10Plans:
         (events,) = _load(spark, SF, "events")
         df = Q.encode_session_sequences(events)
         assert shuffle_count(df) == 1, explain_str(df)[:2000]
+
+
+class TestRound12Plans:
+    """Plan posture of the round-12 operators (unigram tokenizer,
+    image-caption curation, field-id txn reads)."""
+
+    def test_unigram_apply_vocab_join_broadcasts(self, spark):
+        """tokenizer_unigram_apply: the Viterbi fold runs over DISTINCT
+        WORD TYPES and the segmentation joins back to token positions by
+        word — a vocabulary-sized side that must BROADCAST, never
+        sort-merge (a corpus shuffle on word would be the scale failure);
+        the trained vocabulary itself rides as a literal map (no join)."""
+        df = QUERIES["tokenizer_unigram_apply"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "SortMergeJoin" not in plan, plan[:2000]
+
+    def test_unigram_learn_corpus_cost_is_one_histogram(self, spark):
+        """unigram_learn's corpus-side work is ONE explode+count shuffle
+        (the persisted word-type histogram); every EM iteration reuses
+        the cached frame — the per-iteration count plan must read
+        InMemoryTableScan, not re-derive the parquet scan."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.operators import text as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        wt = (
+            docs.select(F.explode(X.tokens(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .persist()
+        )
+        try:
+            wt.count()
+            seg = wt.select(
+                "freq",
+                F.explode(
+                    X.viterbi_pieces(F.col("word"), {"a": 1}, 4)
+                ).alias("piece"),
+            ).groupBy("piece").agg(F.sum("freq").alias("cnt"))
+            plan = explain_str(seg)
+            assert "InMemoryTableScan" in plan, plan[:2000]
+            assert "parquet" not in plan.split("InMemoryTableScan")[0], plan[:2000]
+        finally:
+            wt.unpersist()
+
+    def test_image_caption_rules_bounded_scans_and_arrow(self, spark):
+        """curate_image_caption_rules: the corpus contributes a bounded
+        number of parquet scans (render + caption + lang-ID legs — no
+        unbounded fan-out recompute), and every Python touch is an
+        Arrow-batched mapInPandas (no row-at-a-time UDFs)."""
+        df = QUERIES["curate_image_caption_rules"].fn(spark, SF)
+        plan = explain_str(df)
+        assert plan.count("documents.parquet") <= 4, plan[:2000]
+        assert "MapInPandas" in plan, plan[:2000]
+        assert "BatchEvalPython" not in plan, plan[:2000]
+
+    def test_evolved_table_read_is_single_scan_per_era(self, spark, tmp_path):
+        """Field-id reads group live files by write era: one rename on a
+        two-era table plans as TWO parquet scans unioned — never one scan
+        per FILE, and a never-evolved table keeps the single-scan read."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+        t = TxnTable(spark, str(tmp_path / "t"))
+        t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+        t.append(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+        pre = explain_str(t.read(), mode="simple")
+        assert pre.count("Scan parquet") == 1, pre[:2000]
+        t.rename_column("v", "val")
+        t.append(spark.createDataFrame([(3, "c")], "k bigint, val string"))
+        t.append(spark.createDataFrame([(4, "d")], "k bigint, val string"))
+        post = explain_str(t.read(), mode="simple")
+        assert post.count("Scan parquet") == 2, post[:2000]
