@@ -2278,6 +2278,144 @@ def multimodal_jpeg_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_near_dup",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, doc_id % 50 AS g,
+                   CAST(doc_id % 7 AS INT) AS pp,
+                   CAST(doc_id % 3 AS INT) AS pv,
+                   (doc_id % 50) * 37 % 1000 + 2100 AS n
+            FROM documents WHERE length(text) > 0
+        ),
+        w AS (
+            SELECT doc_id, g, pp, pv, n, CAST(t.i AS INT) AS win
+            FROM p, UNNEST(range(0, (n + 31) // 32)) AS t(i)
+        ),
+        e AS MATERIALIZED (
+            SELECT doc_id, win,
+                   sum(CASE WHEN u.j = pp
+                       THEN ((g*31 + u.j*(17 + 2*g)) % 4001 - 2000 + pv)
+                          * ((g*31 + u.j*(17 + 2*g)) % 4001 - 2000 + pv)
+                       ELSE ((g*31 + u.j*(17 + 2*g)) % 4001 - 2000)
+                          * ((g*31 + u.j*(17 + 2*g)) % 4001 - 2000) END) AS energy
+            FROM w, UNNEST(range(win * 32, least(n, (win + 1) * 32))) AS u(j)
+            GROUP BY doc_id, win
+        ),
+        fp AS MATERIALIZED (
+            SELECT a.doc_id,
+                   CAST(sum(CASE WHEN b.energy > a.energy
+                            THEN CAST(1 AS BIGINT) << a.win
+                            ELSE 0 END) AS BIGINT) AS fp
+            FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.win = a.win + 1
+            WHERE a.win < 63
+            GROUP BY a.doc_id
+        ),
+        ck AS (
+            SELECT doc_id, fp, t.c,
+                   (fp >> (t.c * 16)) & 65535 AS cv
+            FROM fp, UNNEST([0, 1, 2, 3]) AS t(c)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                   x.fp AS fa, y.fp AS fb
+            FROM ck x JOIN ck y
+              ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(CAST(xor(fa, fb) AS BIGINT)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(CAST(xor(fa, fb) AS BIGINT)) <= 3
+    """,
+    tags=("north-star", "multimodal", "dedup"),
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio NEAR-duplicate detection end to end — the acoustic-
+    fingerprint analog of the image dHash near-dup (chromaprint's shape,
+    integer-exact): per document synthesize an int16 PCM waveform shared
+    by its doc_id%50 group except one tiny per-doc sample perturbation
+    (so genuine near-duplicates exist by construction), REALLY encode it
+    as RIFF/WAVE and decode it back (operators/audiocodec.py), compute
+    32-sample windowed int64 energies, and fingerprint the ENERGY
+    TRANSITIONS: bit w = [energy(w+1) > energy(w)], packed into ≤63 bits
+    (bit 63 unused — no sign games).  Near-dup pairs come from the same
+    banded 4×16-bit Hamming join the image path uses
+    (operators/dedup.py hamming_near_pairs — pigeonhole-complete for
+    hamming ≤ 3).
+
+    The oracle replays EVERYTHING in SQL from the generating congruence:
+    window energies (perturbation included), transition bits, the packed
+    fingerprint, the banded candidate join, and the Hamming verify — a
+    single wrong byte in WAV encode → parse → decode → window flips a
+    bit and fails the hash gate.
+
+    Scale: one Arrow-batched mapInPandas per codec direction; only
+    (id, fingerprint) and band rows shuffle — corpus audio never
+    re-enters after the fingerprint pass (the documented dHash shape)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    (documents,) = load(spark, sf_dir, "documents")
+    docs = documents.where(F.length("text") > 0)
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from aws_genaric_datapipeline_spark.operators.audiocodec import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "media": [], "media_meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 50
+                n = g * 37 % 1000 + 2100
+                i = np.arange(n, dtype=np.int64)
+                x = (g * 31 + i * (17 + 2 * g)) % 4001 - 2000
+                x[did % 7] += did % 3  # the near-dup perturbation
+                rows["doc_id"].append(did)
+                rows["media"].append(
+                    encode_wav(x.astype(np.int16), sample_rate=8000)
+                )
+                rows["media_meta"].append(
+                    {"kind": "audio", "mime": "audio/wav", "width": 0,
+                     "height": 0, "duration_ms": n * 1000 // 8000}
+                )
+            yield pd.DataFrame(rows)
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_genaric_datapipeline_spark.operators.audiocodec import (
+            decode_wav,
+            window_energy,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {"did": [], "fp": []}
+            for did, payload in zip(pdf["doc_id"], pdf["media"]):
+                en = [e for _, _, e in window_energy(
+                    decode_wav(bytes(payload)), window=32
+                )]
+                f = 0
+                for w in range(min(len(en) - 1, 63)):
+                    if en[w + 1] > en[w]:
+                        f |= 1 << w
+                out["did"].append(int(did))
+                out["fp"].append(f)
+            yield pd.DataFrame(out)
+
+    from aws_genaric_datapipeline_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    media = ensure_parallelism(docs.select("doc_id")).mapInPandas(
+        _render, schema=M.MEDIA_SCHEMA
+    )
+    fps = media.mapInPandas(_fp, schema="did long, fp long")
+    return D.hamming_near_pairs(fps, id_col="did", hash_col="fp")
+
+
+@query(
     "curate_image_caption_rules",
     oracle=_LANG_TRIGRAM_CTES
     + f""",

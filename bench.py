@@ -192,6 +192,7 @@ HEADLINE = [
     "stream_cdf_replica",
     "embed_int8_quantize",
     "q21_waiting_orders",
+    "multimodal_audio_near_dup",
     # round-12: full-registry gate — every registered query is now
     # gated and benched (VERDICT r11 item 6)
     "agg_bitwise",
