@@ -468,7 +468,7 @@ def _unigram_quant_sql(src: str) -> str:
     )
 
 
-def _unigram_vit_sql(tag: str, scores_src: str) -> str:
+def _unigram_vit_sql(tag: str, scores_src: str, words_src: str = "wt") -> str:
     """Viterbi segmentation of every word type under ``scores_src``
     (piece, cost): the DP carries best-cost and piece-length backpointer
     lists, each candidate encoding as (best[j]+cost)·64 + (64-piece_len)
@@ -484,7 +484,7 @@ def _unigram_vit_sql(tag: str, scores_src: str) -> str:
         uvit{tag} AS (
             SELECT word, freq, 0 AS i, [CAST(0 AS BIGINT)] AS best,
                    []::INT[] AS back
-            FROM wt
+            FROM {words_src}
             UNION ALL
             SELECT word, freq, i + 1,
                    list_append(best, enc // 64),
@@ -536,12 +536,15 @@ def _unigram_round_sql(r: int) -> str:
     )
 
 
-_UNI_TRAIN_CTES = (
-    f"""
+def _unigram_train_ctes(train_where: str = "") -> str:
+    """The full training-replay CTE chain, parameterized by an extra
+    document predicate (held-out splits train on a slice)."""
+    return (
+        f"""
     WITH RECURSIVE wt AS MATERIALIZED (
         SELECT tok AS word, count(*) AS freq
         FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
-        WHERE length(trim(text)) > 0
+        WHERE length(trim(text)) > 0{train_where}
         GROUP BY tok
     ),
     usubs0 AS MATERIALIZED (
@@ -562,8 +565,13 @@ _UNI_TRAIN_CTES = (
         SELECT piece, {_unigram_quant_sql("ukept0")} AS cost FROM ukept0
     ),
     """
-    + ",\n".join(_unigram_round_sql(r) for r in range(1, _UNI_EM_ITERS + 1))
-)
+        + ",\n".join(
+            _unigram_round_sql(r) for r in range(1, _UNI_EM_ITERS + 1)
+        )
+    )
+
+
+_UNI_TRAIN_CTES = _unigram_train_ctes()
 
 _UNI_FINAL_CTES = f""",
     uprun AS MATERIALIZED (
@@ -671,6 +679,72 @@ def tokenizer_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_apply(
         documents, costs, max_piece_len=_UNI_L
     )
+
+
+@query(
+    "tokenizer_unigram_heldout",
+    oracle=_unigram_train_ctes(" AND doc_id % 2 = 0")
+    + _UNI_FINAL_CTES
+    + f""",
+    uscoresF AS MATERIALIZED (SELECT piece, -logprob_q AS cost FROM ufinal),
+    hwt AS MATERIALIZED (
+        SELECT tok AS word, count(*) AS freq
+        FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+        WHERE length(trim(text)) > 0 AND doc_id % 2 = 1
+        GROUP BY tok
+    ),
+    {_unigram_vit_sql("F", "uscoresF", "hwt")},
+    utoks AS MATERIALIZED (
+        SELECT doc_id, CAST(u.i AS INT) AS pos, ({_DUCK_TOKS})[u.i] AS word
+        FROM documents, UNNEST(range(1, len({_DUCK_TOKS}) + 1)) AS u(i)
+        WHERE length(trim(text)) > 0 AND doc_id % 2 = 1
+    ),
+    useg AS MATERIALIZED (
+        SELECT t.doc_id, t.pos, s.pieces
+        FROM utoks t JOIN (SELECT word, pieces FROM ubtF WHERE i = 0) s
+          ON t.word = s.word
+    ),
+    uagg AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+               CAST(sum(len(list_filter(pieces, x -> length(x) > 1)))
+                    AS BIGINT) AS n_multi_pieces,
+               md5(string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos))
+                   AS stream_md5
+        FROM useg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_pieces, 0) AS n_pieces,
+           coalesce(a.n_multi_pieces, 0) AS n_multi_pieces,
+           coalesce(a.stream_md5, md5('')) AS stream_md5
+    FROM documents d LEFT JOIN uagg a USING (doc_id)
+    WHERE d.doc_id % 2 = 1
+    """,
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_unigram_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION tokenizer split: TRAIN the unigram-LM vocabulary on
+    half the corpus (doc_id % 2 = 0), Viterbi-ENCODE the HELD-OUT half —
+    documents (and word types) the trainer never saw.  Unseen words
+    segment through the retained single characters; the artifact
+    generalizes exactly as SentencePiece's does.  The oracle replays the
+    slice-trained EM end to end AND the final segmentation over the
+    held-out word types, so train/apply leakage (training on the full
+    corpus by accident) flips the hash immediately."""
+    (documents,) = load(spark, sf_dir, "documents")
+    train = documents.where(F.col("doc_id") % 2 == 0)
+    held = documents.where(F.col("doc_id") % 2 == 1)
+    art = X.unigram_learn(
+        train,
+        max_piece_len=_UNI_L,
+        seed_multi=_UNI_SEED_MULTI,
+        em_iters=_UNI_EM_ITERS,
+        keep_multi=_UNI_KEEP_MULTI,
+    ).collect()
+    costs = {r["piece"]: -int(r["logprob_q"]) for r in art}
+    return X.unigram_apply(held, costs, max_piece_len=_UNI_L)
 
 
 def _duck_entropy_cte(src: str, prefix: str = "ent") -> str:

@@ -193,6 +193,7 @@ HEADLINE = [
     "embed_int8_quantize",
     "q21_waiting_orders",
     "multimodal_audio_near_dup",
+    "tokenizer_unigram_heldout",
     # round-12: full-registry gate — every registered query is now
     # gated and benched (VERDICT r11 item 6)
     "agg_bitwise",
