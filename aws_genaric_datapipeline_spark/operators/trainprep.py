@@ -318,3 +318,278 @@ def random_projection(
 
     proj = F.pandas_udf(_proj, "array<double>")
     return df.select(F.col(id_col), proj(F.col(vec_col)).alias("proj_vec"))
+
+
+def scalable_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Dense global position over ``order_cols`` WITHOUT a single-partition
+    window: range-partition on the ordering key, per-partition row_number,
+    plus a broadcast per-partition offset from the tiny partition census —
+    the same shape link_sorted_neighborhood uses.  Requires ``order_cols``
+    to be a UNIQUE key so the rank is a pure function of the data
+    (identical whatever range boundaries repartitionByRange samples).
+
+    Returns ``df`` plus a ``pos`` column (1-based).  Scale: one range
+    shuffle + in-partition sort — the cost class of any global-order op."""
+    parts = (
+        df.repartitionByRange(num_ranges, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    census = (
+        parts.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    lw = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        parts.withColumn("__local", F.row_number().over(lw))
+        .join(F.broadcast(census), "__pid")
+        .withColumn("pos", (F.col("__local") + F.col("__offset")).cast("bigint"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    train_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style TRAINED-LM quality filter (Wenzek et al. 2020): fit an
+    add-one-smoothed word-bigram language model on a reference slice of the
+    corpus (``train_pred``), score EVERY document's negative log-likelihood
+    under it, and band documents into head/middle/tail perplexity terciles
+    — the filter CCNet applies with a Wikipedia-trained KenLM before
+    keeping only the head/middle of Common Crawl.
+
+    Differs from ``unigram_logprob`` (unsmoothed MLE over the full corpus,
+    no train/score split) exactly where CCNet differs from a frequency
+    filter: the model is trained on a REFERENCE slice, so out-of-domain
+    and out-of-vocabulary text scores poorly even when it is frequent in
+    the scored corpus.
+
+    Model: vocabulary = distinct reference tokens (scored-side OOV maps to
+    ``<unk>``); contexts get a ``<s>`` sentinel at position 0;
+    p(w | prev) = (c(prev,w) + 1) / (c(prev) + V) with V = |vocab| + 1.
+    Per-bigram log-probs are quantized floor(1e6·ln p) so the per-document
+    sums — and therefore the tercile band boundaries — are integer-exact
+    across engines.
+
+    Returns (id, n_tokens, nll_q, avg_nll_micro, ppl_band) for documents
+    with ≥1 token; ``nll_q`` = −Σ floor(1e6·ln p) (positive, micro-nats),
+    ``avg_nll_micro`` = floor(nll_q / n_tokens), ``ppl_band`` ∈
+    {head, middle, tail} by ascending avg_nll_micro (doc-id tie-break),
+    band k covering ranks (k−1)·N/3 < pos ≤ k·N/3.
+
+    Scale: bigram pairs are built as array expressions (tokens zipped
+    against their <s>-prefixed shift), so there is NO per-token lag
+    window and no doc-id shuffle before aggregation; the vocab and the
+    bigram/context count tables are broadcast (aggregation outputs,
+    vastly smaller than the corpus; swap to a shuffle join past ~100M
+    distinct bigrams); per-doc scoring is one groupBy on the doc id; the
+    tercile banding uses scalable_global_rank — no single-partition
+    window anywhere."""
+    base = df.select(
+        F.col(id_col).alias("did"),
+        train_pred.alias("is_train"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") > 0)
+    # bigram pairs built as array expressions (zip tokens against their
+    # <s>-prefixed shift) — no posexplode+lag window, so the per-token
+    # doc-id shuffle the window would force never happens
+    pair = F.zip_with(
+        F.concat(
+            F.array(F.lit("<s>")),
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+        ),
+        F.col("toks"),
+        lambda p, c: F.struct(p.alias("prev_raw"), c.alias("cur_raw")),
+    )
+    bg_raw = base.select(
+        "did", "is_train", F.explode(pair).alias("p")
+    ).select("did", "is_train", "p.prev_raw", "p.cur_raw")
+    vocab = (
+        base.where("is_train")
+        .select(F.explode("toks").alias("tok"))
+        .distinct()
+    )
+    vs = vocab.agg((F.count(F.lit(1)) + 1).alias("V"))
+    known = F.broadcast(vocab.withColumn("__known", F.lit(True)))
+    bg = (
+        bg_raw.join(known.withColumnRenamed("tok", "cur_raw"), "cur_raw", "left")
+        .withColumn(
+            "w",
+            F.when(F.col("__known"), F.col("cur_raw")).otherwise(F.lit("<unk>")),
+        )
+        .drop("__known")
+        .join(known.withColumnRenamed("tok", "prev_raw"), "prev_raw", "left")
+        .withColumn(
+            "prev",
+            F.when(F.col("prev_raw") == "<s>", F.lit("<s>"))
+            .when(F.col("__known"), F.col("prev_raw"))
+            .otherwise(F.lit("<unk>")),
+        )
+        .select("did", "is_train", "prev", "w")
+    )
+    cb = bg.where("is_train").groupBy("prev", "w").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    cx = cb.groupBy("prev").agg(F.sum("cb").alias("cx"))
+    q = F.floor(
+        F.lit(1e6)
+        * F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("cx"), F.lit(0)) + F.col("V")).cast("double")
+        )
+    ).cast("bigint")
+    scored = (
+        bg.join(F.broadcast(cb), ["prev", "w"], "left")
+        .join(F.broadcast(cx), "prev", "left")
+        .crossJoin(F.broadcast(vs))
+        .select("did", q.alias("q"))
+    )
+    doc = scored.groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("q")).cast("bigint").alias("nll_q"),
+    ).withColumn(
+        "avg_nll_micro",
+        F.floor(F.col("nll_q") / F.col("n_tokens").cast("double")).cast("bigint"),
+    )
+    n_total = doc.agg(F.count(F.lit(1)).alias("N"))
+    ranked = scalable_global_rank(doc, ["avg_nll_micro", "did"]).crossJoin(
+        F.broadcast(n_total)
+    )
+    band_id = 1 + F.floor(
+        (F.col("pos") - 1) * 3 / F.col("N").cast("double")
+    ).cast("int")
+    return ranked.select(
+        F.col("did").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "nll_q",
+        "avg_nll_micro",
+        F.when(band_id == 1, "head")
+        .when(band_id == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_band"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    num_buckets: int = 1024,
+    keep_denom: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by the log importance ratio of a TARGET-domain
+    hashed n-gram model over the RAW-corpus model, then keep the top
+    1/``keep_denom`` — the lightweight alternative to classifier-based
+    quality filtering that steers a 100 TB crawl toward a target domain
+    with two aggregate scans and a broadcast join.
+
+    Features: word unigrams and adjacent-pair bigrams, hashed into
+    ``num_buckets`` buckets via the first 8 hex chars of md5 (the
+    engine-portable hash the md5-bucket samplers share).  Both the target
+    and raw feature distributions are add-one smoothed over the bucket
+    space; per-bucket log-weights are quantized
+    floor(1e6·(ln p_target − ln p_raw)) so document scores are
+    integer-exact across engines.
+
+    Returns (id, n_features, dsir_q, keep): ``dsir_q`` = Σ per-feature
+    quantized log-ratio (higher = more target-like), ``keep`` = document
+    ranks in the top floor(N/keep_denom) by (dsir_q DESC, id).
+
+    Scale: the bucket-weight table is ≤ num_buckets rows (broadcast);
+    feature arrays (unigrams ++ zipped bigrams) explode linearly in
+    corpus tokens with no lag window and no doc-id shuffle before the
+    per-doc groupBy; selection uses scalable_global_rank — no
+    single-partition window, no driver collect."""
+    base = df.select(
+        F.col(id_col).alias("did"),
+        target_pred.alias("is_target"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") > 0)
+    # adjacent-pair bigram strings as one array expression (tokens zipped
+    # against their shift) — no posexplode+lag window, no doc-id shuffle
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+        F.slice(F.col("toks"), 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = base.select(
+        "did",
+        "is_target",
+        F.explode(F.concat(F.col("toks"), bigrams)).alias("feat"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("bigint")
+        % num_buckets
+    )
+    # fb fans out three ways (raw counts, target counts, doc scoring) —
+    # eagerly pin it so tokenize+hash run once, not three times
+    fb = feats.select("did", "is_target", bucket.alias("b")).localCheckpoint(
+        eager=True
+    )
+    raw = fb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = fb.where("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    # totals via two tiny aggs (bucket tables are <= num_buckets rows)
+    nr = raw.agg(F.sum("cr").alias("Nr"))
+    nt = tgt.agg(F.sum("ct").alias("Nt"))
+    weights = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "b",
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("Nt") + num_buckets).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1)
+                        / (F.col("Nr") + num_buckets).cast("double")
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("lw"),
+        )
+    )
+    doc = (
+        fb.join(F.broadcast(weights), "b")
+        .groupBy("did")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("lw").cast("bigint").alias("dsir_q"),
+        )
+    )
+    n_total = doc.agg(F.count(F.lit(1)).alias("N"))
+    ranked = scalable_global_rank(
+        doc.withColumn("neg_q", -F.col("dsir_q")), ["neg_q", "did"]
+    ).crossJoin(F.broadcast(n_total))
+    return ranked.select(
+        F.col("did").alias(id_col),
+        F.col("n_features").cast("bigint").alias("n_features"),
+        "dsir_q",
+        (F.col("pos") <= F.floor(F.col("N") / keep_denom)).alias("keep"),
+    )

@@ -520,3 +520,151 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return kcenter_coreset(embeddings, k=_KC_K)
+
+
+@query(
+    "text_bigram_lm_quality",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id AS did, (doc_id % 2 = 0) AS is_train, {_TOKS} AS toks
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        tok AS (
+            SELECT did, is_train, u.i AS pos, toks[u.i] AS tok
+            FROM base, UNNEST(range(1, len(toks) + 1)) AS u(i)
+        ),
+        vocab AS (SELECT DISTINCT tok FROM tok WHERE is_train),
+        vs AS (SELECT count(*) + 1 AS V FROM vocab),
+        m AS (
+            SELECT t.did, t.is_train, t.pos,
+                   CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS w
+            FROM tok t LEFT JOIN vocab v USING (tok)
+        ),
+        bg AS (
+            SELECT did, is_train,
+                   coalesce(lag(w) OVER (PARTITION BY did ORDER BY pos),
+                            '<s>') AS prev,
+                   w
+            FROM m
+        ),
+        cb AS (
+            SELECT prev, w, count(*) AS cb FROM bg WHERE is_train GROUP BY 1, 2
+        ),
+        cx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cx FROM cb GROUP BY 1),
+        sc AS (
+            SELECT bg.did,
+                   CAST(floor(1e6 * ln((coalesce(cb.cb, 0) + 1)
+                        / CAST(coalesce(cx.cx, 0) + vs.V AS DOUBLE)))
+                       AS BIGINT) AS q
+            FROM bg
+            LEFT JOIN cb ON cb.prev = bg.prev AND cb.w = bg.w
+            LEFT JOIN cx ON cx.prev = bg.prev
+            CROSS JOIN vs
+        ),
+        doc AS (
+            SELECT did, count(*) AS n_tokens, CAST(-sum(q) AS BIGINT) AS nll_q
+            FROM sc GROUP BY did
+        ),
+        r AS (
+            SELECT did, n_tokens, nll_q,
+                   CAST(floor(nll_q / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+                       AS avg_nll_micro,
+                   count(*) OVER () AS N
+            FROM doc
+        ),
+        rr AS (
+            SELECT *, row_number() OVER (ORDER BY avg_nll_micro, did) AS rn
+            FROM r
+        )
+        SELECT did AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               nll_q, avg_nll_micro,
+               CASE CAST(1 + floor((rn - 1) * 3 / CAST(N AS DOUBLE)) AS INT)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS ppl_band
+        FROM rr
+    """,
+    tags=("north-star", "trainprep", "text", "curation"),
+)
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style trained-LM perplexity filter (Wenzek et al. 2020): an
+    add-one-smoothed word-bigram LM is fit on the even-doc-id reference
+    slice, every document is scored under it (scored-side OOV → <unk>),
+    and documents band into head/middle/tail terciles of integer
+    micro-nat mean NLL — the filter CCNet runs with a Wikipedia-trained
+    KenLM before keeping only head+middle of Common Crawl.  The oracle
+    replays training, scoring, quantization, and the tercile banding in
+    full; banding uses scalable_global_rank (range partitions + census
+    offsets), never a single-partition window."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return P.bigram_lm_scores(documents, F.col("doc_id") % 2 == 0)
+
+
+@query(
+    "curate_dsir_importance",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id AS did, (lang = 'en') AS is_target, {_TOKS} AS toks
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        tok AS (
+            SELECT did, is_target, u.i AS pos, toks[u.i] AS tok
+            FROM base, UNNEST(range(1, len(toks) + 1)) AS u(i)
+        ),
+        wp AS (
+            SELECT did, is_target, tok,
+                   lag(tok) OVER (PARTITION BY did ORDER BY pos) AS prev
+            FROM tok
+        ),
+        feats AS (
+            SELECT did, is_target, tok AS feat FROM wp
+            UNION ALL
+            SELECT did, is_target, prev || ' ' || tok AS feat
+            FROM wp WHERE prev IS NOT NULL
+        ),
+        fb AS (
+            SELECT did, is_target,
+                   CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 1024
+                       AS b
+            FROM feats
+        ),
+        raw AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+        tgt AS (SELECT b, count(*) AS ct FROM fb WHERE is_target GROUP BY b),
+        nr AS (SELECT CAST(sum(cr) AS BIGINT) AS Nr FROM raw),
+        nt AS (SELECT CAST(sum(ct) AS BIGINT) AS Nt FROM tgt),
+        w AS (
+            SELECT raw.b,
+                   CAST(floor(1e6 * (
+                        ln((coalesce(tgt.ct, 0) + 1)
+                           / CAST(nt.Nt + 1024 AS DOUBLE))
+                        - ln((raw.cr + 1)
+                           / CAST(nr.Nr + 1024 AS DOUBLE))
+                   )) AS BIGINT) AS lw
+            FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+            CROSS JOIN nr CROSS JOIN nt
+        ),
+        doc AS (
+            SELECT did, count(*) AS n_features,
+                   CAST(sum(lw) AS BIGINT) AS dsir_q
+            FROM fb JOIN w USING (b) GROUP BY did
+        ),
+        r AS (
+            SELECT *, count(*) OVER () AS N,
+                   row_number() OVER (ORDER BY dsir_q DESC, did) AS rn
+            FROM doc
+        )
+        SELECT did AS doc_id, n_features, dsir_q,
+               (rn <= floor(N / 4)) AS keep
+        FROM r
+    """,
+    tags=("north-star", "trainprep", "curation"),
+)
+def curate_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+    hashed unigram+bigram features (md5 → 1024 buckets, the repo's
+    engine-portable hash), add-one-smoothed target (lang='en') vs raw
+    bucket distributions, per-document quantized log importance ratio,
+    keep = top quarter by score.  The oracle replays feature hashing,
+    both distributions, the quantized log-ratio weights, scoring, and
+    the rank-based selection in full."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return P.dsir_importance(documents, F.col("lang") == "en")

@@ -327,6 +327,9 @@ HEADLINE = [
     "window_range_numeric",
     "window_rank_dense",
     "window_running_sum",
+    # round-12 additions (second wave)
+    "text_bigram_lm_quality",
+    "curate_dsir_importance",
 ]
 
 

@@ -3998,3 +3998,80 @@ class TestSketchContractsFullCorpus:
         }
         assert exact, "corpus has near pairs"
         assert len(got & exact) >= 0.8 * len(exact)
+
+
+class TestTrainedLmFilters:
+    """bigram_lm_scores (CCNet-style trained-LM filter) and
+    dsir_importance (DSIR importance resampling) semantics."""
+
+    def _docs(self, spark):
+        rows = [
+            (0, "the cat sat on the mat", "en"),
+            (1, "the cat sat on the mat", "en"),
+            (2, "the dog sat on the mat", "en"),
+            (3, "zzq qqz zzq qqz zzq", "de"),
+            (4, "the cat sat", "en"),
+            (5, "cat the on sat mat the", "en"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_bigram_lm_oov_scores_worse_than_in_domain(self, spark):
+        from aws_genaric_datapipeline_spark.operators import trainprep as P
+
+        docs = self._docs(spark)
+        out = P.bigram_lm_scores(docs, F.col("doc_id") % 2 == 0).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        # doc 1 repeats a training document verbatim — it must score
+        # strictly better (lower mean NLL) than doc 3, which is pure OOV
+        # relative to the even-id training slice
+        assert by_id[1]["avg_nll_micro"] < by_id[3]["avg_nll_micro"]
+        # all six docs scored; n_tokens matches whitespace counts
+        assert by_id[3]["n_tokens"] == 5
+        assert len(out) == 6
+        # tercile banding covers all three bands on 6 unique scores or
+        # collapses deterministically — band of the best doc is 'head',
+        # of the worst is 'tail'
+        best = min(out, key=lambda r: (r["avg_nll_micro"], r["doc_id"]))
+        worst = max(out, key=lambda r: (r["avg_nll_micro"], r["doc_id"]))
+        assert best["ppl_band"] == "head"
+        assert worst["ppl_band"] == "tail"
+
+    def test_bigram_lm_shuffled_word_order_scores_worse(self, spark):
+        from aws_genaric_datapipeline_spark.operators import trainprep as P
+
+        docs = self._docs(spark)
+        out = {
+            r["doc_id"]: r
+            for r in P.bigram_lm_scores(
+                docs, F.col("doc_id") % 2 == 0
+            ).collect()
+        }
+        # doc 5 uses exactly the training vocabulary but in scrambled
+        # order — a bigram model (unlike a unigram one) must penalize it
+        # relative to the verbatim doc 1
+        assert out[1]["avg_nll_micro"] < out[5]["avg_nll_micro"]
+
+    def test_dsir_keep_count_and_direction(self, spark):
+        from aws_genaric_datapipeline_spark.operators import trainprep as P
+
+        docs = self._docs(spark)
+        out = P.dsir_importance(
+            docs, F.col("lang") == "en", keep_denom=2
+        ).collect()
+        assert len(out) == 6
+        kept = [r for r in out if r["keep"]]
+        assert len(kept) == 3  # floor(6 / 2)
+        by_id = {r["doc_id"]: r for r in out}
+        # the pure-OOV non-target doc must score below every verbatim
+        # target-domain doc
+        assert by_id[3]["dsir_q"] < by_id[0]["dsir_q"]
+        assert not by_id[3]["keep"]
+
+    def test_scalable_global_rank_is_dense_and_unique(self, spark):
+        from aws_genaric_datapipeline_spark.operators import trainprep as P
+
+        df = spark.range(0, 257).withColumn("k", (F.col("id") * 7919) % 257)
+        ranked = P.scalable_global_rank(df, ["k"], num_ranges=8).collect()
+        pos_by_k = {r["k"]: r["pos"] for r in ranked}
+        assert sorted(pos_by_k.values()) == list(range(1, 258))
+        assert pos_by_k[0] == 1 and pos_by_k[256] == 257
