@@ -961,10 +961,15 @@ SUBWORD_MAX_LEN = max(len(t) for t in SUBWORD_VOCAB)
 SUBWORD_UNK = "<unk>"
 
 
-def _bpe_merge_fold(syms, a: str, b: str):
-    """Replace-last fold merging adjacent (a, b) -> a+b, left-to-right
-    non-overlapping (see bpe_learn docstring for the equivalence
-    argument)."""
+def _bpe_merge_fold(syms, a: str, b: str, out: str | None = None):
+    """Replace-last fold merging adjacent (a, b) -> ``out`` (default a+b),
+    left-to-right non-overlapping (see bpe_learn docstring for the
+    equivalence argument; it requires ``out`` to be strictly longer than
+    ``a`` so a merged symbol can never re-match as the pair's left — true
+    for both the BPE spelling a+b and the WordPiece spelling a+b[2:],
+    since a continuation right symbol always carries content past its
+    '##' marker)."""
+    merged = a + b if out is None else out
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
@@ -974,7 +979,7 @@ def _bpe_merge_fold(syms, a: str, b: str):
             & (x == F.lit(b)),
             F.concat(
                 F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.lit(a + b)),
+                F.array(F.lit(merged)),
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
@@ -1197,6 +1202,272 @@ def bpe_apply(
         F.coalesce("n_merged_subwords", F.lit(0))
         .cast("bigint")
         .alias("n_merged_subwords"),
+        F.coalesce("stream_md5", F.md5(F.lit(""))).alias("stream_md5"),
+    )
+
+
+# ----------------------------------------------------------- WordPiece tokenizer
+
+WORDPIECE_UNK = "<unk>"
+
+
+def _wordpiece_init_syms(word: Column) -> Column:
+    """WordPiece character split: first char bare, every later char
+    '##'-prefixed — the continuation convention (Schuster & Nakajima
+    2012 / Devlin et al. 2019)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.when(i == 1, word.substr(i, F.lit(1))).otherwise(
+            F.concat(F.lit("##"), word.substr(i, F.lit(1)))
+        ),
+    )
+
+
+def wordpiece_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 3,
+) -> DataFrame:
+    """Learn the first ``num_merges`` WordPiece merges (Schuster &
+    Nakajima 2012; the BERT tokenizer's trainer, Devlin et al. 2019) —
+    the THIRD trained tokenizer family next to bpe_learn (frequency
+    objective) and unigram_learn (likelihood prune objective).
+
+    WordPiece differs from BPE in exactly one place: the pair picked each
+    round maximizes the LIKELIHOOD GAIN score count(ab)/(count(a)·count(b))
+    rather than the raw pair count — merging a pair whose parts rarely
+    occur apart beats merging the globally most frequent pair.  Words
+    split to a bare first character plus '##'-prefixed continuations; the
+    merged spelling of (a, b) is a + b[2:] (the right symbol is never
+    word-initial, so it always carries the '##' marker).
+
+    Scores are quantized floor(1e12 · cnt/(cnt_a·cnt_b)) — one IEEE
+    divide and one multiply, bit-identical across engines (no libm) — so
+    the per-round arg-max (score DESC, pair ASC) can never flip, the same
+    determinism contract every trained artifact in this repo carries.
+
+    Returns (merge_rank, left_sym, right_sym, pair_count, score_e12).
+
+    Scale: identical to bpe_learn — the corpus contributes ONE
+    explode+count shuffle producing the word-type histogram, each round
+    is two vocab-sized aggregations (pair histogram + symbol histogram,
+    the one extra aggregate WordPiece's denominator needs) joined and
+    TakeOrdered(1); merges fold JVM-side over the persisted vocab frame."""
+    wt = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = wt.select(
+        "word", "freq", _wordpiece_init_syms(F.col("word")).alias("syms")
+    ).persist()
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int, int]] = []
+    for _ in range(num_merges):
+        pair_structs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        pairs = (
+            vocab.select("freq", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        symc = (
+            vocab.select("freq", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = (
+            pairs.join(
+                F.broadcast(
+                    symc.select(F.col("sym").alias("a"), F.col("c").alias("ca"))
+                ),
+                "a",
+            )
+            .join(
+                F.broadcast(
+                    symc.select(F.col("sym").alias("b"), F.col("c").alias("cb"))
+                ),
+                "b",
+            )
+            .withColumn(
+                "score_e12",
+                F.floor(
+                    F.lit(1e12)
+                    * (
+                        F.col("cnt")
+                        / (
+                            F.col("ca").cast("double")
+                            * F.col("cb").cast("double")
+                        )
+                    )
+                ).cast("bigint"),
+            )
+            .orderBy(F.desc("score_e12"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        a, b = r["a"], r["b"]
+        merged = a + b[2:]
+        merges.append(
+            (len(merges) + 1, a, b, int(r["cnt"]), int(r["score_e12"]))
+        )
+        nxt = vocab.select(
+            "word", "freq", _bpe_merge_fold(F.col("syms"), a, b, merged).alias("syms")
+        ).persist()
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank int, left_sym string, right_sym string,"
+        " pair_count bigint, score_e12 bigint",
+    )
+
+
+def wordpiece_vocab_pieces(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> list[str]:
+    """The trained WordPiece vocabulary: the training corpus's initial
+    alphabet (bare first characters + '##' continuation characters of
+    every word type) plus each merge's output spelling a + b[2:] — the
+    piece inventory greedy longest-match encodes against (HF WordPiece
+    semantics: merge ORDER is discarded after training; only the piece
+    set survives into the tokenizer artifact).
+
+    One distinct-explode aggregation; the result is artifact-sized
+    (≤ alphabet + num_merges) and rides in the encode UDF's closure."""
+    alpha = [
+        r["sym"]
+        for r in df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .select("word")
+        .distinct()
+        .select(F.explode(_wordpiece_init_syms(F.col("word"))).alias("sym"))
+        .distinct()
+        .collect()
+    ]
+    return sorted(set(alpha) | {a + b[2:] for a, b in merges})
+
+
+def wordpiece_apply(
+    df: DataFrame,
+    pieces: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document with a trained WordPiece vocabulary by
+    greedy LONGEST-MATCH-FIRST (maximal munch) — the BERT tokenizer's
+    apply pass, and the defining difference from bpe_apply: WordPiece
+    discards merge order after training and re-segments against the
+    final piece set, so a word can encode differently than the trainer
+    segmented it.  A word with any unmatchable position encodes as ONE
+    ``<unk>`` token (whole-word unk, HF WordPieceTokenizer semantics),
+    not per-character unks.
+
+    Returns (id, n_words, n_pieces, n_unk_words, stream_md5) where
+    stream_md5 hashes the complete in-order piece stream — pinning the
+    full segmentation like the BPE/unigram chains do.
+
+    Engine shape: the greedy scan runs in ONE Arrow-batched pandas UDF
+    over DISTINCT WORD TYPES (vocabulary-sized work; segmentation is a
+    pure function of the word), then a word-keyed join carries segments
+    back to positions — the exact subword_tokenize/bpe_apply scale shape;
+    the piece set is a broadcast closure constant."""
+    import pandas as pd
+
+    # Pieces are classified by the literal '##' prefix test on BOTH
+    # engines (the oracle uses LIKE '##%'): bare pieces match only at
+    # word start, '##' pieces only as continuations, and a zero-content
+    # continuation ('##' alone, constructible only from words that
+    # themselves start with '#') is unmatchable on both sides — the
+    # classification is the cross-engine determinism contract.
+    init_set = frozenset(p for p in pieces if not p.startswith("##"))
+    cont_set = frozenset(
+        p[2:] for p in pieces if p.startswith("##") and len(p) > 2
+    )
+    max_content = max(
+        [len(p) for p in init_set] + [len(c) for c in cont_set] + [1]
+    )
+
+    def segment(w: str) -> tuple[list[str], bool]:
+        out: list[str] = []
+        i, n, first = 0, len(w), True
+        while i < n:
+            sset = init_set if first else cont_set
+            for ln in range(min(max_content, n - i), 0, -1):
+                c = w[i : i + ln]
+                if c in sset:
+                    out.append(c if first else "##" + c)
+                    i += ln
+                    first = False
+                    break
+            else:
+                return [WORDPIECE_UNK], True
+        return out, False
+
+    @F.pandas_udf("pieces array<string>, failed boolean")
+    def _seg(words: pd.Series) -> pd.DataFrame:
+        memo: dict[str, tuple[list[str], bool]] = {}
+        ps, fs = [], []
+        for w in words:
+            if w not in memo:
+                memo[w] = segment(w)
+            p, f = memo[w]
+            ps.append(p)
+            fs.append(f)
+        return pd.DataFrame({"pieces": ps, "failed": fs})
+
+    words = df.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    vocab_seg = (
+        words.select("word")
+        .distinct()
+        .select("word", _seg(F.col("word")).alias("s"))
+        .select("word", "s.pieces", "s.failed")
+    )
+    seg = words.join(vocab_seg, "word")
+    per_doc = seg.groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("pieces")).alias("n_pieces"),
+        F.sum(F.col("failed").cast("bigint")).alias("n_unk_words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.array_join("pieces", " ").alias("seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("stream_md5"),
+    )
+    base = df.select(F.col(id_col).alias("did"))
+    return base.join(per_doc, "did", "left").select(
+        F.col("did").alias(id_col),
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
+        F.coalesce("n_unk_words", F.lit(0)).cast("bigint").alias("n_unk_words"),
         F.coalesce("stream_md5", F.md5(F.lit(""))).alias("stream_md5"),
     )
 

@@ -339,7 +339,7 @@ def _bpe_round_sql(r: int) -> str:
                         ELSE list_append(acc, syms[i]) END
             FROM walk{r} WHERE i <= len(syms)
         ),
-        syms{r} AS (
+        syms{r} AS MATERIALIZED (
             SELECT word, freq, acc AS syms FROM walk{r}
             WHERE i = len(syms) + 1
         )"""
@@ -3473,3 +3473,217 @@ def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_count",
         "final_md5",
     )
+
+
+# ---------------------------------------------------- WordPiece tokenizer oracle
+# Full-replay DuckDB mirror of operators/text.py wordpiece_learn/apply:
+# '##'-marked char split, per-round pair + symbol histograms, the
+# quantized likelihood-gain arg-max (floor(1e12·cnt/(ca·cb)) — one IEEE
+# divide + multiply, no libm), the recursive merge walk, the final piece
+# inventory (alphabet ∪ merge outputs), and greedy longest-match
+# re-segmentation with whole-word <unk> — the same replay-everything
+# posture as the BPE and unigram oracles above.
+_WP_MERGES = 3
+
+
+def _wp_round_sql(r: int) -> str:
+    """One WordPiece training round as DuckDB CTEs: pair histogram AND
+    symbol histogram over syms{r-1}, arg-max of the quantized score
+    (score DESC, pair ASC), and the left-to-right non-overlapping merge
+    as a recursive index walk appending a || substr(b, 3)."""
+    prev = f"syms{r - 1}"
+    top = f"top{r}"
+    return f"""
+        pairs{r} AS MATERIALIZED (
+            SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq, u.p.a AS a, u.p.b AS b
+                FROM {prev}, UNNEST(list_transform(range(1, len(syms)),
+                     i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS u(p)
+            ) GROUP BY a, b
+        ),
+        symc{r} AS MATERIALIZED (
+            SELECT s.sym AS sym, CAST(sum(freq) AS BIGINT) AS c
+            FROM {prev}, UNNEST(syms) AS s(sym) GROUP BY 1
+        ),
+        {top} AS MATERIALIZED (
+            SELECT p.a, p.b, p.cnt,
+                   CAST(floor(1e12 * (p.cnt
+                        / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))))
+                       AS BIGINT) AS score_e12
+            FROM pairs{r} p
+            JOIN symc{r} ca ON ca.sym = p.a
+            JOIN symc{r} cb ON cb.sym = p.b
+            ORDER BY score_e12 DESC, p.a, p.b LIMIT 1
+        ),
+        walk{r} AS (
+            SELECT word, freq, syms, 1 AS i, []::VARCHAR[] AS acc FROM {prev}
+            UNION ALL
+            SELECT word, freq, syms,
+                   CASE WHEN i < len(syms)
+                             AND syms[i] = (SELECT a FROM {top})
+                             AND syms[i + 1] = (SELECT b FROM {top})
+                        THEN i + 2 ELSE i + 1 END,
+                   CASE WHEN i < len(syms)
+                             AND syms[i] = (SELECT a FROM {top})
+                             AND syms[i + 1] = (SELECT b FROM {top})
+                        THEN list_append(acc, syms[i] || substr(syms[i + 1], 3))
+                        ELSE list_append(acc, syms[i]) END
+            FROM walk{r} WHERE i <= len(syms)
+        ),
+        syms{r} AS MATERIALIZED (
+            SELECT word, freq, acc AS syms FROM walk{r}
+            WHERE i = len(syms) + 1
+        )"""
+
+
+_WP_TRAIN_CTES = (
+    f"""
+    WITH RECURSIVE wt AS MATERIALIZED (
+        SELECT tok AS word, count(*) AS freq
+        FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+        WHERE length(trim(text)) > 0
+        GROUP BY tok
+    ),
+    syms0 AS MATERIALIZED (
+        SELECT word, freq,
+               list_transform(range(1, length(word) + 1),
+                   i -> CASE WHEN i = 1 THEN word[i]
+                             ELSE '##' || word[i] END) AS syms
+        FROM wt
+    ),
+    """
+    + ",\n".join(_wp_round_sql(r) for r in range(1, _WP_MERGES + 1))
+)
+
+_WP_LEARN_ORACLE = (
+    _WP_TRAIN_CTES
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, cnt AS pair_count, score_e12 FROM top{r}"
+        for r in range(1, _WP_MERGES + 1)
+    )
+)
+
+
+@query(
+    "tokenizer_wordpiece_learn",
+    oracle=_WP_LEARN_ORACLE,
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece vocabulary training (Schuster & Nakajima 2012 — the BERT
+    tokenizer): the first 3 learned merges, each round picking the pair
+    maximizing the quantized likelihood gain count(ab)/(count(a)·count(b))
+    — completing the trained-tokenizer family triple next to BPE
+    (frequency objective) and unigram-LM (prune objective).  The oracle
+    replays every round in full: pair AND symbol histograms, the
+    quantized-score arg-max, and the sequential '##'-aware merge walk."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return X.wordpiece_learn(documents, num_merges=_WP_MERGES)
+
+
+@query(
+    "tokenizer_wordpiece_apply",
+    oracle=_WP_TRAIN_CTES
+    + f""",
+    wpvocab AS MATERIALIZED (
+        SELECT DISTINCT s.sym AS piece FROM syms0, UNNEST(syms) AS s(sym)
+        """
+    + " ".join(
+        f"UNION SELECT a || substr(b, 3) FROM top{r}"
+        for r in range(1, _WP_MERGES + 1)
+    )
+    + f"""
+    ),
+    toksw AS MATERIALIZED (
+        SELECT doc_id, CAST(u.i AS INT) AS widx, ({_DUCK_TOKS})[u.i] AS word
+        FROM documents, UNNEST(range(1, len({_DUCK_TOKS}) + 1)) AS u(i)
+        WHERE length(trim(text)) > 0
+    ),
+    dwp AS MATERIALIZED (SELECT DISTINCT word FROM toksw),
+    posw AS MATERIALIZED (
+        SELECT word, CAST(t.i AS INT) AS p
+        FROM dwp, UNNEST(range(1, length(word) + 1)) AS t(i)
+    ),
+    bmw AS MATERIALIZED (
+        SELECT pw.word, pw.p,
+               coalesce(max(CASE WHEN pw.p = 1 THEN length(v.piece)
+                                 ELSE length(v.piece) - 2 END), 0) AS bl
+        FROM posw pw LEFT JOIN wpvocab v
+          ON (pw.p = 1 AND v.piece NOT LIKE '##%'
+              AND length(v.piece) <= length(pw.word)
+              AND substr(pw.word, 1, length(v.piece)) = v.piece)
+          OR (pw.p > 1 AND v.piece LIKE '##%'
+              AND length(v.piece) > 2
+              AND length(v.piece) - 2 <= length(pw.word) - pw.p + 1
+              AND substr(pw.word, pw.p, length(v.piece) - 2)
+                  = substr(v.piece, 3))
+        GROUP BY 1, 2
+    ),
+    segw AS (
+        SELECT word, 1 AS p, '' AS toks, false AS failed FROM dwp
+        UNION ALL
+        SELECT s.word,
+               s.p + CASE WHEN b.bl = 0 THEN length(s.word) ELSE b.bl END,
+               s.toks || CASE WHEN s.toks = '' THEN '' ELSE ' ' END ||
+                   CASE WHEN b.bl = 0 THEN '<unk>'
+                        WHEN s.p = 1 THEN substr(s.word, 1, b.bl)
+                        ELSE '##' || substr(s.word, s.p, b.bl) END,
+               s.failed OR b.bl = 0
+        FROM segw s JOIN bmw b ON b.word = s.word AND b.p = s.p
+        WHERE s.p <= length(s.word)
+    ),
+    donew AS MATERIALIZED (
+        SELECT word,
+               CASE WHEN failed THEN '<unk>' ELSE toks END AS toks,
+               CASE WHEN failed THEN 1
+                    ELSE CAST(length(toks)
+                         - length(replace(toks, ' ', '')) + 1 AS BIGINT)
+               END AS ntoks,
+               failed
+        FROM segw WHERE p > length(word)
+    ),
+    per_docw AS (
+        SELECT w.doc_id AS did,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(d.ntoks) AS BIGINT) AS n_pieces,
+               CAST(sum(CASE WHEN d.failed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unk_words,
+               string_agg(d.toks, ' ' ORDER BY w.widx) AS stream
+        FROM toksw w JOIN donew d USING (word)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_words, 0) AS n_words,
+           coalesce(p.n_pieces, 0) AS n_pieces,
+           coalesce(p.n_unk_words, 0) AS n_unk_words,
+           coalesce(md5(p.stream), md5('')) AS stream_md5
+    FROM documents d LEFT JOIN per_docw p ON p.did = d.doc_id
+    """,
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WordPiece chain: TRAIN the merge table (the same 3
+    merges tokenizer_wordpiece_learn verifies), build the piece
+    inventory (training alphabet ∪ merge outputs — merge ORDER is
+    discarded, HF WordPiece semantics), then ENCODE every document by
+    greedy longest-match with whole-word <unk> — the defining contrast
+    with tokenizer_bpe_apply, which replays merges in rank order.  The
+    oracle replays training, the piece inventory, the per-(word,
+    position) best-match table, the recursive maximal-munch walk, and
+    per-doc reassembly; md5 of the full piece stream pins the entire
+    segmentation.
+
+    Driver data is the merge table + the artifact-sized piece list; the
+    greedy scan runs over DISTINCT WORD TYPES in one Arrow batch pass."""
+    (documents,) = load(spark, sf_dir, "documents")
+    trained = (
+        X.wordpiece_learn(documents, num_merges=_WP_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in trained]
+    pieces = X.wordpiece_vocab_pieces(documents, merges)
+    return X.wordpiece_apply(documents, pieces)

@@ -242,6 +242,131 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "privacy_t_closeness",
+    oracle="""
+        WITH cls AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens,
+                   count(*) AS c
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(sum(c) AS BIGINT) AS class_size
+            FROM cls GROUP BY 1, 2
+        ),
+        bands AS (SELECT sens, CAST(sum(c) AS BIGINT) AS g FROM cls GROUP BY 1),
+        tot AS (
+            SELECT CAST(sum(g) AS BIGINT) AS N,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM bands
+        ),
+        grid AS (
+            SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+                   b.sens, b.g, coalesce(x.c, 0) AS c
+            FROM classes cl CROSS JOIN bands b
+            LEFT JOIN cls x ON x.c_nationkey = cl.c_nationkey
+                           AND x.c_mktsegment = cl.c_mktsegment
+                           AND x.sens = b.sens
+        ),
+        cum AS (
+            SELECT c_nationkey, c_mktsegment, class_size,
+                   sum(CAST(c AS BIGINT) * (SELECT N FROM tot)
+                       - g * class_size)
+                       OVER (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY sens
+                             ROWS UNBOUNDED PRECEDING) AS d
+            FROM grid
+        ),
+        emd AS (
+            SELECT c_nationkey, c_mktsegment, class_size,
+                   CAST(floor(1e6 * (CAST(sum(abs(d)) AS DOUBLE)
+                        / (CAST((SELECT N FROM tot) AS DOUBLE) * class_size
+                           * greatest((SELECT m FROM tot) - 1, 1))))
+                       AS BIGINT) AS emd_e6
+            FROM cum GROUP BY 1, 2, 3
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(max(emd_e6) AS BIGINT) AS worst_emd_e6,
+               CAST(count(*) FILTER (emd_e6 > 200000) AS BIGINT)
+                   AS classes_above_02,
+               CAST(coalesce(sum(class_size) FILTER (emd_e6 > 200000), 0)
+                    AS BIGINT) AS rows_at_risk
+        FROM emd
+    """,
+    tags=("privacy", "diagnostics"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    rung of the release-privacy ladder after k-anonymity and l-diversity:
+    a class can be large AND diverse yet still leak when its sensitive
+    DISTRIBUTION deviates from the table-wide one.  Per quasi-identifier
+    class, the ordered-attribute Earth Mover's Distance between the
+    class's account-balance-band distribution and the global one:
+    EMD = Σ_i |Σ_{j≤i} (p_j − q_j)| / (m − 1), computed on the
+    cross-multiplied INTEGER lattice c_j·N − g_j·n (exact — no per-cell
+    float fractions) with one final quantized division to emd_e6; t is
+    the worst class EMD, with counts/rows above the t = 0.2 release
+    threshold.
+
+    Scale: one grouped count keyed (QI, band), a class×band grid bounded
+    by |classes|·m (broadcast band histogram), one partitioned running
+    sum — nothing shuffles wider than the QI columns."""
+    from pyspark.sql import Window
+
+    (customer,) = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sens")
+    cls = customer.groupBy("c_nationkey", "c_mktsegment", band).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    classes = cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").alias("class_size")
+    )
+    bands = cls.groupBy("sens").agg(F.sum("c").alias("g"))
+    tot = bands.agg(
+        F.sum("g").alias("N"), F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(cls, ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn(
+        "d", F.sum(F.col("c") * F.col("N") - F.col("g") * F.col("class_size")).over(w)
+    )
+    emd = cum.groupBy("c_nationkey", "c_mktsegment", "class_size").agg(
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.sum(F.abs("d")).cast("double")
+                / (
+                    F.first("N").cast("double")
+                    * F.first("class_size")
+                    * F.greatest(F.first("m") - 1, F.lit(1))
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("emd_e6"),
+    )
+    risky = F.col("emd_e6") > 200000
+    return emd.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.max("emd_e6").alias("worst_emd_e6"),
+        F.count_if(risky).alias("classes_above_02"),
+        F.coalesce(
+            F.sum(F.when(risky, F.col("class_size"))), F.lit(0).cast("bigint")
+        ).alias("rows_at_risk"),
+    )
+
+
+@query(
     "dq_dynamic_rules",
     oracle="""
         WITH rules(rule_id, col_name, op, lo, hi) AS (VALUES

@@ -1322,3 +1322,164 @@ def events_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_gap_s"),
     )
     return vc.unionByName(cp)
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+        WITH RECURSIVE daily AS MATERIALIZED (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(date_trunc('day', ts)
+                                                    AS DATE)) AS idx
+            FROM events GROUP BY 1, 2
+        ),
+        base AS MATERIALIZED (
+            SELECT event_type, CAST(sum(x) AS BIGINT) AS M
+            FROM daily WHERE idx <= 7
+            GROUP BY 1 HAVING count(*) = 7
+        ),
+        seq AS MATERIALIZED (
+            SELECT d.event_type, d.idx, d.day, d.x, b.M
+            FROM daily d JOIN base b USING (event_type)
+            WHERE d.idx > 7
+        ),
+        fin AS (
+            SELECT d.event_type, max(d.idx) AS tmax
+            FROM daily d JOIN base b USING (event_type)
+            GROUP BY 1
+        ),
+        walk(event_type, idx, s, fa, na, mx) AS (
+            SELECT event_type, CAST(7 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(NULL AS DATE), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM base
+            UNION ALL
+            SELECT w.event_type, w.idx + 1,
+                   greatest(0, w.s + (14 * q.x - 3 * q.M)),
+                   CASE WHEN w.fa IS NULL
+                             AND greatest(0, w.s + (14 * q.x - 3 * q.M))
+                                 > 8 * q.M
+                        THEN q.day ELSE w.fa END,
+                   w.na + CASE WHEN greatest(0, w.s + (14 * q.x - 3 * q.M))
+                                   > 8 * q.M
+                               THEN 1 ELSE 0 END,
+                   greatest(w.mx, greatest(0, w.s + (14 * q.x - 3 * q.M)))
+            FROM walk w
+            JOIN seq q ON q.event_type = w.event_type AND q.idx = w.idx + 1
+        ),
+        nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1)
+        SELECT w.event_type,
+               nd.n_days,
+               CAST(floor(1000 * (b.M / 7.0)) AS BIGINT)
+                   AS baseline_mean_milli,
+               w.fa AS first_alarm_day,
+               w.na AS n_alarm_days,
+               w.mx AS max_cusum_scaled
+        FROM walk w
+        JOIN fin f ON f.event_type = w.event_type AND w.idx = f.tmax
+        JOIN base b ON b.event_type = w.event_type
+        JOIN nd ON nd.event_type = w.event_type
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per event type (Page 1954)
+    — the classic sequential volume-shift detector, completing the
+    anomaly family next to the rolling z-score (point outliers), EWMA
+    (trend), seasonal residuals, and KS/PSI drift (distribution): the
+    first 7 observed days fix an integer baseline M = Σx, then
+    S_t = max(0, S_{t-1} + (x_t − μ − k)) runs over the remaining days
+    with slack k = μ/2 and alarm threshold h = 4μ, entirely on the
+    2W-scaled INTEGER lattice (14·x_t − 3M vs 8M) so the fold, the
+    first-alarm day, and the max statistic are bit-exact cross-engine.
+
+    The recursion is a genuine sequential fold (max(0,·) has no closed
+    form, unlike EWMA's) — it runs as one JVM ``aggregate`` over each
+    type's day-ordered array: the raw stream collapses to (type, day)
+    grain in ONE pass (the only scan of the 100 TB), and the fold walks
+    ≤days elements per type, driver-free; the oracle replays it as a
+    recursive index walk.
+
+    Returns (event_type, n_days, baseline_mean_milli, first_alarm_day,
+    n_alarm_days, max_cusum_scaled) for types with ≥7 observed days."""
+    daily = (
+        load(spark, sf_dir, "events")[0]
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    idx = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("day")
+    )
+    d = daily.withColumn("idx", idx)
+    base = (
+        d.where(F.col("idx") <= 7)
+        .groupBy("event_type")
+        .agg(F.sum("x").alias("M"), F.count(F.lit(1)).alias("w7"))
+        .where(F.col("w7") == 7)
+        .drop("w7")
+    )
+    nd = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    seq = (
+        d.where(F.col("idx") > 7)
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "day", "x"))
+            ).alias("arr")
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("s"),
+        F.lit(None).cast("date").alias("fa"),
+        F.lit(0).cast("bigint").alias("na"),
+        F.lit(0).cast("bigint").alias("mx"),
+    )
+
+    def step(acc, e):
+        s2 = F.greatest(
+            F.lit(0).cast("bigint"),
+            acc["s"] + (F.lit(14) * e["x"] - F.lit(3) * F.col("M")),
+        )
+        alarm = s2 > F.lit(8) * F.col("M")
+        return F.struct(
+            s2.alias("s"),
+            F.when(acc["fa"].isNull() & alarm, e["day"])
+            .otherwise(acc["fa"])
+            .alias("fa"),
+            (acc["na"] + alarm.cast("bigint")).alias("na"),
+            F.greatest(acc["mx"], s2).alias("mx"),
+        )
+
+    folded = (
+        base.join(seq, "event_type", "left")
+        .withColumn(
+            "r",
+            F.aggregate(
+                F.coalesce(
+                    F.col("arr"),
+                    F.array().cast(
+                        "array<struct<idx:int,day:date,x:bigint>>"
+                    ),
+                ),
+                init,
+                step,
+            ),
+        )
+        .join(nd, "event_type")
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.floor(F.lit(1000) * (F.col("M") / F.lit(7.0)))
+        .cast("bigint")
+        .alias("baseline_mean_milli"),
+        F.col("r.fa").alias("first_alarm_day"),
+        F.col("r.na").alias("n_alarm_days"),
+        F.col("r.mx").alias("max_cusum_scaled"),
+    )

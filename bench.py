@@ -330,6 +330,10 @@ HEADLINE = [
     # round-12 additions (second wave)
     "text_bigram_lm_quality",
     "curate_dsir_importance",
+    "tokenizer_wordpiece_learn",
+    "tokenizer_wordpiece_apply",
+    "privacy_t_closeness",
+    "events_cusum_changepoint",
 ]
 
 

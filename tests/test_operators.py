@@ -4075,3 +4075,61 @@ class TestTrainedLmFilters:
         pos_by_k = {r["k"]: r["pos"] for r in ranked}
         assert sorted(pos_by_k.values()) == list(range(1, 258))
         assert pos_by_k[0] == 1 and pos_by_k[256] == 257
+
+
+class TestWordpieceTokenizer:
+    """wordpiece_learn / wordpiece_apply — the likelihood-gain objective
+    and greedy longest-match with whole-word <unk>."""
+
+    def test_learn_prefers_likelihood_over_raw_frequency(self, spark):
+        from aws_genaric_datapipeline_spark.operators import text as X
+
+        # 'xy' appears 4x but x,y each appear 12x elsewhere; 'qz' appears
+        # 3x and q,z appear NOWHERE else: BPE would merge (x,##y) first
+        # (higher pair count), WordPiece must merge (q,##z) first
+        # (score 3/(3*3) >> 4/(16*16)).
+        rows = [(0, "xy xy xy xy x x x x x x x x y y y y y y y y qz qz qz")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        top = X.wordpiece_learn(docs, num_merges=1).collect()[0]
+        assert (top["left_sym"], top["right_sym"]) == ("q", "##z")
+
+    def test_apply_longest_match_and_whole_word_unk(self, spark):
+        from aws_genaric_datapipeline_spark.operators import text as X
+
+        docs = spark.createDataFrame(
+            [(0, "ab abc")], "doc_id long, text string"
+        )
+        pieces = ["a", "b", "c", "##a", "##b", "##c", "ab", "abc"]
+        out = {
+            r["doc_id"]: r for r in X.wordpiece_apply(docs, pieces).collect()
+        }
+        # 'abc' must take the 3-char piece, not 'ab'+'##c'
+        assert out[0]["n_pieces"] == 2  # 'ab' + 'abc'
+        assert out[0]["n_unk_words"] == 0
+        # held-out character → whole word becomes ONE <unk>
+        docs2 = spark.createDataFrame(
+            [(1, "ab aqb")], "doc_id long, text string"
+        )
+        out2 = X.wordpiece_apply(docs2, pieces).collect()[0]
+        assert out2["n_unk_words"] == 1
+        assert out2["n_pieces"] == 2  # 'ab' + single '<unk>'
+
+    def test_apply_resegments_against_piece_set_not_merge_order(self, spark):
+        from aws_genaric_datapipeline_spark.operators import text as X
+
+        # vocab contains 'abc' but NO 'ab': greedy longest-match encodes
+        # 'abc' as one piece even though no merge sequence (a,##b),(ab,##c)
+        # is replayed — the defining difference from bpe_apply
+        docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+        pieces = ["a", "##b", "##c", "abc"]
+        out = X.wordpiece_apply(docs, pieces).collect()[0]
+        assert out["n_pieces"] == 1
+
+    def test_vocab_pieces_is_alphabet_plus_merge_outputs(self, spark):
+        from aws_genaric_datapipeline_spark.operators import text as X
+
+        docs = spark.createDataFrame(
+            [(0, "aa ab")], "doc_id long, text string"
+        )
+        pieces = X.wordpiece_vocab_pieces(docs, [("a", "##a")])
+        assert set(pieces) == {"a", "##a", "##b", "aa"}
