@@ -593,3 +593,99 @@ def dsir_importance(
         "dsir_q",
         (F.col("pos") <= F.floor(F.col("N") / keep_denom)).alias("keep"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_mod: int = 20,
+    span_len: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption preprocessing (Raffel et al. 2020): mask
+    ~15% of each document's tokens in short spans, emit the corrupted
+    INPUT stream (each masked span collapsed to one ``<extra_id_k>``
+    sentinel) and the TARGET stream (sentinels followed by the masked
+    tokens) — the last transform before a denoising-objective training
+    run.
+
+    The "randomness" is a deterministic hash: position i starts a span
+    iff md5(id:i) mod ``trigger_mod`` = 0 (≈5% of positions), and a span
+    covers ``span_len`` tokens, so ~15% of tokens mask; overlapping
+    spans merge into maximal runs numbered in document order.  Because
+    the noise is a pure function of (id, position), the exact corrupted
+    pair is replayable by any engine — reproducible training data, no
+    RNG state to ship.
+
+    Returns (id, n_tokens, n_masked, n_spans, inputs_md5, targets_md5)
+    for documents with ≥1 token; the md5s pin both streams end to end.
+
+    Scale: tokenize/explode is linear; masking/run-numbering are three
+    frames over one window partitioned by doc id (ONE shuffle); the md5
+    roll-up reuses the same partitioning."""
+    base = df.select(
+        F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") > 0)
+    tok = base.select("did", F.posexplode("toks").alias("pos", "tok"))
+    trigger = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("did"), F.col("pos"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % trigger_mod
+        == 0
+    )
+    seq = Window.partitionBy("did").orderBy("pos")
+    back = seq.rowsBetween(-(span_len - 1), 0)
+    run = seq.rowsBetween(Window.unboundedPreceding, 0)
+    t = tok.withColumn("trig", trigger.cast("int"))
+    m = t.withColumn("masked", F.max("trig").over(back) == 1)
+    r = m.withColumn(
+        "run_start",
+        F.col("masked")
+        & ~F.coalesce(F.lag("masked").over(seq), F.lit(False)),
+    ).withColumn("run_id", F.sum(F.col("run_start").cast("int")).over(run))
+    sentinel = F.concat(
+        F.lit("<extra_id_"),
+        (F.col("run_id") - 1).cast("string"),
+        F.lit(">"),
+    )
+    in_piece = F.when(~F.col("masked"), F.col("tok")).when(
+        F.col("run_start"), sentinel
+    )  # masked non-start rows yield NULL → dropped from the input stream
+    tgt_piece = F.when(
+        F.col("masked") & F.col("run_start"),
+        F.concat(sentinel, F.lit(" "), F.col("tok")),
+    ).when(F.col("masked"), F.col("tok"))
+    stream = lambda piece: F.array_join(  # noqa: E731
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("pos"), piece.alias("p"))
+                    )
+                ),
+                lambda s: s["p"].isNotNull(),
+            ),
+            lambda s: s["p"],
+        ),
+        " ",
+    )
+    per_doc = r.groupBy("did").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("masked").cast("bigint")).alias("n_masked"),
+        F.sum(F.col("run_start").cast("bigint")).alias("n_spans"),
+        F.md5(stream(in_piece)).alias("inputs_md5"),
+        F.md5(stream(tgt_piece)).alias("targets_md5"),
+    )
+    return per_doc.select(
+        F.col("did").alias(id_col),
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        "inputs_md5",
+        "targets_md5",
+    )

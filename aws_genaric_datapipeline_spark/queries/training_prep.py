@@ -668,3 +668,81 @@ def curate_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank-based selection in full."""
     (documents,) = load(spark, sf_dir, "documents")
     return P.dsir_importance(documents, F.col("lang") == "en")
+
+
+@query(
+    "curate_span_corruption",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id AS did, {_TOKS} AS toks FROM documents
+            WHERE length(trim(text)) > 0
+        ),
+        tok AS (
+            SELECT did, CAST(u.i AS INT) AS pos, toks[u.i] AS tok
+            FROM base, UNNEST(range(1, len(toks) + 1)) AS u(i)
+        ),
+        t AS (
+            SELECT did, pos, tok,
+                   CASE WHEN CAST(('0x' || substr(
+                            md5(did || ':' || (pos - 1)), 1, 8)) AS BIGINT)
+                            % 20 = 0
+                        THEN 1 ELSE 0 END AS trig
+            FROM tok
+        ),
+        m AS (
+            SELECT *,
+                   max(trig) OVER (PARTITION BY did ORDER BY pos
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1
+                       AS masked
+            FROM t
+        ),
+        r AS (
+            SELECT *,
+                   masked AND NOT coalesce(
+                       lag(masked) OVER (PARTITION BY did ORDER BY pos),
+                       false) AS run_start
+            FROM m
+        ),
+        rr AS (
+            SELECT *,
+                   sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY did ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM r
+        ),
+        pieces AS (
+            SELECT did, pos, masked, run_start,
+                   CASE WHEN NOT masked THEN tok
+                        WHEN run_start
+                        THEN '<extra_id_' || (run_id - 1) || '>'
+                   END AS in_piece,
+                   CASE WHEN masked AND run_start
+                        THEN '<extra_id_' || (run_id - 1) || '>' || ' ' || tok
+                        WHEN masked THEN tok
+                   END AS tgt_piece
+            FROM rr
+        )
+        SELECT did AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked,
+               CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_spans,
+               md5(coalesce(string_agg(in_piece, ' ' ORDER BY pos), ''))
+                   AS inputs_md5,
+               md5(coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), ''))
+                   AS targets_md5
+        FROM pieces GROUP BY did
+    """,
+    tags=("north-star", "trainprep", "text"),
+)
+def curate_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020): ~15% of tokens
+    masked in mean-3 spans, inputs with per-span <extra_id_k> sentinels,
+    targets carrying the masked content — the denoising-objective prep
+    pass.  The noise is a pure md5 function of (doc_id, position), so
+    BOTH corrupted streams are deterministic and the oracle replays
+    trigger positions, span merging, sentinel numbering, and both md5
+    streams exactly."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return P.span_corruption(documents)

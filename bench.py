@@ -334,6 +334,7 @@ HEADLINE = [
     "tokenizer_wordpiece_apply",
     "privacy_t_closeness",
     "events_cusum_changepoint",
+    "curate_span_corruption",
 ]
 
 
