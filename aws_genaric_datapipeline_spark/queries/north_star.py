@@ -4137,3 +4137,150 @@ def embed_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bp"),
         )
     )
+
+
+@query(
+    "sim_bitext_margin_pairs",
+    oracle="""
+        WITH base AS (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, d.lang
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        ),
+        unit AS (
+            SELECT vec_id, lang,
+                   CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                        ELSE list_transform(v,
+                             x -> x / sqrt(list_dot_product(v, v)))
+                   END AS u
+            FROM base
+        ),
+        en AS (
+            SELECT vec_id AS en_id, u FROM unit
+            WHERE lang = 'en'
+              AND CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 4 = 0
+        ),
+        fr AS (SELECT vec_id AS fr_id, u FROM unit WHERE lang = 'fr'),
+        scored AS MATERIALIZED (
+            SELECT en_id, fr_id,
+                   CAST(round(round(list_dot_product(en.u, fr.u), 4)
+                        * 10000) AS BIGINT) AS ci
+            FROM en CROSS JOIN fr
+        ),
+        rx AS (
+            SELECT en_id, CAST(sum(ci) AS BIGINT) AS rx_sum FROM (
+                SELECT en_id, ci, row_number() OVER (PARTITION BY en_id
+                       ORDER BY ci DESC, fr_id) AS rn
+                FROM scored
+            ) WHERE rn <= 4 GROUP BY en_id
+        ),
+        ry AS (
+            SELECT fr_id, CAST(sum(ci) AS BIGINT) AS ry_sum FROM (
+                SELECT fr_id, ci, row_number() OVER (PARTITION BY fr_id
+                       ORDER BY ci DESC, en_id) AS rn
+                FROM scored
+            ) WHERE rn <= 4 GROUP BY fr_id
+        ),
+        best AS (
+            SELECT en_id, fr_id, ci FROM (
+                SELECT en_id, fr_id, ci,
+                       row_number() OVER (PARTITION BY en_id
+                           ORDER BY ci DESC, fr_id) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT b.en_id, b.fr_id,
+               round(b.ci / 10000.0, 4) AS cos_sim,
+               CAST(floor(1e6 * (8.0 * b.ci)
+                    / (rx.rx_sum + ry.ry_sum)) AS BIGINT) AS margin_e6
+        FROM best b
+        JOIN rx ON rx.en_id = b.en_id
+        JOIN ry ON ry.fr_id = b.fr_id
+        WHERE floor(1e6 * (8.0 * b.ci) / (rx.rx_sum + ry.ry_sum)) >= 1050000
+    """,
+    tags=("north-star", "similarity", "text"),
+)
+def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining by MARGIN scoring (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix recipe that mined the largest public MT corpora):
+    candidate en→fr translation pairs are each English document's best
+    French cosine neighbor, kept only when the RATIO margin
+    2·cos(x,y) / (mean top-4 cos of x + mean top-4 cos of y) clears
+    1.05 — absolute cosine thresholds fail under hubness; the margin
+    normalizes by each side's neighborhood density.
+
+    Determinism: cosines compare at round-4 (the repo-wide contract),
+    then move to the INTEGER lattice ci = round(1e4·cos) so the top-4
+    sums — and therefore the margin numerator/denominator — are
+    order-free integers; the margin itself is one IEEE divide,
+    quantized to margin_e6.  The oracle replays normalization, the
+    md5-sampled English panel, both kNN directions, and the margin
+    filter in full.
+
+    Scale: the sampled panel bounds this exact tier (~N/4 × |fr|
+    dots); the production path blocks the cross join through the
+    hyperplane-LSH buckets (sim_lsh_near_pairs) exactly as CCMatrix
+    shards by FAISS cells — the margin algebra downstream is
+    unchanged."""
+    from pyspark.sql import Window
+
+    documents, embeddings = load(spark, sf_dir, "documents", "embeddings")
+    unit = S.with_unit_vectors(embeddings).join(
+        documents.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    en = unit.where(
+        (F.col("lang") == "en")
+        & (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+            == 0
+        )
+    ).select(F.col("vec_id").alias("en_id"), F.col("unit_vec").alias("eu"))
+    fr = unit.where(F.col("lang") == "fr").select(
+        F.col("vec_id").alias("fr_id"), F.col("unit_vec").alias("fu")
+    )
+    ci = F.round(
+        F.round(S.dot(F.col("eu"), F.col("fu")), 4) * 10000
+    ).cast("bigint")
+    scored = (
+        en.crossJoin(F.broadcast(fr))
+        .select("en_id", "fr_id", ci.alias("ci"))
+        .localCheckpoint(eager=True)  # fanned out to rx, ry, and best
+    )
+    wx = Window.partitionBy("en_id").orderBy(F.desc("ci"), F.asc("fr_id"))
+    wy = Window.partitionBy("fr_id").orderBy(F.desc("ci"), F.asc("en_id"))
+    rx = (
+        scored.withColumn("rn", F.row_number().over(wx))
+        .where(F.col("rn") <= 4)
+        .groupBy("en_id")
+        .agg(F.sum("ci").alias("rx_sum"))
+    )
+    ry = (
+        scored.withColumn("rn", F.row_number().over(wy))
+        .where(F.col("rn") <= 4)
+        .groupBy("fr_id")
+        .agg(F.sum("ci").alias("ry_sum"))
+    )
+    best = scored.withColumn("rn", F.row_number().over(wx)).where(
+        F.col("rn") == 1
+    )
+    margin = F.floor(
+        F.lit(1e6)
+        * (F.lit(8.0) * F.col("ci"))
+        / (F.col("rx_sum") + F.col("ry_sum"))
+    ).cast("bigint")
+    return (
+        best.join(rx, "en_id")
+        .join(ry, "fr_id")
+        .select(
+            "en_id",
+            "fr_id",
+            F.round(F.col("ci") / 10000.0, 4).alias("cos_sim"),
+            margin.alias("margin_e6"),
+        )
+        .where(F.col("margin_e6") >= 1050000)
+    )

@@ -335,6 +335,7 @@ HEADLINE = [
     "privacy_t_closeness",
     "events_cusum_changepoint",
     "curate_span_corruption",
+    "sim_bitext_margin_pairs",
 ]
 
 
