@@ -1211,3 +1211,69 @@ class TestRound12Plans:
         t.append(spark.createDataFrame([(4, "d")], "k bigint, val string"))
         post = explain_str(t.read(), mode="simple")
         assert post.count("Scan parquet") == 2, post[:2000]
+
+
+class TestRound12SecondWavePlans:
+    """Plan posture of the round-12 second-wave operators (trained-LM
+    filters, WordPiece, bitext mining)."""
+
+    def test_bigram_lm_count_tables_broadcast(self, spark):
+        """text_bigram_lm_quality: the vocab and bigram/context count
+        tables are aggregation outputs joined back to the corpus-sized
+        pair stream — they must BROADCAST; a sort-merge join would
+        shuffle the full corpus on a string key."""
+        df = QUERIES["text_bigram_lm_quality"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "SortMergeJoin" not in plan, plan[:2000]
+
+    def test_dsir_weight_join_broadcasts_and_no_lag_window(self, spark):
+        """curate_dsir_importance: the <=1024-row bucket-weight table
+        broadcasts, and feature construction is pure array zips — no
+        per-token lag Window before the per-doc aggregation."""
+        df = QUERIES["curate_dsir_importance"].fn(spark, SF)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "SortMergeJoin" not in plan, plan[:2000]
+
+    def test_wordpiece_apply_word_join_broadcasts(self, spark):
+        """tokenizer_wordpiece_apply: the greedy scan runs over DISTINCT
+        word types; the WORD-keyed join back to token positions must
+        broadcast the vocabulary-sized side (a corpus shuffle on the word
+        string would be the scale failure — the trailing did-keyed left
+        join restoring empty docs may sort-merge, same as bpe_apply), and
+        the only Python touch is Arrow-batched."""
+        df = QUERIES["tokenizer_wordpiece_apply"].fn(spark, SF)
+        plan = explain_str(df, mode="simple")
+        assert "BroadcastHashJoin [word" in plan, plan[:2000]
+        assert "SortMergeJoin [word" not in plan, plan[:2000]
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
+        assert "BatchEvalPython" not in plan, plan[:2000]
+
+    def test_bitext_panel_cross_join_broadcasts_fr_side(self, spark):
+        """sim_bitext_margin_pairs: the exact tier's cross join carries
+        the (smaller) French side as a broadcast nested loop — the
+        sampled English panel streams; no shuffle of either side.  The
+        query eagerly checkpoints the scored frame (it fans out to both
+        kNN directions and the best-pair leg), so the gate rebuilds the
+        pre-checkpoint join, as the conf-mutating join gates do."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        unit = S.with_unit_vectors(emb).join(
+            docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+        )
+        en = unit.where(F.col("lang") == "en").select(
+            F.col("vec_id").alias("en_id"), F.col("unit_vec").alias("eu")
+        )
+        fr = unit.where(F.col("lang") == "fr").select(
+            F.col("vec_id").alias("fr_id"), F.col("unit_vec").alias("fu")
+        )
+        scored = en.crossJoin(F.broadcast(fr)).select(
+            "en_id", "fr_id", F.round(S.dot(F.col("eu"), F.col("fu")), 4).alias("c")
+        )
+        plan = explain_str(scored, mode="simple")
+        assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
