@@ -1223,10 +1223,23 @@ def _wordpiece_init_syms(word: Column) -> Column:
     )
 
 
+def wordpiece_word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The (word, freq) word-type histogram WordPiece training runs on —
+    exposed so a train→inventory→encode chain can pay the corpus scan
+    ONCE (eagerly checkpoint the result and pass it to wordpiece_learn
+    and wordpiece_vocab_pieces)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def wordpiece_learn(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 3,
+    word_types: DataFrame | None = None,
 ) -> DataFrame:
     """Learn the first ``num_merges`` WordPiece merges (Schuster &
     Nakajima 2012; the BERT tokenizer's trainer, Devlin et al. 2019) —
@@ -1252,11 +1265,13 @@ def wordpiece_learn(
     explode+count shuffle producing the word-type histogram, each round
     is two vocab-sized aggregations (pair histogram + symbol histogram,
     the one extra aggregate WordPiece's denominator needs) joined and
-    TakeOrdered(1); merges fold JVM-side over the persisted vocab frame."""
+    TakeOrdered(1); merges fold JVM-side over the persisted vocab frame.
+    Pass ``word_types`` (wordpiece_word_types output, ideally
+    checkpointed) to skip the corpus scan entirely."""
     wt = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        word_types
+        if word_types is not None
+        else wordpiece_word_types(df, text_col)
     )
     vocab = wt.select(
         "word", "freq", _wordpiece_init_syms(F.col("word")).alias("syms")
@@ -1340,6 +1355,7 @@ def wordpiece_vocab_pieces(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    word_types: DataFrame | None = None,
 ) -> list[str]:
     """The trained WordPiece vocabulary: the training corpus's initial
     alphabet (bare first characters + '##' continuation characters of
@@ -1349,13 +1365,21 @@ def wordpiece_vocab_pieces(
     set survives into the tokenizer artifact).
 
     One distinct-explode aggregation; the result is artifact-sized
-    (≤ alphabet + num_merges) and rides in the encode UDF's closure."""
+    (≤ alphabet + num_merges) and rides in the encode UDF's closure.
+    Pass ``word_types`` to derive the alphabet from an already-built
+    histogram instead of re-scanning the corpus."""
+    words = (
+        word_types.select("word")
+        if word_types is not None
+        else df.select(
+            F.explode(tokens(F.col(text_col))).alias("word")
+        ).distinct()
+    )
     alpha = [
         r["sym"]
-        for r in df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .select("word")
-        .distinct()
-        .select(F.explode(_wordpiece_init_syms(F.col("word"))).alias("sym"))
+        for r in words.select(
+            F.explode(_wordpiece_init_syms(F.col("word"))).alias("sym")
+        )
         .distinct()
         .collect()
     ]

@@ -3679,11 +3679,14 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver data is the merge table + the artifact-sized piece list; the
     greedy scan runs over DISTINCT WORD TYPES in one Arrow batch pass."""
     (documents,) = load(spark, sf_dir, "documents")
+    # one corpus scan feeds training AND the alphabet (the encode pass
+    # still scans for token positions — that one is irreducible)
+    wt = X.wordpiece_word_types(documents).localCheckpoint(eager=True)
     trained = (
-        X.wordpiece_learn(documents, num_merges=_WP_MERGES)
+        X.wordpiece_learn(documents, num_merges=_WP_MERGES, word_types=wt)
         .orderBy("merge_rank")
         .collect()
     )
     merges = [(r["left_sym"], r["right_sym"]) for r in trained]
-    pieces = X.wordpiece_vocab_pieces(documents, merges)
+    pieces = X.wordpiece_vocab_pieces(documents, merges, word_types=wt)
     return X.wordpiece_apply(documents, pieces)
