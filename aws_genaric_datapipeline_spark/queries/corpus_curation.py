@@ -3537,12 +3537,17 @@ def _wp_round_sql(r: int) -> str:
         )"""
 
 
-_WP_TRAIN_CTES = (
-    f"""
+def _wp_train_ctes(train_where: str = "") -> str:
+    """The WITH-prefix replaying WordPiece training (word histogram, '##'
+    split, _WP_MERGES merge rounds) over documents matching
+    ``train_where`` (ANDed into the histogram scan) — parametrized so the
+    held-out variant trains on a slice while encoding everything."""
+    return (
+        f"""
     WITH RECURSIVE wt AS MATERIALIZED (
         SELECT tok AS word, count(*) AS freq
         FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
-        WHERE length(trim(text)) > 0
+        WHERE length(trim(text)) > 0 {train_where}
         GROUP BY tok
     ),
     syms0 AS MATERIALIZED (
@@ -3553,8 +3558,11 @@ _WP_TRAIN_CTES = (
         FROM wt
     ),
     """
-    + ",\n".join(_wp_round_sql(r) for r in range(1, _WP_MERGES + 1))
-)
+        + ",\n".join(_wp_round_sql(r) for r in range(1, _WP_MERGES + 1))
+    )
+
+
+_WP_TRAIN_CTES = _wp_train_ctes()
 
 _WP_LEARN_ORACLE = (
     _WP_TRAIN_CTES
@@ -3584,10 +3592,16 @@ def tokenizer_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.wordpiece_learn(documents, num_merges=_WP_MERGES)
 
 
-@query(
-    "tokenizer_wordpiece_apply",
-    oracle=_WP_TRAIN_CTES
-    + f""",
+def _wp_apply_oracle(train_where: str = "") -> str:
+    """Full train→inventory→encode WordPiece replay: training over the
+    ``train_where`` slice, the piece inventory, the per-(word, position)
+    best-match table, the recursive maximal-munch walk with whole-word
+    <unk>, and per-doc reassembly over the WHOLE corpus."""
+    return _wp_train_ctes(train_where) + _WP_APPLY_SUFFIX
+
+
+_WP_APPLY_SUFFIX = (
+    f""",
     wpvocab AS MATERIALIZED (
         SELECT DISTINCT s.sym AS piece FROM syms0, UNNEST(syms) AS s(sym)
         """
@@ -3661,7 +3675,13 @@ def tokenizer_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(p.n_unk_words, 0) AS n_unk_words,
            coalesce(md5(p.stream), md5('')) AS stream_md5
     FROM documents d LEFT JOIN per_docw p ON p.did = d.doc_id
-    """,
+    """
+)
+
+
+@query(
+    "tokenizer_wordpiece_apply",
+    oracle=_wp_apply_oracle(),
     tags=("north-star", "text", "tokenizer"),
 )
 def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3689,4 +3709,30 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = [(r["left_sym"], r["right_sym"]) for r in trained]
     pieces = X.wordpiece_vocab_pieces(documents, merges, word_types=wt)
+    return X.wordpiece_apply(documents, pieces)
+
+
+@query(
+    "tokenizer_wordpiece_heldout",
+    oracle=_wp_apply_oracle("AND doc_id % 2 = 0"),
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_wordpiece_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out WordPiece split (the twin of tokenizer_unigram_heldout):
+    the merge table AND piece inventory train on the even-doc-id slice
+    only, then greedy longest-match encodes the WHOLE corpus — held-out
+    word types segment through slice-trained pieces (or collapse to
+    whole-word <unk> when a character never appeared in the slice), so
+    any train/apply leakage flips the stream hashes.  The oracle retrains
+    on the same slice and replays the full encode."""
+    (documents,) = load(spark, sf_dir, "documents")
+    train = documents.where(F.col("doc_id") % 2 == 0)
+    wt = X.wordpiece_word_types(train).localCheckpoint(eager=True)
+    trained = (
+        X.wordpiece_learn(train, num_merges=_WP_MERGES, word_types=wt)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in trained]
+    pieces = X.wordpiece_vocab_pieces(train, merges, word_types=wt)
     return X.wordpiece_apply(documents, pieces)

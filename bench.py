@@ -336,6 +336,7 @@ HEADLINE = [
     "events_cusum_changepoint",
     "curate_span_corruption",
     "sim_bitext_margin_pairs",
+    "tokenizer_wordpiece_heldout",
 ]
 
 
