@@ -4284,3 +4284,269 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("margin_e6") >= 1050000)
     )
+
+
+# Integer DCG weight lattice, computed ONCE in Python and inlined as
+# literals in BOTH engines — w(i, rel) = floor(1e6·rel/log2(i+1)) for
+# rank i and graded relevance rel.  No libm call happens in either
+# engine at query time, so the metric cannot drift on a log2 ulp.
+_NDCG_K = 5
+_NDCG_W = {
+    (i, rel): int(1e6 * rel // __import__("math").log2(i + 1))
+    if i != 1
+    else int(1e6 * rel)
+    for i in range(1, _NDCG_K + 1)
+    for rel in range(1, _NDCG_K + 1)
+}
+_NDCG_IDCG = sum(_NDCG_W[(i, _NDCG_K + 1 - i)] for i in range(1, _NDCG_K + 1))
+_NDCG_QIDS = (1, 2, 3, 4, 5)
+_NDCG_PROBES = (1, 2)
+
+
+def _ndcg_oracle_sql(num_cells: int = 16, dim: int = 64) -> str:
+    """Replay the IVF pipeline (same CTE chain as the tuning report),
+    rank both the exact ground truth and each probed top-k, and compute
+    nDCG@k / MRR on the inlined integer weight lattice."""
+    scr = "((vec_id % 2147483648) * 2654435761) % 4294967296"
+    k, pmax = _NDCG_K, max(_NDCG_PROBES)
+    qids = ", ".join(str(q) for q in _NDCG_QIDS)
+    wvals = ", ".join(
+        f"({i}, {rel}, {w})" for (i, rel), w in sorted(_NDCG_W.items())
+    )
+    parts = [f"""
+        wlat(i, rel, w) AS (VALUES {wvals}),
+        base AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        unit AS MATERIALIZED (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                        ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   END AS u
+            FROM base
+        ),
+        seeds AS (
+            SELECT u AS su, cell_id FROM (
+                SELECT u, row_number() OVER (ORDER BY {scr}, vec_id) - 1 AS cell_id
+                FROM unit)
+            WHERE cell_id < {num_cells}
+        ),
+        assign0 AS (
+            SELECT vec_id, u, cell_id FROM (
+                SELECT un.vec_id, un.u, s.cell_id,
+                       row_number() OVER (PARTITION BY un.vec_id
+                           ORDER BY list_dot_product(un.u, s.su) DESC, s.cell_id) AS rn
+                FROM unit un CROSS JOIN seeds s)
+            WHERE rn = 1
+        ),
+        cmeans AS (
+            SELECT cell_id, g.pos AS pos, avg(u[g.pos]) AS m
+            FROM assign0, UNNEST(generate_series(1, {dim})) AS g(pos)
+            GROUP BY 1, 2
+        ),
+        cvecs AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM cmeans GROUP BY cell_id),
+        cunit AS MATERIALIZED (
+            SELECT cell_id,
+                   CASE WHEN sqrt(list_dot_product(cv, cv)) = 0 THEN cv
+                        ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+                   END AS cu
+            FROM cvecs
+        ),
+        assign1 AS MATERIALIZED (
+            SELECT vec_id, cell_id FROM (
+                SELECT un.vec_id, c.cell_id,
+                       row_number() OVER (PARTITION BY un.vec_id
+                           ORDER BY list_dot_product(un.u, c.cu) DESC, c.cell_id) AS rn
+                FROM unit un CROSS JOIN cunit c)
+            WHERE rn = 1
+        ),
+        qpall AS MATERIALIZED (
+            SELECT vec_id AS query_id, cell_id, rn FROM (
+                SELECT un.vec_id, c.cell_id,
+                       row_number() OVER (PARTITION BY un.vec_id
+                           ORDER BY list_dot_product(un.u, c.cu) DESC, c.cell_id) AS rn
+                FROM unit un CROSS JOIN cunit c
+                WHERE un.vec_id IN ({qids}))
+            WHERE rn <= {pmax}
+        ),
+        extop AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rn AS exrank FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.u, n.u), 4) DESC,
+                                    n.vec_id) AS rn
+                FROM unit q JOIN unit n ON n.vec_id <> q.vec_id
+                WHERE q.vec_id IN ({qids}))
+            WHERE rn <= {k}
+        )"""]
+    for p in _NDCG_PROBES:
+        parts.append(f"""
+        top_{p} AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rn FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (PARTITION BY c.query_id
+                           ORDER BY round(list_dot_product(qu.u, nu.u), 4) DESC,
+                                    c.neighbor_id) AS rn
+                FROM (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+                      FROM qpall q JOIN assign1 a ON a.cell_id = q.cell_id
+                      WHERE q.rn <= {p} AND a.vec_id <> q.query_id) c
+                JOIN unit qu ON qu.vec_id = c.query_id
+                JOIN unit nu ON nu.vec_id = c.neighbor_id)
+            WHERE rn <= {k}
+        ),
+        met_{p} AS (
+            SELECT t.query_id,
+                   CAST(count(e.neighbor_id) AS BIGINT) AS n_hits,
+                   CAST(coalesce(min(t.rn) FILTER (e.neighbor_id IS NOT NULL), 0)
+                        AS BIGINT) AS first_hit_rank,
+                   CAST(coalesce(sum(wl.w), 0) AS BIGINT) AS dcg
+            FROM top_{p} t
+            LEFT JOIN extop e ON e.query_id = t.query_id
+                             AND e.neighbor_id = t.neighbor_id
+            LEFT JOIN wlat wl ON wl.i = t.rn
+                             AND wl.rel = {k} + 1 - e.exrank
+            GROUP BY t.query_id
+        )""")
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({p} AS BIGINT) AS nprobe,
+               CAST(q.q AS BIGINT) AS query_id,
+               coalesce(m.n_hits, 0) AS n_hits,
+               coalesce(m.first_hit_rank, 0) AS first_hit_rank,
+               CASE WHEN coalesce(m.first_hit_rank, 0) > 0
+                    THEN 1000000 // m.first_hit_rank ELSE 0 END AS rr_micro,
+               coalesce(m.dcg, 0) * 10000 // {_NDCG_IDCG} AS ndcg_bp
+        FROM (VALUES {", ".join(f"({q})" for q in _NDCG_QIDS)}) q(q)
+        LEFT JOIN met_{p} m ON m.query_id = q.q"""
+        for p in _NDCG_PROBES
+    )
+    return "WITH " + ",".join(parts) + " " + selects
+
+
+@query(
+    "search_ndcg_report",
+    oracle=_ndcg_oracle_sql(),
+    tags=("north-star", "similarity", "report"),
+)
+def search_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED ranking-quality report for the IVF ANN tier: per (nprobe,
+    query), nDCG@5 and reciprocal rank of the approximate ranking
+    against the exact-cosine ground truth (relevance = 6 − exact rank)
+    — recall@k (sim_ann_tuning_report) treats every hit equally; nDCG
+    is what tells an operator the index returns the RIGHT neighbors
+    FIRST, the metric retrieval-quality regressions actually move.
+
+    All metric arithmetic runs on an integer lattice: the DCG weights
+    floor(1e6·rel/log2(i+1)) are Python-computed constants inlined as
+    literals in BOTH engines (no query-time libm), so sums are
+    order-free and ndcg_bp/rr_micro are exact integer divisions.
+
+    Scale: exact ground truth is one brute-force pass over the query
+    panel (k·|Q| rows kept); each probe setting re-ranks only its
+    candidate cells — the sim_ivf_topk cost shape; metrics aggregate
+    k·|Q| rows."""
+    from pyspark.sql import Window
+
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    qids = list(_NDCG_QIDS)
+    k = _NDCG_K
+    exact = S.cosine_topk(embeddings, qids, k=k)
+    exw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    exranked = exact.withColumn("exrank", F.row_number().over(exw)).select(
+        "query_id", "neighbor_id", "exrank"
+    )
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for (i, rel), w in sorted(_NDCG_W.items())
+            for x in (i * 10 + rel, w)
+        ]
+    )
+    panel = spark.createDataFrame(
+        [(p, q) for p in _NDCG_PROBES for q in qids], "nprobe bigint, query_id bigint"
+    )
+    # train + assign ONCE (the ivf_tuning_report cost shape): each probe
+    # setting reuses the checkpointed corpus assignment and only re-joins
+    # its probed cells
+    from aws_genaric_datapipeline_spark.operators.similarity import (
+        _assign_cells,
+        _pair_dot,
+        _unit_vectors_np,
+        ivf_train_centroids,
+    )
+
+    base = _unit_vectors_np(embeddings, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    centroids = ivf_train_centroids(embeddings, num_cells=16)
+    corpus = (
+        _assign_cells(base, centroids, nprobe=1)
+        .select(
+            F.col("vid").alias("nid"), F.col("uvec").alias("nvec"), "cell_id"
+        )
+        .localCheckpoint(eager=True)
+    )
+    qbase = base.where(F.col("vid").isin(qids))
+    per_probe = []
+    for p in _NDCG_PROBES:
+        queries = _assign_cells(qbase, centroids, nprobe=p).select(
+            F.col("vid").alias("query_id"),
+            F.col("uvec").alias("qvec"),
+            "cell_id",
+        )
+        scored_c = (
+            F.broadcast(queries)
+            .join(corpus, "cell_id")
+            .where(F.col("query_id") != F.col("nid"))
+            .dropDuplicates(["query_id", "nid"])
+            .select(
+                "query_id",
+                F.col("nid").alias("neighbor_id"),
+                F.round(
+                    _pair_dot()(F.col("qvec"), F.col("nvec")), 4
+                ).alias("cosine_sim"),
+            )
+        )
+        ivf = (
+            scored_c.withColumn("rn", F.row_number().over(exw))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+        ranked = ivf.withColumn("rn", F.row_number().over(exw))
+        scored = ranked.join(exranked, ["query_id", "neighbor_id"], "left")
+        rel = F.coalesce(F.lit(k + 1) - F.col("exrank"), F.lit(0))
+        contrib = F.coalesce(
+            F.element_at(wmap, (F.col("rn") * 10 + rel).cast("int")), F.lit(0)
+        )
+        agg = scored.groupBy("query_id").agg(
+            F.count(F.col("exrank")).cast("bigint").alias("n_hits"),
+            F.coalesce(
+                F.min(F.when(F.col("exrank").isNotNull(), F.col("rn"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("first_hit_rank"),
+            F.sum(contrib).cast("bigint").alias("dcg"),
+        )
+        per_probe.append(agg.withColumn("nprobe", F.lit(p).cast("bigint")))
+    allp = per_probe[0]
+    for more in per_probe[1:]:
+        allp = allp.unionByName(more)
+    out = panel.join(allp, ["nprobe", "query_id"], "left")
+    return out.select(
+        "nprobe",
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.coalesce("first_hit_rank", F.lit(0))
+        .cast("bigint")
+        .alias("first_hit_rank"),
+        F.when(
+            F.coalesce("first_hit_rank", F.lit(0)) > 0,
+            F.expr("1000000 div first_hit_rank"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rr_micro"),
+        F.expr(f"coalesce(dcg, 0) * 10000 div {_NDCG_IDCG}")
+        .cast("bigint")
+        .alias("ndcg_bp"),
+    )

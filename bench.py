@@ -337,6 +337,7 @@ HEADLINE = [
     "curate_span_corruption",
     "sim_bitext_margin_pairs",
     "tokenizer_wordpiece_heldout",
+    "search_ndcg_report",
 ]
 
 
