@@ -97,3 +97,36 @@ def bitmap_distinct_count(state: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     return state.groupBy(*keys).agg(
         F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_distinct")
     )
+
+
+def incremental_join_refresh(
+    old_view: DataFrame,
+    left_old: DataFrame,
+    right_old: DataFrame,
+    left_delta: DataFrame,
+    right_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view under
+    insert-only deltas on BOTH sides — the classic delta rule
+    (Blakeley/Larson/Tompa 1986):
+
+        Δ(L ⋈ R) = ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR
+
+    The first leg pairs new left rows against the FULL new right side
+    (so a new order referencing a new customer lands exactly once); the
+    second pairs OLD left rows against only the new right rows.  The
+    naive ΔL ⋈ R_old misses ΔL×ΔR matches entirely — the case the unit
+    test pins.
+
+    Scale: the stored view is UNIONED, never re-joined or re-scanned for
+    matching; refresh cost is |ΔL| join probes plus one |L|⋈|ΔR| pass
+    where the delta side is typically broadcast-sized — cost tracks the
+    deltas, not the 100-TB view history.  Complements agg_state /
+    merge_agg_states (aggregate views) with the join-view member of the
+    IVM family."""
+    right_new = right_old.unionByName(right_delta)
+    dv = left_delta.join(right_new, on).unionByName(
+        left_old.join(F.broadcast(right_delta), on)
+    )
+    return old_view.unionByName(dv.select(*old_view.columns))

@@ -747,3 +747,58 @@ def txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaked ``status`` into the snapshot, the extra column must reach the
     # driver's sorted-schema compare and fail the gate
     return latest.join(v1, "o_orderkey", "left")
+
+
+@query(
+    "mv_incremental_join_refresh",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+               round(o.o_totalprice, 2) AS total_price
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("merge", "matview"),
+)
+def mv_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/matview.py
+    incremental_join_refresh): the stored view orders⋈customer is built
+    from the pre-1998 orders × the 90% standing customers, then an
+    insert-only delta lands on BOTH sides (1998+ orders; custkey%10=0
+    customers) and the view refreshes by the delta rule
+    Δ(L⋈R) = ΔL⋈(R∪ΔR) ∪ L⋈ΔR — including new orders that reference
+    NEW customers, the cross-delta matches a naive ΔL⋈R_old drops.
+    The oracle is the full recompute, so the driver checks the
+    refresh-equals-recompute identity row for row.
+
+    Scale: the stored view is unioned, never re-joined; refresh cost
+    tracks the two deltas (the customer delta broadcasts)."""
+    from aws_genaric_datapipeline_spark.operators.matview import (
+        incremental_join_refresh,
+    )
+
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+    is_new_o = F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    is_new_c = F.col("c_custkey") % 10 == 0
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        is_new_o.alias("is_new"),
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+    c = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        "c_name",
+        "c_mktsegment",
+        is_new_c.alias("is_new_c"),
+    )
+    left_old = o.where(~F.col("is_new")).drop("is_new")
+    left_delta = o.where("is_new").drop("is_new")
+    right_old = c.where(~F.col("is_new_c")).drop("is_new_c")
+    right_delta = c.where("is_new_c").drop("is_new_c")
+    view_cols = [
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "total_price",
+    ]
+    old_view = left_old.join(right_old, ["o_custkey"]).select(*view_cols)
+    return incremental_join_refresh(
+        old_view, left_old, right_old, left_delta, right_delta,
+        on=["o_custkey"],
+    )

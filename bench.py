@@ -338,6 +338,7 @@ HEADLINE = [
     "sim_bitext_margin_pairs",
     "tokenizer_wordpiece_heldout",
     "search_ndcg_report",
+    "mv_incremental_join_refresh",
 ]
 
 

@@ -4133,3 +4133,35 @@ class TestWordpieceTokenizer:
         )
         pieces = X.wordpiece_vocab_pieces(docs, [("a", "##a")])
         assert set(pieces) == {"a", "##a", "##b", "aa"}
+
+
+class TestIncrementalJoinRefresh:
+    """Join-view delta rule: ΔV = ΔL⋈(R∪ΔR) ∪ L⋈ΔR — cross-delta
+    matches included exactly once."""
+
+    def test_cross_delta_matches_counted_once(self, spark):
+        from aws_genaric_datapipeline_spark.operators.matview import (
+            incremental_join_refresh,
+        )
+
+        lo = spark.createDataFrame([(1, 10)], "k long, lv long")
+        ro = spark.createDataFrame([(1, 100)], "k long, rv long")
+        # delta order 2 references delta customer 2 — the ΔL×ΔR case
+        ld = spark.createDataFrame([(1, 11), (2, 12)], "k long, lv long")
+        rd = spark.createDataFrame([(2, 200)], "k long, rv long")
+        old_view = lo.join(ro, ["k"]).select("k", "lv", "rv")
+        got = sorted(
+            tuple(r)
+            for r in incremental_join_refresh(
+                old_view, lo, ro, ld, rd, on=["k"]
+            ).collect()
+        )
+        full = sorted(
+            tuple(r)
+            for r in lo.unionByName(ld)
+            .join(ro.unionByName(rd), ["k"])
+            .select("k", "lv", "rv")
+            .collect()
+        )
+        assert got == full
+        assert (2, 12, 200) in got  # the cross-delta pair survives
