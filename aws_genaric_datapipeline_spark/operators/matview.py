@@ -130,3 +130,25 @@ def incremental_join_refresh(
         left_old.join(F.broadcast(right_delta), on)
     )
     return old_view.unionByName(dv.select(*old_view.columns))
+
+
+def negate_agg_state(state: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Negate a mergeable aggregate state (see agg_state): every measure
+    cell flips sign, turning a DELETE batch's state into a retraction
+    that merge_agg_states applies by plain addition — the retractable
+    half of count/sum view maintenance (avg/stddev derive from the same
+    cells downstream; MIN/MAX are NOT retractable from state alone and
+    need the base table or a per-key heap).  Keys whose cnt reaches 0
+    after a merge should be filtered by the caller (drop_empty_groups) —
+    an all-retracted group is indistinguishable from never-seen only
+    AFTER the filter."""
+    measures = [c for c in state.columns if c not in keys]
+    return state.select(
+        *keys, *[(-F.col(c)).alias(c) for c in measures]
+    )
+
+
+def drop_empty_groups(state: DataFrame) -> DataFrame:
+    """Remove fully-retracted groups (cnt = 0) so the state matches a
+    recompute over the surviving rows exactly."""
+    return state.where(F.col("cnt") != 0)

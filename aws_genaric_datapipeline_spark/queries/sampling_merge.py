@@ -802,3 +802,64 @@ def mv_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_view, left_old, right_old, left_delta, right_delta,
         on=["o_custkey"],
     )
+
+
+@query(
+    "mv_retractable_refresh",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM orders
+        WHERE (o_orderdate < DATE '1998-01-01' AND o_orderkey % 5 <> 0)
+           OR o_orderdate >= DATE '1998-01-01'
+        GROUP BY o_orderpriority
+    """,
+    tags=("merge", "matview"),
+)
+def mv_retractable_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTABLE aggregate-view maintenance: the count/sum view over
+    order priority absorbs an INSERT batch (1998+ orders) and a DELETE
+    batch (pre-1998 orders with orderkey%5=0) in one merge — deletions
+    apply as NEGATED states (negate_agg_states), the retraction trick
+    that makes count/sum/avg views maintainable under updates (an update
+    = delete + insert); fully-retracted groups drop so the state matches
+    a recompute over survivors exactly, which is what the oracle checks.
+    MIN/MAX are documented non-retractable (they need the base table).
+
+    Scale: both delta batches aggregate before touching the view; the
+    merge shuffles three key-cardinality state frames, never history."""
+    from aws_genaric_datapipeline_spark.operators.matview import (
+        agg_state,
+        drop_empty_groups,
+        merge_agg_states,
+        negate_agg_state,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    is_new = F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    base = o.where(~is_new)
+    keys = ("o_orderpriority",)
+    view = agg_state(base, keys, ("cents",))
+    inserts = agg_state(o.where(is_new), keys, ("cents",))
+    deletes = negate_agg_state(
+        agg_state(base.where(F.col("o_orderkey") % 5 == 0), keys, ("cents",)),
+        keys,
+    )
+    refreshed = drop_empty_groups(
+        merge_agg_states(merge_agg_states(view, inserts, keys), deletes, keys)
+    )
+    return refreshed.select(
+        "o_orderpriority",
+        F.col("cnt").cast("bigint").alias("n_orders"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )

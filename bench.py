@@ -339,6 +339,7 @@ HEADLINE = [
     "tokenizer_wordpiece_heldout",
     "search_ndcg_report",
     "mv_incremental_join_refresh",
+    "mv_retractable_refresh",
 ]
 
 
