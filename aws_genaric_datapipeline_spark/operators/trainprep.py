@@ -394,7 +394,9 @@ def bigram_lm_scores(
     with ≥1 token; ``nll_q`` = −Σ floor(1e6·ln p) (positive, micro-nats),
     ``avg_nll_micro`` = floor(nll_q / n_tokens), ``ppl_band`` ∈
     {head, middle, tail} by ascending avg_nll_micro (doc-id tie-break),
-    band k covering ranks (k−1)·N/3 < pos ≤ k·N/3.
+    band of rank pos = 1 + floor((pos−1)·3/N) — ceil-style partitions,
+    so at non-divisible N the EARLIER bands hold the extra ranks (N=4:
+    head = ranks {1, 2}).
 
     Scale: bigram pairs are built as array expressions (tokens zipped
     against their <s>-prefixed shift), so there is NO per-token lag
@@ -445,6 +447,10 @@ def bigram_lm_scores(
             .otherwise(F.lit("<unk>")),
         )
         .select("did", "is_train", "prev", "w")
+        # bg fans out (train counts + full-corpus scoring): pin it so the
+        # tokenize+zip+unk-map chain runs once, not once per consumer —
+        # at 100 TB the dominant scan must not multiply
+        .localCheckpoint(eager=True)
     )
     cb = bg.where("is_train").groupBy("prev", "w").agg(
         F.count(F.lit(1)).alias("cb")
@@ -469,7 +475,7 @@ def bigram_lm_scores(
     ).withColumn(
         "avg_nll_micro",
         F.floor(F.col("nll_q") / F.col("n_tokens").cast("double")).cast("bigint"),
-    )
+    ).localCheckpoint(eager=True)  # fans out to the census rank + N
     n_total = doc.agg(F.count(F.lit(1)).alias("N"))
     ranked = scalable_global_rank(doc, ["avg_nll_micro", "did"]).crossJoin(
         F.broadcast(n_total)

@@ -220,8 +220,12 @@ class TxnTable:
         for s in schemas:
             if s["version"] <= write_version:
                 names = {f["id"]: f["name"] for f in s["fields"]}
-                if fid in names:
-                    latest = names[fid]
+                # .get, NOT keep-if-present: a field id absent from a
+                # snapshot at/before the write was DROPPED before the
+                # write, so it has no physical name in this era — a
+                # stale mapping would claim (and hide) a fresh column
+                # that re-uses the dropped name in a later append
+                latest = names.get(fid)
             else:
                 if latest is not None:
                     break

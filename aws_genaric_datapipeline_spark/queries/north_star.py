@@ -4196,7 +4196,8 @@ def embed_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM best b
         JOIN rx ON rx.en_id = b.en_id
         JOIN ry ON ry.fr_id = b.fr_id
-        WHERE floor(1e6 * (8.0 * b.ci) / (rx.rx_sum + ry.ry_sum)) >= 1050000
+        WHERE rx.rx_sum + ry.ry_sum > 0
+          AND floor(1e6 * (8.0 * b.ci) / (rx.rx_sum + ry.ry_sum)) >= 1050000
     """,
     tags=("north-star", "similarity", "text"),
 )
@@ -4253,9 +4254,13 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wx = Window.partitionBy("en_id").orderBy(F.desc("ci"), F.asc("fr_id"))
     wy = Window.partitionBy("fr_id").orderBy(F.desc("ci"), F.asc("en_id"))
+    # ONE ranking pass over the checkpointed scored frame serves both the
+    # en-side kNN sum and the best-pair leg (rn==1)
+    rnx = scored.withColumn("rn", F.row_number().over(wx)).localCheckpoint(
+        eager=True
+    )
     rx = (
-        scored.withColumn("rn", F.row_number().over(wx))
-        .where(F.col("rn") <= 4)
+        rnx.where(F.col("rn") <= 4)
         .groupBy("en_id")
         .agg(F.sum("ci").alias("rx_sum"))
     )
@@ -4265,9 +4270,7 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fr_id")
         .agg(F.sum("ci").alias("ry_sum"))
     )
-    best = scored.withColumn("rn", F.row_number().over(wx)).where(
-        F.col("rn") == 1
-    )
+    best = rnx.where(F.col("rn") == 1)
     margin = F.floor(
         F.lit(1e6)
         * (F.lit(8.0) * F.col("ci"))
@@ -4276,6 +4279,10 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         best.join(rx, "en_id")
         .join(ry, "fr_id")
+        # positivity guard: degenerate neighborhoods (top-4 cosine sums
+        # cancelling to <= 0) would divide by zero/negative and invert
+        # the margin inequality — both engines exclude them identically
+        .where(F.col("rx_sum") + F.col("ry_sum") > 0)
         .select(
             "en_id",
             "fr_id",

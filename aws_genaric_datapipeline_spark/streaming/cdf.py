@@ -190,8 +190,16 @@ def stream_table_changes(
     versions unapplied — so the version cap defaults the file cap to the
     same value: each capped trigger then has a following trigger until
     the log's head, under availableNow and continuous mode alike."""
-    if max_versions_per_batch is not None and max_files_per_trigger is None:
-        max_files_per_trigger = max_versions_per_batch
+    if max_versions_per_batch is not None:
+        # default the file cap to the version cap, and CLAMP an explicit
+        # larger file cap down to it: a trigger that lists more commit
+        # files than the handler will apply strands the excess (the
+        # drained availableNow stream stops with versions unapplied)
+        max_files_per_trigger = (
+            max_versions_per_batch
+            if max_files_per_trigger is None
+            else min(max_files_per_trigger, max_versions_per_batch)
+        )
     return _commit_log_stream_writer(
         spark,
         src,
@@ -333,8 +341,16 @@ def stream_apply_changes(
     Backpressure knobs as on stream_table_changes, including the
     version-cap → file-cap pairing that keeps a capped availableNow
     drain from stranding the backlog."""
-    if max_versions_per_batch is not None and max_files_per_trigger is None:
-        max_files_per_trigger = max_versions_per_batch
+    if max_versions_per_batch is not None:
+        # default the file cap to the version cap, and CLAMP an explicit
+        # larger file cap down to it: a trigger that lists more commit
+        # files than the handler will apply strands the excess (the
+        # drained availableNow stream stops with versions unapplied)
+        max_files_per_trigger = (
+            max_versions_per_batch
+            if max_files_per_trigger is None
+            else min(max_files_per_trigger, max_versions_per_batch)
+        )
     return _commit_log_stream_writer(
         spark,
         src,

@@ -869,6 +869,36 @@ class TestCdfBackpressure:
         assert cdf_applied_high_water(rep, "bp") == 20
         assert self._rows(rep) == self._rows(src)
 
+    def test_oversized_file_cap_clamps_to_version_cap(self, spark, tmp_path):
+        """Regression (round-12 review): an EXPLICIT file cap larger than
+        the version cap used to strand the backlog — availableNow listed
+        every commit file in one trigger, the capped handler applied only
+        the first chunk, and the drained stream stopped stale.  The file
+        cap now clamps down to the version cap, so the backlog drains."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+        from aws_genaric_datapipeline_spark.streaming.cdf import (
+            cdf_applied_high_water,
+            stream_apply_changes,
+        )
+
+        src = TxnTable(spark, str(tmp_path / "src"))
+        rep = TxnTable(spark, str(tmp_path / "rep"))
+        for i in range(1, 13):  # v1..v12
+            src.merge_upsert(self._df(spark, [(i % 3, f"v{i}")]), keys=["k"])
+        q = stream_apply_changes(
+            spark,
+            src,
+            rep,
+            ["k"],
+            str(tmp_path / "ckpt"),
+            sink_id="clamp",
+            max_versions_per_batch=4,
+            max_files_per_trigger=50,  # oversized — must clamp to 4
+        )
+        assert q.awaitTermination(600)
+        assert cdf_applied_high_water(rep, "clamp") == 12
+        assert self._rows(rep) == self._rows(src)
+
     def test_capped_handler_does_bounded_work_per_call(self, spark, tmp_path):
         """Direct handler calls: each applies exactly the cap, the
         high-water mark advances cap-at-a-time, and the closure cache is

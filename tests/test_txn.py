@@ -887,6 +887,26 @@ class TestTxnEvolution:
         got = {(r["k"], r["v"]) for r in table.read().collect()}
         assert got == {(1, None), (2, "B")}
 
+    def test_rename_drop_then_readd_name_is_visible(self, spark, table):
+        """Regression (round-12 review): after rename v→w then drop w, a
+        LATER append that re-uses the name w must surface — the stale
+        {old_fid: 'w'} era mapping used to claim the fresh physical
+        column and silently hide it from reads (data loss)."""
+        table.append(_df(spark, [(1, "a")]))                # v1
+        table.rename_column("v", "w")                       # v2
+        table.drop_column("w")                              # v3
+        table.append(                                       # v4: name reuse
+            spark.createDataFrame([(2, "B")], "k bigint, w string")
+        )
+        assert sorted(table.read().columns) == ["k", "w"]
+        got = {(r["k"], r["w"]) for r in table.read().collect()}
+        assert got == {(1, None), (2, "B")}
+        # era reads stay correct: v1 file's physical 'v' is still fid1
+        assert sorted(table.read(version=2).columns) == ["k", "w"]
+        assert {(r["k"], r["w"]) for r in table.read(version=2).collect()} == {
+            (1, "a")
+        }
+
     def test_rename_then_rename_and_swap_names(self, spark, table):
         table.append(_df(spark, [(1, "a")]))
         table.rename_column("v", "w")
