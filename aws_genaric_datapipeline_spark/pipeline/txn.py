@@ -100,13 +100,24 @@ class TxnTable:
         return self.path / self.LOG_DIR / f"{version:020d}.json"
 
     def _commits(self) -> list[dict]:
-        # numeric-stem files only: the log dir also holds refs.json (tags)
-        out = []
-        for p in sorted((self.path / self.LOG_DIR).glob("*.json")):
+        out = list(self.commits_iter())
+        out.reverse()
+        return out
+
+    def commits_iter(self, newest_first: bool = True):
+        """Lazily parse commit JSONs (numeric-stem files only — the log
+        dir also holds refs.json/tags), newest-first by default.  The ONE
+        place commit-log listing/filtering/parsing lives: early-stopping
+        consumers (cdf_applied_high_water) and the full-history reader
+        (_commits) both draw from it, so a log-layout change cannot
+        silently diverge the two."""
+        paths = sorted(
+            (self.path / self.LOG_DIR).glob("*.json"), reverse=newest_first
+        )
+        for p in paths:
             if p.stem.isdigit():
                 with open(p) as fh:
-                    out.append(json.load(fh))
-        return out
+                    yield json.load(fh)
 
     def latest_version(self) -> int:
         """Highest committed version; 0 = empty table (no commits)."""

@@ -63,12 +63,7 @@ def cdf_applied_high_water(dst: TxnTable, sink_id: str) -> int:
     versions) — and the handlers additionally cache the mark between
     triggers so steady-state triggers skip the log scan entirely."""
     pat = re.compile(re.escape(sink_id) + r"-v(\d+)$")
-    log_dir = dst.path / TxnTable.LOG_DIR
-    for p in sorted(log_dir.glob("*.json"), reverse=True):
-        if not p.stem.isdigit():
-            continue  # refs.json (tags)
-        with open(p) as fh:
-            c = json.load(fh)
+    for c in dst.commits_iter(newest_first=True):
         m = pat.match(c.get("app_txn_id") or "")
         if m:
             return int(m.group(1))
