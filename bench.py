@@ -358,11 +358,7 @@ def main() -> None:
     # pre-build the persisted ANN indexes (IVF / PQ / IVF-PQ): the build is
     # ingest-side cost, the headline numbers track the amortized query path
     for warm in (
-        "sim_ivf_query_only",
-        "sim_pq_query_only",
-        "sim_ivfpq_query_only",
-        "search_bm25_query_only",
-    ):
+                    ):
         if warm in HEADLINE and warm in QUERIES:
             QUERIES[warm].fn(spark, sf_dir).count()
 
