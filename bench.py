@@ -340,6 +340,7 @@ HEADLINE = [
     "search_ndcg_report",
     "mv_incremental_join_refresh",
     "mv_retractable_refresh",
+    "stats_poisson_bootstrap_ci",
 ]
 
 
