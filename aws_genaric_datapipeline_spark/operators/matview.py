@@ -122,12 +122,16 @@ def incremental_join_refresh(
     Scale: the stored view is UNIONED, never re-joined or re-scanned for
     matching; refresh cost is |ΔL| join probes plus one |L|⋈|ΔR| pass
     where the delta side is typically broadcast-sized — cost tracks the
-    deltas, not the 100-TB view history.  Complements agg_state /
-    merge_agg_states (aggregate views) with the join-view member of the
-    IVM family."""
+    deltas, not the 100-TB view history.  No broadcast hint is forced on
+    ΔR: a micro-batch delta is usually under the 10 MB auto-broadcast
+    threshold and AQE picks broadcast from the runtime size, while a
+    bulk backfill delta (GBs) must be free to shuffle-join instead of
+    OOMing the executors on a mandated build side.  Complements
+    agg_state / merge_agg_states (aggregate views) with the join-view
+    member of the IVM family."""
     right_new = right_old.unionByName(right_delta)
     dv = left_delta.join(right_new, on).unionByName(
-        left_old.join(F.broadcast(right_delta), on)
+        left_old.join(right_delta, on)
     )
     return old_view.unionByName(dv.select(*old_view.columns))
 

@@ -333,11 +333,21 @@ def scalable_global_rank(
     (identical whatever range boundaries repartitionByRange samples).
 
     Returns ``df`` plus a ``pos`` column (1-based).  Scale: one range
-    shuffle + in-partition sort — the cost class of any global-order op."""
+    shuffle + in-partition sort — the cost class of any global-order op.
+
+    The range-partitioned frame feeds TWO plan branches (the partition
+    census and the per-partition row_number join).  repartitionByRange
+    SAMPLES its boundaries, so the branches must share one physical
+    materialization — relying on Spark's exchange reuse is fragile
+    (spark.sql.exchange.reuse off, or AQE re-planning one branch, would
+    give the census and the local ranks DIFFERENT __pid layouts and
+    corrupt every offset).  localCheckpoint pins a single layout; its
+    cost is the same shuffle-write the exchange already pays."""
     parts = (
         df.repartitionByRange(num_ranges, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     census = (
         parts.groupBy("__pid")

@@ -341,6 +341,11 @@ HEADLINE = [
     "mv_incremental_join_refresh",
     "mv_retractable_refresh",
     "stats_poisson_bootstrap_ci",
+    # round-13 additions
+    "txn_delete_vectors",
+    "txn_cluster_zorder",
+    "tokenizer_incremental_refresh",
+    "search_rerank_linear",
 ]
 
 
@@ -359,7 +364,11 @@ def main() -> None:
     # pre-build the persisted ANN indexes (IVF / PQ / IVF-PQ): the build is
     # ingest-side cost, the headline numbers track the amortized query path
     for warm in (
-                    ):
+        "sim_ivf_query_only",
+        "sim_pq_query_only",
+        "sim_ivfpq_query_only",
+        "search_bm25_query_only",
+    ):
         if warm in HEADLINE and warm in QUERIES:
             QUERIES[warm].fn(spark, sf_dir).count()
 
