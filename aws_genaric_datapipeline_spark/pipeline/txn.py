@@ -159,6 +159,35 @@ class TxnTable:
             live |= set(c["adds"])
         return sorted(live)
 
+    def dv_map(
+        self, version: int | None = None, commits: list[dict] | None = None
+    ) -> dict[str, str]:
+        """data-file name -> deletion-vector file name live at ``version``
+        (default latest) — the merge-on-read state.  Folds the same commit
+        replay as live_files: a checkpoint commit resets the mapping to
+        what it carries, a commit that REMOVES a data file drops its DV
+        entry (the rewrite already applied it), and ``dv_updates`` install
+        or replace per-file vectors.  Empty dict = no DVs anywhere, and
+        every read path stays on the untouched fast path."""
+        v = self.latest_version() if version is None else version
+        commits = self._commits() if commits is None else commits
+        dvs: dict[str, str] = {}
+        for c in commits:
+            if c["version"] > v:
+                break
+            if c.get("base"):
+                dvs = {}
+            for f in c["removes"]:
+                dvs.pop(f, None)
+            dvs.update(c.get("dv_updates") or {})
+        return dvs
+
+    def _dv_rows(self, dv_files: list[str]) -> DataFrame:
+        """(file, pos) rows of the given deletion-vector parquet files."""
+        return self.spark.read.parquet(
+            *[str(self.path / self.DATA_DIR / f) for f in sorted(set(dv_files))]
+        )
+
     def history(self) -> list[dict]:
         """Commit metadata (version, op, n_adds, n_removes, app_txn_id)."""
         return [
@@ -370,18 +399,66 @@ class TxnTable:
             else (version if version is not None else self.latest_version())
         )
         schemas = self._schema_commits(target, commits=commits)
-        return self._read_resolved(files, schemas, commits)
+        v = version if version is not None else self.latest_version()
+        return self._read_resolved(
+            files, schemas, commits, dvs=self.dv_map(v, commits)
+        )
+
+    @staticmethod
+    def _apply_dvs(
+        df: DataFrame, dv_rows: DataFrame | None, keep_positions: bool
+    ) -> DataFrame:
+        """Attach per-row (file, position) identity from the parquet scan
+        metadata and anti-join the deletion-vector rows — the merge-on-read
+        application.  ``df`` must be a RAW parquet scan (the `_metadata`
+        struct is only resolvable directly on a file source).  No broadcast
+        hint: a DV can be large after a bulk delete, and AQE picks
+        broadcast from the runtime size when it is small."""
+        out = df.withColumn(
+            "__file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        if dv_rows is not None:
+            out = out.join(
+                dv_rows.select(
+                    F.col("file").alias("__file"), F.col("pos").alias("__pos")
+                ),
+                ["__file", "__pos"],
+                "left_anti",
+            )
+        if not keep_positions:
+            out = out.drop("__file", "__pos")
+        return out
 
     def _read_resolved(
-        self, files: list[str], schemas: list[dict], commits: list[dict]
+        self,
+        files: list[str],
+        schemas: list[dict],
+        commits: list[dict],
+        dvs: dict[str, str] | None = None,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Era-grouped read of ``files`` under the LAST snapshot in
         ``schemas`` (the field-id resolution engine behind read(),
         read_pruned() and the pruned merge); identity mergeSchema read
-        when the table never evolved."""
+        when the table never evolved.  ``dvs`` (data file -> DV file) is
+        the merge-on-read state to apply: rows whose (file, row_index)
+        appear in a deletion vector are filtered out of the scan.
+        ``with_positions`` keeps the per-row ``__file``/``__pos`` identity
+        columns (the DV writer's input)."""
+        dvs = {f: d for f, d in (dvs or {}).items() if f in set(files)}
+
+        def _finish(raw: DataFrame) -> DataFrame:
+            if not dvs and not with_positions:
+                return raw
+            dv_rows = self._dv_rows(list(dvs.values())) if dvs else None
+            return self._apply_dvs(raw, dv_rows, with_positions)
+
         if not schemas:
-            return self.spark.read.option("mergeSchema", "true").parquet(
-                *[str(self.path / self.DATA_DIR / f) for f in files]
+            return _finish(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[str(self.path / self.DATA_DIR / f) for f in files]
+                )
             )
         current = schemas[-1]["fields"]
         cur_names = {f["name"] for f in current}
@@ -407,6 +484,17 @@ class TxnTable:
             df = self.spark.read.option("mergeSchema", "true").parquet(
                 *[str(self.path / self.DATA_DIR / f) for f in fs]
             )
+            group_dvs = {f: dvs[f] for f in fs if f in dvs}
+            if group_dvs or with_positions:
+                # DV application must touch the RAW scan (the _metadata
+                # struct resolves only there), before the era projection
+                df = self._apply_dvs(
+                    df,
+                    self._dv_rows(list(group_dvs.values()))
+                    if group_dvs
+                    else None,
+                    True,
+                )
             claimed = {pn for pn in mapping.values() if pn}
             cols = [
                 F.col(mapping[f["id"]]).alias(f["name"])
@@ -418,8 +506,12 @@ class TxnTable:
             cols += [
                 F.col(c)
                 for c in df.columns
-                if c not in claimed and c not in cur_names
+                if c not in claimed
+                and c not in cur_names
+                and c not in ("__file", "__pos")
             ]
+            if with_positions:
+                cols += [F.col("__file"), F.col("__pos")]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -480,36 +572,69 @@ class TxnTable:
         per-file physical name before the lookup (the Iceberg stats-by-
         field-id shape), and the chosen files read through the same
         era-mapped resolution as read()."""
-        commits = self._commits()
+        return self.read_pruned_multi([(column, lower, upper)], version)
+
+    def prune_files(
+        self,
+        preds: list[tuple],
+        version: int | None = None,
+        commits: list[dict] | None = None,
+    ) -> list[str]:
+        """Files of the ``version`` snapshot whose committed [min, max]
+        stats can intersect EVERY ``(column, lower, upper)`` predicate —
+        the planning half of multi-dimensional data skipping (a z-order
+        clustered layout keeps BOTH columns' per-file bands narrow, so a
+        2-D box predicate prunes on each dimension independently).  Files
+        without stats for a column are kept — pruning is an optimization,
+        never a correctness gate."""
+        commits = self._commits() if commits is None else commits
         files = self.live_files(version, commits=commits)
-        if not files:
-            raise ValueError(f"table {self.path} has no data")
         target = version if version is not None else self.latest_version()
         schemas = self._schema_commits(target, commits=commits)
         addv = self._file_add_versions(commits) if schemas else {}
         stats = self.file_stats(commits)
         chosen = []
         for f in files:
-            pname = self._stats_physical_name(column, f, schemas, addv)
-            s = stats.get(f, {}).get(pname) if pname else None
-            if s is None:
+            keep = True
+            for column, lower, upper in preds:
+                pname = self._stats_physical_name(column, f, schemas, addv)
+                s = stats.get(f, {}).get(pname) if pname else None
+                if s is None:
+                    continue
+                mn, mx = s
+                if (lower is not None and mx < lower) or (
+                    upper is not None and mn > upper
+                ):
+                    keep = False
+                    break
+            if keep:
                 chosen.append(f)
-                continue
-            mn, mx = s
-            if (lower is not None and mx < lower) or (
-                upper is not None and mn > upper
-            ):
-                continue
-            chosen.append(f)
+        return chosen
+
+    def read_pruned_multi(
+        self, preds: list[tuple], version: int | None = None
+    ) -> DataFrame:
+        """Data-skipping read over a CONJUNCTION of range predicates:
+        open only the files prune_files keeps, then apply the exact
+        filters on top (stats prune files, the filters prune rows)."""
+        commits = self._commits()
+        if not self.live_files(version, commits=commits):
+            raise ValueError(f"table {self.path} has no data")
+        target = version if version is not None else self.latest_version()
+        schemas = self._schema_commits(target, commits=commits)
+        chosen = self.prune_files(preds, version, commits=commits)
         if not chosen:
             return (
                 self.read(version).where(F.lit(False))
             )  # schema-correct empty frame
-        df = self._read_resolved(chosen, schemas, commits)
-        if lower is not None:
-            df = df.where(F.col(column) >= F.lit(lower))
-        if upper is not None:
-            df = df.where(F.col(column) <= F.lit(upper))
+        df = self._read_resolved(
+            chosen, schemas, commits, dvs=self.dv_map(target, commits)
+        )
+        for column, lower, upper in preds:
+            if lower is not None:
+                df = df.where(F.col(column) >= F.lit(lower))
+            if upper is not None:
+                df = df.where(F.col(column) <= F.lit(upper))
         return df
 
     def is_committed(self, app_txn_id: str) -> bool:
@@ -681,6 +806,90 @@ class TxnTable:
             )
         return base_version + 1
 
+    def delete_keys_dv(
+        self,
+        keys_df: DataFrame,
+        keys: list[str],
+        app_txn_id: str | None = None,
+    ) -> int:
+        """Row-level DELETE as a DELETION-VECTOR commit (merge-on-read):
+        instead of rewriting every file that holds a matching row
+        (``delete_keys`` — copy-on-write, the known 100 TB pain where a
+        single-row GDPR delete rewrites a 1 GB file), record the matching
+        rows' (file, row_index) positions in a small parquet deletion
+        vector and commit only a metadata update.  Readers anti-join the
+        vector at scan time; ``compact`` / ``cluster_zorder`` / any
+        rewrite later folds the DV in physically.
+
+        Contract mirrors delete_keys: same OCC conflict rule (commit at
+        base+1 or TxnConflict), idempotent under ``app_txn_id``, time
+        travel to pre-delete versions still shows the rows, and
+        table_changes reports the deletes (CDF derives from snapshot
+        reads, which apply DVs).  A file's second DV delete UNIONS with
+        its existing vector (the prior vector file stays referenced by
+        older commits for time travel).
+
+        Scale: the write cost is O(matched rows + prior vectors of the
+        touched files) — never a data-file rewrite; the scan-side cost is
+        one anti-join against the vector, which disappears entirely after
+        the next compaction.  Delta Lake's deletion vectors and Iceberg
+        v2 positional delete files are this exact design."""
+        if app_txn_id is not None and self.is_committed(app_txn_id):
+            return self.latest_version()
+        commits = self._commits()
+        base_version = self.latest_version()
+        base_files = self.live_files(base_version, commits=commits)
+        if not base_files:
+            return base_version
+        schemas = self._schema_commits(base_version, commits=commits)
+        dvs = self.dv_map(base_version, commits)
+        with_pos = self._read_resolved(
+            base_files, schemas, commits, dvs=dvs, with_positions=True
+        )
+        hits = (
+            with_pos.join(keys_df.select(*keys), keys, "left_semi")
+            .select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
+        )
+        touched = [
+            r["file"] for r in hits.select("file").distinct().collect()
+        ]
+        if not touched:
+            # nothing matched: a content no-op commits nothing (and does
+            # not consume the app_txn_id) — same rule as the empty table
+            return base_version
+        # union the prior vectors of re-deleted files so their earlier
+        # deletes survive the mapping replacement
+        prior = [dvs[f] for f in touched if f in dvs]
+        new_rows = hits
+        if prior:
+            new_rows = new_rows.unionByName(
+                self._dv_rows(prior).where(F.col("file").isin(touched))
+            ).distinct()
+        # one vector file per commit (DVs are small by construction —
+        # deleted positions, not data); every touched file maps to it
+        dv_adds = self._write_files(new_rows.coalesce(1))
+        if not self._try_commit(
+            base_version + 1,
+            "delete_dv",
+            [],
+            [],
+            app_txn_id,
+            extra={
+                "dv_updates": {f: dv_adds[0] for f in sorted(touched)},
+                "dv_files": dv_adds,
+            },
+        ):
+            for name in dv_adds:
+                (self.path / self.DATA_DIR / name).unlink(missing_ok=True)
+            raise TxnConflict(
+                f"DV delete based on version {base_version} lost to a "
+                f"concurrent commit (now {self.latest_version()}); re-read "
+                f"and retry"
+            )
+        return base_version + 1
+
     # ------------------------------------------------------------- maintain
     def vacuum(self) -> list[str]:
         """Delete orphan data files no version references (crashed
@@ -689,6 +898,7 @@ class TxnTable:
         referenced: set[str] = set()
         for c in self._commits():
             referenced |= set(c["adds"])
+            referenced |= set(c.get("dv_files") or [])
         dropped = []
         for p in (self.path / self.DATA_DIR).glob("*.parquet"):
             if p.name not in referenced:
@@ -807,6 +1017,103 @@ def compact(
     return base_version + 1
 
 
+def cluster_zorder(
+    table: TxnTable,
+    col_a: str,
+    col_b: str,
+    app_txn_id: str | None = None,
+    num_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """Rewrite the current snapshot CLUSTERED on the Z-order (Morton)
+    curve of two numeric columns, as a single compaction-style commit —
+    Delta's ``OPTIMIZE ... ZORDER BY (a, b)``.  Content is unchanged;
+    what changes is the physical layout: every output file covers a
+    narrow min/max band on BOTH columns, so the committed footer stats
+    let prune_files / read_pruned_multi skip most files for a 2-D box
+    predicate (a single-column sort only ever helps its leading column).
+
+    The per-column grid is uniform ``2^bits`` buckets over the column's
+    global [min, max], derived from the committed per-file stats fold —
+    a driver-side pass over the log, NO extra data scan (falls back to
+    one aggregate when stats are missing).  Heavily skewed columns want
+    equi-depth cells instead (rank-scale upstream, layout.write_zordered
+    shows the shape); uniform cells keep the rewrite one shuffle.
+
+    Deletion vectors fold in (the snapshot read applies them and the
+    commit removes every base file, clearing the DV map) and history
+    still time-travels to the pre-cluster layout.  Same OCC rule as
+    compact: any concurrent data commit wins and this raises TxnConflict.
+    """
+    from aws_genaric_datapipeline_spark.operators.layout import zorder_value
+
+    if app_txn_id is not None and table.is_committed(app_txn_id):
+        return table.latest_version()
+    commits = table._commits()
+    base_version = table.latest_version()
+    base_files = table.live_files(base_version, commits=commits)
+    if not base_files:
+        return base_version
+    snapshot = table.read(base_version)
+    schemas = table._schema_commits(base_version, commits=commits)
+    addv = table._file_add_versions(commits) if schemas else {}
+    stats = table.file_stats(commits)
+    bounds: dict[str, tuple] = {}
+    for col in (col_a, col_b):
+        lo = hi = None
+        have_all = True
+        for f in base_files:
+            pname = table._stats_physical_name(col, f, schemas, addv)
+            s = stats.get(f, {}).get(pname) if pname else None
+            if s is None:
+                have_all = False
+                break
+            lo = s[0] if lo is None else min(lo, s[0])
+            hi = s[1] if hi is None else max(hi, s[1])
+        if not have_all:
+            row = snapshot.agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            lo, hi = row["lo"], row["hi"]
+        bounds[col] = (lo, hi)
+    n = 1 << bits
+
+    def _cell(col: str):
+        lo, hi = bounds[col]
+        if lo is None or hi is None or lo == hi:
+            return F.lit(0).cast("bigint")
+        wb = F.width_bucket(
+            F.col(col).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi)),
+            F.lit(n),
+        )
+        # width_bucket returns n+1 at the max (and 0 below min, which
+        # truncated float stats can produce) — clamp into [1, n]
+        return (
+            F.greatest(F.least(wb, F.lit(n)), F.lit(1)) - 1
+        ).cast("bigint")
+
+    clustered = (
+        snapshot.withColumn(
+            "__z", zorder_value(_cell(col_a), _cell(col_b), bits)
+        )
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    adds = table._write_files(clustered)
+    if not table._try_commit(
+        base_version + 1, "cluster", adds, base_files, app_txn_id
+    ):
+        for name in adds:
+            (table.path / table.DATA_DIR / name).unlink(missing_ok=True)
+        raise TxnConflict(
+            f"cluster based on version {base_version} lost to a concurrent commit"
+        )
+    return base_version + 1
+
+
 def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
     """Bound the time-travel window to the last ``keep_last`` versions
     (Iceberg's expire_snapshots): versions below the cutoff are removed
@@ -874,6 +1181,11 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
         for f, v in table._file_add_versions().items()
         if f in set(live)
     }
+    # Deletion-vector continuity: the checkpoint re-declares the DV
+    # mapping live at the cutoff (dv_map resets on base commits, so the
+    # checkpoint must carry it) and references the vector files so
+    # vacuum keeps them.
+    dvs = table.dv_map(cutoff, commits)
     payload = json.dumps(
         {
             "version": cutoff,
@@ -887,6 +1199,14 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
             **(
                 {"schema_history": schema_history, "add_versions": addv}
                 if schema_history
+                else {}
+            ),
+            **(
+                {
+                    "dv_updates": dvs,
+                    "dv_files": sorted(set(dvs.values())),
+                }
+                if dvs
                 else {}
             ),
         },
@@ -1067,8 +1387,15 @@ def merge_upsert_pruned(
         # era-mapped read: touched files surface under LOGICAL names, so
         # the anti-join/union against the (logical-named) delta is sound
         # on evolved tables and the rewrite normalizes them to current
-        # names (stats re-harvest under those at commit).
-        base = table._read_resolved(touched, schemas, commits)
+        # names (stats re-harvest under those at commit).  Deletion
+        # vectors apply here too — a rewrite that ignored a touched
+        # file's DV would resurrect its deleted rows.
+        base = table._read_resolved(
+            touched,
+            schemas,
+            commits,
+            dvs=table.dv_map(base_version, commits),
+        )
         merged = base.join(updates.select(key), [key], "left_anti").unionByName(
             updates, allowMissingColumns=True
         )

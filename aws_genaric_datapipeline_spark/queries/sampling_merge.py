@@ -863,3 +863,152 @@ def mv_retractable_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("n_orders"),
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "txn_delete_vectors",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT o_orderkey, price_cents,
+               CAST(0 AS BIGINT) AS files_rewritten,
+               CAST(2 AS BIGINT) AS n_versions
+        FROM base
+        WHERE o_orderkey % 9 <> 0 AND o_orderkey % 2 = 0
+    """,
+    tags=("merge", "acid", "pipeline", "gdpr"),
+)
+def txn_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row deletes through the mini transaction-log format
+    (pipeline/txn.py delete_keys_dv): seed a TxnTable with an orders
+    slice (v1), then DELETE a key subset as a POSITIONAL DELETION VECTOR
+    commit (v2) — no data file is rewritten; readers anti-join the
+    vector at scan time.  This is the 100 TB GDPR-delete fix over the
+    copy-on-write `delete_keys` (where a single-row delete rewrites a
+    1 GB file): Delta's deletion vectors / Iceberg v2 positional delete
+    files, on this log.  The emitted frame pins the contract in data:
+    ``files_rewritten`` is the delete commit's adds+removes (must be 0 —
+    metadata-only), ``n_versions`` pins that the re-delivered delete
+    (same app_txn_id) was an idempotent no-op, and the row set is the
+    DV-applied snapshot the oracle replays relationally.
+
+    Scale: write cost is O(matched positions); scan cost is one
+    anti-join that the next compaction/cluster rewrite folds away
+    (tests/test_txn.py::TestDeletionVectors)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", cents.alias("price_cents")
+    )
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_dv_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    table.overwrite(base, app_txn_id="dv-seed")
+    doomed = base.where(F.col("o_orderkey") % 9 == 0).select("o_orderkey")
+    table.delete_keys_dv(doomed, ["o_orderkey"], app_txn_id="dv-del")
+    # re-delivery must be a no-op (pinned by n_versions)
+    table.delete_keys_dv(doomed, ["o_orderkey"], app_txn_id="dv-del")
+    last = table.history()[-1]
+    files_rewritten = last["n_adds"] + last["n_removes"]
+    return (
+        table.read()
+        .where(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            "price_cents",
+            F.lit(files_rewritten).cast("bigint").alias("files_rewritten"),
+            F.lit(table.latest_version()).cast("bigint").alias("n_versions"),
+        )
+    )
+
+
+@query(
+    "txn_cluster_zorder",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders
+        ),
+        b AS (
+            SELECT max(o_custkey) // 8 AS ck_hi,
+                   min(price_cents)
+                     + (max(price_cents) - min(price_cents)) // 8 AS pc_hi
+            FROM base
+        )
+        SELECT o_orderkey, o_custkey, price_cents,
+               TRUE AS skipped_files
+        FROM base, b
+        WHERE o_custkey <= ck_hi AND price_cents <= pc_hi
+    """,
+    tags=("merge", "acid", "pipeline", "layout"),
+)
+def txn_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering as a txn commit (pipeline/txn.py
+    cluster_zorder — Delta's ``OPTIMIZE ... ZORDER BY``): seed a TxnTable
+    with orders hash-scattered across 8 files (every file spans the full
+    range of both columns — a box predicate prunes nothing), rewrite the
+    snapshot clustered on the Z-order curve of (o_custkey, price_cents),
+    then answer a 2-D box query through the stats-pruned read.  The
+    ``skipped_files`` column pins the layout payoff in data: it is
+    literally ``files_opened < files_total`` from the commit-stats prune
+    (prune_files), which only holds because the Morton layout keeps BOTH
+    columns' per-file bands narrow.  The row content is the box query the
+    oracle replays relationally — integer-exact bounds (bigint // 8) so
+    both engines draw the same box.
+
+    Scale: the cluster rewrite is one range shuffle on the interleaved
+    key (same cost class as any compaction); every later 2-D predicate
+    opens O(box volume) files instead of O(table)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        cluster_zorder,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey", "o_custkey", cents.alias("price_cents")
+    )
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_zorder_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    table.overwrite(base.repartition(8), app_txn_id="z-seed")
+    cluster_zorder(
+        table, "o_custkey", "price_cents", app_txn_id="z-opt", num_files=8, bits=5
+    )
+    row = base.agg(
+        F.max("o_custkey").alias("ck_max"),
+        F.min("price_cents").alias("pc_min"),
+        F.max("price_cents").alias("pc_max"),
+    ).collect()[0]
+    ck_hi = row["ck_max"] // 8
+    pc_hi = row["pc_min"] + (row["pc_max"] - row["pc_min"]) // 8
+    preds = [("o_custkey", None, ck_hi), ("price_cents", None, pc_hi)]
+    opened = len(table.prune_files(preds))
+    total = len(table.live_files())
+    return table.read_pruned_multi(preds).select(
+        "o_orderkey",
+        "o_custkey",
+        "price_cents",
+        F.lit(opened < total).alias("skipped_files"),
+    )

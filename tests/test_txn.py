@@ -1015,3 +1015,201 @@ class TestTxnEvolution:
             (3, "c"),
             (8, "h"),
         }
+
+
+class TestDeletionVectors:
+    """Merge-on-read row deletes (delete_keys_dv): positional deletion
+    vectors instead of copy-on-write file rewrites — read-path
+    application, union on re-delete, compaction folding, CDF parity,
+    pruned-merge safety, time travel, vacuum/expiry continuity."""
+
+    def _seed(self, spark, table):
+        for lo in (0, 100, 200):
+            table.append(
+                _df(spark, [(lo + i, f"v{lo + i}") for i in range(10)])
+            )
+
+    def test_dv_delete_matches_cow_without_rewriting_files(
+        self, spark, tmp_path, table
+    ):
+        self._seed(spark, table)
+        files_before = table.live_files()
+        keys = spark.createDataFrame([(3,), (105,), (201,)], "k bigint")
+        v = table.delete_keys_dv(keys, ["k"])
+        assert v == 4
+        # no data file added or removed — the whole point
+        assert table.live_files() == files_before
+        c = table.history()[-1]
+        assert c["op"] == "delete_dv" and c["n_adds"] == c["n_removes"] == 0
+        # content identical to the copy-on-write delete on a twin table
+        twin = TxnTable(spark, str(tmp_path / "twin"))
+        self._seed(spark, twin)
+        twin.delete_keys(keys, ["k"])
+        assert _rows(table.read()) == _rows(twin.read())
+        assert table.read().count() == 27
+
+    def test_time_travel_shows_predelete_rows(self, spark, table):
+        self._seed(spark, table)
+        table.delete_keys_dv(spark.createDataFrame([(3,)], "k bigint"), ["k"])
+        assert (3, "v3") in _rows(table.read(version=3))
+        assert (3, "v3") not in _rows(table.read())
+
+    def test_second_delete_unions_with_existing_vector(self, spark, table):
+        self._seed(spark, table)
+        table.delete_keys_dv(spark.createDataFrame([(1,)], "k bigint"), ["k"])
+        table.delete_keys_dv(spark.createDataFrame([(2,)], "k bigint"), ["k"])
+        got = _rows(table.read())
+        assert (1, "v1") not in got and (2, "v2") not in got
+        assert len(got) == 28
+
+    def test_compaction_folds_vectors_in(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import compact
+
+        self._seed(spark, table)
+        table.delete_keys_dv(
+            spark.createDataFrame([(3,), (105,)], "k bigint"), ["k"]
+        )
+        want = _rows(table.read())
+        compact(table)
+        assert table.dv_map() == {}
+        assert _rows(table.read()) == want
+        assert len(table.live_files()) == 1
+
+    def test_cdf_reports_dv_deletes(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import table_changes
+
+        self._seed(spark, table)
+        v0 = table.latest_version()
+        table.delete_keys_dv(
+            spark.createDataFrame([(3,), (105,)], "k bigint"), ["k"]
+        )
+        feed = table_changes(table, v0, table.latest_version(), ["k"]).collect()
+        assert {(r["k"], r["change_type"]) for r in feed} == {
+            (3, "delete"),
+            (105, "delete"),
+        }
+
+    def test_pruned_merge_does_not_resurrect_dv_deleted_rows(
+        self, spark, table
+    ):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            merge_upsert_pruned,
+        )
+
+        self._seed(spark, table)
+        table.delete_keys_dv(spark.createDataFrame([(3,)], "k bigint"), ["k"])
+        # update a DIFFERENT key living in the same file range
+        merge_upsert_pruned(
+            table, _df(spark, [(5, "V5")]), key="k"
+        )
+        got = _rows(table.read())
+        assert (3, "v3") not in got and (5, "V5") in got
+
+    def test_idempotent_and_noop_paths(self, spark, table):
+        self._seed(spark, table)
+        v1 = table.delete_keys_dv(
+            spark.createDataFrame([(1,)], "k bigint"), ["k"], app_txn_id="dv1"
+        )
+        v2 = table.delete_keys_dv(
+            spark.createDataFrame([(1,)], "k bigint"), ["k"], app_txn_id="dv1"
+        )
+        assert v1 == v2 == table.latest_version()
+        # no matching rows => content no-op, no commit, app id unconsumed
+        v3 = table.delete_keys_dv(
+            spark.createDataFrame([(999,)], "k bigint"), ["k"], app_txn_id="dv2"
+        )
+        assert v3 == table.latest_version() and not table.is_committed("dv2")
+
+    def test_vacuum_keeps_vector_files(self, spark, table):
+        self._seed(spark, table)
+        table.delete_keys_dv(spark.createDataFrame([(1,)], "k bigint"), ["k"])
+        want = _rows(table.read())
+        assert table.vacuum() == []
+        assert _rows(table.read()) == want
+
+    def test_expiry_checkpoint_carries_vectors(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            expire_snapshots,
+        )
+
+        self._seed(spark, table)
+        table.delete_keys_dv(spark.createDataFrame([(1,)], "k bigint"), ["k"])
+        table.append(_df(spark, [(300, "v300")]))
+        want = _rows(table.read())
+        expire_snapshots(table, keep_last=1)
+        table.vacuum()
+        assert _rows(table.read()) == want
+        assert (1, "v1") not in want
+
+    def test_dv_on_renamed_table_resolves_keys(self, spark, table):
+        """DV delete keyed on a RENAMED column: the era-mapped read
+        surfaces old files under the new logical name, so the semi-join
+        matches and positions record against the physical files."""
+        self._seed(spark, table)
+        table.rename_column("k", "kk")
+        table.delete_keys_dv(
+            spark.createDataFrame([(3,)], "kk bigint"), ["kk"]
+        )
+        got = {(r["kk"], r["v"]) for r in table.read().collect()}
+        assert (3, "v3") not in got and len(got) == 29
+
+
+class TestClusterZorder:
+    """OPTIMIZE ... ZORDER BY as a txn commit (cluster_zorder): content
+    preserved, 2-D box predicates open fewer files than the unclustered
+    layout, time travel keeps the old layout, DVs fold in."""
+
+    def _grid(self, spark):
+        rows = [(x, y, f"r{x}-{y}") for x in range(32) for y in range(32)]
+        return spark.createDataFrame(rows, "x bigint, y bigint, v string")
+
+    def test_box_predicate_opens_fewer_files_after_clustering(
+        self, spark, table
+    ):
+        from aws_genaric_datapipeline_spark.pipeline.txn import cluster_zorder
+
+        # unclustered seed: hash-shuffled into 8 files, so every file
+        # spans the full range of both columns — a box predicate prunes
+        # nothing
+        table.append(self._grid(spark).repartition(8))
+        preds = [("x", 0, 7), ("y", 0, 7)]
+        before = len(table.prune_files(preds))
+        assert before == 8
+        want = _rows_xy(table.read())
+        v = cluster_zorder(table, "x", "y", num_files=8, bits=5)
+        assert table.history()[-1]["op"] == "cluster"
+        after = len(table.prune_files(preds))
+        assert after < before
+        # content unchanged, pruned read exact, time travel keeps layout
+        assert _rows_xy(table.read()) == want
+        got = {
+            (r["x"], r["y"])
+            for r in table.read_pruned_multi(preds).collect()
+        }
+        assert got == {(x, y) for x in range(8) for y in range(8)}
+        assert _rows_xy(table.read(version=v - 1)) == want
+
+    def test_cluster_folds_deletion_vectors(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import cluster_zorder
+
+        table.append(self._grid(spark).repartition(8))
+        table.delete_keys_dv(
+            spark.createDataFrame([(0, 0), (31, 31)], "x bigint, y bigint"),
+            ["x", "y"],
+        )
+        want = _rows_xy(table.read())
+        cluster_zorder(table, "x", "y", num_files=8, bits=5)
+        assert table.dv_map() == {}
+        assert _rows_xy(table.read()) == want and len(want) == 1022
+
+    def test_idempotent_by_app_txn(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import cluster_zorder
+
+        table.append(self._grid(spark).repartition(4))
+        v1 = cluster_zorder(table, "x", "y", app_txn_id="z1")
+        v2 = cluster_zorder(table, "x", "y", app_txn_id="z1")
+        assert v1 == v2 == table.latest_version()
+
+
+def _rows_xy(df):
+    return {(r["x"], r["y"], r["v"]) for r in df.collect()}
