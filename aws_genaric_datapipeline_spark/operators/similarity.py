@@ -750,6 +750,167 @@ def ivf_append_batch(
     ).parquet(f"{index_path}/cells")
 
 
+# ------------------------------------------------- txn-backed streaming IVF
+def ivf_txn_seed(
+    spark,
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    iters: int = 1,
+):
+    """Seed a TRANSACTIONAL IVF index: trained centroids (parquet, same
+    layout ivf_build_index uses) + the assigned corpus in a TxnTable at
+    ``{index_path}/cells_txn`` instead of loose partitioned parquet.  The
+    txn log is what upgrades index maintenance from at-least-once to
+    EXACTLY-ONCE under Structured Streaming (see ivf_txn_maintainer) —
+    appended cell files are invisible until their commit, and a replayed
+    micro-batch re-commits as a no-op via its app_txn_id.
+
+    Cell locality is preserved by RANGE-repartitioning on cell_id before
+    the write (an EXPLICIT partition count, so AQE cannot coalesce the
+    tiny test-scale shuffle into one mixed file): each committed file
+    covers a narrow contiguous cell band and its footer [min, max] on
+    cell_id IS the partition-pruning metadata — a probe reads only the
+    files whose band intersects its probed cells (ivf_query_txn), the
+    same scan-scaling as the partitionBy layout.  Returns the TxnTable.
+    """
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+    base = _unit_vectors_np(df, id_col, vec_col)
+    centroids = ivf_train_centroids(df, id_col, vec_col, num_cells, iters)
+    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    assigned = _assign_cells(base, centroids, nprobe=1).select(
+        "vid", "uvec", "cell_id"
+    )
+    table = TxnTable(spark, f"{index_path}/cells_txn")
+    table.overwrite(
+        assigned.repartitionByRange(num_cells, "cell_id"),
+        app_txn_id="ivf-seed",
+    )
+    return table
+
+
+def ivf_txn_maintainer(
+    table,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sink_id: str = "ivf",
+    num_files: int = 8,
+):
+    """foreachBatch handler keeping a txn-backed IVF index current from
+    an embedding STREAM — the streaming twin of ivf_append_batch, wired
+    through the exactly-once commit protocol (pipeline/txn.py
+    exactly_once_stream_sink's contract): each micro-batch is assigned
+    to the EXISTING trained centroids (fixed-centroid assignment, no
+    retrain, no standing-corpus rewrite) and appended under
+    ``app_txn_id=f"{sink_id}-{batch_id}"``, so a batch replayed after a
+    crash/restart re-commits as a no-op instead of double-inserting
+    vectors.
+
+        q = (spark.readStream.schema(...).parquet(src)
+               .writeStream
+               .foreachBatch(ivf_txn_maintainer(table, index_path))
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+
+    Assignment is a pure function of (vector, centroids), so the
+    stream-fed index content equals the one-shot build over the union
+    corpus with the same centroids — the maintenance identity
+    tests/test_streaming.py::TestStreamingIvfMaintenance pins under the
+    real streaming runtime, crash replay included.
+
+    Scale: per trigger this is one Arrow-batched assignment map over the
+    micro-batch plus one cell-local shuffle of BATCH size; the standing
+    index is untouched and the commit is a single put-if-absent JSON."""
+
+    def _handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        centroids = spark.read.parquet(f"{index_path}/centroids")
+        base = _unit_vectors_np(batch_df, id_col, vec_col)
+        assigned = _assign_cells(base, centroids, nprobe=1).select(
+            "vid", "uvec", "cell_id"
+        )
+        table.append(
+            assigned.repartitionByRange(num_files, "cell_id"),
+            app_txn_id=f"{sink_id}-{batch_id}",
+        )
+
+    return _handle
+
+
+def ivf_query_txn(
+    spark,
+    table,
+    index_path: str,
+    query_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query the txn-backed IVF index: assign queries to their nprobe
+    nearest cells (broadcast centroid pass), prune the cell files by
+    their committed cell_id [min, max] stats (cell-pure files ⇒ the
+    prune is exact — the txn-log analog of parquet partition pruning),
+    then exact-re-rank only the surviving files' vectors.  Same output
+    contract as ivf_query_index."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    q = _unit_vectors_np(query_vectors, id_col, vec_col)
+    probed = _assign_cells(q, centroids, nprobe=nprobe).select(
+        F.col("vid").alias("query_id"), F.col("uvec").alias("qvec"), "cell_id"
+    )
+    wanted = sorted(
+        r["cell_id"] for r in probed.select("cell_id").distinct().collect()
+    )
+    commits = table._commits()
+    files = table.live_files(commits=commits)
+    stats = table.file_stats(commits)
+    chosen = []
+    for f in files:
+        s = stats.get(f, {}).get("cell_id")
+        if s is None or any(s[0] <= w <= s[1] for w in wanted):
+            chosen.append(f)
+    if not chosen:
+        return probed.select(
+            "query_id",
+            F.col("query_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cosine_sim"),
+        ).where(F.lit(False))
+    schemas = table._schema_commits(commits=commits)
+    cells = table._read_resolved(
+        chosen, schemas, commits, dvs=table.dv_map(commits=commits)
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(
+            cells.where(F.col("cell_id").isin(wanted)).withColumnsRenamed(
+                {"vid": "nid", "uvec": "nvec"}
+            ),
+            "cell_id",
+        )
+        .where(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_pair_dot()(F.col("qvec"), F.col("nvec")), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 # ------------------------------------------------------ product quantization
 def pq_train_codebooks(
     df: DataFrame,

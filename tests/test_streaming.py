@@ -980,3 +980,134 @@ class TestCdfReplicaSchemaEvolution:
             spark, src, rep, ["k"], str(tmp_path / "ckpt2"), sink_id="r"
         ).awaitTermination(120)
         assert sorted(rep.read().columns) == sorted(src.read().columns)
+
+
+class TestStreamingIvfMaintenance:
+    def test_stream_fed_index_equals_one_shot_build(self, spark, tmp_path):
+        """Structured-streaming maintenance of the txn-backed IVF index:
+        seed with a trained build, then drain embedding micro-batches
+        through ivf_txn_maintainer (foreachBatch + exactly-once commit).
+        The stream-fed index must equal the one-shot assignment of the
+        UNION corpus under the same centroids (assignment is a pure
+        function of vector × centroids), queries through the pruned txn
+        read must match the plain partitioned-parquet index, and a
+        replayed micro-batch must re-commit as a no-op."""
+        import math
+
+        from aws_genaric_datapipeline_spark.operators.similarity import (
+            _assign_cells,
+            _unit_vectors_np,
+            ivf_query_index,
+            ivf_query_txn,
+            ivf_txn_maintainer,
+            ivf_txn_seed,
+        )
+
+        def vec(i, axis):
+            # four clean clusters on the unit axes, small deterministic wobble
+            base = [0.0] * 4
+            base[axis] = 1.0
+            base[(axis + 1) % 4] = 0.05 * math.sin(i)
+            return [float(x) for x in base]
+
+        seed_rows = [(i, vec(i, i % 4)) for i in range(24)]
+        b1_rows = [(100 + i, vec(100 + i, i % 4)) for i in range(8)]
+        b2_rows = [(200 + i, vec(200 + i, i % 4)) for i in range(8)]
+        schema = "vec_id long, embedding array<float>"
+        seed = spark.createDataFrame(seed_rows, schema)
+        b1 = spark.createDataFrame(b1_rows, schema)
+        b2 = spark.createDataFrame(b2_rows, schema)
+
+        index_path = str(tmp_path / "ivf_txn")
+        table = ivf_txn_seed(
+            spark, seed, index_path, num_cells=4, iters=2
+        )
+        v_seed = table.latest_version()
+
+        src = str(tmp_path / "embed_stream")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        handler = ivf_txn_maintainer(table, index_path, num_files=4)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert table.latest_version() == v_seed + 2  # one commit per batch
+
+        # maintenance identity: content == one-shot assignment of the
+        # union under the SAME centroids
+        union = seed.unionByName(b1).unionByName(b2)
+        centroids = spark.read.parquet(f"{index_path}/centroids")
+        want = {
+            (r["vid"], r["cell_id"])
+            for r in _assign_cells(
+                _unit_vectors_np(union, "vec_id", "embedding"),
+                centroids,
+                nprobe=1,
+            ).collect()
+        }
+        got = {
+            (r["vid"], r["cell_id"]) for r in table.read().collect()
+        }
+        assert got == want and len(got) == 40
+
+        # crash replay: re-delivering an already-committed micro-batch
+        # must be a version no-op (exactly-once under the txn log)
+        handler(b2, 1)
+        assert table.latest_version() == v_seed + 2
+
+        # query parity vs the plain partitioned-parquet layout built
+        # from the same centroids over the same union corpus
+        plain = str(tmp_path / "ivf_plain")
+        spark.read.parquet(f"{index_path}/centroids").write.parquet(
+            f"{plain}/centroids"
+        )
+        _assign_cells(
+            _unit_vectors_np(union, "vec_id", "embedding"), centroids, nprobe=1
+        ).select("vid", "uvec", "cell_id").write.partitionBy("cell_id").parquet(
+            f"{plain}/cells"
+        )
+        queries = spark.createDataFrame(
+            [(900, vec(900, 0)), (901, vec(901, 2))], schema
+        )
+        got_q = {
+            tuple(r)
+            for r in ivf_query_txn(
+                spark, table, index_path, queries, k=3, nprobe=2
+            ).collect()
+        }
+        want_q = {
+            tuple(r)
+            for r in ivf_query_index(
+                spark, plain, queries, k=3, nprobe=2
+            ).collect()
+        }
+        assert got_q == want_q and got_q
+
+        # the stats prune really skips files: one probed cell's query
+        # must open fewer cell files than the table holds
+        one_cell = spark.createDataFrame([(902, vec(902, 1))], schema)
+        probed = _assign_cells(
+            _unit_vectors_np(one_cell, "vec_id", "embedding"),
+            centroids,
+            nprobe=1,
+        )
+        wanted = {r["cell_id"] for r in probed.collect()}
+        stats = table.file_stats()
+        files = table.live_files()
+        chosen = [
+            f
+            for f in files
+            if stats.get(f, {}).get("cell_id") is None
+            or any(
+                stats[f]["cell_id"][0] <= w <= stats[f]["cell_id"][1]
+                for w in wanted
+            )
+        ]
+        assert len(chosen) < len(files)
