@@ -1056,19 +1056,60 @@ def bpe_learn(
     table is a valid BPE merge table.  A 32k-merge vocabulary drops from
     32k counting rounds (driver round-trips) to ~32k/N.
     """
-    if batch_merges < 1:
-        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
-    wt = (
+    return bpe_learn_from_histogram(
+        bpe_word_histogram(df, text_col), num_merges, batch_merges
+    )
+
+
+def bpe_word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The (word, freq) histogram BPE training is a pure function of —
+    the ONLY corpus-sized pass in the whole tokenizer chain, and
+    therefore the natural INCREMENTAL STATE: a standing corpus
+    contributes this one aggregation once, every ingest batch
+    contributes its own batch-sized histogram, and
+    bpe_merge_histograms folds them (counts are additive).  Persist it
+    (e.g. in a TxnTable) and re-deriving the merge table after an
+    append costs vocab-sized work, never a corpus re-scan."""
+    return (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def bpe_merge_histograms(standing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold an ingest batch's word histogram into the standing state:
+    union + re-sum (word counts are a mergeable aggregate state, the
+    same algebra operators/matview.py uses).  Exactness is trivial —
+    hist(A) ⊎ hist(B) = hist(A ∪ B) — which is what makes incremental
+    tokenizer refresh EQUAL to a full rebuild (pinned by
+    tests/test_operators.py::TestTokenizerIncrementalRefresh and the
+    tokenizer_incremental_refresh full-replay oracle).  Cost: one
+    vocab-sized shuffle, no corpus access."""
+    return (
+        standing.unionByName(delta)
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def bpe_learn_from_histogram(
+    wt: DataFrame,
+    num_merges: int = 3,
+    batch_merges: int = 1,
+) -> DataFrame:
+    """BPE training given the (word, freq) histogram — the vocab-sized
+    tail of bpe_learn (see its docstring for algorithm + scale notes);
+    split out so an incrementally maintained histogram state re-derives
+    the merge table without touching the corpus."""
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
     vocab = wt.select("word", "freq", chars.alias("syms")).persist()
-    spark = df.sparkSession
+    spark = wt.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < num_merges:
         want = min(batch_merges, num_merges - len(merges))

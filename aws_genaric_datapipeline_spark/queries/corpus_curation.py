@@ -2718,6 +2718,63 @@ def report_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- trained classifier
+def _logreg_round_ctes(
+    iters: int, eta_num: int, eta_den: int, sig: str, tdiv
+) -> list[str]:
+    """The unrolled GD round template shared by every full-replay
+    training oracle (text_quality_classifier's hashed-feature model and
+    search_rerank_linear's 3-feature ranking model): round k computes
+    margins m{k} from w{k-1}, rational-sigmoid residuals r{k}, the
+    gradient g{k}, and the trunc-div weight update w{k}.  Callers must
+    define ``feat`` (did, j, x), ``lab`` (did, y), ``nn`` (n = training
+    count) and ``w0`` upstream — the rounds are generic in the feature
+    construction."""
+    S = 1_000_000
+    parts = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f"""
+        m{k} AS (
+            SELECT f.did, CAST(sum(f.x * w.w) AS BIGINT) AS m
+            FROM feat f JOIN w{p} w USING (j) GROUP BY 1
+        ),
+        r{k} AS (
+            SELECT l.did,
+                   CAST({sig.format(m='m.m')} - l.y * {S} AS BIGINT) AS r
+            FROM lab l JOIN m{k} m USING (did)
+        ),
+        g{k} AS (
+            SELECT f.j, CAST(sum(f.x * r.r) AS BIGINT) AS g
+            FROM feat f JOIN r{k} r USING (did) GROUP BY 1
+        ),
+        w{k} AS (
+            SELECT j, CAST(w - {tdiv('gg', 'den')} AS BIGINT) AS w
+            FROM (
+                SELECT w.j, w.w, {eta_num} * coalesce(g.g, 0) AS gg,
+                       {eta_den} * nn.n AS den
+                FROM w{p} w LEFT JOIN g{k} g USING (j) CROSS JOIN nn)
+        )""")
+    return parts
+
+
+def _logreg_sig_tdiv() -> tuple[str, object]:
+    """The fixed-point rational-sigmoid template and truncate-toward-zero
+    division helper the GD replay CTEs use (DuckDB // floors; the
+    operator truncates)."""
+    S = 1_000_000
+
+    def tdiv(num: str, den: str) -> str:
+        return (
+            f"(CASE WHEN {num} < 0 THEN -((-({num})) // ({den})) "
+            f"ELSE ({num}) // ({den}) END)"
+        )
+
+    sig = (
+        f"(({S} * ({S} + abs({{m}}) + {{m}})) // (2 * ({S} + abs({{m}}))))"
+    )
+    return sig, tdiv
+
+
 def _logreg_cte_body(
     num_buckets: int = 32,
     iters: int = 5,
@@ -2781,29 +2838,7 @@ def _logreg_cte_body(
             FROM UNNEST(range(0, {D + 1})) AS g(j)
         )"""
     ]
-    for k in range(1, iters + 1):
-        p = k - 1
-        parts.append(f"""
-        m{k} AS (
-            SELECT f.did, CAST(sum(f.x * w.w) AS BIGINT) AS m
-            FROM feat f JOIN w{p} w USING (j) GROUP BY 1
-        ),
-        r{k} AS (
-            SELECT l.did,
-                   CAST({sig.format(m='m.m')} - l.y * {S} AS BIGINT) AS r
-            FROM lab l JOIN m{k} m USING (did)
-        ),
-        g{k} AS (
-            SELECT f.j, CAST(sum(f.x * r.r) AS BIGINT) AS g
-            FROM feat f JOIN r{k} r USING (did) GROUP BY 1
-        ),
-        w{k} AS (
-            SELECT j, CAST(w - {tdiv('gg', 'den')} AS BIGINT) AS w
-            FROM (
-                SELECT w.j, w.w, {eta_num} * coalesce(g.g, 0) AS gg,
-                       {eta_den} * nn.n AS den
-                FROM w{p} w LEFT JOIN g{k} g USING (j) CROSS JOIN nn)
-        )""")
+    parts.extend(_logreg_round_ctes(iters, eta_num, eta_den, sig, tdiv))
     parts.append(f"""
         scored AS (
             SELECT f.did, CAST(sum(f.x * w.w) AS BIGINT) AS margin_fp
@@ -3736,3 +3771,460 @@ def tokenizer_wordpiece_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [(r["left_sym"], r["right_sym"]) for r in trained]
     pieces = X.wordpiece_vocab_pieces(train, merges, word_types=wt)
     return X.wordpiece_apply(documents, pieces)
+
+
+@query(
+    "tokenizer_incremental_refresh",
+    oracle=_BPE_ORACLE.replace(
+        "SELECT CAST(1 AS INT) AS merge_rank,",
+        "SELECT CAST(2 AS BIGINT) AS state_versions,"
+        " CAST(1 AS INT) AS merge_rank,",
+    ).replace(
+        "SELECT CAST(2 AS INT) AS merge_rank,",
+        "SELECT CAST(2 AS BIGINT) AS state_versions,"
+        " CAST(2 AS INT) AS merge_rank,",
+    ).replace(
+        "SELECT CAST(3 AS INT) AS merge_rank,",
+        "SELECT CAST(2 AS BIGINT) AS state_versions,"
+        " CAST(3 AS INT) AS merge_rank,",
+    ),
+    tags=("north-star", "text", "tokenizer", "incremental"),
+)
+def tokenizer_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL tokenizer re-train (the last operator family without
+    an incremental path — VERDICT r12 item 3): the trained BPE artifact
+    is a pure function of the (word, freq) histogram, so the standing
+    state is that histogram in a TxnTable — seeded from the even-doc-id
+    half of the corpus (v1), then REFRESHED by folding in the odd half's
+    batch histogram (bpe_merge_histograms — a vocab-sized mergeable-state
+    union, no corpus re-scan; v2) — and the merge table re-derives from
+    the refreshed state (bpe_learn_from_histogram, vocab-sized work).
+
+    Exactness mirrors ivf_append_batch's append≡union contract:
+    hist(A) ⊎ hist(B) = hist(A ∪ B), so the re-derived merges equal the
+    full rebuild bit for bit — which is what the oracle checks, by
+    replaying full-corpus BPE training end to end.  ``state_versions``
+    pins that the state really went through seed + refresh commits.
+
+    Scale: a 100 TB standing corpus contributes its histogram ONCE;
+    every ingest batch costs one batch-sized tokenize + one vocab-sized
+    merge commit, and retraining reads only the vocab-sized state."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+    (documents,) = load(spark, sf_dir, "documents")
+    seed = documents.where(F.col("doc_id") % 2 == 0)
+    batch = documents.where(F.col("doc_id") % 2 != 0)
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_tok_state_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    state = TxnTable(spark, str(root))
+    state.overwrite(X.bpe_word_histogram(seed), app_txn_id="tok-seed")
+    refreshed = X.bpe_merge_histograms(
+        state.read(), X.bpe_word_histogram(batch)
+    )
+    state.overwrite(refreshed, app_txn_id="tok-refresh")
+    merges = X.bpe_learn_from_histogram(state.read(), num_merges=_BPE_MERGES)
+    return merges.select(
+        F.lit(state.latest_version()).cast("bigint").alias("state_versions"),
+        "merge_rank",
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    )
+
+
+# ------------------------------------------------- learned re-rank (stage 3)
+_RERANK_QIDS = (1, 2, 3, 4, 5)
+_RERANK_TRAIN = (1, 3, 5)
+_RERANK_EVAL = (2, 4)
+_RERANK_TOP = 10
+_RERANK_K = 5
+_RERANK_ETA_DEN = 2**20
+_RERANK_ITERS = 5
+_RERANK_W = {
+    (i, rel): (
+        int(1e6 * rel)
+        if i == 1
+        else int(1e6 * rel // __import__("math").log2(i + 1))
+    )
+    for i in range(1, _RERANK_K + 1)
+    for rel in range(1, _RERANK_K + 1)
+}
+_RERANK_IDCG = sum(
+    _RERANK_W[(i, _RERANK_K + 1 - i)] for i in range(1, _RERANK_K + 1)
+)
+
+
+def _rerank_oracle_sql() -> str:
+    """Full replay of search_rerank_linear: BM25 lexical leg, exact
+    cosine, candidate union, integer feature frame, the ENTIRE 5-round
+    fixed-point GD (shared _logreg_round_ctes template), margin re-rank,
+    RRF baseline, and the integer-lattice nDCG@5 of both rankings."""
+    sig, tdiv = _logreg_sig_tdiv()
+    K, TOP = _RERANK_K, _RERANK_TOP
+    qids = ", ".join(f"({q})" for q in _RERANK_QIDS)
+    train = ", ".join(str(q) for q in _RERANK_TRAIN)
+    ev = ", ".join(str(q) for q in _RERANK_EVAL)
+    wvals = ", ".join(
+        f"({i}, {rel}, {w})" for (i, rel), w in sorted(_RERANK_W.items())
+    )
+    rounds = ",".join(
+        _logreg_round_ctes(_RERANK_ITERS, 1, _RERANK_ETA_DEN, sig, tdiv)
+    )
+    wN = f"w{_RERANK_ITERS}"
+    return f"""
+        WITH wlat(i, rel, w) AS (VALUES {wvals}),
+        qs(query_id) AS (VALUES {qids}),
+        toks AS (
+            SELECT doc_id AS tdid, t.tok
+            FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+            WHERE length(trim(text)) > 0
+        ),
+        dlen AS (SELECT tdid, count(*) AS dl FROM toks GROUP BY tdid),
+        bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+        tf AS (
+            SELECT tdid, tok, count(*) AS tf
+            FROM toks WHERE tok IN ('spark', 'vector', 'merge')
+            GROUP BY tdid, tok
+        ),
+        dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+        bm AS (
+            SELECT tf.tdid AS doc_id,
+                   round(sum(
+                       ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 4) AS bm25
+            FROM tf
+            JOIN dft ON tf.tok = dft.tok
+            JOIN dlen ON tf.tdid = dlen.tdid
+            CROSS JOIN bstats
+            GROUP BY tf.tdid
+        ),
+        lex AS (
+            SELECT doc_id, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT {TOP})
+        ),
+        vbase AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        qv AS (
+            SELECT b.vec_id AS query_id, b.v AS qvec
+            FROM vbase b JOIN qs ON b.vec_id = qs.query_id
+        ),
+        cosall AS MATERIALIZED (
+            SELECT q.query_id, b.vec_id AS doc_id,
+                   round(list_cosine_similarity(q.qvec, b.v), 4) AS cos
+            FROM qv q, vbase b WHERE b.vec_id <> q.query_id
+        ),
+        sem AS (
+            SELECT query_id, doc_id, cos,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, doc_id
+                   ) AS sem_rank
+            FROM cosall QUALIFY sem_rank <= {TOP}
+        ),
+        exr AS (
+            SELECT query_id, doc_id, sem_rank AS exrank
+            FROM sem WHERE sem_rank <= {K}
+        ),
+        cand AS (
+            SELECT DISTINCT query_id, doc_id FROM (
+                SELECT query_id, doc_id FROM sem
+                UNION ALL
+                SELECT q.query_id, l.doc_id FROM qs q, lex l)
+        ),
+        feat0 AS MATERIALIZED (
+            SELECT c.query_id, c.doc_id,
+                   c.query_id * 1000000 + c.doc_id AS did,
+                   CAST(coalesce(round(l.bm25 * 10000), 0) AS BIGINT) AS x0,
+                   CAST(coalesce(round(a.cos * 10000), 0) AS BIGINT) AS x1,
+                   CAST(coalesce(d.dl, 0) AS BIGINT) AS x2
+            FROM cand c
+            LEFT JOIN lex l USING (doc_id)
+            LEFT JOIN cosall a
+              ON a.query_id = c.query_id AND a.doc_id = c.doc_id
+            LEFT JOIN dlen d ON d.tdid = c.doc_id
+        ),
+        feat AS (
+            SELECT did, j, x FROM (
+                SELECT did, CAST(0 AS BIGINT) j, x0 AS x FROM feat0
+                UNION ALL SELECT did, 1, x1 FROM feat0
+                UNION ALL SELECT did, 2, x2 FROM feat0
+                UNION ALL SELECT did, 3, 1000 FROM feat0)
+            WHERE did // 1000000 IN ({train})
+        ),
+        lab AS (
+            SELECT f.did,
+                   CAST(CASE WHEN e.exrank IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM feat0 f LEFT JOIN exr e
+              ON e.query_id = f.query_id AND e.doc_id = f.doc_id
+            WHERE f.query_id IN ({train})
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+        w0 AS (
+            SELECT CAST(g.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+            FROM UNNEST(range(0, 4)) AS g(j)
+        ),{rounds},
+        scored AS (
+            SELECT f.query_id, f.doc_id,
+                   f.x0 * (SELECT w FROM {wN} WHERE j = 0)
+                   + f.x1 * (SELECT w FROM {wN} WHERE j = 1)
+                   + f.x2 * (SELECT w FROM {wN} WHERE j = 2)
+                   + 1000 * (SELECT w FROM {wN} WHERE j = 3) AS m
+            FROM feat0 f WHERE f.query_id IN ({ev})
+        ),
+        rrk AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY m DESC, doc_id
+                   ) AS rn
+            FROM scored QUALIFY rn <= {K}
+        ),
+        fused AS (
+            SELECT c.query_id, c.doc_id,
+                   round(coalesce((1.0::DOUBLE) / (60 + l.lex_rank), 0.0)
+                       + coalesce((1.0::DOUBLE) / (60 + s.sem_rank), 0.0), 6)
+                       AS s
+            FROM cand c
+            LEFT JOIN lex l USING (doc_id)
+            LEFT JOIN sem s
+              ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+            WHERE c.query_id IN ({ev})
+        ),
+        frk AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY s DESC, doc_id
+                   ) AS rn
+            FROM fused QUALIFY rn <= {K}
+        ),
+        dcg_rerank AS (
+            SELECT r.query_id, CAST(coalesce(sum(wl.w), 0) AS BIGINT) AS dcg
+            FROM rrk r
+            LEFT JOIN exr e
+              ON e.query_id = r.query_id AND e.doc_id = r.doc_id
+            LEFT JOIN wlat wl
+              ON wl.i = r.rn AND wl.rel = {K} + 1 - e.exrank
+            GROUP BY r.query_id
+        ),
+        dcg_rrf AS (
+            SELECT r.query_id, CAST(coalesce(sum(wl.w), 0) AS BIGINT) AS dcg
+            FROM frk r
+            LEFT JOIN exr e
+              ON e.query_id = r.query_id AND e.doc_id = r.doc_id
+            LEFT JOIN wlat wl
+              ON wl.i = r.rn AND wl.rel = {K} + 1 - e.exrank
+            GROUP BY r.query_id
+        )
+        SELECT a.query_id,
+               (SELECT w FROM {wN} WHERE j = 0) AS w_bm25,
+               (SELECT w FROM {wN} WHERE j = 1) AS w_cos,
+               (SELECT w FROM {wN} WHERE j = 2) AS w_len,
+               (SELECT w FROM {wN} WHERE j = 3) AS w_bias,
+               CAST(b.dcg * 10000 // {_RERANK_IDCG} AS BIGINT) AS ndcg_rrf_bp,
+               CAST(a.dcg * 10000 // {_RERANK_IDCG} AS BIGINT) AS ndcg_rerank_bp,
+               CAST(a.dcg * 10000 // {_RERANK_IDCG}
+                    - b.dcg * 10000 // {_RERANK_IDCG} AS BIGINT) AS uplift_bp
+        FROM dcg_rerank a JOIN dcg_rrf b USING (query_id)
+    """
+
+
+@query(
+    "search_rerank_linear",
+    oracle=_rerank_oracle_sql(),
+    tags=("north-star", "text", "search", "similarity", "classifier"),
+)
+def search_rerank_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-stage LEARNED RE-RANK over hybrid retrieval (the standard
+    production ladder: candidate generation → rank fusion → model
+    re-scoring): per query, the candidate pool is the union of the BM25
+    lexical top-10 and the cosine semantic top-10; a linear model over
+    integer features [bm25·1e4, cosine·1e4, doc_length] + bias is
+    trained with the fixed-point GD of operators/classifier.py
+    (train_logreg, 5 rounds, eta 1/2^20) on the TRAIN queries' candidates
+    (label = membership in the exact-cosine top-5), then re-scores the
+    HELD-OUT queries' candidates by margin.  The emitted report compares
+    integer-lattice nDCG@5 of the learned ranking against the RRF
+    baseline per held-out query, with the trained weights pinned as
+    columns — the oracle replays the WHOLE chain (legs, features, every
+    GD round, both rankings, both metrics) bit-exactly.
+
+    On this fixture the model recovers what rank-only fusion loses
+    (cosine dominance; lex-only candidates demoted by a learned negative
+    BM25 weight): nDCG@5 uplift vs RRF is positive on both held-out
+    queries at sf0.001/0.01/0.1 — asserted in
+    tests/test_operators.py::TestSearchRerankLinear.
+
+    Scale: candidate pools are K-sized per query (TakeOrdered legs), so
+    training and scoring touch |Q|·K rows — the corpus contributes one
+    BM25 pass and one brute-force cosine pass (the exact ground truth a
+    recall audit pays anyway; swap in the IVF tier's probes for the
+    production path)."""
+    from aws_genaric_datapipeline_spark.operators.classifier import (
+        FEAT_SCALE,
+        train_logreg,
+    )
+    from aws_genaric_datapipeline_spark.operators import similarity as S
+
+    documents, embeddings = load(spark, sf_dir, "documents", "embeddings")
+    qids = list(_RERANK_QIDS)
+    K, TOP = _RERANK_K, _RERANK_TOP
+    bm = X.bm25_scores(documents, terms=("spark", "vector", "merge"))
+    lexw = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(TOP)
+        .select("doc_id", "bm25", F.row_number().over(lexw).alias("lex_rank"))
+        .localCheckpoint(eager=True)
+    )
+    # one brute-force pass scores the whole panel (exact ground truth +
+    # the cosine feature for every candidate)
+    allcos = S.cosine_topk(embeddings, query_ids=qids, k=1 << 62).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "cosine_sim"
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("doc_id")
+    )
+    semr = (
+        allcos.withColumn("sem_rank", F.row_number().over(w_q))
+        .where(F.col("sem_rank") <= TOP)
+        .localCheckpoint(eager=True)
+    )
+    exr = semr.where(F.col("sem_rank") <= K).select(
+        "query_id", "doc_id", F.col("sem_rank").alias("exrank")
+    )
+    qpanel = spark.createDataFrame([(q,) for q in qids], "query_id bigint")
+    cand = (
+        semr.select("query_id", "doc_id")
+        .unionByName(qpanel.crossJoin(lex.select("doc_id")))
+        .distinct()
+    )
+    dl = documents.select(
+        "doc_id", F.size(X.tokens(F.col("text"))).alias("dl")
+    )
+    feats = (
+        cand.join(allcos, ["query_id", "doc_id"], "left")
+        .join(lex.select("doc_id", "bm25"), "doc_id", "left")
+        .join(dl, "doc_id", "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.round(F.col("bm25") * 10000), F.lit(0))
+            .cast("bigint")
+            .alias("x0"),
+            F.coalesce(F.round(F.col("cosine_sim") * 10000), F.lit(0))
+            .cast("bigint")
+            .alias("x1"),
+            F.coalesce("dl", F.lit(0)).cast("bigint").alias("x2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    did = (F.col("query_id") * F.lit(1000000) + F.col("doc_id")).alias("did")
+    lab = cand.join(exr, ["query_id", "doc_id"], "left").select(
+        did,
+        F.when(F.col("exrank").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+        "query_id",
+    )
+    featl = feats.select(
+        did, "query_id", F.posexplode(F.array("x0", "x1", "x2")).alias("j", "x")
+    ).unionByName(
+        feats.select(
+            did, "query_id", F.lit(3).alias("j"), F.lit(FEAT_SCALE).alias("x")
+        )
+    )
+    train_q = list(_RERANK_TRAIN)
+    model = train_logreg(
+        spark,
+        featl.where(F.col("query_id").isin(train_q)).select(
+            "did", F.col("j").cast("bigint"), F.col("x").cast("bigint")
+        ),
+        lab.where(F.col("query_id").isin(train_q)).select("did", "y"),
+        num_buckets=3,
+        iters=_RERANK_ITERS,
+        eta_num=1,
+        eta_den=_RERANK_ETA_DEN,
+    )
+    wts = model.weights_fp
+    eval_q = list(_RERANK_EVAL)
+    margin = (
+        F.col("x0") * F.lit(int(wts[0]))
+        + F.col("x1") * F.lit(int(wts[1]))
+        + F.col("x2") * F.lit(int(wts[2]))
+        + F.lit(FEAT_SCALE) * F.lit(int(wts[3]))
+    ).cast("bigint")
+    rw = Window.partitionBy("query_id").orderBy(F.desc("m"), F.asc("doc_id"))
+    rrk = (
+        feats.where(F.col("query_id").isin(eval_q))
+        .select("query_id", "doc_id", margin.alias("m"))
+        .withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") <= K)
+    )
+    rrf_score = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    frk = (
+        cand.where(F.col("query_id").isin(eval_q))
+        .join(lex.select("doc_id", "lex_rank"), "doc_id", "left")
+        .join(
+            semr.select("query_id", "doc_id", "sem_rank"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .select("query_id", "doc_id", rrf_score.alias("s"))
+        .withColumn("rn", F.row_number().over(fw))
+        .where(F.col("rn") <= K)
+    )
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for (i, rel), w in sorted(_RERANK_W.items())
+            for x in (i * 10 + rel, w)
+        ]
+    )
+
+    def _ndcg(ranked: DataFrame, out: str) -> DataFrame:
+        rel = F.coalesce(F.lit(K + 1) - F.col("exrank"), F.lit(0))
+        contrib = F.coalesce(
+            F.element_at(wmap, (F.col("rn") * 10 + rel).cast("int")), F.lit(0)
+        )
+        return (
+            ranked.join(exr, ["query_id", "doc_id"], "left")
+            .groupBy("query_id")
+            .agg((F.sum(contrib) * 10000).cast("bigint").alias("_dcg10k"))
+            .select(
+                "query_id",
+                F.expr(f"_dcg10k div {_RERANK_IDCG}")
+                .cast("bigint")
+                .alias(out),
+            )
+        )
+
+    a = _ndcg(rrk, "ndcg_rerank_bp")
+    b = _ndcg(frk, "ndcg_rrf_bp")
+    return a.join(b, "query_id").select(
+        "query_id",
+        F.lit(int(wts[0])).cast("bigint").alias("w_bm25"),
+        F.lit(int(wts[1])).cast("bigint").alias("w_cos"),
+        F.lit(int(wts[2])).cast("bigint").alias("w_len"),
+        F.lit(int(wts[3])).cast("bigint").alias("w_bias"),
+        "ndcg_rrf_bp",
+        "ndcg_rerank_bp",
+        (F.col("ndcg_rerank_bp") - F.col("ndcg_rrf_bp"))
+        .cast("bigint")
+        .alias("uplift_bp"),
+    )

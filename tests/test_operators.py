@@ -4165,3 +4165,60 @@ class TestIncrementalJoinRefresh:
         )
         assert got == full
         assert (2, 12, 200) in got  # the cross-delta pair survives
+
+
+class TestTokenizerIncrementalRefresh:
+    """Incremental BPE re-train: folding a batch histogram into the
+    standing histogram state and re-deriving merges must equal the full
+    rebuild over the union corpus, bit for bit (the artifact is a pure
+    function of the histogram; hist(A) ⊎ hist(B) = hist(A ∪ B))."""
+
+    def test_refresh_equals_full_rebuild(self, spark):
+        from aws_genaric_datapipeline_spark.operators import text as X
+
+        a = spark.createDataFrame(
+            [(1, "low lower lowest"), (2, "new newer lower low")],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame(
+            [(3, "newest newer new low"), (4, "wide wider widest new")],
+            "doc_id long, text string",
+        )
+        refreshed = X.bpe_merge_histograms(
+            X.bpe_word_histogram(a), X.bpe_word_histogram(b)
+        )
+        got = X.bpe_learn_from_histogram(refreshed, num_merges=4).collect()
+        want = X.bpe_learn(a.unionByName(b), num_merges=4).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert len(got) == 4
+
+    def test_merge_histograms_is_exact_union(self, spark):
+        from aws_genaric_datapipeline_spark.operators import text as X
+
+        a = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+        b = spark.createDataFrame([(2, "y z")], "doc_id long, text string")
+        got = {
+            (r["word"], r["freq"])
+            for r in X.bpe_merge_histograms(
+                X.bpe_word_histogram(a), X.bpe_word_histogram(b)
+            ).collect()
+        }
+        assert got == {("x", 2), ("y", 2), ("z", 1)}
+
+
+class TestSearchRerankLinear:
+    def test_rerank_ndcg_at_least_rrf_on_heldout(self, spark):
+        """The learned third-stage re-rank must not lose to rank-only RRF
+        on the held-out queries (the round-13 acceptance bar): uplift_bp
+        >= 0 per query, and strictly positive for at least one — the
+        model recovers the cosine dominance RRF's rank fusion dilutes."""
+        from aws_genaric_datapipeline_spark.queries import QUERIES
+
+        rows = QUERIES["search_rerank_linear"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert {r["query_id"] for r in rows} == {2, 4}
+        assert all(r["uplift_bp"] >= 0 for r in rows)
+        assert any(r["uplift_bp"] > 0 for r in rows)
+        # the trained model really weights cosine positively
+        assert all(r["w_cos"] > 0 for r in rows)
