@@ -546,6 +546,76 @@ def train_logreg(
     )
 
 
+def train_logreg_rows(
+    feat_rows,
+    label_rows,
+    num_buckets: int = 32,
+    iters: int = 5,
+    eta_num: int = 1,
+    eta_den: int = 2**20,
+    l2_num: int = 0,
+    l2_den: int = 1,
+    init_weights: tuple[int, ...] | None = None,
+) -> LogRegModel:
+    """DRIVER-SIDE twin of train_logreg for K-SIZED training sets: the
+    same fixed-point GD (same integer margins, rational sigmoid,
+    trunc-div update — bit-identical weights, asserted in
+    TestDriverSideLogreg), run over already-collected rows with zero
+    Spark jobs.
+
+    Why it exists: train_logreg pays ~1s of fixed per-iteration cost
+    (weight-frame creation, broadcast join, collect) that is pure
+    overhead when the training set is candidate-pool-sized — the
+    third-stage re-rank trains on |Q|·K rows by construction
+    (search_rerank_linear), where the distributed loop spent 6.5 s
+    orchestrating ~60 rows.  Corpus-scale training keeps the
+    distributed loop; this is the other end of the same contract.
+
+    ``feat_rows``: iterable of (did, j, x); ``label_rows``: (did, y)."""
+    S = FP_SCALE
+    feats: dict[int, list[tuple[int, int]]] = {}
+    for did, j, x in feat_rows:
+        feats.setdefault(int(did), []).append((int(j), int(x)))
+    labels = {int(did): int(y) for did, y in label_rows}
+    n = len(labels)
+    if n == 0:
+        raise ValueError("empty training set")
+    if init_weights is not None and len(init_weights) != num_buckets + 1:
+        raise ValueError(
+            f"init_weights needs {num_buckets + 1} entries, got {len(init_weights)}"
+        )
+    w = (
+        list(init_weights)
+        if init_weights is not None
+        else [0] * (num_buckets + 1)
+    )
+    for _ in range(iters):
+        grad = [0] * (num_buckets + 1)
+        for did, y in labels.items():
+            m = sum(x * w[j] for j, x in feats.get(did, ()))
+            sig = (S * (S + abs(m) + m)) // (2 * (S + abs(m)))
+            r = sig - y * S
+            for j, x in feats.get(did, ()):
+                grad[j] += x * r
+        w = [
+            wj
+            - _trunc_div(
+                eta_num * (grad[j] + _trunc_div(l2_num * wj * n, l2_den)),
+                eta_den * n,
+            )
+            for j, wj in enumerate(w)
+        ]
+    return LogRegModel(
+        num_buckets=num_buckets,
+        weights_fp=tuple(w),
+        iters=iters,
+        eta_num=eta_num,
+        eta_den=eta_den,
+        l2_num=l2_num,
+        l2_den=l2_den,
+    )
+
+
 def score_documents(
     spark: SparkSession,
     feat: DataFrame,

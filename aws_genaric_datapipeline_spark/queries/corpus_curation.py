@@ -4071,7 +4071,7 @@ def search_rerank_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path)."""
     from aws_genaric_datapipeline_spark.operators.classifier import (
         FEAT_SCALE,
-        train_logreg,
+        train_logreg_rows,
     )
     from aws_genaric_datapipeline_spark.operators import similarity as S
 
@@ -4108,9 +4108,11 @@ def search_rerank_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qpanel.crossJoin(lex.select("doc_id")))
         .distinct()
     )
-    dl = documents.select(
-        "doc_id", F.size(X.tokens(F.col("text"))).alias("dl")
-    )
+    # length feature only matters for candidate docs — semi-join first so
+    # the tokenize pass touches |candidates| rows, not the corpus
+    dl = documents.join(
+        cand.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).select("doc_id", F.size(X.tokens(F.col("text"))).alias("dl"))
     feats = (
         cand.join(allcos, ["query_id", "doc_id"], "left")
         .join(lex.select("doc_id", "bm25"), "doc_id", "left")
@@ -4145,12 +4147,19 @@ def search_rerank_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     train_q = list(_RERANK_TRAIN)
-    model = train_logreg(
-        spark,
-        featl.where(F.col("query_id").isin(train_q)).select(
-            "did", F.col("j").cast("bigint"), F.col("x").cast("bigint")
-        ),
-        lab.where(F.col("query_id").isin(train_q)).select("did", "y"),
+    # the training set is candidate-pool-sized (|Q|·K rows) by
+    # construction — collect once and run the SAME integer GD driver-side
+    # (train_logreg_rows is bit-identical to the distributed loop, which
+    # spent seconds orchestrating ~60 rows)
+    model = train_logreg_rows(
+        [
+            (r["did"], r["j"], r["x"])
+            for r in featl.where(F.col("query_id").isin(train_q)).collect()
+        ],
+        [
+            (r["did"], r["y"])
+            for r in lab.where(F.col("query_id").isin(train_q)).collect()
+        ],
         num_buckets=3,
         iters=_RERANK_ITERS,
         eta_num=1,

@@ -4222,3 +4222,33 @@ class TestSearchRerankLinear:
         assert any(r["uplift_bp"] > 0 for r in rows)
         # the trained model really weights cosine positively
         assert all(r["w_cos"] > 0 for r in rows)
+
+
+class TestDriverSideLogreg:
+    def test_rows_twin_matches_distributed_weights_bit_for_bit(self, spark):
+        """train_logreg_rows must produce EXACTLY the weights of the
+        distributed loop — same integer margins, sigmoid, trunc-div
+        update — so swapping it in for K-sized training sets is a pure
+        orchestration change, never a numeric one."""
+        from aws_genaric_datapipeline_spark.operators.classifier import (
+            train_logreg,
+            train_logreg_rows,
+        )
+
+        feat_rows = [
+            (i, j, ((i * 31 + j * 17) % 41) - 20)
+            for i in range(40)
+            for j in range(4)
+        ]
+        label_rows = [(i, (i * 7) % 3 == 0 and 1 or 0) for i in range(40)]
+        feat = spark.createDataFrame(feat_rows, "did bigint, j bigint, x bigint")
+        lab = spark.createDataFrame(label_rows, "did bigint, y bigint")
+        dist = train_logreg(
+            spark, feat, lab, num_buckets=3, iters=4, eta_num=1, eta_den=2**18,
+            l2_num=1, l2_den=100,
+        )
+        local = train_logreg_rows(
+            feat_rows, label_rows, num_buckets=3, iters=4, eta_num=1,
+            eta_den=2**18, l2_num=1, l2_den=100,
+        )
+        assert dist.weights_fp == local.weights_fp
