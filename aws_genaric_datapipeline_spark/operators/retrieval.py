@@ -187,3 +187,150 @@ def query_inverted_index(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------- txn-backed streaming BM25
+def bm25_txn_seed(
+    spark,
+    documents: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+):
+    """Seed a TRANSACTIONAL inverted index: postings (term, did, tf,
+    bucket) and doclen (did, dl) each in a TxnTable — the full-text twin
+    of similarity.ivf_txn_seed.  The txn log is what upgrades index
+    maintenance to EXACTLY-ONCE under Structured Streaming
+    (bm25_txn_maintainer); postings files are range-repartitioned on the
+    term-hash bucket with an EXPLICIT count (AQE cannot coalesce them
+    into one mixed file), so each committed file covers a narrow bucket
+    band and its footer [min, max] is the partition-pruning metadata a
+    query probes with (bm25_query_txn).  Corpus stats (n_docs, avgdl)
+    derive from doclen at query time — no third table to keep
+    consistent.  Returns (postings_table, doclen_table)."""
+    from aws_genaric_datapipeline_spark.operators.text import tokens
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+    toks = documents.select(
+        F.col(id_col).alias("did"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    postings = (
+        toks.groupBy("term", "did")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)))
+    )
+    dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+    pt = TxnTable(spark, f"{index_path}/postings_txn")
+    pt.overwrite(
+        postings.repartitionByRange(num_buckets, "bucket"),
+        app_txn_id="bm25-seed",
+    )
+    dt = TxnTable(spark, f"{index_path}/doclen_txn")
+    dt.overwrite(dl, app_txn_id="bm25-seed")
+    return pt, dt
+
+
+def bm25_txn_maintainer(
+    postings_table,
+    doclen_table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+    sink_id: str = "bm25",
+):
+    """foreachBatch handler keeping the txn-backed inverted index current
+    from a DOCUMENT stream: each micro-batch contributes its own
+    (term, did, tf) postings and (did, dl) lengths — new documents only,
+    so both are pure appends, and the one-shot build over the union
+    corpus equals the stream-fed state exactly (tf/df/dl/avgdl are all
+    content functions; pinned in TestStreamingBm25Maintenance).
+
+    Exactly-once: both appends carry ``app_txn_id=f"{sink_id}-{batch_id}"``,
+    so a replayed batch re-commits as a no-op on each table independently
+    — a crash between the two commits re-delivers the batch and only the
+    missing half applies (idempotent convergence, the same two-table
+    discipline a production format uses for index + stats).
+
+    Scale: per trigger, one tokenize + two batch-sized aggregations and
+    two put-if-absent commits; the standing postings are untouched."""
+
+    def _handle(batch_df, batch_id: int) -> None:
+        from aws_genaric_datapipeline_spark.operators.text import tokens
+
+        toks = batch_df.select(
+            F.col(id_col).alias("did"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        ).localCheckpoint(eager=True)
+        postings = (
+            toks.groupBy("term", "did")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets))
+            )
+        )
+        dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+        postings_table.append(
+            postings.repartitionByRange(num_buckets, "bucket"),
+            app_txn_id=f"{sink_id}-{batch_id}",
+        )
+        doclen_table.append(dl, app_txn_id=f"{sink_id}-{batch_id}")
+
+    return _handle
+
+
+def bm25_query_txn(
+    spark,
+    postings_table,
+    doclen_table,
+    terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` against the txn-backed index: the query
+    terms' hash buckets prune the postings FILES by their committed
+    bucket [min, max] stats (bucket-banded files ⇒ the prune is the
+    txn-log analog of parquet partition pruning), then the same
+    Lucene-idf scoring as query_inverted_index."""
+    terms_df = spark.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)))
+    buckets = sorted({r["bucket"] for r in terms_df.collect()})
+    commits = postings_table._commits()
+    files = postings_table.live_files(commits=commits)
+    stats = postings_table.file_stats(commits)
+    chosen = []
+    for f in files:
+        s = stats.get(f, {}).get("bucket")
+        if s is None or any(s[0] <= w <= s[1] for w in buckets):
+            chosen.append(f)
+    schemas = postings_table._schema_commits(commits=commits)
+    postings = postings_table._read_resolved(
+        chosen, schemas, commits, dvs=postings_table.dv_map(commits=commits)
+    ).where(F.col("bucket").isin(buckets)).where(F.col("term").isin(*terms))
+    dl = doclen_table.read()
+    stats_df = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / denom
+    scored = (
+        postings.join(F.broadcast(dft), "term")
+        .join(dl, "did")
+        .crossJoin(F.broadcast(stats_df))
+        .groupBy("did")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+    return (
+        scored.select(F.col("did").alias("doc_id"), "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

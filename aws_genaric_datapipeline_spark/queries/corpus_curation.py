@@ -4237,3 +4237,70 @@ def search_rerank_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("uplift_bp"),
     )
+
+
+@query(
+    "tokenizer_incremental_wordpiece",
+    oracle=(
+        _WP_LEARN_ORACLE.replace(
+            "SELECT CAST(1 AS INT) AS merge_rank,",
+            "SELECT CAST(2 AS BIGINT) AS state_versions,"
+            " CAST(1 AS INT) AS merge_rank,",
+        )
+        .replace(
+            "SELECT CAST(2 AS INT) AS merge_rank,",
+            "SELECT CAST(2 AS BIGINT) AS state_versions,"
+            " CAST(2 AS INT) AS merge_rank,",
+        )
+        .replace(
+            "SELECT CAST(3 AS INT) AS merge_rank,",
+            "SELECT CAST(2 AS BIGINT) AS state_versions,"
+            " CAST(3 AS INT) AS merge_rank,",
+        )
+    ),
+    tags=("north-star", "text", "tokenizer", "incremental"),
+)
+def tokenizer_incremental_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental WordPiece re-train — the likelihood-objective twin of
+    tokenizer_incremental_refresh: WordPiece training is equally a pure
+    function of the (word, freq) histogram, so the SAME mergeable state
+    contract applies (seed the even-doc-id half's histogram into a
+    TxnTable, fold in the odd half's batch histogram with
+    bpe_merge_histograms — word counts are objective-agnostic — and
+    re-derive the merges from the refreshed state via
+    ``wordpiece_learn(word_types=...)``, vocab-sized work, no corpus
+    re-scan).  The oracle replays full-corpus WordPiece training; exact
+    equality holds because hist(A) ⊎ hist(B) = hist(A ∪ B).  With BPE,
+    WordPiece, and the classifier's warm-start covered, every trained
+    artifact family has a verified incremental path."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+    (documents,) = load(spark, sf_dir, "documents")
+    seed = documents.where(F.col("doc_id") % 2 == 0)
+    batch = documents.where(F.col("doc_id") % 2 != 0)
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_wp_state_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    state = TxnTable(spark, str(root))
+    state.overwrite(X.wordpiece_word_types(seed), app_txn_id="wp-seed")
+    refreshed = X.bpe_merge_histograms(
+        state.read(), X.wordpiece_word_types(batch)
+    )
+    state.overwrite(refreshed, app_txn_id="wp-refresh")
+    merges = X.wordpiece_learn(
+        documents, num_merges=_WP_MERGES, word_types=state.read()
+    )
+    return merges.select(
+        F.lit(state.latest_version()).cast("bigint").alias("state_versions"),
+        "merge_rank",
+        "left_sym",
+        "right_sym",
+        "pair_count",
+        "score_e12",
+    )

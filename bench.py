@@ -346,6 +346,7 @@ HEADLINE = [
     "txn_cluster_zorder",
     "tokenizer_incremental_refresh",
     "search_rerank_linear",
+    "tokenizer_incremental_wordpiece",
 ]
 
 

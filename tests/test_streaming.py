@@ -1111,3 +1111,99 @@ class TestStreamingIvfMaintenance:
             )
         ]
         assert len(chosen) < len(files)
+
+
+class TestStreamingBm25Maintenance:
+    def test_stream_fed_index_matches_one_shot_build(self, spark, tmp_path):
+        """The txn-backed inverted index, fed by a document stream
+        through bm25_txn_maintainer, must answer BM25 queries exactly
+        like a one-shot build over the union corpus (tf/df/dl/avgdl are
+        content functions of the corpus); a replayed micro-batch is a
+        no-op on both tables, and term-bucket file stats prune the
+        postings scan."""
+        from aws_genaric_datapipeline_spark.operators.retrieval import (
+            bm25_query_txn,
+            bm25_txn_maintainer,
+            bm25_txn_seed,
+            build_inverted_index,
+            query_inverted_index,
+        )
+
+        seed = spark.createDataFrame(
+            [
+                (1, "spark merges vectors with spark"),
+                (2, "unrelated prose about nothing"),
+                (3, "vector search and spark pipelines"),
+            ],
+            "doc_id long, text string",
+        )
+        b1 = spark.createDataFrame(
+            [(10, "spark spark spark everywhere"), (11, "merge conflicts")],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            [(20, "vectors merge under spark")],
+            "doc_id long, text string",
+        )
+        idx = str(tmp_path / "bm25_txn")
+        pt, dt = bm25_txn_seed(spark, seed, idx, num_buckets=8)
+        v_p, v_d = pt.latest_version(), dt.latest_version()
+
+        src = str(tmp_path / "doc_stream")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        handler = bm25_txn_maintainer(pt, dt, num_buckets=8)
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", str(tmp_path / "ckpt_bm25"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert pt.latest_version() == v_p + 2
+        assert dt.latest_version() == v_d + 2
+
+        # crash replay: both tables no-op on a re-delivered batch
+        handler(b2, 1)
+        assert pt.latest_version() == v_p + 2 and dt.latest_version() == v_d + 2
+
+        # query parity vs the one-shot plain index over the union corpus
+        union = seed.unionByName(b1).unionByName(b2)
+        plain = str(tmp_path / "bm25_plain")
+        build_inverted_index(union, plain, num_buckets=8)
+        terms = ("spark", "vector", "merge")
+        got = [
+            tuple(r)
+            for r in bm25_query_txn(
+                spark, pt, dt, terms, k=10, num_buckets=8
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in query_inverted_index(
+                spark, plain, terms, k=10, num_buckets=8
+            ).collect()
+        ]
+        assert got == want and got
+
+        # the bucket stats really prune: a single-term query must open
+        # fewer postings files than the table holds
+        import pyspark.sql.functions as F
+
+        one = (
+            spark.createDataFrame([("spark",)], "term string")
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(8)))
+            .collect()[0]["bucket"]
+        )
+        stats = pt.file_stats()
+        files = pt.live_files()
+        chosen = [
+            f
+            for f in files
+            if stats.get(f, {}).get("bucket") is None
+            or stats[f]["bucket"][0] <= one <= stats[f]["bucket"][1]
+        ]
+        assert len(chosen) < len(files)
