@@ -204,3 +204,43 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def hilbert_value(col_a, col_b, bits: int = 8):
+    """Hilbert-curve index of two grid coordinates — the
+    locality-stronger alternative to the Z-order (Morton) interleave:
+    the Hilbert curve has no long diagonal jumps, so consecutive curve
+    positions are always grid-adjacent and a clustered file covers a
+    tighter 2-D region for the same row count (why Databricks' liquid
+    clustering moved past Z-order).
+
+    Pure JVM expression: the classic per-level rotate/reflect walk
+    (Hamilton's d2xy inverse) unrolled over ``bits`` levels —
+    comparisons, arithmetic, and F.when chains only, so the whole thing
+    whole-stage-codegens; no UDF.  Inputs must be non-negative integers
+    in [0, 2^bits) — same contract as zorder_value.
+    """
+    import pyspark.sql.functions as F
+
+    x = col_a.cast("bigint")
+    y = col_b.cast("bigint")
+    d = F.lit(0).cast("bigint")
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        d = d + F.lit(s).cast("bigint") * F.lit(s) * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        )
+        # rotate/reflect the quadrant so the next level walks the curve
+        # in canonical orientation
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - y).otherwise(y),
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - x).otherwise(x),
+        ).otherwise(y)
+        x, y = nx, ny
+    return d

@@ -51,6 +51,10 @@ class TxnConflict(RuntimeError):
     """A concurrent commit invalidated this transaction's snapshot."""
 
 
+class ConstraintViolation(ValueError):
+    """A write batch violated a table CHECK constraint — nothing committed."""
+
+
 def _footer_stats(path: Path) -> dict:
     """Per-column [min, max] from a parquet file's footer (pyarrow) —
     JSON-safe scalars only; columns without statistics are omitted, and
@@ -640,6 +644,98 @@ class TxnTable:
     def is_committed(self, app_txn_id: str) -> bool:
         return any(c.get("app_txn_id") == app_txn_id for c in self._commits())
 
+    # ------------------------------------------------------- constraints
+    def constraints(
+        self, version: int | None = None, commits: list[dict] | None = None
+    ) -> dict[str, str]:
+        """name -> CHECK predicate SQL in force at ``version`` (Delta's
+        table constraints): folded from set/drop commits; checkpoint
+        commits carry the live set forward."""
+        v = self.latest_version() if version is None else version
+        commits = self._commits() if commits is None else commits
+        out: dict[str, str] = {}
+        for c in commits:
+            if c["version"] > v:
+                break
+            if c.get("base"):
+                out = dict(c.get("constraints") or {})
+                continue
+            ck = c.get("constraint")
+            if ck:
+                if ck.get("sql") is None:
+                    out.pop(ck["name"], None)
+                else:
+                    out[ck["name"]] = ck["sql"]
+        return out
+
+    def set_constraint(self, name: str, predicate_sql: str) -> int:
+        """Register a CHECK constraint as a metadata-only commit.  The
+        CURRENT snapshot must already satisfy it (one validating pass —
+        the Delta ADD CONSTRAINT contract), and every later write batch
+        is validated before its files become visible: a violating batch
+        raises ConstraintViolation and commits nothing.  Enforcement
+        costs one filtered count over each WRITE BATCH (batch-sized,
+        map-only), never a standing-table scan."""
+        try:
+            bad = self.read().where(f"NOT ({predicate_sql})").count()
+        except ValueError:
+            bad = 0  # empty table: vacuously satisfied
+        if bad:
+            raise ConstraintViolation(
+                f"existing snapshot has {bad} rows violating {name!r}: "
+                f"{predicate_sql}"
+            )
+        v = self.latest_version() + 1
+        if not self._try_commit(
+            v,
+            "set_constraint",
+            [],
+            [],
+            None,
+            extra={"constraint": {"name": name, "sql": predicate_sql}},
+        ):
+            raise TxnConflict(f"set_constraint {name!r} lost a version race")
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        v = self.latest_version() + 1
+        if not self._try_commit(
+            v,
+            "drop_constraint",
+            [],
+            [],
+            None,
+            extra={"constraint": {"name": name, "sql": None}},
+        ):
+            raise TxnConflict(f"drop_constraint {name!r} lost a version race")
+        return v
+
+    def _validate_constraints(self, df: DataFrame) -> None:
+        """Raise ConstraintViolation if the batch breaks any live CHECK
+        constraint.  NULL predicate results count as violations (the
+        conservative CHECK semantics a data pipeline wants for a quality
+        gate).  One pass over the batch; short-circuits when no
+        constraints exist."""
+        live = self.constraints()
+        if not live:
+            return
+        conds = [
+            F.coalesce(F.expr(sql).cast("boolean"), F.lit(False)).alias(n)
+            for n, sql in live.items()
+        ]
+        row = df.select(
+            *[
+                F.count(F.when(~c, F.lit(1))).alias(f"__bad_{i}")
+                for i, c in enumerate(conds)
+            ]
+        ).collect()[0]
+        for i, (n, sql) in enumerate(live.items()):
+            if row[f"__bad_{i}"]:
+                raise ConstraintViolation(
+                    f"write batch has {row[f'__bad_{i}']} rows violating "
+                    f"{n!r}: {sql}"
+                )
+
     # ---------------------------------------------------------------- write
     def _write_files(self, df: DataFrame) -> list[str]:
         """Write df as immutable parquet files under data/, return names.
@@ -706,6 +802,7 @@ class TxnTable:
         ``app_txn_id`` makes re-delivery a no-op (exactly-once sink)."""
         if app_txn_id is not None and self.is_committed(app_txn_id):
             return self.latest_version()
+        self._validate_constraints(df)
         adds = self._write_files(df)
         for _ in range(max_retries):
             v = self.latest_version() + 1
@@ -724,6 +821,7 @@ class TxnTable:
         """Replace the table contents atomically."""
         if app_txn_id is not None and self.is_committed(app_txn_id):
             return self.latest_version()
+        self._validate_constraints(df)
         adds = self._write_files(df)
         for _ in range(max_retries):
             v = self.latest_version() + 1
@@ -748,6 +846,7 @@ class TxnTable:
         this to overlapping files)."""
         if app_txn_id is not None and self.is_committed(app_txn_id):
             return self.latest_version()
+        self._validate_constraints(updates)
         base_version = self.latest_version()
         base_files = self.live_files(base_version)
         if base_files:
@@ -1024,6 +1123,7 @@ def cluster_zorder(
     app_txn_id: str | None = None,
     num_files: int = 8,
     bits: int = 8,
+    curve: str = "zorder",
 ) -> int:
     """Rewrite the current snapshot CLUSTERED on the Z-order (Morton)
     curve of two numeric columns, as a single compaction-style commit —
@@ -1044,8 +1144,20 @@ def cluster_zorder(
     commit removes every base file, clearing the DV map) and history
     still time-travels to the pre-cluster layout.  Same OCC rule as
     compact: any concurrent data commit wins and this raises TxnConflict.
+
+    ``curve="hilbert"`` swaps the Morton interleave for the Hilbert
+    curve (layout.hilbert_value): no diagonal jumps, so each file covers
+    a tighter 2-D region for the same row count — the stronger-locality
+    clustering production formats moved to.  Same commit, same pruning.
     """
-    from aws_genaric_datapipeline_spark.operators.layout import zorder_value
+    from aws_genaric_datapipeline_spark.operators.layout import (
+        hilbert_value,
+        zorder_value,
+    )
+
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}")
+    curve_fn = zorder_value if curve == "zorder" else hilbert_value
 
     if app_txn_id is not None and table.is_committed(app_txn_id):
         return table.latest_version()
@@ -1096,7 +1208,7 @@ def cluster_zorder(
 
     clustered = (
         snapshot.withColumn(
-            "__z", zorder_value(_cell(col_a), _cell(col_b), bits)
+            "__z", curve_fn(_cell(col_a), _cell(col_b), bits)
         )
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
@@ -1112,6 +1224,128 @@ def cluster_zorder(
             f"cluster based on version {base_version} lost to a concurrent commit"
         )
     return base_version + 1
+
+
+def cluster_incremental(
+    table: TxnTable,
+    col_a: str,
+    col_b: str,
+    app_txn_id: str | None = None,
+    num_files: int = 4,
+    bits: int = 8,
+    curve: str = "zorder",
+) -> dict:
+    """INCREMENTAL clustering: rewrite only the files appended SINCE the
+    last cluster commit, leaving the already-clustered bulk untouched —
+    the liquid-clustering maintenance shape.  A full cluster_zorder at
+    100 TB re-shuffles the whole table to fold in a day's appends; this
+    clusters just the unclustered tail (among itself, on the same curve
+    cells — the grid bounds come from the same committed-stats fold, so
+    tail files land on the same cell lattice and prune_files treats old
+    and new files uniformly).  Periodic full rewrites still help (two
+    clustered generations overlap in curve ranges where a single rewrite
+    would not), but every query between them gets tail files with tight
+    2-D bands instead of hash-scattered ones.
+
+    Files added by a previous "cluster"/"cluster_incremental" commit are
+    skipped; the commit removes ONLY the tail files, so the conflict
+    window and the write cost both track the tail size.  DV entries on
+    tail files fold in (their rows are read DV-applied and the files are
+    removed).  Returns {"version", "n_clustered", "n_untouched"};
+    version = current latest when there is no tail (no-op, no commit)."""
+    from aws_genaric_datapipeline_spark.operators.layout import (
+        hilbert_value,
+        zorder_value,
+    )
+
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}")
+    curve_fn = zorder_value if curve == "zorder" else hilbert_value
+    if app_txn_id is not None and table.is_committed(app_txn_id):
+        return {
+            "version": table.latest_version(),
+            "n_clustered": 0,
+            "n_untouched": len(table.live_files()),
+        }
+    commits = table._commits()
+    base_version = table.latest_version()
+    base_files = table.live_files(base_version, commits=commits)
+    clustered_files: set[str] = set()
+    for c in commits:
+        if c["op"] in ("cluster", "cluster_incremental"):
+            clustered_files.update(c["adds"])
+    tail = [f for f in base_files if f not in clustered_files]
+    if not tail:
+        return {
+            "version": base_version,
+            "n_clustered": 0,
+            "n_untouched": len(base_files),
+        }
+    schemas = table._schema_commits(base_version, commits=commits)
+    addv = table._file_add_versions(commits) if schemas else {}
+    stats = table.file_stats(commits)
+    # same grid as cluster_zorder, over the FULL snapshot's bounds so the
+    # tail lands on the same cell lattice as the clustered bulk
+    snapshot_tail = table._read_resolved(
+        tail, schemas, commits, dvs=table.dv_map(base_version, commits)
+    )
+    bounds: dict[str, tuple] = {}
+    for col in (col_a, col_b):
+        lo = hi = None
+        have_all = True
+        for f in base_files:
+            pname = table._stats_physical_name(col, f, schemas, addv)
+            s = stats.get(f, {}).get(pname) if pname else None
+            if s is None:
+                have_all = False
+                break
+            lo = s[0] if lo is None else min(lo, s[0])
+            hi = s[1] if hi is None else max(hi, s[1])
+        if not have_all:
+            row = table.read(base_version).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            lo, hi = row["lo"], row["hi"]
+        bounds[col] = (lo, hi)
+    n = 1 << bits
+
+    def _cell(col: str):
+        lo, hi = bounds[col]
+        if lo is None or hi is None or lo == hi:
+            return F.lit(0).cast("bigint")
+        wb = F.width_bucket(
+            F.col(col).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi)),
+            F.lit(n),
+        )
+        return (
+            F.greatest(F.least(wb, F.lit(n)), F.lit(1)) - 1
+        ).cast("bigint")
+
+    rewritten = (
+        snapshot_tail.withColumn(
+            "__z", curve_fn(_cell(col_a), _cell(col_b), bits)
+        )
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    adds = table._write_files(rewritten)
+    if not table._try_commit(
+        base_version + 1, "cluster_incremental", adds, tail, app_txn_id
+    ):
+        for name in adds:
+            (table.path / table.DATA_DIR / name).unlink(missing_ok=True)
+        raise TxnConflict(
+            f"incremental cluster based on version {base_version} lost to a "
+            f"concurrent commit"
+        )
+    return {
+        "version": base_version + 1,
+        "n_clustered": len(tail),
+        "n_untouched": len(base_files) - len(tail),
+    }
 
 
 def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
@@ -1186,6 +1420,7 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
     # checkpoint must carry it) and references the vector files so
     # vacuum keeps them.
     dvs = table.dv_map(cutoff, commits)
+    cons = table.constraints(cutoff, commits)
     payload = json.dumps(
         {
             "version": cutoff,
@@ -1208,6 +1443,9 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
                 }
                 if dvs
                 else {}
+            ),
+            **(
+                {"constraints": cons} if cons else {}
             ),
         },
         indent=1,
@@ -1337,6 +1575,7 @@ def merge_upsert_pruned(
             "n_touched": 0,
             "n_carried": len(table.live_files()),
         }
+    table._validate_constraints(updates)
     commits = table._commits()
     base_version = table.latest_version()
     base_files = table.live_files(base_version, commits=commits)

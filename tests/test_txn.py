@@ -1213,3 +1213,203 @@ class TestClusterZorder:
 
 def _rows_xy(df):
     return {(r["x"], r["y"], r["v"]) for r in df.collect()}
+
+
+class TestClusterHilbert:
+    """curve="hilbert" variant of the cluster rewrite: same commit and
+    pruning machinery, stronger locality (no diagonal jumps)."""
+
+    def test_hilbert_matches_reference_bijection(self, spark):
+        from aws_genaric_datapipeline_spark.operators.layout import (
+            hilbert_value,
+        )
+
+        def ref_xy2d(n, x, y):
+            d, s = 0, n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = s - 1 - x, s - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        bits, n = 4, 16
+        rows = [(x, y) for x in range(n) for y in range(n)]
+        df = spark.createDataFrame(rows, "x bigint, y bigint").withColumn(
+            "h", hilbert_value(F.col("x"), F.col("y"), bits)
+        )
+        got = {(r["x"], r["y"]): r["h"] for r in df.collect()}
+        assert got == {(x, y): ref_xy2d(n, x, y) for x, y in rows}
+        assert len(set(got.values())) == n * n  # a bijection — no UDF, pure JVM
+
+    def test_hilbert_cluster_prunes_and_preserves_content(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import cluster_zorder
+
+        rows = [(x, y, f"r{x}-{y}") for x in range(32) for y in range(32)]
+        table.append(
+            spark.createDataFrame(
+                rows, "x bigint, y bigint, v string"
+            ).repartition(8)
+        )
+        preds = [("x", 0, 7), ("y", 0, 7)]
+        assert len(table.prune_files(preds)) == 8
+        want = _rows_xy(table.read())
+        cluster_zorder(table, "x", "y", num_files=8, bits=5, curve="hilbert")
+        assert len(table.prune_files(preds)) < 8
+        assert _rows_xy(table.read()) == want
+        got = {
+            (r["x"], r["y"])
+            for r in table.read_pruned_multi(preds).collect()
+        }
+        assert got == {(x, y) for x in range(8) for y in range(8)}
+
+    def test_unknown_curve_rejected(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import cluster_zorder
+
+        table.append(_df(spark, [(1, "a")]))
+        with pytest.raises(ValueError, match="unknown curve"):
+            cluster_zorder(table, "k", "k", curve="peano")
+
+
+class TestClusterIncremental:
+    """Liquid-clustering maintenance: only the unclustered tail rewrites;
+    the clustered bulk's files are untouched (cost and conflict window
+    track the tail, not the table)."""
+
+    def _grid(self, spark, x0, x1):
+        rows = [(x, y, f"r{x}-{y}") for x in range(x0, x1) for y in range(32)]
+        return spark.createDataFrame(rows, "x bigint, y bigint, v string")
+
+    def test_tail_only_rewrite_preserves_content_and_prunes(
+        self, spark, table
+    ):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            cluster_incremental,
+            cluster_zorder,
+        )
+
+        table.append(self._grid(spark, 0, 32).repartition(8))
+        cluster_zorder(table, "x", "y", num_files=8, bits=5)
+        bulk = set(table.live_files())
+        # a day's appends arrive hash-scattered
+        table.append(self._grid(spark, 32, 40).repartition(4))
+        want = _rows_xy(table.read())
+        out = cluster_incremental(table, "x", "y", num_files=4, bits=5)
+        assert out["n_clustered"] == 4 and out["n_untouched"] == 8
+        # the clustered bulk's files survived untouched
+        assert bulk <= set(table.live_files())
+        assert _rows_xy(table.read()) == want
+        # 2-D pruning now covers the tail too: a box in the NEW x-range
+        # must not open every tail file
+        preds = [("x", 32, 35), ("y", 0, 7)]
+        chosen = set(table.prune_files(preds))
+        assert bulk & chosen == set()  # old range fully pruned by x-stats
+        assert len(chosen - bulk) < 4
+        got = {
+            (r["x"], r["y"])
+            for r in table.read_pruned_multi(preds).collect()
+        }
+        assert got == {(x, y) for x in range(32, 36) for y in range(8)}
+
+    def test_noop_when_everything_is_clustered(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            cluster_incremental,
+            cluster_zorder,
+        )
+
+        table.append(self._grid(spark, 0, 8).repartition(2))
+        cluster_zorder(table, "x", "y", num_files=2, bits=4)
+        v = table.latest_version()
+        out = cluster_incremental(table, "x", "y")
+        assert out == {"version": v, "n_clustered": 0, "n_untouched": 2}
+        assert table.latest_version() == v
+
+    def test_idempotent_by_app_txn(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            cluster_incremental,
+        )
+
+        table.append(self._grid(spark, 0, 8).repartition(2))
+        v1 = cluster_incremental(table, "x", "y", app_txn_id="ci1")["version"]
+        out2 = cluster_incremental(table, "x", "y", app_txn_id="ci1")
+        assert out2["n_clustered"] == 0 and v1 == table.latest_version()
+
+
+class TestCheckConstraints:
+    """Delta-style CHECK constraints: metadata commits, batch-sized
+    enforcement at every write path, nothing visible from a rejected
+    batch, expiry checkpoints carry the live set."""
+
+    def test_violating_batch_rejected_atomically(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        table.set_constraint("k_positive", "k > 0")
+        v = table.latest_version()
+        with pytest.raises(ConstraintViolation, match="k_positive"):
+            table.append(_df(spark, [(2, "b"), (-5, "bad")]))
+        assert table.latest_version() == v
+        assert _rows(table.read()) == {(1, "a")}
+        # a clean batch still lands
+        table.append(_df(spark, [(2, "b")]))
+        assert (2, "b") in _rows(table.read())
+
+    def test_null_predicate_counts_as_violation(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        table.set_constraint("v_not_null", "v IS NOT NULL")
+        with pytest.raises(ConstraintViolation, match="v_not_null"):
+            table.append(
+                spark.createDataFrame([(3, None)], "k bigint, v string")
+            )
+
+    def test_set_constraint_validates_existing_snapshot(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+        )
+
+        table.append(_df(spark, [(-1, "a")]))
+        with pytest.raises(ConstraintViolation, match="existing snapshot"):
+            table.set_constraint("k_positive", "k > 0")
+        assert table.constraints() == {}
+
+    def test_merge_and_pruned_merge_enforce(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+            merge_upsert_pruned,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        table.set_constraint("k_positive", "k > 0")
+        with pytest.raises(ConstraintViolation):
+            table.merge_upsert(_df(spark, [(-2, "x")]), keys=["k"])
+        with pytest.raises(ConstraintViolation):
+            merge_upsert_pruned(table, _df(spark, [(-3, "y")]), key="k")
+        assert _rows(table.read()) == {(1, "a")}
+
+    def test_drop_constraint_and_expiry_carry(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+            expire_snapshots,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        table.set_constraint("k_positive", "k > 0")
+        table.append(_df(spark, [(2, "b")]))
+        expire_snapshots(table, keep_last=1)
+        # the checkpoint carried the constraint across expiry
+        assert table.constraints() == {"k_positive": "k > 0"}
+        with pytest.raises(ConstraintViolation):
+            table.append(_df(spark, [(-1, "z")]))
+        table.drop_constraint("k_positive")
+        table.append(_df(spark, [(-1, "z")]))
+        assert (-1, "z") in _rows(table.read())
