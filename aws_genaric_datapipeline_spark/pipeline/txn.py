@@ -183,7 +183,13 @@ class TxnTable:
                 dvs = {}
             for f in c["removes"]:
                 dvs.pop(f, None)
-            dvs.update(c.get("dv_updates") or {})
+            for f, d in (c.get("dv_updates") or {}).items():
+                if d is None:
+                    # explicit clear marker (restore_version un-doing a
+                    # vector added after the restore point)
+                    dvs.pop(f, None)
+                else:
+                    dvs[f] = d
         return dvs
 
     def _dv_rows(self, dv_files: list[str]) -> DataFrame:
@@ -640,6 +646,28 @@ class TxnTable:
             if upper is not None:
                 df = df.where(F.col(column) <= F.lit(upper))
         return df
+
+    def version_as_of(self, timestamp: float) -> int:
+        """Latest version committed at or before ``timestamp`` (unix
+        seconds) — Delta's TIMESTAMP AS OF resolution.  Raises if the
+        table has no commit that old (mirrors Delta: a timestamp before
+        the first commit is an error, after the last resolves to it)."""
+        best = None
+        for c in self._commits():
+            if c.get("committed_at") is not None and c["committed_at"] <= timestamp:
+                best = c["version"]
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp} "
+                f"(earliest retained commit is newer)"
+            )
+        return best
+
+    def read_as_of(self, timestamp: float) -> DataFrame:
+        """Snapshot read at a TIMESTAMP (TIMESTAMP AS OF): resolves to
+        the latest version whose commit time is <= the timestamp, then
+        time-travels there."""
+        return self.read(version=self.version_as_of(timestamp))
 
     def is_committed(self, app_txn_id: str) -> bool:
         return any(c.get("app_txn_id") == app_txn_id for c in self._commits())
@@ -1346,6 +1374,53 @@ def cluster_incremental(
         "n_clustered": len(tail),
         "n_untouched": len(base_files) - len(tail),
     }
+
+
+def restore_version(
+    table: TxnTable, version: int, app_txn_id: str | None = None
+) -> int:
+    """RESTORE the table to an earlier version's CONTENT as a NEW commit
+    (Delta's RESTORE TABLE ... VERSION AS OF): the restore point's live
+    files are re-added and the current snapshot's files removed — a
+    metadata-only commit (data files are immutable and still on disk;
+    nothing rewrites).  History is preserved: the bad versions remain
+    time-travelable, the restore itself appears in history, and CDF
+    between pre- and post-restore versions reports exactly the rows the
+    restore un-did.  The restore point's deletion-vector state carries
+    over (its dv mapping is re-declared on the restore commit), and any
+    CHECK constraints added since the restore point stay in force —
+    they are table metadata, not content.
+
+    Same OCC rule as every maintenance commit: a concurrent data commit
+    wins and this raises TxnConflict."""
+    if app_txn_id is not None and table.is_committed(app_txn_id):
+        return table.latest_version()
+    commits = table._commits()
+    base_version = table.latest_version()
+    target_files = table.live_files(version, commits=commits)
+    current_files = table.live_files(base_version, commits=commits)
+    dvs = table.dv_map(version, commits)
+    cur_dvs = table.dv_map(base_version, commits)
+    adds = [f for f in target_files if f not in set(current_files)]
+    removes = [f for f in current_files if f not in set(target_files)]
+    # shared files must end with EXACTLY the restore point's DV state:
+    # re-declare its mapping, and explicitly CLEAR (None marker) any
+    # vector added after the restore point on a file both snapshots share
+    dv_updates: dict = dict(dvs)
+    for f in set(target_files) & set(current_files):
+        if f in cur_dvs and f not in dvs:
+            dv_updates[f] = None
+    extra: dict = {"restored_version": version}
+    if dv_updates:
+        extra["dv_updates"] = dv_updates
+        extra["dv_files"] = sorted({d for d in dvs.values()})
+    if not table._try_commit(
+        base_version + 1, "restore", adds, removes, app_txn_id, extra=extra
+    ):
+        raise TxnConflict(
+            f"restore to version {version} lost to a concurrent commit"
+        )
+    return base_version + 1
 
 
 def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:

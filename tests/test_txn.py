@@ -1413,3 +1413,95 @@ class TestCheckConstraints:
         table.drop_constraint("k_positive")
         table.append(_df(spark, [(-1, "z")]))
         assert (-1, "z") in _rows(table.read())
+
+
+class TestTimestampTravelAndRestore:
+    """TIMESTAMP AS OF resolution and RESTORE TABLE semantics."""
+
+    def test_read_as_of_resolves_commit_times(self, spark, table):
+        import json as _json
+
+        table.append(_df(spark, [(1, "a")]))
+        table.append(_df(spark, [(2, "b")]))
+        t1 = _json.loads(table._log_path(1).read_text())["committed_at"]
+        t2 = _json.loads(table._log_path(2).read_text())["committed_at"]
+        assert _rows(table.read_as_of(t1)) == {(1, "a")}
+        assert _rows(table.read_as_of((t1 + t2) / 2)) == {(1, "a")}
+        assert _rows(table.read_as_of(t2 + 10)) == {(1, "a"), (2, "b")}
+        with pytest.raises(ValueError, match="no commit at or before"):
+            table.read_as_of(t1 - 10)
+
+    def test_restore_is_metadata_only_and_preserves_history(
+        self, spark, table
+    ):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            restore_version,
+            table_changes,
+        )
+
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        table.overwrite(_df(spark, [(9, "oops")]))
+        n_data_files = len(
+            list((table.path / table.DATA_DIR).glob("*.parquet"))
+        )
+        v = restore_version(table, 1)
+        assert v == 3 and table.history()[-1]["op"] == "restore"
+        assert _rows(table.read()) == {(1, "a"), (2, "b")}
+        # metadata-only: no new data file was written
+        assert (
+            len(list((table.path / table.DATA_DIR).glob("*.parquet")))
+            == n_data_files
+        )
+        # the bad version stays time-travelable; CDF reports the undo
+        assert _rows(table.read(version=2)) == {(9, "oops")}
+        feed = table_changes(table, 2, 3, keys=["k"]).collect()
+        assert {(r["k"], r["change_type"]) for r in feed} == {
+            (1, "insert"),
+            (2, "insert"),
+            (9, "delete"),
+        }
+
+    def test_restore_clears_post_restore_point_deletion_vectors(
+        self, spark, table
+    ):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            restore_version,
+        )
+
+        table.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        v_clean = table.latest_version()
+        table.delete_keys_dv(spark.createDataFrame([(2,)], "k bigint"), ["k"])
+        assert _rows(table.read()) == {(1, "a"), (3, "c")}
+        restore_version(table, v_clean)
+        # the DV added after the restore point is cleared on the shared file
+        assert _rows(table.read()) == {(1, "a"), (2, "b"), (3, "c")}
+        assert table.dv_map() == {}
+
+    def test_restore_carries_restore_point_vectors(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            restore_version,
+        )
+
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        table.delete_keys_dv(spark.createDataFrame([(1,)], "k bigint"), ["k"])
+        v_dv = table.latest_version()
+        table.append(_df(spark, [(5, "e")]))
+        restore_version(table, v_dv)
+        assert _rows(table.read()) == {(2, "b")}
+        assert table.dv_map() != {}
+
+    def test_restore_idempotent_and_constraints_stay(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+            restore_version,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        table.append(_df(spark, [(2, "b")]))
+        table.set_constraint("k_positive", "k > 0")
+        v1 = restore_version(table, 1, app_txn_id="r1")
+        v2 = restore_version(table, 1, app_txn_id="r1")
+        assert v1 == v2 == table.latest_version()
+        assert _rows(table.read()) == {(1, "a")}
+        with pytest.raises(ConstraintViolation):
+            table.append(_df(spark, [(-1, "z")]))
