@@ -1012,3 +1012,87 @@ def txn_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents",
         F.lit(opened < total).alias("skipped_files"),
     )
+
+
+@query(
+    "txn_restore_undo",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 4 = 0
+        ),
+        corrupt AS (
+            SELECT o_orderkey, price_cents + 999 AS price_cents
+            FROM base WHERE o_orderkey % 8 = 0
+            UNION ALL
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 4 = 1
+        )
+        SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+               CASE WHEN c.o_orderkey IS NULL THEN 'insert'
+                    WHEN b.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update_postimage' END AS change_type,
+               c.price_cents AS old_price_cents,
+               b.price_cents AS new_price_cents,
+               TRUE AS metadata_only
+        FROM corrupt c FULL OUTER JOIN base b USING (o_orderkey)
+        WHERE b.o_orderkey IS NULL OR c.o_orderkey IS NULL
+           OR b.price_cents <> c.price_cents
+    """,
+    tags=("merge", "acid", "pipeline", "restore"),
+)
+def txn_restore_undo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE end to end (pipeline/txn.py restore_version): seed
+    an orders slice (v1), clobber it with a corrupted overwrite — half
+    the rows dropped, survivors' prices skewed, spurious keys inserted —
+    (v2), then RESTORE to v1 as v3 and emit the CDF of the restore
+    itself: the exact row-level undo an incremental downstream replays
+    (re-inserts of dropped rows, updates back to true prices, deletes of
+    the spurious keys).  ``metadata_only`` pins that the restore wrote
+    ZERO new data files — it re-references v1's immutable files — which
+    is the property that makes RESTORE instant at 100 TB.  The oracle
+    replays the corruption and the diff relationally."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        restore_version,
+        table_changes,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", cents.alias("price_cents")
+    )
+    corrupt = (
+        base.where(F.col("o_orderkey") % 8 == 0)
+        .select("o_orderkey", (F.col("price_cents") + 999).alias("price_cents"))
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 4 == 1).select(
+                "o_orderkey", cents.alias("price_cents")
+            )
+        )
+    )
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_restore_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    table.overwrite(base, app_txn_id="r-seed")
+    table.overwrite(corrupt, app_txn_id="r-corrupt")
+    n_files_before = len(list((table.path / table.DATA_DIR).glob("*.parquet")))
+    restore_version(table, 1, app_txn_id="r-undo")
+    n_files_after = len(list((table.path / table.DATA_DIR).glob("*.parquet")))
+    return table_changes(table, 2, 3, keys=["o_orderkey"]).select(
+        "o_orderkey",
+        "change_type",
+        "old_price_cents",
+        "new_price_cents",
+        F.lit(n_files_after == n_files_before).alias("metadata_only"),
+    )

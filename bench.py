@@ -347,6 +347,7 @@ HEADLINE = [
     "tokenizer_incremental_refresh",
     "search_rerank_linear",
     "tokenizer_incremental_wordpiece",
+    "txn_restore_undo",
 ]
 
 
