@@ -244,3 +244,25 @@ def hilbert_value(col_a, col_b, bits: int = 8):
         ).otherwise(y)
         x, y = nx, ny
     return d
+
+
+def zorder_value_multi(cols: list, bits: int = 8):
+    """Z-order (Morton) value over K columns: bit i of column j lands at
+    output position i·K + j (round-robin interleave — the 2-column
+    zorder_value generalized; K·bits must stay ≤ 62 to fit a bigint).
+    Clustering by this keeps EVERY column's per-file band narrow, so a
+    box predicate on any subset of the K dimensions prunes files.
+    Pure shift/mask arithmetic — whole-stage codegen, no UDF."""
+    import pyspark.sql.functions as F
+
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_value_multi needs at least 2 columns")
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits overflows a bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z

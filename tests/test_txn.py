@@ -1505,3 +1505,116 @@ class TestTimestampTravelAndRestore:
         assert _rows(table.read()) == {(1, "a")}
         with pytest.raises(ConstraintViolation):
             table.append(_df(spark, [(-1, "z")]))
+
+
+class TestStreamingQualityGate:
+    def test_violating_micro_batch_fails_stream_without_partial_commit(
+        self, spark, table, tmp_path
+    ):
+        """CHECK constraints as a streaming ingest quality gate: the
+        exactly-once sink validates each micro-batch BEFORE its files
+        become visible, so a poisoned batch kills the stream with
+        ConstraintViolation and the table keeps only the clean batches —
+        never a partial commit.  Restarting after fixing the source
+        resumes exactly-once."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            exactly_once_stream_sink,
+        )
+
+        table.append(_df(spark, [(1, "seed")]))
+        table.set_constraint("k_positive", "k > 0")
+        src = str(tmp_path / "batches")
+        _df(spark, [(2, "ok")]).coalesce(1).write.mode("append").parquet(src)
+        _df(spark, [(-3, "poison")]).coalesce(1).write.mode("append").parquet(
+            src
+        )
+
+        q = (
+            spark.readStream.schema("k bigint, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(exactly_once_stream_sink(table, "gate"))
+            .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="k_positive"):
+            q.awaitTermination()
+        got = _rows(table.read())
+        assert (2, "ok") in got and all(k > 0 for k, _ in got)
+
+
+class TestDvConcurrency:
+    def test_dv_delete_conflicts_with_concurrent_commit(self, spark, table):
+        """A DV delete pins a snapshot like every writer: if another data
+        commit lands first, the delete raises TxnConflict and its vector
+        file never becomes visible."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            TxnConflict,
+            TxnTable,
+        )
+
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        orig = table._try_commit
+
+        def race(version, *a, **k):
+            TxnTable(spark, str(table.path)).append(_df(spark, [(9, "z")]))
+            table._try_commit = orig
+            return orig(version, *a, **k)
+
+        table._try_commit = race
+        with pytest.raises(TxnConflict, match="DV delete based on version"):
+            table.delete_keys_dv(
+                spark.createDataFrame([(1,)], "k bigint"), ["k"]
+            )
+        got = _rows(table.read())
+        assert (1, "a") in got and (9, "z") in got
+        assert table.dv_map() == {}
+
+
+class TestZorderMulti:
+    def test_three_column_interleave_prunes_every_dimension(self, spark, table):
+        """K-column Morton interleave: after clustering a 3-D grid by
+        zorder_value_multi, a narrow predicate on ANY single dimension
+        prunes files (single-column sorting only ever helps its leading
+        column)."""
+        from aws_genaric_datapipeline_spark.operators.layout import (
+            zorder_value_multi,
+        )
+
+        rows = [
+            (x, y, z)
+            for x in range(16)
+            for y in range(16)
+            for z in range(16)
+        ]
+        df = spark.createDataFrame(rows, "x bigint, y bigint, z bigint")
+        zc = zorder_value_multi([F.col("x"), F.col("y"), F.col("z")], bits=4)
+        table.append(
+            df.withColumn("__m", zc)
+            .repartitionByRange(8, "__m")
+            .sortWithinPartitions("__m")
+            .drop("__m")
+        )
+        assert len(table.live_files()) == 8
+        for col in ("x", "y", "z"):
+            assert len(table.prune_files([(col, 0, 3)])) < 8, col
+        got = {
+            (r["x"], r["y"], r["z"])
+            for r in table.read_pruned_multi(
+                [("x", 0, 3), ("y", 0, 3), ("z", 0, 3)]
+            ).collect()
+        }
+        assert got == {
+            (x, y, z) for x in range(4) for y in range(4) for z in range(4)
+        }
+
+    def test_validation(self, spark):
+        from aws_genaric_datapipeline_spark.operators.layout import (
+            zorder_value_multi,
+        )
+
+        with pytest.raises(ValueError, match="at least 2"):
+            zorder_value_multi([F.col("x")])
+        with pytest.raises(ValueError, match="overflows"):
+            zorder_value_multi([F.col("x")] * 8, bits=8)
