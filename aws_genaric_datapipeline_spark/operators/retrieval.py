@@ -271,11 +271,17 @@ def bm25_txn_maintainer(
             )
         )
         dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+        # doclen commits FIRST: a reader between the two commits then sees
+        # n_docs grown but postings stale, which only biases idf UPWARD a
+        # touch (dft ≤ old n_docs ≤ new n_docs keeps every log argument
+        # positive, and the new docs are simply absent).  Postings-first
+        # would let dft exceed n_docs and flip idf negative — corrupting
+        # every score in the window, not just the new docs'.
+        doclen_table.append(dl, app_txn_id=f"{sink_id}-{batch_id}")
         postings_table.append(
             postings.repartitionByRange(num_buckets, "bucket"),
             app_txn_id=f"{sink_id}-{batch_id}",
         )
-        doclen_table.append(dl, app_txn_id=f"{sink_id}-{batch_id}")
 
     return _handle
 
@@ -299,18 +305,15 @@ def bm25_query_txn(
         [(t,) for t in terms], "term string"
     ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)))
     buckets = sorted({r["bucket"] for r in terms_df.collect()})
-    commits = postings_table._commits()
-    files = postings_table.live_files(commits=commits)
-    stats = postings_table.file_stats(commits)
-    chosen = []
-    for f in files:
-        s = stats.get(f, {}).get("bucket")
-        if s is None or any(s[0] <= w <= s[1] for w in buckets):
-            chosen.append(f)
-    schemas = postings_table._schema_commits(commits=commits)
-    postings = postings_table._read_resolved(
-        chosen, schemas, commits, dvs=postings_table.dv_map(commits=commits)
-    ).where(F.col("bucket").isin(buckets)).where(F.col("term").isin(*terms))
+    # shared txn helpers: membership prune on the committed bucket bands +
+    # the era/DV-aware read that returns a schema-correct EMPTY frame when
+    # every file prunes away (terms hashing outside all live bands)
+    chosen = postings_table.prune_files_values("bucket", buckets)
+    postings = (
+        postings_table.read_files(chosen)
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(*terms))
+    )
     dl = doclen_table.read()
     stats_df = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

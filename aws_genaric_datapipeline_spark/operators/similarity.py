@@ -865,24 +865,11 @@ def ivf_query_txn(
     wanted = sorted(
         r["cell_id"] for r in probed.select("cell_id").distinct().collect()
     )
-    commits = table._commits()
-    files = table.live_files(commits=commits)
-    stats = table.file_stats(commits)
-    chosen = []
-    for f in files:
-        s = stats.get(f, {}).get("cell_id")
-        if s is None or any(s[0] <= w <= s[1] for w in wanted):
-            chosen.append(f)
-    if not chosen:
-        return probed.select(
-            "query_id",
-            F.col("query_id").alias("neighbor_id"),
-            F.lit(0.0).alias("cosine_sim"),
-        ).where(F.lit(False))
-    schemas = table._schema_commits(commits=commits)
-    cells = table._read_resolved(
-        chosen, schemas, commits, dvs=table.dv_map(commits=commits)
-    )
+    # shared txn helpers (see TxnTable.prune_files_values/read_files):
+    # membership prune on committed cell bands; empty prune yields a
+    # schema-correct empty frame so the join below returns zero rows
+    chosen = table.prune_files_values("cell_id", wanted)
+    cells = table.read_files(chosen)
     scored = (
         F.broadcast(probed)
         .join(

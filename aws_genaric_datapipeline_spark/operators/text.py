@@ -1268,12 +1268,11 @@ def wordpiece_word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The (word, freq) word-type histogram WordPiece training runs on —
     exposed so a train→inventory→encode chain can pay the corpus scan
     ONCE (eagerly checkpoint the result and pass it to wordpiece_learn
-    and wordpiece_vocab_pieces)."""
-    return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    and wordpiece_vocab_pieces).  The histogram is objective-agnostic —
+    identical to the BPE trainer's input — so this delegates to the one
+    shared pass (bpe_word_histogram) rather than keeping two copies of
+    the corpus-sized tokenize that could drift apart."""
+    return bpe_word_histogram(df, text_col)
 
 
 def wordpiece_learn(

@@ -669,6 +669,50 @@ class TxnTable:
         time-travels there."""
         return self.read(version=self.version_as_of(timestamp))
 
+    def prune_files_values(
+        self,
+        column: str,
+        values,
+        version: int | None = None,
+        commits: list[dict] | None = None,
+    ) -> list[str]:
+        """Files of the snapshot whose committed [min, max] for ``column``
+        can contain ANY of the discrete ``values`` — the membership twin
+        of prune_files, used by the txn-backed index probes (IVF cell
+        probes, BM25 term-bucket probes) where the predicate is an
+        IN-set, not a range.  Files without stats are kept (pruning is
+        never a correctness gate)."""
+        commits = self._commits() if commits is None else commits
+        files = self.live_files(version, commits=commits)
+        target = version if version is not None else self.latest_version()
+        schemas = self._schema_commits(target, commits=commits)
+        addv = self._file_add_versions(commits) if schemas else {}
+        stats = self.file_stats(commits)
+        vals = list(values)
+        chosen = []
+        for f in files:
+            pname = self._stats_physical_name(column, f, schemas, addv)
+            s = stats.get(f, {}).get(pname) if pname else None
+            if s is None or any(s[0] <= w <= s[1] for w in vals):
+                chosen.append(f)
+        return chosen
+
+    def read_files(
+        self, files: list[str], version: int | None = None
+    ) -> DataFrame:
+        """Era-resolved, DV-applied read of an EXPLICIT file subset (the
+        consumer of prune_files/prune_files_values); an empty list
+        returns a schema-correct empty frame instead of crashing on a
+        zero-path parquet scan."""
+        commits = self._commits()
+        target = version if version is not None else self.latest_version()
+        schemas = self._schema_commits(target, commits=commits)
+        if not files:
+            return self.read(version).where(F.lit(False))
+        return self._read_resolved(
+            files, schemas, commits, dvs=self.dv_map(target, commits)
+        )
+
     def is_committed(self, app_txn_id: str) -> bool:
         return any(c.get("app_txn_id") == app_txn_id for c in self._commits())
 
@@ -738,18 +782,26 @@ class TxnTable:
             raise TxnConflict(f"drop_constraint {name!r} lost a version race")
         return v
 
-    def _validate_constraints(self, df: DataFrame) -> None:
-        """Raise ConstraintViolation if the batch breaks any live CHECK
-        constraint.  NULL predicate results count as violations (the
-        conservative CHECK semantics a data pipeline wants for a quality
-        gate).  One pass over the batch; short-circuits when no
-        constraints exist."""
+    def _validate_adds(self, adds: list[str]) -> None:
+        """Validate freshly WRITTEN (still-invisible) staged files against
+        the live CHECK constraints, by reading the parquet back — never by
+        re-evaluating the batch DAG.  Re-evaluation would be both unsound
+        (a nondeterministic batch could pass the validating evaluation and
+        then write DIFFERENT rows) and wasteful (the upstream DAG computes
+        twice).  Reading back costs one scan of the batch-sized staged
+        files.  NULL predicate results count as violations (conservative
+        CHECK semantics — the quality-gate reading).  On violation the
+        staged files are unlinked and ConstraintViolation raises: nothing
+        was ever visible."""
         live = self.constraints()
-        if not live:
+        if not live or not adds:
             return
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[str(self.path / self.DATA_DIR / f) for f in adds]
+        )
         conds = [
-            F.coalesce(F.expr(sql).cast("boolean"), F.lit(False)).alias(n)
-            for n, sql in live.items()
+            F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+            for sql in live.values()
         ]
         row = df.select(
             *[
@@ -759,6 +811,8 @@ class TxnTable:
         ).collect()[0]
         for i, (n, sql) in enumerate(live.items()):
             if row[f"__bad_{i}"]:
+                for name in adds:
+                    (self.path / self.DATA_DIR / name).unlink(missing_ok=True)
                 raise ConstraintViolation(
                     f"write batch has {row[f'__bad_{i}']} rows violating "
                     f"{n!r}: {sql}"
@@ -830,8 +884,8 @@ class TxnTable:
         ``app_txn_id`` makes re-delivery a no-op (exactly-once sink)."""
         if app_txn_id is not None and self.is_committed(app_txn_id):
             return self.latest_version()
-        self._validate_constraints(df)
         adds = self._write_files(df)
+        self._validate_adds(adds)
         for _ in range(max_retries):
             v = self.latest_version() + 1
             if app_txn_id is not None and self.is_committed(app_txn_id):
@@ -849,8 +903,8 @@ class TxnTable:
         """Replace the table contents atomically."""
         if app_txn_id is not None and self.is_committed(app_txn_id):
             return self.latest_version()
-        self._validate_constraints(df)
         adds = self._write_files(df)
+        self._validate_adds(adds)
         for _ in range(max_retries):
             v = self.latest_version() + 1
             removes = self.live_files(v - 1)
@@ -874,7 +928,6 @@ class TxnTable:
         this to overlapping files)."""
         if app_txn_id is not None and self.is_committed(app_txn_id):
             return self.latest_version()
-        self._validate_constraints(updates)
         base_version = self.latest_version()
         base_files = self.live_files(base_version)
         if base_files:
@@ -886,6 +939,7 @@ class TxnTable:
         else:
             merged = updates
         adds = self._write_files(merged)
+        self._validate_adds(adds)
         if not self._try_commit(
             base_version + 1, "merge", adds, base_files, app_txn_id
         ):
@@ -1144,6 +1198,74 @@ def compact(
     return base_version + 1
 
 
+def _cluster_curve_expr(
+    table: TxnTable,
+    base_files: list[str],
+    col_a: str,
+    col_b: str,
+    bits: int,
+    curve: str,
+    commits: list[dict],
+    base_version: int,
+):
+    """The shared grid machinery of cluster_zorder / cluster_incremental:
+    validate the curve, derive each column's global [lo, hi] from the
+    committed per-file stats fold over ``base_files`` (driver-side, no
+    data scan; one aggregate fallback when stats are missing), and return
+    the curve value expression over the uniform 2^bits width_bucket cells.
+    Incremental clustering passes the FULL snapshot's files here even
+    though it rewrites only the tail, so tail files land on the same cell
+    lattice as the clustered bulk."""
+    from aws_genaric_datapipeline_spark.operators.layout import (
+        hilbert_value,
+        zorder_value,
+    )
+
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}")
+    curve_fn = zorder_value if curve == "zorder" else hilbert_value
+    schemas = table._schema_commits(base_version, commits=commits)
+    addv = table._file_add_versions(commits) if schemas else {}
+    stats = table.file_stats(commits)
+    bounds: dict[str, tuple] = {}
+    for col in (col_a, col_b):
+        lo = hi = None
+        have_all = True
+        for f in base_files:
+            pname = table._stats_physical_name(col, f, schemas, addv)
+            s = stats.get(f, {}).get(pname) if pname else None
+            if s is None:
+                have_all = False
+                break
+            lo = s[0] if lo is None else min(lo, s[0])
+            hi = s[1] if hi is None else max(hi, s[1])
+        if not have_all:
+            row = table.read(base_version).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            lo, hi = row["lo"], row["hi"]
+        bounds[col] = (lo, hi)
+    n = 1 << bits
+
+    def _cell(col: str):
+        lo, hi = bounds[col]
+        if lo is None or hi is None or lo == hi:
+            return F.lit(0).cast("bigint")
+        wb = F.width_bucket(
+            F.col(col).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi)),
+            F.lit(n),
+        )
+        # width_bucket returns n+1 at the max (and 0 below min, which
+        # truncated float stats can produce) — clamp into [1, n]
+        return (
+            F.greatest(F.least(wb, F.lit(n)), F.lit(1)) - 1
+        ).cast("bigint")
+
+    return curve_fn(_cell(col_a), _cell(col_b), bits)
+
+
 def cluster_zorder(
     table: TxnTable,
     col_a: str,
@@ -1178,15 +1300,8 @@ def cluster_zorder(
     a tighter 2-D region for the same row count — the stronger-locality
     clustering production formats moved to.  Same commit, same pruning.
     """
-    from aws_genaric_datapipeline_spark.operators.layout import (
-        hilbert_value,
-        zorder_value,
-    )
-
     if curve not in ("zorder", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}")
-    curve_fn = zorder_value if curve == "zorder" else hilbert_value
-
     if app_txn_id is not None and table.is_committed(app_txn_id):
         return table.latest_version()
     commits = table._commits()
@@ -1195,49 +1310,11 @@ def cluster_zorder(
     if not base_files:
         return base_version
     snapshot = table.read(base_version)
-    schemas = table._schema_commits(base_version, commits=commits)
-    addv = table._file_add_versions(commits) if schemas else {}
-    stats = table.file_stats(commits)
-    bounds: dict[str, tuple] = {}
-    for col in (col_a, col_b):
-        lo = hi = None
-        have_all = True
-        for f in base_files:
-            pname = table._stats_physical_name(col, f, schemas, addv)
-            s = stats.get(f, {}).get(pname) if pname else None
-            if s is None:
-                have_all = False
-                break
-            lo = s[0] if lo is None else min(lo, s[0])
-            hi = s[1] if hi is None else max(hi, s[1])
-        if not have_all:
-            row = snapshot.agg(
-                F.min(col).alias("lo"), F.max(col).alias("hi")
-            ).collect()[0]
-            lo, hi = row["lo"], row["hi"]
-        bounds[col] = (lo, hi)
-    n = 1 << bits
-
-    def _cell(col: str):
-        lo, hi = bounds[col]
-        if lo is None or hi is None or lo == hi:
-            return F.lit(0).cast("bigint")
-        wb = F.width_bucket(
-            F.col(col).cast("double"),
-            F.lit(float(lo)),
-            F.lit(float(hi)),
-            F.lit(n),
-        )
-        # width_bucket returns n+1 at the max (and 0 below min, which
-        # truncated float stats can produce) — clamp into [1, n]
-        return (
-            F.greatest(F.least(wb, F.lit(n)), F.lit(1)) - 1
-        ).cast("bigint")
-
+    zcol = _cluster_curve_expr(
+        table, base_files, col_a, col_b, bits, curve, commits, base_version
+    )
     clustered = (
-        snapshot.withColumn(
-            "__z", curve_fn(_cell(col_a), _cell(col_b), bits)
-        )
+        snapshot.withColumn("__z", zcol)
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
@@ -1281,14 +1358,8 @@ def cluster_incremental(
     tail files fold in (their rows are read DV-applied and the files are
     removed).  Returns {"version", "n_clustered", "n_untouched"};
     version = current latest when there is no tail (no-op, no commit)."""
-    from aws_genaric_datapipeline_spark.operators.layout import (
-        hilbert_value,
-        zorder_value,
-    )
-
     if curve not in ("zorder", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}")
-    curve_fn = zorder_value if curve == "zorder" else hilbert_value
     if app_txn_id is not None and table.is_committed(app_txn_id):
         return {
             "version": table.latest_version(),
@@ -1309,52 +1380,14 @@ def cluster_incremental(
             "n_clustered": 0,
             "n_untouched": len(base_files),
         }
-    schemas = table._schema_commits(base_version, commits=commits)
-    addv = table._file_add_versions(commits) if schemas else {}
-    stats = table.file_stats(commits)
     # same grid as cluster_zorder, over the FULL snapshot's bounds so the
     # tail lands on the same cell lattice as the clustered bulk
-    snapshot_tail = table._read_resolved(
-        tail, schemas, commits, dvs=table.dv_map(base_version, commits)
+    snapshot_tail = table.read_files(tail, version=base_version)
+    zcol = _cluster_curve_expr(
+        table, base_files, col_a, col_b, bits, curve, commits, base_version
     )
-    bounds: dict[str, tuple] = {}
-    for col in (col_a, col_b):
-        lo = hi = None
-        have_all = True
-        for f in base_files:
-            pname = table._stats_physical_name(col, f, schemas, addv)
-            s = stats.get(f, {}).get(pname) if pname else None
-            if s is None:
-                have_all = False
-                break
-            lo = s[0] if lo is None else min(lo, s[0])
-            hi = s[1] if hi is None else max(hi, s[1])
-        if not have_all:
-            row = table.read(base_version).agg(
-                F.min(col).alias("lo"), F.max(col).alias("hi")
-            ).collect()[0]
-            lo, hi = row["lo"], row["hi"]
-        bounds[col] = (lo, hi)
-    n = 1 << bits
-
-    def _cell(col: str):
-        lo, hi = bounds[col]
-        if lo is None or hi is None or lo == hi:
-            return F.lit(0).cast("bigint")
-        wb = F.width_bucket(
-            F.col(col).cast("double"),
-            F.lit(float(lo)),
-            F.lit(float(hi)),
-            F.lit(n),
-        )
-        return (
-            F.greatest(F.least(wb, F.lit(n)), F.lit(1)) - 1
-        ).cast("bigint")
-
     rewritten = (
-        snapshot_tail.withColumn(
-            "__z", curve_fn(_cell(col_a), _cell(col_b), bits)
-        )
+        snapshot_tail.withColumn("__z", zcol)
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
@@ -1504,7 +1537,11 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
             "adds": live,
             "removes": [],
             "app_txn_id": orig.get("app_txn_id"),
-            "committed_at": time.time(),
+            # the ORIGINAL commit time, not the expiry wall-time: the
+            # checkpoint REPRESENTS version `cutoff`, and read_as_of for
+            # any instant at which that snapshot was live must keep
+            # resolving to it after expiry
+            "committed_at": orig.get("committed_at", time.time()),
             "stats": stats,
             **(
                 {"schema_history": schema_history, "add_versions": addv}
@@ -1650,7 +1687,6 @@ def merge_upsert_pruned(
             "n_touched": 0,
             "n_carried": len(table.live_files()),
         }
-    table._validate_constraints(updates)
     commits = table._commits()
     base_version = table.latest_version()
     base_files = table.live_files(base_version, commits=commits)
@@ -1716,6 +1752,7 @@ def merge_upsert_pruned(
     else:
         merged = updates
     adds = table._write_files(merged)
+    table._validate_adds(adds)
     if not table._try_commit(
         base_version + 1, "merge_pruned", adds, touched, app_txn_id
     ):

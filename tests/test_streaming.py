@@ -1207,3 +1207,40 @@ class TestStreamingBm25Maintenance:
             or stats[f]["bucket"][0] <= one <= stats[f]["bucket"][1]
         ]
         assert len(chosen) < len(files)
+
+
+class TestBm25TxnEmptyPrune:
+    def test_all_files_pruned_returns_empty_not_crash(self, spark, tmp_path):
+        """Query terms whose hash buckets fall outside every live
+        postings file's committed band must return an EMPTY top-k frame
+        (the plain-index behavior), not crash on a zero-path parquet
+        scan — the read goes through TxnTable.read_files, which handles
+        the empty-chosen case."""
+        import pyspark.sql.functions as F
+
+        from aws_genaric_datapipeline_spark.operators.retrieval import (
+            bm25_query_txn,
+            bm25_txn_seed,
+        )
+
+        seed = spark.createDataFrame(
+            [(1, "alpha alpha alpha")], "doc_id long, text string"
+        )
+        pt, dt = bm25_txn_seed(spark, seed, str(tmp_path / "bm25"), num_buckets=64)
+        b0 = (
+            spark.createDataFrame([("alpha",)], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(64)).alias("b"))
+            .collect()[0]["b"]
+        )
+        # find a term hashing to a different bucket than the only file's
+        other = next(
+            w
+            for w in ("zeta", "omega", "kappa", "sigma", "theta")
+            if spark.createDataFrame([(w,)], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(64)).alias("b"))
+            .collect()[0]["b"]
+            != b0
+        )
+        out = bm25_query_txn(spark, pt, dt, (other,), k=5, num_buckets=64)
+        assert out.count() == 0
+        assert set(out.columns) == {"doc_id", "bm25"}
