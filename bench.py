@@ -427,10 +427,13 @@ def main() -> None:
     # UNIFORM slowdowns, but this VM also throws multi-second interference
     # spikes at RANDOM queries (same plan 0.76s vs 2.18s across runs —
     # round-8 sweep), which best-of-2 cannot always dodge.  Any query whose
-    # raw ratio would breach the threshold gets up to two extra timed runs
-    # before the gate is computed — a real regression reproduces, a spike
-    # does not.  Cost is proportional to the number of suspects, not the
-    # headline size.
+    # raw ratio would breach the threshold — OR land in the near-threshold
+    # band just under it (≥ 85% of threshold, e.g. 1.7–2.0× at thr 2.0) —
+    # gets up to two extra timed runs before the gate is computed: a real
+    # regression reproduces, a spike does not, and a near-miss left
+    # unretried is one noisy window away from a spurious red next round
+    # (round-13 sweep left four rows at 1.95–1.98×).  Cost is proportional
+    # to the number of suspects, not the headline size.
     gate_file = Path(__file__).resolve().parent / "BASELINE_GATES.json"
     retried: list[str] = []
     # First-pass timings, frozen BEFORE any retry lowers them: raw_failures
@@ -442,9 +445,10 @@ def main() -> None:
     if gate_file.is_file() and at_gate_scale:
         gate_cfg = json.loads(gate_file.read_text())
         g_sec, g_thr = gate_cfg["gates_sec"], gate_cfg["threshold"]
+        retry_floor = 0.85 * g_thr
         suspects = [
             n for n, t in timings.items()
-            if n in g_sec and t / g_sec[n] > g_thr
+            if n in g_sec and t / g_sec[n] >= retry_floor
         ]
         for name in suspects:
             for _ in range(2):
@@ -455,7 +459,7 @@ def main() -> None:
                 elapsed = round(time.perf_counter() - start, 4)
                 timings[name] = min(timings[name], elapsed)
                 spark.catalog.clearCache()
-                if timings[name] / g_sec[name] <= g_thr:
+                if timings[name] / g_sec[name] < retry_floor:
                     break
             retried.append(name)
 
@@ -519,6 +523,7 @@ def main() -> None:
             result["gate"] = {
                 "threshold": threshold,
                 "at_gate_sf": at_sf,
+                "retry_band_floor": round(0.85 * threshold, 2),
                 "median_ratio": round(median, 2),
                 "retried": retried,
                 "pre_retry": {n: pre_retry[n] for n in retried},
