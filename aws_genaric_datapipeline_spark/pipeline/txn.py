@@ -56,22 +56,35 @@ class ConstraintViolation(ValueError):
 
 
 def _footer_stats(path: Path) -> dict:
-    """Per-column [min, max] from a parquet file's footer (pyarrow) —
-    JSON-safe scalars only; columns without statistics are omitted, and
-    a reader treats a missing column as 'cannot prune'."""
+    """Per-column [min, max] plus per-column NULL COUNTS from a parquet
+    file's footer (pyarrow) — JSON-safe scalars only; columns without
+    statistics are omitted, and a reader treats a missing column as
+    'cannot prune'."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     # Row count under a reserved key: provably-empty files ("__rows__": 0)
     # can be skipped by pruned merges, and metadata-only COUNT(*) reads
-    # fold these instead of opening files.  Never a legal column name in
-    # the min/max map (columns are parquet paths, "__rows__" is reserved).
-    out: dict[str, list | int] = {"__rows__": md.num_rows}
+    # fold these instead of opening files.  Null counts under "__nulls__"
+    # (column -> count summed over row groups; a column any of whose row
+    # groups lacks the statistic is omitted = unknown): `IS NULL`
+    # predicates skip files with 0 nulls and `IS NOT NULL` skips all-null
+    # files, the way min/max skips ranges (Delta collects nullCount in
+    # exactly this role).  Neither is ever a legal column name in the
+    # min/max map (columns are parquet paths; dunder keys are reserved).
+    out: dict[str, list | int | dict] = {"__rows__": md.num_rows}
+    nulls: dict[str, int] = {}
+    null_unknown: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
+            name = col.path_in_schema
+            if st is not None and st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            else:
+                null_unknown.add(name)
             if st is None or not st.has_min_max:
                 continue
             mn, mx = st.min, st.max
@@ -79,11 +92,15 @@ def _footer_stats(path: Path) -> dict:
                 continue
             if not isinstance(mn, (int, float, str, bool)):
                 mn, mx = str(mn), str(mx)
-            name = col.path_in_schema
             if name in out:
                 out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
             else:
                 out[name] = [mn, mx]
+    known_nulls = {
+        c: n for c, n in nulls.items() if c not in null_unknown
+    }
+    if known_nulls:
+        out["__nulls__"] = known_nulls
     return out
 
 
@@ -458,11 +475,18 @@ class TxnTable:
         columns (the DV writer's input)."""
         dvs = {f: d for f, d in (dvs or {}).items() if f in set(files)}
 
+        def _hide(df: DataFrame) -> DataFrame:
+            # hidden partition-transform columns (__p_*) are physical
+            # layout metadata, never part of the logical schema — every
+            # read path strips them (Iceberg's hidden partitioning)
+            hidden = [c for c in df.columns if c.startswith("__p_")]
+            return df.drop(*hidden) if hidden else df
+
         def _finish(raw: DataFrame) -> DataFrame:
             if not dvs and not with_positions:
-                return raw
+                return _hide(raw)
             dv_rows = self._dv_rows(list(dvs.values())) if dvs else None
-            return self._apply_dvs(raw, dv_rows, with_positions)
+            return _hide(self._apply_dvs(raw, dv_rows, with_positions))
 
         if not schemas:
             return _finish(
@@ -512,13 +536,15 @@ class TxnTable:
                 if mapping.get(f["id"]) and mapping[f["id"]] in df.columns
             ]
             # unregistered additive columns pass through under their own
-            # (physical == logical) name
+            # (physical == logical) name — except hidden partition-
+            # transform columns (__p_*), which are layout metadata only
             cols += [
                 F.col(c)
                 for c in df.columns
                 if c not in claimed
                 and c not in cur_names
                 and c not in ("__file", "__pos")
+                and not c.startswith("__p_")
             ]
             if with_positions:
                 cols += [F.col("__file"), F.col("__pos")]
@@ -697,6 +723,68 @@ class TxnTable:
                 chosen.append(f)
         return chosen
 
+    def prune_files_nullness(
+        self,
+        column: str,
+        is_null: bool,
+        version: int | None = None,
+        commits: list[dict] | None = None,
+    ) -> list[str]:
+        """Files of the snapshot that can contain a row matching
+        ``column IS NULL`` (``is_null=True``) or ``IS NOT NULL`` — the
+        null-count twin of prune_files, driven by the per-file
+        "__nulls__" commit stats: an IS NULL predicate skips files whose
+        committed null count is 0, an IS NOT NULL predicate skips
+        all-null files (null count == row count).  Files without a null
+        count for the column are kept — pruning is an optimization,
+        never a correctness gate (same rule as min/max)."""
+        commits = self._commits() if commits is None else commits
+        files = self.live_files(version, commits=commits)
+        target = version if version is not None else self.latest_version()
+        schemas = self._schema_commits(target, commits=commits)
+        addv = self._file_add_versions(commits) if schemas else {}
+        stats = self.file_stats(commits)
+        chosen = []
+        for f in files:
+            st = stats.get(f, {})
+            if st.get("__rows__") == 0:
+                continue  # provably empty: nothing to match either way
+            pname = self._stats_physical_name(column, f, schemas, addv)
+            nc = (st.get("__nulls__") or {}).get(pname) if pname else None
+            rows = st.get("__rows__")
+            if nc is None:
+                chosen.append(f)
+            elif is_null:
+                if nc > 0:
+                    chosen.append(f)
+            elif rows is None or nc < rows:
+                chosen.append(f)
+        return chosen
+
+    def read_pruned_nullness(
+        self, column: str, is_null: bool, version: int | None = None
+    ) -> DataFrame:
+        """Data-skipping read for ``IS [NOT] NULL`` predicates: open only
+        the files prune_files_nullness keeps, then apply the exact
+        predicate on top (stats prune files, the filter prunes rows) —
+        read_pruned's contract extended to nullness, per Delta's
+        nullCount skipping."""
+        commits = self._commits()
+        if not self.live_files(version, commits=commits):
+            raise ValueError(f"table {self.path} has no data")
+        target = version if version is not None else self.latest_version()
+        schemas = self._schema_commits(target, commits=commits)
+        chosen = self.prune_files_nullness(
+            column, is_null, version, commits=commits
+        )
+        if not chosen:
+            return self.read(version).where(F.lit(False))
+        df = self._read_resolved(
+            chosen, schemas, commits, dvs=self.dv_map(target, commits)
+        )
+        pred = F.col(column).isNull() if is_null else F.col(column).isNotNull()
+        return df.where(pred)
+
     def read_files(
         self, files: list[str], version: int | None = None
     ) -> DataFrame:
@@ -740,6 +828,17 @@ class TxnTable:
                     out[ck["name"]] = ck["sql"]
         return out
 
+    @staticmethod
+    def _satisfies(predicate_sql: str):
+        """THE constraint-satisfaction rule, used identically by
+        set_constraint, _validate_adds, and restore_version: a row
+        satisfies a CHECK iff the predicate is literally TRUE — a NULL
+        result counts as a violation (conservative quality-gate
+        semantics, stricter than SQL/Delta's NULL-satisfies; one rule
+        everywhere so a snapshot accepted by ADD CONSTRAINT is never
+        rejected when its identical rows are appended later)."""
+        return F.coalesce(F.expr(predicate_sql).cast("boolean"), F.lit(False))
+
     def set_constraint(self, name: str, predicate_sql: str) -> int:
         """Register a CHECK constraint as a metadata-only commit.  The
         CURRENT snapshot must already satisfy it (one validating pass —
@@ -747,9 +846,10 @@ class TxnTable:
         is validated before its files become visible: a violating batch
         raises ConstraintViolation and commits nothing.  Enforcement
         costs one filtered count over each WRITE BATCH (batch-sized,
-        map-only), never a standing-table scan."""
+        map-only), never a standing-table scan.  NULL predicate results
+        violate, matching _validate_adds (see _satisfies)."""
         try:
-            bad = self.read().where(f"NOT ({predicate_sql})").count()
+            bad = self.read().where(~self._satisfies(predicate_sql)).count()
         except ValueError:
             bad = 0  # empty table: vacuously satisfied
         if bad:
@@ -782,27 +882,38 @@ class TxnTable:
             raise TxnConflict(f"drop_constraint {name!r} lost a version race")
         return v
 
-    def _validate_adds(self, adds: list[str]) -> None:
+    def _validate_adds(self, adds: list[str]) -> dict[str, str]:
         """Validate freshly WRITTEN (still-invisible) staged files against
         the live CHECK constraints, by reading the parquet back — never by
         re-evaluating the batch DAG.  Re-evaluation would be both unsound
         (a nondeterministic batch could pass the validating evaluation and
         then write DIFFERENT rows) and wasteful (the upstream DAG computes
         twice).  Reading back costs one scan of the batch-sized staged
-        files.  NULL predicate results count as violations (conservative
-        CHECK semantics — the quality-gate reading).  On violation the
-        staged files are unlinked and ConstraintViolation raises: nothing
-        was ever visible."""
+        files.  NULL predicate results count as violations (the shared
+        _satisfies rule).  On violation the staged files are unlinked and
+        ConstraintViolation raises: nothing was ever visible.  Returns the
+        constraint set validated against, so commit-retry loops can detect
+        a concurrent set_constraint and re-validate (see append)."""
         live = self.constraints()
         if not live or not adds:
-            return
+            return live
         df = self.spark.read.option("mergeSchema", "true").parquet(
             *[str(self.path / self.DATA_DIR / f) for f in adds]
         )
-        conds = [
-            F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
-            for sql in live.values()
-        ]
+        self._raise_violations(df, live, cleanup=adds)
+        return live
+
+    def _raise_violations(
+        self,
+        df: DataFrame,
+        live: dict[str, str],
+        cleanup: list[str] | None = None,
+    ) -> None:
+        """One-pass violation count of ``df`` against every constraint in
+        ``live`` (single aggregate action, no per-constraint scans); on
+        the first violating constraint, unlink ``cleanup`` staged files
+        and raise ConstraintViolation."""
+        conds = [self._satisfies(sql) for sql in live.values()]
         row = df.select(
             *[
                 F.count(F.when(~c, F.lit(1))).alias(f"__bad_{i}")
@@ -811,7 +922,7 @@ class TxnTable:
         ).collect()[0]
         for i, (n, sql) in enumerate(live.items()):
             if row[f"__bad_{i}"]:
-                for name in adds:
+                for name in cleanup or []:
                     (self.path / self.DATA_DIR / name).unlink(missing_ok=True)
                 raise ConstraintViolation(
                     f"write batch has {row[f'__bad_{i}']} rows violating "
@@ -885,7 +996,7 @@ class TxnTable:
         if app_txn_id is not None and self.is_committed(app_txn_id):
             return self.latest_version()
         adds = self._write_files(df)
-        self._validate_adds(adds)
+        validated = self._validate_adds(adds)
         for _ in range(max_retries):
             v = self.latest_version() + 1
             if app_txn_id is not None and self.is_committed(app_txn_id):
@@ -893,6 +1004,11 @@ class TxnTable:
                 for name in adds:
                     (self.path / self.DATA_DIR / name).unlink(missing_ok=True)
                 return self.latest_version()
+            # a concurrent set_constraint between validation and the
+            # winning commit must still gate this batch: re-validate
+            # whenever the live set drifted from the one we checked
+            if self.constraints() != validated:
+                validated = self._validate_adds(adds)
             if self._try_commit(v, "append", adds, [], app_txn_id):
                 return v
         raise TxnConflict(f"append lost {max_retries} version races")
@@ -904,10 +1020,12 @@ class TxnTable:
         if app_txn_id is not None and self.is_committed(app_txn_id):
             return self.latest_version()
         adds = self._write_files(df)
-        self._validate_adds(adds)
+        validated = self._validate_adds(adds)
         for _ in range(max_retries):
             v = self.latest_version() + 1
             removes = self.live_files(v - 1)
+            if self.constraints() != validated:
+                validated = self._validate_adds(adds)
             if self._try_commit(v, "overwrite", adds, removes, app_txn_id):
                 return v
         raise TxnConflict(f"overwrite lost {max_retries} version races")
@@ -1421,8 +1539,14 @@ def restore_version(
     between pre- and post-restore versions reports exactly the rows the
     restore un-did.  The restore point's deletion-vector state carries
     over (its dv mapping is re-declared on the restore commit), and any
-    CHECK constraints added since the restore point stay in force —
-    they are table metadata, not content.
+    CHECK constraints added since the restore point stay in force — they
+    are table metadata, not content, AND the restored content is
+    validated against them before the restore commits (the restore-point
+    snapshot already satisfied every constraint in force back then —
+    writes are gated — so only constraints set AFTER the restore point
+    need the extra scan; zero scans in the common no-new-constraints
+    case).  A nonexistent or future version raises ValueError instead of
+    committing a no-op restore that never existed.
 
     Same OCC rule as every maintenance commit: a concurrent data commit
     wins and this raises TxnConflict."""
@@ -1430,7 +1554,34 @@ def restore_version(
         return table.latest_version()
     commits = table._commits()
     base_version = table.latest_version()
+    known = {c["version"] for c in commits}
+    if min(known, default=1) == 1:
+        known.add(0)  # pre-first-commit empty table, unless expiry cut it off
+    if version not in known:
+        raise ValueError(
+            f"cannot restore to version {version}: not in retained history "
+            f"(latest is {base_version})"
+        )
     target_files = table.live_files(version, commits=commits)
+    # constraints set after the restore point: the only ones the restored
+    # snapshot has never been validated against
+    set_at: dict[str, int] = {}
+    for c in commits:
+        if c.get("base"):
+            set_at = {n: c["version"] for n in (c.get("constraints") or {})}
+            continue
+        ck = c.get("constraint")
+        if ck:
+            if ck.get("sql") is None:
+                set_at.pop(ck["name"], None)
+            else:
+                set_at[ck["name"]] = c["version"]
+    live = table.constraints(base_version, commits=commits)
+    to_check = {
+        n: sql for n, sql in live.items() if set_at.get(n, 0) > version
+    }
+    if to_check and target_files:
+        table._raise_violations(table.read(version), to_check)
     current_files = table.live_files(base_version, commits=commits)
     dvs = table.dv_map(version, commits)
     cur_dvs = table.dv_map(base_version, commits)
@@ -1529,6 +1680,7 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
     # vacuum keeps them.
     dvs = table.dv_map(cutoff, commits)
     cons = table.constraints(cutoff, commits)
+    ptf = partition_transform(table, cutoff, commits)
     payload = json.dumps(
         {
             "version": cutoff,
@@ -1558,6 +1710,9 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
             ),
             **(
                 {"constraints": cons} if cons else {}
+            ),
+            **(
+                {"partition_transform": ptf} if ptf else {}
             ),
         },
         indent=1,
@@ -1767,6 +1922,329 @@ def merge_upsert_pruned(
         "n_touched": len(touched),
         "n_carried": len(carried),
     }
+
+
+def merge_full_sync(
+    table: TxnTable,
+    source: DataFrame,
+    key: str,
+    delete_condition: str | None = None,
+    app_txn_id: str | None = None,
+) -> dict:
+    """MERGE with full-sync semantics in ONE commit — Delta's
+    ``WHEN MATCHED THEN UPDATE ALL / WHEN NOT MATCHED THEN INSERT ALL /
+    WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE``: after the
+    commit, every source row is present (source wins on key ties), and
+    every pre-existing row whose key does NOT appear in the source is
+    deleted — all of them when ``delete_condition`` is None, else only
+    the rows satisfying the condition (SQL over the row's columns, e.g.
+    ``"region = 'EU'"``).  Replica sync therefore needs neither a
+    separate diff nor a delete_keys pass.
+
+    Scale shape (the delete side PREFERS metadata over rewrites):
+    - Files overlapping the source's [min, max] key envelope are
+      REWRITTEN (they may hold matched rows): kept content = their
+      unmatched rows that fail the delete condition, plus all source
+      rows.  Same stats-driven conservative pruning as
+      merge_upsert_pruned — a file without stats counts as touched.
+    - Files OUTSIDE the envelope can hold no matched key, so every row
+      is "not matched by source": with no condition the whole file is
+      DROPPED from the snapshot (metadata-only, zero bytes moved); with
+      a condition the matching rows land in a DELETION VECTOR
+      (merge-on-read, zero data files rewritten — the delete_keys_dv
+      machinery, prior vectors unioned so earlier deletes survive).
+
+    OCC: computed against a pinned snapshot, commits at base+1 or
+    raises TxnConflict (any concurrent data commit conflicts — the
+    delete-by-absence side reads the WHOLE snapshot, so no narrower
+    window is sound).  Idempotent under ``app_txn_id``.  The written
+    batch passes CHECK-constraint validation before visibility.
+
+    Returns {"version", "n_touched", "n_carried", "n_dropped",
+    "n_dv_files"}."""
+    if app_txn_id is not None and table.is_committed(app_txn_id):
+        return {
+            "version": table.latest_version(),
+            "n_touched": 0,
+            "n_carried": len(table.live_files()),
+            "n_dropped": 0,
+            "n_dv_files": 0,
+        }
+    commits = table._commits()
+    base_version = table.latest_version()
+    base_files = table.live_files(base_version, commits=commits)
+    schemas = table._schema_commits(base_version, commits=commits)
+    addv = table._file_add_versions(commits) if schemas else {}
+    dvs = table.dv_map(base_version, commits)
+    row = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    stats = table.file_stats(commits)
+    touched: list[str] = []
+    unmatched: list[str] = []  # no source key can live here
+    for f in base_files:
+        st = stats.get(f, {})
+        if st.get("__rows__") == 0:
+            unmatched.append(f)
+            continue
+        pname = table._stats_physical_name(key, f, schemas, addv)
+        s = st.get(pname) if pname else None
+        if lo is not None and (
+            s is None or not (s[1] < lo or s[0] > hi)
+        ):
+            touched.append(f)
+        else:
+            # all-NULL source key (lo None) equi-matches nothing: every
+            # base file is pure not-matched-by-source territory
+            unmatched.append(f)
+    # ---- rewrite side: touched files' kept rows + every source row.
+    # With no delete condition EVERY unmatched row deletes, so the
+    # rewrite is exactly the source; with one, unmatched rows failing
+    # the condition survive the rewrite.
+    if touched and delete_condition is not None:
+        base = table._read_resolved(touched, schemas, commits, dvs=dvs)
+        kept = base.join(source.select(key), [key], "left_anti").where(
+            ~F.coalesce(
+                F.expr(delete_condition).cast("boolean"), F.lit(False)
+            )
+        )
+        merged = kept.unionByName(source, allowMissingColumns=True)
+    else:
+        merged = source
+    adds = table._write_files(merged)
+    table._validate_adds(adds)
+    # ---- delete-by-absence side on unmatched files
+    removes = list(touched)
+    dv_adds: list[str] = []
+    dv_updates: dict[str, str] = {}
+    if unmatched:
+        if delete_condition is None:
+            # every row deletes: drop the files, move zero bytes
+            removes += unmatched
+        else:
+            with_pos = table._read_resolved(
+                unmatched, schemas, commits, dvs=dvs, with_positions=True
+            )
+            hits = with_pos.where(
+                F.coalesce(
+                    F.expr(delete_condition).cast("boolean"), F.lit(False)
+                )
+            ).select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
+            dv_touched = sorted(
+                r["file"] for r in hits.select("file").distinct().collect()
+            )
+            if dv_touched:
+                prior = [dvs[f] for f in dv_touched if f in dvs]
+                new_rows = hits
+                if prior:
+                    new_rows = new_rows.unionByName(
+                        table._dv_rows(prior).where(
+                            F.col("file").isin(dv_touched)
+                        )
+                    ).distinct()
+                dv_adds = table._write_files(new_rows.coalesce(1))
+                dv_updates = {f: dv_adds[0] for f in dv_touched}
+    extra: dict = {}
+    if dv_updates:
+        extra = {"dv_updates": dv_updates, "dv_files": dv_adds}
+    if not table._try_commit(
+        base_version + 1,
+        "merge_full_sync",
+        adds,
+        removes,
+        app_txn_id,
+        extra=extra,
+    ):
+        for name in adds + dv_adds:
+            (table.path / table.DATA_DIR / name).unlink(missing_ok=True)
+        raise TxnConflict(
+            f"full-sync merge based on version {base_version} lost to a "
+            f"concurrent commit (now {table.latest_version()})"
+        )
+    return {
+        "version": base_version + 1,
+        "n_touched": len(touched),
+        "n_carried": len(base_files) - len(touched)
+        - (len(unmatched) if delete_condition is None else 0),
+        "n_dropped": len(unmatched) if delete_condition is None else 0,
+        "n_dv_files": len(dv_updates),
+    }
+
+
+# ----------------------------------------- hidden partition transforms
+# Iceberg-style hidden partitioning: the table declares a TRANSFORM of a
+# raw column (days(ts), bucket(n, col)); writes cluster by the transform
+# into a physical __p_* column that every read path strips
+# (_read_resolved), and raw-column predicates prune files THROUGH the
+# transform — the user never sees or manages a partition column.
+
+
+def _transform_column(spec: dict, col) -> "F.Column":
+    """The transform's value expression over ``col`` (a Column)."""
+    if spec["kind"] == "days":
+        return F.datediff(col.cast("date"), F.to_date(F.lit("1970-01-01")))
+    if spec["kind"] == "bucket":
+        return F.pmod(F.xxhash64(col), F.lit(int(spec["n"]))).cast("int")
+    raise ValueError(f"unknown partition transform kind {spec['kind']!r}")
+
+
+def _hidden_name(spec: dict) -> str:
+    if spec["kind"] == "bucket":
+        return f"__p_bucket_{spec['n']}_{spec['col']}"
+    return f"__p_{spec['kind']}_{spec['col']}"
+
+
+def set_partition_transform(
+    table: TxnTable, kind: str, col: str, n: int | None = None
+) -> int:
+    """Declare the table's hidden partition transform as a metadata-only
+    commit (Iceberg's partition spec): ``kind`` is ``"days"`` (temporal
+    clustering; raw range predicates prune through the monotonic
+    transform) or ``"bucket"`` with ``n`` (hash clustering; raw equality
+    predicates prune to the one matching bucket).  Later declarations
+    replace earlier ones; existing files keep their old layout and stay
+    readable (pruning is stats-driven, never a correctness gate)."""
+    if kind not in ("days", "bucket"):
+        raise ValueError(f"unknown partition transform kind {kind!r}")
+    if kind == "bucket" and (n is None or n < 1):
+        raise ValueError("bucket transform requires n >= 1")
+    spec = {"kind": kind, "col": col, **({"n": int(n)} if n else {})}
+    v = table.latest_version() + 1
+    if not table._try_commit(
+        v,
+        "set_partition_transform",
+        [],
+        [],
+        None,
+        extra={"partition_transform": spec},
+    ):
+        raise TxnConflict("set_partition_transform lost a version race")
+    return v
+
+
+def partition_transform(
+    table: TxnTable,
+    version: int | None = None,
+    commits: list[dict] | None = None,
+) -> dict | None:
+    """The transform spec in force at ``version`` (latest declaration
+    wins; expiry checkpoints carry it forward)."""
+    v = table.latest_version() if version is None else version
+    commits = table._commits() if commits is None else commits
+    out = None
+    for c in commits:
+        if c["version"] > v:
+            break
+        if c.get("partition_transform"):
+            out = c["partition_transform"]
+        elif c.get("base") and "partition_transform" in c:
+            out = c["partition_transform"]
+    return out
+
+
+def append_clustered(
+    table: TxnTable,
+    df: DataFrame,
+    num_files: int = 4,
+    app_txn_id: str | None = None,
+) -> int:
+    """Append laid out by the table's declared hidden transform: the
+    __p_* transform column is computed, the batch range-partitions and
+    sorts on it (each file covers a narrow contiguous transform band —
+    tight footer stats), and the column ships IN the parquet so pruning
+    reads it from commit stats while _read_resolved hides it from every
+    logical read.  Plain appends remain legal; their files simply carry
+    no transform stats and are never pruned by it."""
+    spec = partition_transform(table)
+    if spec is None:
+        raise ValueError(
+            "append_clustered requires set_partition_transform first"
+        )
+    hidden = _hidden_name(spec)
+    out = (
+        df.withColumn(hidden, _transform_column(spec, F.col(spec["col"])))
+        .repartitionByRange(num_files, hidden)
+        .sortWithinPartitions(hidden)
+    )
+    return table.append(out, app_txn_id=app_txn_id)
+
+
+def _transform_literals(table: TxnTable, spec: dict, values: list):
+    """Evaluate the transform on literal raw values ENGINE-SIDE (one
+    1-row job) so pruning bounds are bit-identical to what the writer
+    computed — never a Python reimplementation of xxhash64/datediff."""
+    df = table.spark.createDataFrame([(v,) for v in values], ["v"])
+    rows = df.select(
+        _transform_column(spec, F.col("v")).alias("t")
+    ).collect()
+    return [r["t"] for r in rows]
+
+
+def prune_files_hidden(
+    table: TxnTable,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+    commits: list[dict] | None = None,
+) -> list[str]:
+    """Files that can match a RAW-column predicate, answered through the
+    hidden transform: ``days`` maps [lower, upper] through the monotonic
+    transform and range-prunes on the __p_* stats (conjoined with any
+    raw-column stats); ``bucket`` requires equality (lower == upper) and
+    prunes to files whose __p_* band covers the value's bucket — the
+    case raw min/max can never prune, since every bucket file spans the
+    full raw range."""
+    spec = partition_transform(table, version, commits)
+    if spec is None:
+        raise ValueError("table has no partition transform declared")
+    hidden = _hidden_name(spec)
+    preds: list[tuple] = [(spec["col"], lower, upper)]
+    if spec["kind"] == "bucket":
+        if lower is None or lower != upper:
+            raise ValueError(
+                "bucket transform pruning requires an equality predicate "
+                "(lower == upper)"
+            )
+        (b,) = _transform_literals(table, spec, [lower])
+        # raw min/max on a hash-bucketed column cannot prune — drop the
+        # raw predicate from the stats conjunction, keep only the bucket
+        preds = [(hidden, b, b)]
+    else:
+        bounds = _transform_literals(
+            table, spec, [v for v in (lower, upper) if v is not None]
+        )
+        tlo = bounds[0] if lower is not None else None
+        thi = bounds[-1] if upper is not None else None
+        preds.append((hidden, tlo, thi))
+    return table.prune_files(preds, version, commits=commits)
+
+
+def read_pruned_hidden(
+    table: TxnTable,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping read for a raw-column predicate answered through
+    the hidden transform: open only prune_files_hidden's files, then
+    apply the exact raw predicate on top."""
+    commits = table._commits()
+    spec = partition_transform(table, version, commits)
+    if spec is None:
+        raise ValueError("table has no partition transform declared")
+    chosen = prune_files_hidden(table, lower, upper, version, commits)
+    df = table.read_files(chosen, version=version)
+    col = F.col(spec["col"])
+    if spec["kind"] == "bucket":
+        return df.where(col == F.lit(lower))
+    if lower is not None:
+        df = df.where(col >= F.lit(lower))
+    if upper is not None:
+        df = df.where(col <= F.lit(upper))
+    return df
 
 
 # ------------------------------------------------------------------- tags

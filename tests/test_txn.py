@@ -347,6 +347,75 @@ class TestDataSkipping:
         assert got == {(2, "b")}
 
 
+class TestNullCountSkipping:
+    """Per-file null counts in commit stats let IS NULL / IS NOT NULL
+    predicates skip files the way min/max skips ranges (Delta's
+    nullCount)."""
+
+    def _seed(self, spark, table):
+        # three single-file appends: no-null, mixed, all-null on v
+        table.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+        table.append(
+            spark.createDataFrame(
+                [(3, None), (4, "d")], "k bigint, v string"
+            ).coalesce(1)
+        )
+        table.append(
+            spark.createDataFrame(
+                [(5, None), (6, None)], "k bigint, v string"
+            ).coalesce(1)
+        )
+
+    def test_null_counts_recorded(self, spark, table):
+        self._seed(spark, table)
+        per_file = [
+            table.file_stats()[f].get("__nulls__", {}).get("v")
+            for f in table.live_files()
+        ]
+        assert sorted(per_file) == [0, 1, 2]
+
+    def test_is_null_prunes_zero_null_files(self, spark, table):
+        self._seed(spark, table)
+        chosen = table.prune_files_nullness("v", is_null=True)
+        assert len(chosen) == 2  # the no-null file is skipped
+        got = {r["k"] for r in table.read_pruned_nullness("v", True).collect()}
+        want = {
+            r["k"] for r in table.read().where("v IS NULL").collect()
+        }
+        assert got == want == {3, 5, 6}
+
+    def test_is_not_null_prunes_all_null_files(self, spark, table):
+        self._seed(spark, table)
+        chosen = table.prune_files_nullness("v", is_null=False)
+        assert len(chosen) == 2  # the all-null file is skipped
+        got = {
+            r["k"] for r in table.read_pruned_nullness("v", False).collect()
+        }
+        assert got == {1, 2, 4}
+
+    def test_no_candidate_files_yields_schema_correct_empty(
+        self, spark, table
+    ):
+        table.append(_df(spark, [(1, "a"), (2, "b")]))
+        out = table.read_pruned_nullness("v", True)
+        assert table.prune_files_nullness("v", True) == []
+        assert out.count() == 0 and out.columns == ["k", "v"]
+
+    def test_survives_expiry_checkpoint_carryover(self, spark, table):
+        """expire_snapshots rewrites the cutoff as a checkpoint carrying
+        stats — null counts must survive so skipping still works."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            expire_snapshots,
+        )
+
+        self._seed(spark, table)
+        expire_snapshots(table, keep_last=1)
+        chosen = table.prune_files_nullness("v", is_null=True)
+        assert len(chosen) == 2
+        got = {r["k"] for r in table.read_pruned_nullness("v", True).collect()}
+        assert got == {3, 5, 6}
+
+
 class TestZorderSkipping:
     def test_two_column_pruning_on_zordered_table(self, spark, table):
         """Z-order the data before appending: per-file min/max bands stay
@@ -1361,16 +1430,72 @@ class TestCheckConstraints:
         assert (2, "b") in _rows(table.read())
 
     def test_null_predicate_counts_as_violation(self, spark, table):
+        """A predicate that evaluates to NULL (not FALSE) on the bad row
+        — ``v >= 'a'`` with v = NULL — pins the conservative
+        NULL-is-a-violation branch of _validate_adds."""
         from aws_genaric_datapipeline_spark.pipeline.txn import (
             ConstraintViolation,
         )
 
         table.append(_df(spark, [(1, "a")]))
-        table.set_constraint("v_not_null", "v IS NOT NULL")
-        with pytest.raises(ConstraintViolation, match="v_not_null"):
+        table.set_constraint("v_ge_a", "v >= 'a'")
+        with pytest.raises(ConstraintViolation, match="v_ge_a"):
             table.append(
                 spark.createDataFrame([(3, None)], "k bigint, v string")
             )
+
+    def test_set_constraint_null_rule_matches_validate_adds(
+        self, spark, table
+    ):
+        """ADD CONSTRAINT uses the SAME NULL-is-a-violation rule as write
+        validation: a snapshot holding a NULL-predicate row is rejected
+        up front, so a snapshot that passes set_constraint can never have
+        its identical rows rejected by a later append."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+        )
+
+        table.append(
+            spark.createDataFrame([(1, "a"), (2, None)], "k bigint, v string")
+        )
+        with pytest.raises(ConstraintViolation, match="existing snapshot"):
+            table.set_constraint("v_ge_a", "v >= 'a'")
+        assert table.constraints() == {}
+
+    def test_concurrent_set_constraint_revalidated_in_retry_loop(
+        self, spark, table, tmp_path
+    ):
+        """A set_constraint landing between an append's validation and its
+        winning commit must still gate that batch: simulate the race by
+        committing the constraint through a SECOND handle the moment the
+        appender first calls constraints() inside its retry loop."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+            TxnTable,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        other = TxnTable(spark, str(table.path))
+        calls = {"n": 0}
+        orig = table.constraints
+
+        def racy_constraints(*a, **kw):
+            # call 1 = the pre-loop _validate_adds (sees no constraints);
+            # call 2 = the retry loop's drift check — land the concurrent
+            # set_constraint exactly there
+            calls["n"] += 1
+            if calls["n"] == 2:
+                other.set_constraint("k_positive", "k > 0")
+            return orig(*a, **kw)
+
+        table.constraints = racy_constraints
+        try:
+            with pytest.raises(ConstraintViolation, match="k_positive"):
+                table.append(_df(spark, [(-7, "bad")]))
+        finally:
+            table.constraints = orig
+        # nothing from the rejected batch is visible
+        assert _rows(table.read()) == {(1, "a")}
 
     def test_set_constraint_validates_existing_snapshot(self, spark, table):
         from aws_genaric_datapipeline_spark.pipeline.txn import (
@@ -1506,6 +1631,52 @@ class TestTimestampTravelAndRestore:
         with pytest.raises(ConstraintViolation):
             table.append(_df(spark, [(-1, "z")]))
 
+    def test_restore_rejects_future_and_expired_versions(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            expire_snapshots,
+            restore_version,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        v = table.latest_version()
+        with pytest.raises(ValueError, match="not in retained history"):
+            restore_version(table, v + 5)
+        assert table.latest_version() == v  # no no-op restore committed
+        # restore to the pre-first-commit empty table IS valid...
+        restore_version(table, 0)
+        assert table.live_files() == []
+        # ...until expiry truncates the retained window below it
+        table.append(_df(spark, [(2, "b")]))
+        table.append(_df(spark, [(3, "c")]))
+        expire_snapshots(table, keep_last=2)
+        with pytest.raises(ValueError, match="not in retained history"):
+            restore_version(table, 0)
+
+    def test_restore_validates_constraints_set_after_restore_point(
+        self, spark, table
+    ):
+        """A constraint added AFTER the restore point gates the restore:
+        surfacing a violating historical snapshot raises instead of
+        silently making it current.  A restore point that satisfies the
+        later constraint still restores (and only constraints newer than
+        the restore point trigger the validating scan at all)."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+            restore_version,
+        )
+
+        table.append(_df(spark, [(-1, "old")]))  # v1: violates future rule
+        v_bad = table.latest_version()
+        table.overwrite(_df(spark, [(5, "e")]))  # v2: clean
+        v_clean = table.latest_version()
+        table.overwrite(_df(spark, [(6, "f")]))  # v3
+        table.set_constraint("k_positive", "k > 0")  # v4, after all three
+        with pytest.raises(ConstraintViolation, match="k_positive"):
+            restore_version(table, v_bad)
+        assert _rows(table.read()) == {(6, "f")}  # restore never committed
+        restore_version(table, v_clean)
+        assert _rows(table.read()) == {(5, "e")}
+
 
 class TestStreamingQualityGate:
     def test_violating_micro_batch_fails_stream_without_partial_commit(
@@ -1618,3 +1789,266 @@ class TestZorderMulti:
             zorder_value_multi([F.col("x")])
         with pytest.raises(ValueError, match="overflows"):
             zorder_value_multi([F.col("x")] * 8, bits=8)
+
+
+class TestMergeFullSync:
+    """MERGE full-sync semantics (WHEN NOT MATCHED BY SOURCE THEN
+    DELETE): one commit syncs a replica — upsert + delete-by-absence —
+    with the delete side preferring metadata over rewrites (whole-file
+    drops outside the source envelope; deletion vectors under a delete
+    condition)."""
+
+    def _seed(self, spark, table, n=20, files=4):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n)], "k bigint, v string"
+        ).repartitionByRange(files, "k")
+        table.overwrite(df)
+        return df
+
+    def test_unconditional_sync_equals_source(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            merge_full_sync,
+        )
+
+        self._seed(spark, table)
+        # narrow low-key source: high-key range files sit wholly outside
+        # the [2, 4] envelope and must drop metadata-only
+        src = _df(spark, [(2, "NEW2"), (3, "v3"), (4, "NEW4")])
+        out = merge_full_sync(table, src, "k")
+        assert _rows(table.read()) == {(2, "NEW2"), (3, "v3"), (4, "NEW4")}
+        # files wholly outside the source envelope dropped metadata-only
+        assert out["n_dropped"] >= 1 and out["n_dv_files"] == 0
+        # history preserved: pre-sync snapshot still time-travelable
+        assert len(_rows(table.read(version=1))) == 20
+
+    def test_conditional_delete_uses_deletion_vectors(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            merge_full_sync,
+        )
+
+        self._seed(spark, table)  # keys 0..19 over 4 range files
+        n_data = len(list((table.path / table.DATA_DIR).glob("*.parquet")))
+        # source covers only low keys; delete-by-absence applies only to
+        # even keys — odd unmatched rows must SURVIVE
+        src = _df(spark, [(0, "NEW0"), (1, "NEW1")])
+        out = merge_full_sync(table, src, "k", delete_condition="k % 2 = 0")
+        got = _rows(table.read())
+        assert (0, "NEW0") in got and (1, "NEW1") in got
+        assert all(k % 2 == 1 for k, _ in got if k > 1)
+        assert {k for k, _ in got if k > 1} == {
+            k for k in range(2, 20) if k % 2 == 1
+        }
+        # zero unmatched data files rewritten or dropped: deletes are DVs
+        assert out["n_dv_files"] >= 1 and out["n_dropped"] == 0
+        live = set(table.live_files())
+        data_now = {
+            p.name for p in (table.path / table.DATA_DIR).glob("*.parquet")
+        }
+        # every pre-sync file still on disk (time travel) and the
+        # unmatched ones still LIVE (merge-on-read, not rewritten)
+        assert len(data_now) >= n_data
+        assert out["n_carried"] == len(
+            [f for f in live if f in table.dv_map()]
+        ) or out["n_carried"] >= out["n_dv_files"]
+
+    def test_dv_union_with_prior_vectors(self, spark, table):
+        """A file already carrying a DV gets MORE rows deleted by the
+        sync: both generations of deletes must apply (prior vector
+        unioned, not replaced)."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            merge_full_sync,
+        )
+
+        self._seed(spark, table)
+        table.delete_keys_dv(
+            spark.createDataFrame([(18,)], "k bigint"), ["k"]
+        )
+        assert (18, "v18") not in _rows(table.read())
+        src = _df(spark, [(0, "NEW0")])
+        merge_full_sync(table, src, "k", delete_condition="k >= 16")
+        got = _rows(table.read())
+        assert (18, "v18") not in got  # prior DV survived
+        for k in (16, 17, 19):  # new conditional deletes applied
+            assert (k, f"v{k}") not in got
+        assert (15, "v15") in got  # condition boundary respected
+
+    def test_occ_conflict_window(self, spark, table, tmp_path):
+        """A concurrent data commit landing between the sync's snapshot
+        pin and its commit must fail the sync (TxnConflict), never lose
+        the concurrent writer's rows."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            merge_full_sync,
+        )
+
+        self._seed(spark, table)
+        other = TxnTable(spark, str(table.path))
+        orig = table._validate_adds
+        fired = {"done": False}
+
+        def racy_validate(adds):
+            if not fired["done"]:
+                fired["done"] = True
+                other.append(_df(spark, [(500, "concurrent")]))
+            return orig(adds)
+
+        table._validate_adds = racy_validate
+        try:
+            with pytest.raises(TxnConflict, match="full-sync"):
+                merge_full_sync(table, _df(spark, [(1, "X")]), "k")
+        finally:
+            table._validate_adds = orig
+        # the concurrent append survived; the failed sync left nothing
+        got = _rows(table.read())
+        assert (500, "concurrent") in got and (1, "v1") in got
+
+    def test_idempotent_by_app_txn_and_empty_source_truncates(
+        self, spark, table
+    ):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            merge_full_sync,
+        )
+
+        self._seed(spark, table)
+        src = _df(spark, [(1, "X")])
+        out1 = merge_full_sync(table, src, "k", app_txn_id="s1")
+        out2 = merge_full_sync(table, src, "k", app_txn_id="s1")
+        assert out1["version"] == out2["version"] == table.latest_version()
+        assert _rows(table.read()) == {(1, "X")}
+        # empty source + no condition = full truncate (all not-matched)
+        merge_full_sync(table, _df(spark, []).limit(0), "k")
+        assert table.live_files() == [] or table.read().count() == 0
+
+    def test_constraints_gate_the_sync_batch(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            ConstraintViolation,
+            merge_full_sync,
+        )
+
+        self._seed(spark, table, n=5)
+        table.set_constraint("k_nonneg", "k >= 0")
+        with pytest.raises(ConstraintViolation):
+            merge_full_sync(table, _df(spark, [(-1, "bad")]), "k")
+        assert (1, "v1") in _rows(table.read())
+
+
+class TestHiddenPartitionTransforms:
+    """Iceberg-style hidden partitioning: writes cluster by days(ts) /
+    bucket(n, col) into a physical __p_* column that reads never expose,
+    and RAW-column predicates prune files through the transform."""
+
+    def _ts_df(self, spark, n_days=8, per_day=6):
+        rows = [
+            (d * per_day + i, f"2024-03-{d + 1:02d} 0{i}:00:00")
+            for d in range(n_days)
+            for i in range(per_day)
+        ]
+        return spark.createDataFrame(rows, "k bigint, ts_s string").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    def test_days_layout_prunes_ts_between(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            prune_files_hidden,
+            read_pruned_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "days", "ts")
+        append_clustered(table, self._ts_df(spark), num_files=4)
+        live = table.live_files()
+        assert len(live) == 4
+        # the hidden column never surfaces on a logical read
+        assert set(table.read().columns) == {"k", "ts"}
+        import datetime as dt
+
+        lo = dt.datetime(2024, 3, 2)
+        hi = dt.datetime(2024, 3, 3, 23, 59, 59)
+        chosen = prune_files_hidden(table, lo, hi)
+        assert 0 < len(chosen) < len(live)  # only matching files open
+        got = {r["k"] for r in read_pruned_hidden(table, lo, hi).collect()}
+        want = {
+            r["k"]
+            for r in table.read()
+            .where(
+                (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+            )
+            .collect()
+        }
+        assert got == want and len(got) == 12
+
+    def test_bucket_layout_prunes_equality_where_minmax_cannot(
+        self, spark, table
+    ):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            prune_files_hidden,
+            read_pruned_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "bucket", "k", n=8)
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(400)], "k bigint, v string"
+        )
+        append_clustered(table, df, num_files=8)
+        live = table.live_files()
+        # range partitioner may coalesce near-empty bands; several files
+        # with disjoint bucket bands is what pruning needs
+        assert len(live) >= 4
+        # raw min/max barely prunes a hash-bucketed layout (files span
+        # wide key ranges); the bucket transform must do strictly better
+        raw_kept = table.prune_files([("k", 7, 7)])
+        chosen = prune_files_hidden(table, 7, 7)
+        assert 0 < len(chosen) < len(raw_kept)
+        got = {
+            tuple(r) for r in read_pruned_hidden(table, 7, 7).collect()
+        }
+        assert got == {(7, "v7")}
+        with pytest.raises(ValueError, match="equality"):
+            prune_files_hidden(table, 3, 9)
+
+    def test_transform_survives_expiry_and_plain_appends_stay_correct(
+        self, spark, table
+    ):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            expire_snapshots,
+            partition_transform,
+            read_pruned_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "days", "ts")
+        append_clustered(table, self._ts_df(spark, n_days=4), num_files=2)
+        # a PLAIN append carries no transform stats: it must always be
+        # read (conservative), never wrongly pruned
+        table.append(
+            spark.createDataFrame(
+                [(999, "2024-03-02 12:00:00")], "k bigint, ts_s string"
+            ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+        )
+        expire_snapshots(table, keep_last=1)
+        assert partition_transform(table) == {"kind": "days", "col": "ts"}
+        import datetime as dt
+
+        got = {
+            r["k"]
+            for r in read_pruned_hidden(
+                table, dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 2, 23)
+            ).collect()
+        }
+        assert 999 in got and len(got) == 7
+
+    def test_requires_declaration_and_validates_kind(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            set_partition_transform,
+        )
+
+        with pytest.raises(ValueError, match="set_partition_transform"):
+            append_clustered(table, _df(spark, [(1, "a")]))
+        with pytest.raises(ValueError, match="kind"):
+            set_partition_transform(table, "hours", "ts")
+        with pytest.raises(ValueError, match="n >= 1"):
+            set_partition_transform(table, "bucket", "k")
