@@ -1012,11 +1012,30 @@ def _bpe_accept_batch(
     return accepted
 
 
+def byte_syms(word: Column) -> Column:
+    """GPT-2-style byte-level symbol init: the word's UTF-8 BYTES, one
+    symbol per byte, spelled as its two-hex-digit value ("He" →
+    ['48','65'], 'é' → ['C3','A9']).  Hex pairs play the role of GPT-2's
+    byte-to-unicode printable alphabet — every possible input is exactly
+    representable (256 base symbols, zero <unk>), rare unicode degrades
+    to byte pieces instead of unknowns, and the spelling is reproducible
+    in any engine with hex() (the DuckDB oracle replays it verbatim).
+    Merged symbols concatenate hex pairs, so a base symbol is length 2
+    and every merge output is strictly longer than its left side — the
+    _bpe_merge_fold precondition."""
+    hexstr = F.hex(F.encode(word, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(hexstr) / 2).cast("int")),
+        lambda i: hexstr.substr(i * 2 - 1, F.lit(2)),
+    )
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 3,
     batch_merges: int = 1,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Learn the first ``num_merges`` BPE merges from a corpus (Sennrich et
     al. 2016 — vocabulary training, the counterpart of subword_tokenize's
@@ -1055,9 +1074,19 @@ def bpe_learn(
     exactly its true count at the moment it is applied, and the emitted
     table is a valid BPE merge table.  A 32k-merge vocabulary drops from
     32k counting rounds (driver round-trips) to ~32k/N.
+
+    ``byte_level``: GPT-2-style byte-level BPE — words split into UTF-8
+    byte symbols (see byte_syms) instead of unicode characters, so rare
+    unicode never falls out of the alphabet.  The histogram, merge loop,
+    incremental refresh (bpe_word_histogram state is spelled in words,
+    not symbols), and fold machinery are IDENTICAL — only the symbol
+    init differs.
     """
     return bpe_learn_from_histogram(
-        bpe_word_histogram(df, text_col), num_merges, batch_merges
+        bpe_word_histogram(df, text_col),
+        num_merges,
+        batch_merges,
+        byte_level=byte_level,
     )
 
 
@@ -1097,17 +1126,23 @@ def bpe_learn_from_histogram(
     wt: DataFrame,
     num_merges: int = 3,
     batch_merges: int = 1,
+    byte_level: bool = False,
 ) -> DataFrame:
     """BPE training given the (word, freq) histogram — the vocab-sized
     tail of bpe_learn (see its docstring for algorithm + scale notes);
     split out so an incrementally maintained histogram state re-derives
-    the merge table without touching the corpus."""
+    the merge table without touching the corpus.  ``byte_level`` swaps
+    the char split for byte_syms — the byte-level incremental path comes
+    free because the histogram state is keyed by WORD."""
     if batch_merges < 1:
         raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
-    )
+    if byte_level:
+        chars = byte_syms(F.col("word"))
+    else:
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        )
     vocab = wt.select("word", "freq", chars.alias("syms")).persist()
     spark = wt.sparkSession
     merges: list[tuple[int, str, str, int]] = []
@@ -1165,6 +1200,7 @@ def bpe_apply(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Apply an ORDERED BPE merge table (bpe_learn's output) to every
     document — the encode pass of the trained tokenizer: each word splits
@@ -1192,15 +1228,23 @@ def bpe_apply(
     production vocabulary therefore plans as ~2k shallow passes over the
     word-type frame instead of one 32k-deep tree that would blow the
     analyzer/codegen stack (bpe_learn bounds depth the same way, per
-    counting round)."""
+    counting round).
+
+    ``byte_level``: encode with byte_syms symbols (hex pairs) instead of
+    characters — a base symbol is then LENGTH 2, so the merged-subword
+    count filters on length > 2."""
     toks = tokens(F.col(text_col))
     words = df.select(
         F.col(id_col).alias("did"), F.posexplode(toks).alias("pos", "word")
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
-    )
+    base_sym_len = 2 if byte_level else 1
+    if byte_level:
+        chars = byte_syms(F.col("word"))
+    else:
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        )
     vocab_seg = words.select("word").distinct().select(
         "word", chars.alias("syms")
     )
@@ -1216,7 +1260,11 @@ def bpe_apply(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("syms")).alias("n_subwords"),
         F.sum(
-            F.size(F.filter(F.col("syms"), lambda s: F.length(s) > 1))
+            F.size(
+                F.filter(
+                    F.col("syms"), lambda s: F.length(s) > base_sym_len
+                )
+            )
         ).alias("n_merged_subwords"),
         F.md5(
             F.array_join(

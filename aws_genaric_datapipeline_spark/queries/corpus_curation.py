@@ -365,15 +365,83 @@ _BPE_TRAIN_CTES = (
     """
     + ",\n".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))
 )
-_BPE_ORACLE = (
-    _BPE_TRAIN_CTES
-    + "\n    "
-    + "\n    UNION ALL ".join(
-        f"SELECT CAST({r} AS INT) AS merge_rank, a AS left_sym,"
-        f" b AS right_sym, cnt AS pair_count FROM top{r}"
-        for r in range(1, _BPE_MERGES + 1)
+def _bpe_learn_oracle(train_ctes: str) -> str:
+    """Merge-table projection over a train-replay CTE chain (char- and
+    byte-level training share every round CTE; only syms0 differs)."""
+    return (
+        train_ctes
+        + "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT CAST({r} AS INT) AS merge_rank, a AS left_sym,"
+            f" b AS right_sym, cnt AS pair_count FROM top{r}"
+            for r in range(1, _BPE_MERGES + 1)
+        )
     )
+
+
+_BPE_ORACLE = _bpe_learn_oracle(_BPE_TRAIN_CTES)
+
+# Byte-level (GPT-2-style) twin: identical replay rounds, but syms0 splits
+# each word into its UTF-8 BYTES spelled as two-hex-digit symbols —
+# hex(encode(word)) sliced into pairs, the same spelling
+# operators/text.py byte_syms produces, so the merge walk and arg-max
+# replay verbatim over the byte alphabet.
+_BYTEBPE_TRAIN_CTES = (
+    f"""
+    WITH RECURSIVE wt AS (
+        SELECT tok AS word, count(*) AS freq
+        FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+        WHERE length(trim(text)) > 0
+        GROUP BY tok
+    ),
+    syms0 AS (
+        SELECT word, freq,
+               list_transform(
+                   range(1, length(hex(encode(word))) // 2 + 1),
+                   i -> hex(encode(word))[2 * i - 1 : 2 * i]) AS syms
+        FROM wt
+    ),
+    """
+    + ",\n".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))
 )
+
+
+def _bpe_apply_oracle(train_ctes: str, base_sym_len: int) -> str:
+    """Train→encode replay: per-word-type final segmentation joined back
+    to token positions, per-doc coverage aggregation.  ``base_sym_len``
+    is the unmerged symbol spelling length (1 char-level, 2 hex-pair
+    byte-level) — the merged-subword filter's threshold."""
+    return (
+        train_ctes
+        + f""",
+    toks AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos, ({_DUCK_TOKS})[u.i] AS word
+        FROM documents, UNNEST(range(1, len({_DUCK_TOKS}) + 1)) AS u(i)
+        WHERE length(trim(text)) > 0
+    ),
+    seg AS (
+        SELECT t.doc_id, t.pos, s.syms
+        FROM toks t JOIN syms{_BPE_MERGES} s ON t.word = s.word
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+               CAST(sum(len(list_filter(syms,
+                        x -> length(x) > {base_sym_len})))
+                    AS BIGINT) AS n_merged_subwords,
+               md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+                   AS stream_md5
+        FROM seg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_subwords, 0) AS n_subwords,
+           coalesce(a.n_merged_subwords, 0) AS n_merged_subwords,
+           coalesce(a.stream_md5, md5('')) AS stream_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    )
 
 
 @query(
@@ -394,34 +462,7 @@ def tokenizer_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tokenizer_bpe_apply",
-    oracle=_BPE_TRAIN_CTES
-    + f""",
-    toks AS (
-        SELECT doc_id, CAST(u.i AS INT) AS pos, ({_DUCK_TOKS})[u.i] AS word
-        FROM documents, UNNEST(range(1, len({_DUCK_TOKS}) + 1)) AS u(i)
-        WHERE length(trim(text)) > 0
-    ),
-    seg AS (
-        SELECT t.doc_id, t.pos, s.syms
-        FROM toks t JOIN syms{_BPE_MERGES} s ON t.word = s.word
-    ),
-    agg AS (
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_words,
-               CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
-               CAST(sum(len(list_filter(syms, x -> length(x) > 1)))
-                    AS BIGINT) AS n_merged_subwords,
-               md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
-                   AS stream_md5
-        FROM seg GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           coalesce(a.n_words, 0) AS n_words,
-           coalesce(a.n_subwords, 0) AS n_subwords,
-           coalesce(a.n_merged_subwords, 0) AS n_merged_subwords,
-           coalesce(a.stream_md5, md5('')) AS stream_md5
-    FROM documents d LEFT JOIN agg a USING (doc_id)
-    """,
+    oracle=_bpe_apply_oracle(_BPE_TRAIN_CTES, 1),
     tags=("north-star", "text", "tokenizer"),
 )
 def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +485,46 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = [(r["left_sym"], r["right_sym"]) for r in trained]
     return X.bpe_apply(documents, merges)
+
+
+@query(
+    "tokenizer_bytebpe_learn",
+    oracle=_bpe_learn_oracle(_BYTEBPE_TRAIN_CTES),
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_bytebpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level (GPT-2-style) BPE vocabulary training: words split into
+    UTF-8 byte symbols (two-hex-digit spelling, operators/text.py
+    byte_syms) so rare unicode degrades to byte pieces instead of <unk> —
+    every possible input is representable from a 256-symbol base
+    alphabet.  Same histogram / pair-count / arg-max / fold machinery as
+    tokenizer_bpe_learn (ONE corpus explode+count shuffle, vocab-sized
+    rounds); the oracle replays every round over the byte alphabet."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return X.bpe_learn(documents, num_merges=_BPE_MERGES, byte_level=True)
+
+
+@query(
+    "tokenizer_bytebpe_apply",
+    oracle=_bpe_apply_oracle(_BYTEBPE_TRAIN_CTES, 2),
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_bytebpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level train→encode chain: learn the byte-BPE merge table
+    (tokenizer_bytebpe_learn's 3 merges), encode every document with it,
+    and report per-doc coverage — word/subword/merged-subword counts plus
+    the md5 of the in-order subword stream.  A merged subword is any
+    symbol longer than one byte's hex pair (length > 2).  The oracle
+    replays train AND encode end to end; driver data is exactly the
+    merge table."""
+    (documents,) = load(spark, sf_dir, "documents")
+    trained = (
+        X.bpe_learn(documents, num_merges=_BPE_MERGES, byte_level=True)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in trained]
+    return X.bpe_apply(documents, merges, byte_level=True)
 
 
 # ------------------------------------------------- unigram-LM tokenizer oracle

@@ -1487,6 +1487,141 @@ class TestBpeLearn:
             bpe_learn(docs, num_merges=2, batch_merges=0)
 
 
+class TestByteBpe:
+    """GPT-2-style byte-level BPE: UTF-8 byte symbols spelled as hex
+    pairs, so any unicode input is exactly representable (no <unk>)."""
+
+    def _ref(self, texts, k):
+        """Reference byte-BPE: the TestBpeLearn index-walk ground truth
+        over hex-pair byte symbols instead of characters."""
+        from collections import Counter
+
+        wt = Counter(w for t in texts for w in t.split())
+        vocab = {w: [f"{b:02X}" for b in w.encode("utf-8")] for w in wt}
+        merges = []
+        for r in range(1, k + 1):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wt[w]
+            if not pc:
+                break
+            m = max(pc.values())
+            a, b = sorted(p for p, c in pc.items() if c == m)[0]
+            merges.append((r, a, b, m))
+            for w, syms in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                vocab[w] = res
+        return merges
+
+    def test_matches_reference_on_unicode_corpus(self, spark):
+        """Multi-byte unicode (é = C3 A9, 日 = E6 97 A5) splits into byte
+        symbols and merges exactly as the reference index walk does —
+        the case char-level BPE cannot represent without rare-char
+        fallout."""
+        from aws_genaric_datapipeline_spark.operators.text import bpe_learn
+
+        texts = [
+            "café café cafés naïve",
+            "日本 日本語 résumé résumé",
+            "aaaa aaaa ab ab",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_learn(docs, num_merges=6, byte_level=True)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == self._ref(texts, 6)
+
+    def test_apply_full_byte_coverage_no_unk(self, spark):
+        """Before any merge, n_subwords equals the exact UTF-8 byte count
+        of the tokens — every byte is a symbol, nothing falls to <unk>;
+        with merges applied, merged symbols are counted by length > 2
+        (one hex pair = one byte)."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            bpe_apply,
+            bpe_learn,
+        )
+
+        texts = {1: "café 日本", 2: "résumé résumé naïve"}
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        bare = {
+            r["doc_id"]: r
+            for r in bpe_apply(docs, [], byte_level=True).collect()
+        }
+        for did, t in texts.items():
+            want = sum(len(w.encode("utf-8")) for w in t.split())
+            assert bare[did]["n_subwords"] == want
+            assert bare[did]["n_merged_subwords"] == 0
+        trained = (
+            bpe_learn(docs, num_merges=3, byte_level=True)
+            .orderBy("merge_rank")
+            .collect()
+        )
+        merges = [(r["left_sym"], r["right_sym"]) for r in trained]
+        merged = {
+            r["doc_id"]: r
+            for r in bpe_apply(docs, merges, byte_level=True).collect()
+        }
+        for did in texts:
+            assert merged[did]["n_merged_subwords"] > 0
+            assert merged[did]["n_subwords"] < bare[did]["n_subwords"]
+
+    def test_incremental_histogram_refresh_equals_full_rebuild(self, spark):
+        """The byte-level incremental path rides the SAME word-keyed
+        histogram state as char BPE: fold a batch histogram into the
+        standing one, retrain byte-level, and the merge table equals a
+        full rebuild over the union corpus."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            bpe_learn,
+            bpe_learn_from_histogram,
+            bpe_merge_histograms,
+            bpe_word_histogram,
+        )
+
+        corpus = [(1, "café café naïve"), (2, "résumé résumé café")]
+        batch = [(3, "naïve résumé 日本 日本")]
+        full = spark.createDataFrame(
+            corpus + batch, "doc_id long, text string"
+        )
+        standing = bpe_word_histogram(
+            spark.createDataFrame(corpus, "doc_id long, text string")
+        )
+        delta = bpe_word_histogram(
+            spark.createDataFrame(batch, "doc_id long, text string")
+        )
+        inc = [
+            tuple(r)
+            for r in bpe_learn_from_histogram(
+                bpe_merge_histograms(standing, delta),
+                num_merges=4,
+                byte_level=True,
+            )
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        rebuild = [
+            tuple(r)
+            for r in bpe_learn(full, num_merges=4, byte_level=True)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert inc == rebuild
+
+
 class TestTrigramLangId:
     """detect_language_trigram: profiles trained from labels separate
     clearly distinct languages perfectly on resubstitution, cover labels
