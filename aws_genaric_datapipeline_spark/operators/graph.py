@@ -443,13 +443,8 @@ def bfs_hops(
     )
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
-        nxt = (
-            sym.join(frontier.withColumnRenamed("node", "s"), "s")
-            .select(F.col("d").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(hop).cast("int"))
-            .localCheckpoint(eager=False)
+        nxt = _bfs_round(sym, frontier, visited, hop).localCheckpoint(
+            eager=False
         )
         # The count materializes the lazy checkpoint AND is the
         # termination probe — one job per round.
@@ -458,6 +453,23 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited
+
+
+def _bfs_round(
+    sym: DataFrame, frontier: DataFrame, visited: DataFrame, hop: int
+) -> DataFrame:
+    """One BFS expansion round — the unit the SCALING.md claim and its
+    plan gate (TestRound14Plans) hold to: the static edge list joins
+    against the FRONTIER (never the visited set, whose size only grows),
+    then one anti-join drops already-visited nodes.  Split out of
+    bfs_hops so the round's plan shape is machine-checkable."""
+    return (
+        sym.join(frontier.withColumnRenamed("node", "s"), "s")
+        .select(F.col("d").alias("node"))
+        .distinct()
+        .join(visited.select("node"), "node", "left_anti")
+        .withColumn("hops", F.lit(hop).cast("int"))
+    )
 
 
 def connected_components_star(

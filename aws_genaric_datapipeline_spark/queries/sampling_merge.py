@@ -935,6 +935,119 @@ def txn_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_merge_full_sync",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        m AS (
+            SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS m FROM base
+        ),
+        src AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) + 555
+                       AS price_cents
+            FROM orders, m
+            WHERE (o_orderkey % 6 = 0 OR o_orderkey % 3 = 1)
+              AND o_orderkey <= m
+        ),
+        final AS (
+            SELECT * FROM src
+            UNION ALL
+            SELECT b.* FROM base b
+            WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              AND b.o_custkey % 2 <> 0
+        )
+        SELECT o_orderkey, o_custkey, price_cents,
+               CAST(2 AS BIGINT) AS n_versions,
+               CAST(0 AS BIGINT) AS files_dropped,
+               CAST(1 AS BIGINT) AS dv_delete_applied
+        FROM final WHERE o_orderkey % 5 = 0
+    """,
+    tags=("merge", "acid", "pipeline"),
+)
+def txn_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE full-sync in ONE commit (Delta's WHEN NOT MATCHED BY SOURCE
+    [AND cond] THEN DELETE, pipeline/txn.py merge_full_sync): seed a
+    range-partitioned orders TxnTable (v1), then sync it against a
+    source covering only the LOW key half — updates win on matched keys,
+    fresh keys insert, and every pre-existing row whose key is absent
+    from the source deletes IF it satisfies the delete condition
+    (``o_custkey % 2 = 0``) — no separate diff, no delete_keys pass.
+
+    The delete-by-absence side prefers metadata over rewrites: files
+    wholly above the source's key envelope are never rewritten — their
+    conditional deletes land in a DELETION VECTOR (``dv_delete_applied``
+    pins that at least one DV mapping was committed and
+    ``files_dropped`` that no whole-file drop fired, since the condition
+    spares odd-custkey rows).  ``n_versions`` pins the re-delivered sync
+    (same app_txn_id) as an idempotent no-op.  The oracle replays the
+    full-sync relation: source ∪ (base ∖ source-keys ∖ condition).
+
+    Scale: rewrite cost tracks the source envelope (merge_upsert_pruned
+    pruning), delete cost is O(matched positions) — zero unmatched data
+    files move (tests/test_txn.py::TestMergeFullSync)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        merge_full_sync,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", cents.alias("price_cents")
+    )
+    kb = base.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    m = (int(kb["mn"]) + int(kb["mx"])) // 2
+    src = orders.where(
+        ((F.col("o_orderkey") % 6 == 0) | (F.col("o_orderkey") % 3 == 1))
+        & (F.col("o_orderkey") <= m)
+    ).select("o_orderkey", "o_custkey", (cents + 555).alias("price_cents"))
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_sync_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    table.overwrite(
+        base.repartitionByRange(4, "o_orderkey"), app_txn_id="sync-seed"
+    )
+    out = merge_full_sync(
+        table, src, "o_orderkey",
+        delete_condition="o_custkey % 2 = 0",
+        app_txn_id="sync-1",
+    )
+    # re-delivery of the same app transaction must be a no-op
+    merge_full_sync(
+        table, src, "o_orderkey",
+        delete_condition="o_custkey % 2 = 0",
+        app_txn_id="sync-1",
+    )
+    return (
+        table.read()
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "price_cents",
+            F.lit(table.latest_version()).cast("bigint").alias("n_versions"),
+            F.lit(out["n_dropped"]).cast("bigint").alias("files_dropped"),
+            F.lit(1 if out["n_dv_files"] >= 1 else 0)
+            .cast("bigint")
+            .alias("dv_delete_applied"),
+        )
+    )
+
+
+@query(
     "txn_cluster_zorder",
     oracle="""
         WITH base AS (

@@ -1378,3 +1378,84 @@ class TestRound13Plans:
         ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
         assert any("node" in e for e in ex), ex
         spark.catalog.clearCache()
+
+
+class TestRound14Plans:
+    """SCALING.md claims promoted from prose to machine-checked gates
+    (round-13 VERDICT item 10), plus the round-14 byte-BPE plan posture."""
+
+    def test_bfs_expands_frontier_not_visited(self, spark):
+        """SCALING.md row 'Multi-source BFS': 'per round: one join of the
+        static edge list against the FRONTIER (not the visited set)'.
+        Behavior gate: a star graph around node 0 with a fat VISITED set
+        and a one-node frontier {99} — expanding from the visited set
+        would resurrect node 0's hub neighbors; the frontier round must
+        emit exactly node 99's unseen neighbor.  Plan gate: the round is
+        one equi join on the frontier key plus one LeftAnti, no
+        cartesian."""
+        from aws_genaric_datapipeline_spark.operators.graph import (
+            _bfs_round,
+        )
+        from aws_genaric_datapipeline_spark.plans.audit import explain_str
+
+        hub_edges = [(0, d) for d in range(1, 99)] + [(0, 99), (99, 100)]
+        sym = spark.createDataFrame(
+            hub_edges + [(d, s) for s, d in hub_edges], "s long, d long"
+        )
+        visited = spark.createDataFrame(
+            [(n, 1) for n in range(100)], "node long, hops int"
+        )
+        frontier = spark.createDataFrame([(99,)], "node long")
+        out = _bfs_round(sym, frontier, visited, hop=2)
+        assert [(r["node"], r["hops"]) for r in out.collect()] == [(100, 2)]
+        plan = explain_str(out, mode="simple")
+        assert "CartesianProduct" not in plan
+        # exactly one anti-join per round (assert on the FINAL AQE plan;
+        # the dump repeats the tree under '== Initial Plan ==')
+        final = plan.split("Initial Plan")[0]
+        assert final.count("LeftAnti") == 1, final[:2000]
+
+    def test_record_linkage_pairs_shuffle_on_block_key_only(self, spark):
+        """SCALING.md row 'Record linkage': 'candidate pairs ONLY within
+        blocking-key groups (shuffle on the block key, sum O(block^2) not
+        O(n^2))'.  The pair join must be an equi join keyed on the block
+        column(s) with no cartesian anywhere, and every Exchange in the
+        pair plan partitions on block keys — never on the record id or
+        the compare text."""
+        import re
+
+        from aws_genaric_datapipeline_spark.operators.linkage import (
+            blocked_match_pairs,
+        )
+        from aws_genaric_datapipeline_spark.plans.audit import explain_str
+
+        (documents,) = load(spark, SF, "documents")
+        pairs = blocked_match_pairs(
+            documents,
+            id_col="doc_id",
+            block_cols=("lang", "source"),
+            compare_col="text",
+            max_edit=2,
+            max_block_width=50,
+        )
+        plan = explain_str(pairs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            keys = m.group(1)
+            assert "doc_id" not in keys and "text" not in keys, m.group(0)
+            assert "bk0" in keys or "bk1" in keys, m.group(0)
+
+    def test_bytebpe_apply_word_join_broadcasts_jvm_only(self, spark):
+        """tokenizer_bytebpe_apply: same posture as the char-level and
+        WordPiece twins — the byte-symbol folds run over DISTINCT word
+        types, the word-keyed join back to token positions broadcasts the
+        vocabulary-sized side (a corpus shuffle on the word string is the
+        scale failure), and the whole encode is JVM expressions: zero
+        Python eval nodes of any kind."""
+        df = QUERIES["tokenizer_bytebpe_apply"].fn(spark, SF)
+        plan = explain_str(df, mode="simple")
+        assert "BroadcastHashJoin [word" in plan, plan[:2000]
+        assert "SortMergeJoin [word" not in plan, plan[:2000]
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, node
