@@ -47,8 +47,21 @@ def _normalize(rows, columns):
 ORACLE_QUERIES = sorted(name for name, spec in QUERIES.items() if spec.oracle)
 ROWS_ONLY_QUERIES = sorted(name for name, spec in QUERIES.items() if not spec.oracle)
 
+# Two-tier suite (round-13 VERDICT item 9): the full registry re-verify
+# dominates suite wall time, so every 6th query (sorted — a stable ~50-query
+# cross-family sample) stays unmarked while the rest carry `full_oracle`.
+# Edit loop:   pytest tests/ -m "not full_oracle"   (~sample + all unit/plan)
+# CI/judging:  pytest tests/                        (unchanged — full tier)
+_FAST_SAMPLE = set(ORACLE_QUERIES[::6])
+_ORACLE_PARAMS = [
+    name
+    if name in _FAST_SAMPLE
+    else pytest.param(name, marks=pytest.mark.full_oracle)
+    for name in ORACLE_QUERIES
+]
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+
+@pytest.mark.parametrize("name", _ORACLE_PARAMS)
 def test_query_matches_oracle(spark, duck, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, SF)
