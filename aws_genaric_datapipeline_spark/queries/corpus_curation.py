@@ -3920,6 +3920,65 @@ def tokenizer_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "tokenizer_incremental_bytebpe",
+    oracle=_bpe_learn_oracle(_BYTEBPE_TRAIN_CTES).replace(
+        "SELECT CAST(1 AS INT) AS merge_rank,",
+        "SELECT CAST(2 AS BIGINT) AS state_versions,"
+        " CAST(1 AS INT) AS merge_rank,",
+    ).replace(
+        "SELECT CAST(2 AS INT) AS merge_rank,",
+        "SELECT CAST(2 AS BIGINT) AS state_versions,"
+        " CAST(2 AS INT) AS merge_rank,",
+    ).replace(
+        "SELECT CAST(3 AS INT) AS merge_rank,",
+        "SELECT CAST(2 AS BIGINT) AS state_versions,"
+        " CAST(3 AS INT) AS merge_rank,",
+    ),
+    tags=("north-star", "text", "tokenizer", "incremental"),
+)
+def tokenizer_incremental_bytebpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-level twin of tokenizer_incremental_refresh: the (word, freq)
+    histogram state is SYMBOL-AGNOSTIC (words, not symbols), so the same
+    TxnTable seed + vocab-sized fold re-derives the BYTE-level merge
+    table with zero corpus re-scan — the incremental path the byte
+    alphabet inherited for free.  The oracle replays full-corpus
+    byte-BPE training end to end; ``state_versions`` pins the
+    seed + refresh commits."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+    (documents,) = load(spark, sf_dir, "documents")
+    seed = documents.where(F.col("doc_id") % 2 == 0)
+    batch = documents.where(F.col("doc_id") % 2 != 0)
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_btok_state_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    state = TxnTable(spark, str(root))
+    state.overwrite(X.bpe_word_histogram(seed), app_txn_id="btok-seed")
+    refreshed = X.bpe_merge_histograms(
+        state.read(), X.bpe_word_histogram(batch)
+    )
+    state.overwrite(refreshed, app_txn_id="btok-refresh")
+    merges = X.bpe_learn_from_histogram(
+        state.read(), num_merges=_BPE_MERGES, byte_level=True
+    )
+    return merges.select(
+        F.lit(state.latest_version()).cast("bigint").alias("state_versions"),
+        "merge_rank",
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    )
+
+
 # ------------------------------------------------- learned re-rank (stage 3)
 _RERANK_QIDS = (1, 2, 3, 4, 5)
 _RERANK_TRAIN = (1, 3, 5)

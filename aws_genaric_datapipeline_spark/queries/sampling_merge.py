@@ -1048,6 +1048,153 @@ def txn_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_null_skipping",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(1 AS BIGINT) AS null_skip_effective,
+               CAST(1 AS BIGINT) AS not_null_skip_effective
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0
+    """,
+    tags=("acid", "pipeline", "skipping"),
+)
+def txn_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-count data skipping pinned in data (Delta's nullCount role,
+    pipeline/txn.py prune_files_nullness): seed a TxnTable with orders
+    carrying ``clerk_tag`` = o_clerk NULLed out for finished orders,
+    range-laid-out by status so null-ness clusters per file.  An
+    ``IS NULL`` read then opens only the all-null files and an
+    ``IS NOT NULL`` read only the zero-null files —
+    ``null_skip_effective`` / ``not_null_skip_effective`` pin that each
+    polarity opened STRICTLY fewer files than the snapshot holds, and
+    the row set is the IS NULL read the oracle replays relationally.
+
+    Scale: the skip costs zero extra IO (null counts harvest from the
+    parquet footers at commit); an IS NULL audit over a 100 TB table
+    with sparse nulls opens only the files that can match."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import TxnTable
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") != "F", F.col("o_orderpriority")
+        ).alias("clerk_tag"),
+    ).repartitionByRange(3, "o_orderstatus")
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_nulls_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    table.overwrite(base, app_txn_id="null-seed")
+    live = table.live_files()
+    nulls = table.prune_files_nullness("clerk_tag", is_null=True)
+    not_nulls = table.prune_files_nullness("clerk_tag", is_null=False)
+    return (
+        table.read_pruned_nullness("clerk_tag", is_null=True)
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(1 if len(nulls) < len(live) else 0)
+            .cast("bigint")
+            .alias("null_skip_effective"),
+            F.lit(1 if len(not_nulls) < len(live) else 0)
+            .cast("bigint")
+            .alias("not_null_skip_effective"),
+        )
+    )
+
+
+@query(
+    "txn_hidden_partition",
+    oracle="""
+        WITH b AS (
+            SELECT (date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE))
+                  + date_diff('day', DATE '1970-01-01', CAST(max(ts) AS DATE)))
+                 // 2 AS mid
+            FROM events
+        )
+        SELECT event_id, event_type,
+               CAST(1 AS BIGINT) AS pruning_effective
+        FROM events, b
+        WHERE ts >= CAST(DATE '1970-01-01' + mid * INTERVAL 1 DAY
+                         AS TIMESTAMP)
+          AND ts <  CAST(DATE '1970-01-01' + (mid + 2) * INTERVAL 1 DAY
+                         AS TIMESTAMP)
+          AND event_id % 3 = 0
+    """,
+    tags=("acid", "pipeline", "skipping"),
+)
+def txn_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning pinned in data (pipeline/txn.py
+    set_partition_transform / append_clustered / prune_files_hidden):
+    events land in a TxnTable clustered by the hidden ``days(ts)``
+    transform — a physical __p_* column reads never expose — and a
+    two-day raw ``ts`` range opens only the files whose day band can
+    match (``pruning_effective`` pins strictly-fewer-files-than-live in
+    data; the row set replays relationally).  The user never declares or
+    queries a partition column.
+
+    Scale: the transform column costs one int per row at write; every
+    time-range scan over a 100 TB event table opens O(days-touched)
+    files with no user-managed layout."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        append_clustered,
+        prune_files_hidden,
+        set_partition_transform,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_hidden_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    set_partition_transform(table, "days", "ts")
+    append_clustered(
+        table,
+        events.select("event_id", "ts", "event_type"),
+        num_files=8,
+        app_txn_id="hp-seed",
+    )
+    row = events.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    ).collect()[0]
+    epoch = dt.date(1970, 1, 1)
+    mid = ((row["mn"] - epoch).days + (row["mx"] - epoch).days) // 2
+    lo = dt.datetime.combine(epoch + dt.timedelta(days=mid), dt.time())
+    hi = lo + dt.timedelta(days=2)
+    chosen = prune_files_hidden(table, lo, hi)
+    live = table.live_files()
+    return (
+        table.read_files(chosen)
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .where(F.col("event_id") % 3 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.lit(1 if len(chosen) < len(live) else 0)
+            .cast("bigint")
+            .alias("pruning_effective"),
+        )
+    )
+
+
+@query(
     "txn_cluster_zorder",
     oracle="""
         WITH base AS (
