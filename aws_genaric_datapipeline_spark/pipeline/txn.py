@@ -51,6 +51,19 @@ class TxnConflict(RuntimeError):
     """A concurrent commit invalidated this transaction's snapshot."""
 
 
+def _stat_bound(stat_val, bound):
+    """Make a committed footer stat and a user/query literal comparable:
+    _footer_stats STRINGIFIES non-primitive scalars (dates, timestamps),
+    so a date/datetime literal must compare as its str() form — Python's
+    str() produced both sides, and ISO formatting is order-preserving
+    under lexicographic comparison.  Without this, every stats
+    comparison on a date/timestamp column raises TypeError ('<' between
+    str and datetime.date)."""
+    if isinstance(stat_val, str) and not isinstance(bound, str):
+        return str(bound)
+    return bound
+
+
 class ConstraintViolation(ValueError):
     """A write batch violated a table CHECK constraint — nothing committed."""
 
@@ -638,8 +651,10 @@ class TxnTable:
                 if s is None:
                     continue
                 mn, mx = s
-                if (lower is not None and mx < lower) or (
-                    upper is not None and mn > upper
+                lo = _stat_bound(mx, lower) if lower is not None else None
+                hi = _stat_bound(mn, upper) if upper is not None else None
+                if (lo is not None and mx < lo) or (
+                    hi is not None and mn > hi
                 ):
                     keep = False
                     break
@@ -719,7 +734,9 @@ class TxnTable:
         for f in files:
             pname = self._stats_physical_name(column, f, schemas, addv)
             s = stats.get(f, {}).get(pname) if pname else None
-            if s is None or any(s[0] <= w <= s[1] for w in vals):
+            if s is None or any(
+                s[0] <= _stat_bound(s[0], w) <= s[1] for w in vals
+            ):
                 chosen.append(f)
         return chosen
 
@@ -744,12 +761,30 @@ class TxnTable:
         schemas = self._schema_commits(target, commits=commits)
         addv = self._file_add_versions(commits) if schemas else {}
         stats = self.file_stats(commits)
+        # Nullness needs STRICTER name resolution than range pruning: for
+        # a range predicate a stale same-name stat is sound (the old
+        # column's values surface as NULL, and NULL never matches a
+        # range), but for IS NULL that same stale nulls=0 would wrongly
+        # skip a file whose rows ALL surface as NULL.  On an evolved
+        # table, trust a null count only for a column REGISTERED in the
+        # current schema (field-id-resolved per era); unregistered
+        # additive columns read conservatively.
+        if schemas:
+            current = schemas[-1]["fields"]
+            fid = next(
+                (f["id"] for f in current if f["name"] == column), None
+            )
         chosen = []
         for f in files:
             st = stats.get(f, {})
             if st.get("__rows__") == 0:
                 continue  # provably empty: nothing to match either way
-            pname = self._stats_physical_name(column, f, schemas, addv)
+            if not schemas:
+                pname = column
+            elif fid is None:
+                pname = None
+            else:
+                pname = self._physical_name(fid, addv.get(f, 0), schemas)
             nc = (st.get("__nulls__") or {}).get(pname) if pname else None
             rows = st.get("__rows__")
             if nc is None:
@@ -811,22 +846,44 @@ class TxnTable:
         """name -> CHECK predicate SQL in force at ``version`` (Delta's
         table constraints): folded from set/drop commits; checkpoint
         commits carry the live set forward."""
+        return self._constraints_fold(version, commits)[0]
+
+    def constraint_set_versions(
+        self, version: int | None = None, commits: list[dict] | None = None
+    ) -> dict[str, int]:
+        """name -> the version at which each LIVE constraint's current
+        predicate was set (checkpoint-carried constraints stamp at the
+        checkpoint version — conservative, since every retained version
+        is >= it).  restore_version uses this to validate restored
+        content only against constraints NEWER than the restore point."""
+        return self._constraints_fold(version, commits)[1]
+
+    def _constraints_fold(
+        self, version: int | None, commits: list[dict] | None
+    ) -> tuple[dict[str, str], dict[str, int]]:
+        """THE commit-log constraint replay — the single fold both
+        constraints() and constraint_set_versions() read, so a change to
+        the constraint commit shape can never diverge the two."""
         v = self.latest_version() if version is None else version
         commits = self._commits() if commits is None else commits
         out: dict[str, str] = {}
+        set_at: dict[str, int] = {}
         for c in commits:
             if c["version"] > v:
                 break
             if c.get("base"):
                 out = dict(c.get("constraints") or {})
+                set_at = {n: c["version"] for n in out}
                 continue
             ck = c.get("constraint")
             if ck:
                 if ck.get("sql") is None:
                     out.pop(ck["name"], None)
+                    set_at.pop(ck["name"], None)
                 else:
                     out[ck["name"]] = ck["sql"]
-        return out
+                    set_at[ck["name"]] = c["version"]
+        return out, set_at
 
     @staticmethod
     def _satisfies(predicate_sql: str):
@@ -1564,19 +1621,9 @@ def restore_version(
         )
     target_files = table.live_files(version, commits=commits)
     # constraints set after the restore point: the only ones the restored
-    # snapshot has never been validated against
-    set_at: dict[str, int] = {}
-    for c in commits:
-        if c.get("base"):
-            set_at = {n: c["version"] for n in (c.get("constraints") or {})}
-            continue
-        ck = c.get("constraint")
-        if ck:
-            if ck.get("sql") is None:
-                set_at.pop(ck["name"], None)
-            else:
-                set_at[ck["name"]] = c["version"]
-    live = table.constraints(base_version, commits=commits)
+    # snapshot has never been validated against (shared fold — see
+    # _constraints_fold)
+    live, set_at = table._constraints_fold(base_version, commits)
     to_check = {
         n: sql for n, sql in live.items() if set_at.get(n, 0) > version
     }
@@ -1884,7 +1931,9 @@ def merge_upsert_pruned(
             # (rename/drop transparent — the read_pruned resolution rule)
             pname = table._stats_physical_name(key, f, schemas, addv)
             s = st.get(pname) if pname else None
-            if s is None or not (s[1] < lo or s[0] > hi):
+            if s is None or not (
+                s[1] < _stat_bound(s[1], lo) or s[0] > _stat_bound(s[0], hi)
+            ):
                 touched.append(f)
             else:
                 carried.append(f)
@@ -1991,7 +2040,10 @@ def merge_full_sync(
         pname = table._stats_physical_name(key, f, schemas, addv)
         s = st.get(pname) if pname else None
         if lo is not None and (
-            s is None or not (s[1] < lo or s[0] > hi)
+            s is None
+            or not (
+                s[1] < _stat_bound(s[1], lo) or s[0] > _stat_bound(s[0], hi)
+            )
         ):
             touched.append(f)
         else:
@@ -2138,9 +2190,9 @@ def partition_transform(
     for c in commits:
         if c["version"] > v:
             break
+        # checkpoint commits carry the spec under the same key, so one
+        # branch covers both declaration and expiry carryover
         if c.get("partition_transform"):
-            out = c["partition_transform"]
-        elif c.get("base") and "partition_transform" in c:
             out = c["partition_transform"]
     return out
 
@@ -2175,10 +2227,15 @@ def append_clustered(
 def _transform_literals(table: TxnTable, spec: dict, values: list):
     """Evaluate the transform on literal raw values ENGINE-SIDE (one
     1-row job) so pruning bounds are bit-identical to what the writer
-    computed — never a Python reimplementation of xxhash64/datediff."""
+    computed — never a Python reimplementation of xxhash64/datediff.
+    The literal is CAST to the table column's actual type first:
+    xxhash64 is type-sensitive (hash(42 AS int) != hash(42 AS bigint)),
+    so hashing the Python-inferred type would compute a different bucket
+    than append_clustered wrote and silently prune matching files."""
+    col_type = dict(table.read().dtypes)[spec["col"]]
     df = table.spark.createDataFrame([(v,) for v in values], ["v"])
     rows = df.select(
-        _transform_column(spec, F.col("v")).alias("t")
+        _transform_column(spec, F.col("v").cast(col_type)).alias("t")
     ).collect()
     return [r["t"] for r in rows]
 
@@ -2200,6 +2257,9 @@ def prune_files_hidden(
     spec = partition_transform(table, version, commits)
     if spec is None:
         raise ValueError("table has no partition transform declared")
+    commits = table._commits() if commits is None else commits
+    if not table.live_files(version, commits=commits):
+        return []
     hidden = _hidden_name(spec)
     preds: list[tuple] = [(spec["col"], lower, upper)]
     if spec["kind"] == "bucket":

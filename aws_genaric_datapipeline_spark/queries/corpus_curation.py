@@ -385,13 +385,16 @@ _BPE_ORACLE = _bpe_learn_oracle(_BPE_TRAIN_CTES)
 # each word into its UTF-8 BYTES spelled as two-hex-digit symbols —
 # hex(encode(word)) sliced into pairs, the same spelling
 # operators/text.py byte_syms produces, so the merge walk and arg-max
-# replay verbatim over the byte alphabet.
-_BYTEBPE_TRAIN_CTES = (
-    f"""
+# replay verbatim over the byte alphabet.  ``train_where`` restricts the
+# TRAINING histogram (held-out splits train on a slice); the encode-side
+# toks CTE in _bpe_apply_oracle always covers the whole corpus.
+def _bytebpe_train_ctes(train_where: str = "") -> str:
+    return (
+        f"""
     WITH RECURSIVE wt AS (
         SELECT tok AS word, count(*) AS freq
         FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
-        WHERE length(trim(text)) > 0
+        WHERE length(trim(text)) > 0{train_where}
         GROUP BY tok
     ),
     syms0 AS (
@@ -402,15 +405,75 @@ _BYTEBPE_TRAIN_CTES = (
         FROM wt
     ),
     """
-    + ",\n".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))
+        + ",\n".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))
+    )
+
+
+_BYTEBPE_TRAIN_CTES = _bytebpe_train_ctes()
+
+
+def _bytebpe_apply_walk_sql(r: int) -> str:
+    """One slice-trained merge applied to the FULL corpus's word types —
+    the held-out encode walk: same recursive index walk as
+    _bpe_round_sql but over ``asyms{{r-1}}`` (all word types, no freq),
+    consuming the slice-trained winner ``top{{r}}``."""
+    prev = f"asyms{r - 1}"
+    top = f"top{r}"
+    return f"""
+        awalk{r} AS (
+            SELECT word, syms, 1 AS i, []::VARCHAR[] AS acc FROM {prev}
+            UNION ALL
+            SELECT word, syms,
+                   CASE WHEN i < len(syms)
+                             AND syms[i] = (SELECT a FROM {top})
+                             AND syms[i + 1] = (SELECT b FROM {top})
+                        THEN i + 2 ELSE i + 1 END,
+                   CASE WHEN i < len(syms)
+                             AND syms[i] = (SELECT a FROM {top})
+                             AND syms[i + 1] = (SELECT b FROM {top})
+                        THEN list_append(acc, syms[i] || syms[i + 1])
+                        ELSE list_append(acc, syms[i]) END
+            FROM awalk{r} WHERE i <= len(syms)
+        ),
+        asyms{r} AS MATERIALIZED (
+            SELECT word, acc AS syms FROM awalk{r}
+            WHERE i = len(syms) + 1
+        )"""
+
+
+_BYTEBPE_HELDOUT_CTES = (
+    _bytebpe_train_ctes(" AND doc_id % 2 = 0")
+    + f""",
+    awt AS (
+        SELECT DISTINCT tok AS word
+        FROM documents, UNNEST({_DUCK_TOKS}) AS t(tok)
+        WHERE length(trim(text)) > 0
+    ),
+    asyms0 AS (
+        SELECT word,
+               list_transform(
+                   range(1, length(hex(encode(word))) // 2 + 1),
+                   i -> hex(encode(word))[2 * i - 1 : 2 * i]) AS syms
+        FROM awt
+    ),
+    """
+    + ",\n".join(
+        _bytebpe_apply_walk_sql(r) for r in range(1, _BPE_MERGES + 1)
+    )
 )
 
 
-def _bpe_apply_oracle(train_ctes: str, base_sym_len: int) -> str:
+def _bpe_apply_oracle(
+    train_ctes: str, base_sym_len: int, seg_src: str | None = None
+) -> str:
     """Train→encode replay: per-word-type final segmentation joined back
     to token positions, per-doc coverage aggregation.  ``base_sym_len``
     is the unmerged symbol spelling length (1 char-level, 2 hex-pair
-    byte-level) — the merged-subword filter's threshold."""
+    byte-level) — the merged-subword filter's threshold.  ``seg_src``
+    overrides the segmentation CTE (held-out splits segment ALL word
+    types through slice-trained merges — asyms{{k}} — instead of the
+    training types' syms{{k}})."""
+    seg_src = seg_src or f"syms{_BPE_MERGES}"
     return (
         train_ctes
         + f""",
@@ -421,7 +484,7 @@ def _bpe_apply_oracle(train_ctes: str, base_sym_len: int) -> str:
     ),
     seg AS (
         SELECT t.doc_id, t.pos, s.syms
-        FROM toks t JOIN syms{_BPE_MERGES} s ON t.word = s.word
+        FROM toks t JOIN {seg_src} s ON t.word = s.word
     ),
     agg AS (
         SELECT doc_id,
@@ -3918,6 +3981,34 @@ def tokenizer_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         "right_sym",
         "pair_count",
     )
+
+
+@query(
+    "tokenizer_bytebpe_heldout",
+    oracle=_bpe_apply_oracle(
+        _BYTEBPE_HELDOUT_CTES, 2, seg_src=f"asyms{_BPE_MERGES}"
+    ),
+    tags=("north-star", "text", "tokenizer"),
+)
+def tokenizer_bytebpe_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out byte-BPE split (completes the heldout family alongside
+    WordPiece and unigram — and is where byte-level earns its keep): the
+    merge table trains on the EVEN-doc-id slice only, then encodes the
+    WHOLE corpus.  Held-out word types the slice never saw still encode
+    exactly — worst case all byte symbols, never ``<unk>`` (WordPiece's
+    held-out collapse) — so the stream hashes pin both the slice-trained
+    merges and the byte fallback.  The oracle retrains on the slice and
+    applies the winners to ALL word types via a second recursive walk
+    chain."""
+    (documents,) = load(spark, sf_dir, "documents")
+    train = documents.where(F.col("doc_id") % 2 == 0)
+    trained = (
+        X.bpe_learn(train, num_merges=_BPE_MERGES, byte_level=True)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in trained]
+    return X.bpe_apply(documents, merges, byte_level=True)
 
 
 @query(

@@ -1085,14 +1085,27 @@ def txn_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("o_orderstatus") != "F", F.col("o_orderpriority")
         ).alias("clerk_tag"),
-    ).repartitionByRange(3, "o_orderstatus")
+    )
     root = (
         Path(tempfile.gettempdir())
         / f"aws_gdp_txn_nulls_{spark.sparkContext.applicationId}"
     )
     shutil.rmtree(root, ignore_errors=True)
     table = TxnTable(spark, str(root))
-    table.overwrite(base, app_txn_id="null-seed")
+    # one file per status — DETERMINISTIC null clustering (a
+    # repartitionByRange on a 3-value key has sampling-dependent
+    # boundaries and can co-locate two statuses in one file, flipping
+    # the skip pins); the 'F' file is all-null on clerk_tag, the rest
+    # zero-null
+    table.overwrite(
+        base.where(F.col("o_orderstatus") == "F").coalesce(1),
+        app_txn_id="null-seed",
+    )
+    for st in ("O", "P"):
+        table.append(
+            base.where(F.col("o_orderstatus") == st).coalesce(1),
+            app_txn_id=f"null-seed-{st}",
+        )
     live = table.live_files()
     nulls = table.prune_files_nullness("clerk_tag", is_null=True)
     not_nulls = table.prune_files_nullness("clerk_tag", is_null=False)

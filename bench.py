@@ -348,6 +348,14 @@ HEADLINE = [
     "search_rerank_linear",
     "tokenizer_incremental_wordpiece",
     "txn_restore_undo",
+    # round-14 additions
+    "tokenizer_bytebpe_learn",
+    "tokenizer_bytebpe_apply",
+    "tokenizer_incremental_bytebpe",
+    "txn_merge_full_sync",
+    "txn_null_skipping",
+    "txn_hidden_partition",
+    "tokenizer_bytebpe_heldout",
 ]
 
 

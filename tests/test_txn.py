@@ -2052,3 +2052,112 @@ class TestHiddenPartitionTransforms:
             set_partition_transform(table, "hours", "ts")
         with pytest.raises(ValueError, match="n >= 1"):
             set_partition_transform(table, "bucket", "k")
+
+
+class TestRound14ReviewFixes:
+    """Regression pins for the round-14 self-review findings: typed
+    transform literals, date-typed stats comparisons, and nullness
+    resolution on evolved tables."""
+
+    def test_bucket_pruning_casts_literal_to_column_type(self, spark, table):
+        """xxhash64 is TYPE-sensitive: hashing a Python-inferred bigint
+        literal against an int column computed a different bucket than
+        append_clustered wrote and silently pruned the matching file."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            read_pruned_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "bucket", "k", n=8)
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "k int, v string"
+        )
+        append_clustered(table, df, num_files=8)
+        got = {tuple(r) for r in read_pruned_hidden(table, 42, 42).collect()}
+        assert got == {(42, "v42")}
+
+    def test_days_pruning_on_date_column_with_footer_stats(
+        self, spark, table
+    ):
+        """Footer stats stringify date scalars; the conjoined raw
+        predicate used to compare str vs datetime.date and raise
+        TypeError on every hidden-partition read of a date column."""
+        import datetime as dt
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            prune_files_hidden,
+            read_pruned_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "days", "d")
+        rows = [
+            (i, dt.date(2024, 3, 1) + dt.timedelta(days=i % 8))
+            for i in range(64)
+        ]
+        append_clustered(
+            table,
+            spark.createDataFrame(rows, "k bigint, d date"),
+            num_files=4,
+        )
+        lo, hi = dt.date(2024, 3, 3), dt.date(2024, 3, 4)
+        chosen = prune_files_hidden(table, lo, hi)
+        assert 0 < len(chosen) < len(table.live_files())
+        got = {r["k"] for r in read_pruned_hidden(table, lo, hi).collect()}
+        want = {i for i in range(64) if i % 8 in (2, 3)}
+        assert got == want
+
+    def test_full_sync_and_pruned_merge_on_date_key(self, spark, table):
+        """The key-envelope stats comparison used to raise TypeError for
+        date keys (str stats vs datetime bounds) — after staging files,
+        so the failed sync also leaked orphans."""
+        import datetime as dt
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            merge_full_sync,
+            merge_upsert_pruned,
+        )
+
+        rows = [
+            (dt.date(2024, 1, 1) + dt.timedelta(days=i), f"v{i}")
+            for i in range(12)
+        ]
+        table.overwrite(
+            spark.createDataFrame(rows, "d date, v string")
+            .repartitionByRange(3, "d")
+        )
+        src = spark.createDataFrame(
+            [(dt.date(2024, 1, 2), "NEW")], "d date, v string"
+        )
+        out = merge_upsert_pruned(table, src, key="d")
+        assert out["n_carried"] >= 1  # envelope pruning actually pruned
+        got = {(str(r["d"]), r["v"]) for r in table.read().collect()}
+        assert ("2024-01-02", "NEW") in got and len(got) == 12
+        merge_full_sync(table, src, "d", delete_condition="v = 'v7'")
+        got = {(str(r["d"]), r["v"]) for r in table.read().collect()}
+        assert ("2024-01-08", "v7") not in got and ("2024-01-02", "NEW") in got
+
+    def test_nullness_conservative_after_drop_and_readd(self, spark, table):
+        """A column re-added under a previously dropped name must NOT
+        inherit the old column's nulls=0 stats: file A's rows surface as
+        NULL on the logical read, so an IS NULL read that trusted the
+        stale count silently lost them."""
+        table.append(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, c string")
+            .coalesce(1)
+        )
+        table.drop_column("c")
+        table.append(
+            spark.createDataFrame([(3, "x")], "k bigint, c string")
+            .coalesce(1)
+        )
+        logical = {
+            r["k"] for r in table.read().where("c IS NULL").collect()
+        }
+        pruned = {
+            r["k"]
+            for r in table.read_pruned_nullness("c", is_null=True).collect()
+        }
+        assert pruned == logical == {1, 2}
