@@ -36,6 +36,8 @@ conflict check on loss) is the portable part.
 
 from __future__ import annotations
 
+import datetime
+import hashlib
 import json
 import os
 import shutil
@@ -114,6 +116,77 @@ def _footer_stats(path: Path) -> dict:
     }
     if known_nulls:
         out["__nulls__"] = known_nulls
+    return out
+
+
+def _bloom_key(v) -> str | None:
+    """Normalize a value for bloom hashing, or None if the type has no
+    stable cross-engine spelling.  str() is the shared spelling on BOTH
+    sides (pyarrow ``to_pylist`` objects at write, user literals at
+    probe), so int32-vs-int64 or probe-literal-type mismatches can never
+    split the hash the way a raw-bytes hash would (the xxhash64
+    type-sensitivity class `_transform_literals` had to fix).  Floats,
+    decimals and timestamps are UNSUPPORTED by design: float point
+    lookups are ill-posed, and timestamp str() spellings differ between
+    tz-aware and naive objects — a mismatch there would silently skip a
+    matching file, so those types contribute no bloom (reads stay
+    conservative) rather than a wrong one."""
+    if isinstance(v, (bool, int, str)):
+        return str(v)
+    if type(v) is datetime.date:
+        return str(v)
+    return None
+
+
+def _bloom_positions(key: str, m: int, k: int) -> list[int]:
+    """k bit positions for ``key`` via md5 double hashing (h1 + i*h2) —
+    deterministic across processes and runs (never Python's seeded
+    hash())."""
+    d = hashlib.md5(key.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_maybe(bl: dict, value) -> bool:
+    """Membership test against a committed per-file bloom: True =
+    cannot rule the value out (unsupported probe types always True —
+    pruning is an optimization, never a correctness gate)."""
+    key = _bloom_key(value)
+    if key is None:
+        return True
+    bits = set(bl["bits"])
+    return all(p in bits for p in _bloom_positions(key, bl["m"], bl["k"]))
+
+
+def _file_bloom(path: Path, spec: dict[str, dict]) -> dict[str, dict]:
+    """Per-column sparse bloom bitsets for a just-written parquet file
+    (declared columns only): the write-side half of point-lookup file
+    skipping.  Metadata size is bounded by ``m`` bit positions per
+    column per file regardless of row count — the Delta bloom-index
+    role, kept in the commit log so probe planning never opens data
+    files.  A column whose type has no stable spelling (see _bloom_key)
+    is omitted — readers treat a missing bloom as 'cannot prune'."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    present = [c for c in spec if c in pf.schema_arrow.names]
+    if not present:
+        return {}
+    tbl = pf.read(columns=present)
+    out: dict[str, dict] = {}
+    for c in present:
+        mk = spec[c]
+        vals = set(tbl.column(c).to_pylist()) - {None}
+        if not vals:
+            continue
+        keys = [_bloom_key(v) for v in vals]
+        if any(key is None for key in keys):
+            continue  # unsupported column type: no bloom, never a wrong one
+        bits: set[int] = set()
+        for key in keys:
+            bits.update(_bloom_positions(key, mk["m"], mk["k"]))
+        out[c] = {"m": mk["m"], "k": mk["k"], "bits": sorted(bits)}
     return out
 
 
@@ -722,7 +795,18 @@ class TxnTable:
         of prune_files, used by the txn-backed index probes (IVF cell
         probes, BM25 term-bucket probes) where the predicate is an
         IN-set, not a range.  Files without stats are kept (pruning is
-        never a correctness gate)."""
+        never a correctness gate).
+
+        When the table declared a bloom filter on ``column``
+        (set_bloom_filter), each file's committed sparse bitset is
+        probed AFTER the [min, max] check: a value inside the range but
+        provably absent from the bitset still skips the file — the case
+        range stats can never prune on a hash-scattered key, where every
+        file's [min, max] spans the whole domain (Delta's bloom-index
+        role).  The stale-same-name soundness argument carries from
+        range stats: a dropped-and-re-added column resolves to a
+        different field id, so pname misses the old era's bloom and the
+        file is kept."""
         commits = self._commits() if commits is None else commits
         files = self.live_files(version, commits=commits)
         target = version if version is not None else self.latest_version()
@@ -732,11 +816,21 @@ class TxnTable:
         vals = list(values)
         chosen = []
         for f in files:
+            st = stats.get(f, {})
             pname = self._stats_physical_name(column, f, schemas, addv)
-            s = stats.get(f, {}).get(pname) if pname else None
-            if s is None or any(
-                s[0] <= _stat_bound(s[0], w) <= s[1] for w in vals
-            ):
+            s = st.get(pname) if pname else None
+            bl = (st.get("__bloom__") or {}).get(pname) if pname else None
+            if s is None and bl is None:
+                chosen.append(f)
+                continue
+
+            def _may_match(w):
+                in_range = s is None or (
+                    s[0] <= _stat_bound(s[0], w) <= s[1]
+                )
+                return in_range and (bl is None or _bloom_maybe(bl, w))
+
+            if any(_may_match(w) for w in vals):
                 chosen.append(f)
         return chosen
 
@@ -998,12 +1092,20 @@ class TxnTable:
         df.write.mode("overwrite").parquet(str(tmp))
         names = []
         stats: dict[str, dict] = {}
+        # declared point-lookup bloom columns (a concurrent declaration
+        # landing after this read just leaves these files bloom-less —
+        # conservative, never wrong)
+        bspec = bloom_spec(self)
         for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
             name = f"{token}-{i:05d}.parquet"
             dest = self.path / self.DATA_DIR / name
             os.rename(part, dest)
             names.append(name)
             stats[name] = _footer_stats(dest)
+            if bspec:
+                bl = _file_bloom(dest, bspec)
+                if bl:
+                    stats[name]["__bloom__"] = bl
         shutil.rmtree(tmp)
         self._pending_stats = getattr(self, "_pending_stats", {})
         self._pending_stats.update(stats)
@@ -1728,6 +1830,8 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
     dvs = table.dv_map(cutoff, commits)
     cons = table.constraints(cutoff, commits)
     ptf = partition_transform(table, cutoff, commits)
+    ptf_hist = partition_transform_history(table, cutoff, commits)
+    blooms = bloom_spec(table, cutoff, commits)
     payload = json.dumps(
         {
             "version": cutoff,
@@ -1760,6 +1864,12 @@ def expire_snapshots(table: TxnTable, keep_last: int) -> list[int]:
             ),
             **(
                 {"partition_transform": ptf} if ptf else {}
+            ),
+            **(
+                {"partition_transform_history": ptf_hist} if ptf_hist else {}
+            ),
+            **(
+                {"bloom_filters": blooms} if blooms else {}
             ),
         },
         indent=1,
@@ -2149,6 +2259,94 @@ def _hidden_name(spec: dict) -> str:
     return f"__p_{spec['kind']}_{spec['col']}"
 
 
+def set_bloom_filter(
+    table: TxnTable, column: str, num_bits: int = 4096, k: int = 5
+) -> int:
+    """Declare a point-lookup bloom filter on ``column`` as a
+    metadata-only commit (Delta's `delta.bloomFilter` table property
+    role): every file written AFTER the declaration commits a sparse
+    per-file bitset alongside its min/max stats, and
+    prune_files_values() skips files the bitset proves cannot contain a
+    probed value — the lookup shape range stats never prune on a
+    hash-scattered key.  Earlier files carry no bloom and read
+    conservatively.  Defaults (m=4096, k=5) hold ~1% false positives to
+    ~570 distinct values per file and cost at most m positions of
+    commit-log metadata per file."""
+    if num_bits < 8 or k < 1:
+        raise ValueError("bloom filter requires num_bits >= 8 and k >= 1")
+    decl = {"col": column, "m": int(num_bits), "k": int(k)}
+    v = table.latest_version() + 1
+    if not table._try_commit(
+        v, "set_bloom_filter", [], [], None, extra={"bloom_filter": decl}
+    ):
+        raise TxnConflict("set_bloom_filter lost a version race")
+    return v
+
+
+def bloom_spec(
+    table: TxnTable,
+    version: int | None = None,
+    commits: list[dict] | None = None,
+) -> dict[str, dict]:
+    """column -> {m, k} bloom declarations in force at ``version``
+    (latest per column wins; expiry checkpoints carry the folded map
+    forward under ``bloom_filters``)."""
+    v = table.latest_version() if version is None else version
+    commits = table._commits() if commits is None else commits
+    out: dict[str, dict] = {}
+    for c in commits:
+        if c["version"] > v:
+            break
+        if c.get("base") and "bloom_filters" in c:
+            out = dict(c["bloom_filters"])
+        decl = c.get("bloom_filter")
+        if decl:
+            out[decl["col"]] = {"m": decl["m"], "k": decl["k"]}
+    return out
+
+
+def metadata_count(table: TxnTable, version: int | None = None) -> int:
+    """COUNT(*) of the snapshot WITHOUT scanning data files: committed
+    per-file ``__rows__`` stats sum to the physical total, and live
+    deletion vectors subtract their positions (read from the DV files
+    only — O(deleted rows), the same cost class as Delta's stored DV
+    cardinality; a table with no DVs answers purely from the commit
+    log).  Files predating row-count stats (none written by this engine,
+    but a conservative reader assumes nothing) fall back to a real count
+    of just those files.  This is the aggregate-pushdown shape that
+    answers `SELECT count(*)` on a 100 TB table in milliseconds."""
+    commits = table._commits()
+    v = table.latest_version() if version is None else version
+    files = table.live_files(v, commits=commits)
+    stats = table.file_stats(commits)
+    total = 0
+    unknown: list[str] = []
+    for f in files:
+        r = stats.get(f, {}).get("__rows__")
+        if r is None:
+            unknown.append(f)
+        else:
+            total += int(r)
+    dvs = {
+        f: d for f, d in table.dv_map(v, commits).items() if f in set(files)
+    }
+    if unknown:
+        # read_files applies DVs itself — exclude those files from the
+        # DV subtraction below or their deletes would count twice
+        total += table.read_files(unknown, version=v).count()
+        dvs = {f: d for f, d in dvs.items() if f not in set(unknown)}
+    if dvs:
+        counted = set(dvs)
+        total -= (
+            table._dv_rows(sorted(set(dvs.values())))
+            .where(F.col("file").isin(sorted(counted)))
+            .select("file", "pos")
+            .distinct()
+            .count()
+        )
+    return total
+
+
 def set_partition_transform(
     table: TxnTable, kind: str, col: str, n: int | None = None
 ) -> int:
@@ -2194,6 +2392,41 @@ def partition_transform(
         # branch covers both declaration and expiry carryover
         if c.get("partition_transform"):
             out = c["partition_transform"]
+    return out
+
+
+def partition_transform_history(
+    table: TxnTable,
+    version: int | None = None,
+    commits: list[dict] | None = None,
+) -> list[dict]:
+    """EVERY transform spec declared at or below ``version``, deduped by
+    hidden column name — the partition-EVOLUTION fold (Iceberg's spec
+    history).  Pruning conjoins one hidden predicate per spec here:
+    each spec's stats key encodes (kind, n, col), so a predicate only
+    ever bites files actually written under that exact transform, and
+    files from every era keep pruning after the spec changes.  Expiry
+    checkpoints carry the folded list (``partition_transform_history``);
+    a pre-history checkpoint degrades to its single carried spec — old
+    eras' files just read conservatively, never wrongly."""
+    v = table.latest_version() if version is None else version
+    commits = table._commits() if commits is None else commits
+    specs: list[dict] = []
+    for c in commits:
+        if c["version"] > v:
+            break
+        if c.get("base") and c.get("partition_transform_history"):
+            specs = list(c["partition_transform_history"])
+            continue
+        if c.get("partition_transform"):
+            specs.append(c["partition_transform"])
+    seen: set[str] = set()
+    out: list[dict] = []
+    for s in specs:
+        name = _hidden_name(s)
+        if name not in seen:
+            seen.add(name)
+            out.append(s)
     return out
 
 
@@ -2253,32 +2486,46 @@ def prune_files_hidden(
     raw-column stats); ``bucket`` requires equality (lower == upper) and
     prunes to files whose __p_* band covers the value's bucket — the
     case raw min/max can never prune, since every bucket file spans the
-    full raw range."""
+    full raw range.
+
+    PARTITION EVOLUTION: the conjunction carries one hidden predicate
+    per spec EVER declared on the query column (partition_transform_
+    history), not just the current one.  Each hidden stats key encodes
+    (kind, n, col), so a spec's predicate only bites files written under
+    that exact transform — after days(ts) evolves to bucket(n, ts), an
+    equality probe prunes the old era through the day band AND the new
+    era through the bucket, with zero per-file attribution bookkeeping
+    (wrong-era stats simply don't exist under the probed name, and a
+    missing stat always reads conservatively)."""
     spec = partition_transform(table, version, commits)
     if spec is None:
         raise ValueError("table has no partition transform declared")
     commits = table._commits() if commits is None else commits
     if not table.live_files(version, commits=commits):
         return []
-    hidden = _hidden_name(spec)
-    preds: list[tuple] = [(spec["col"], lower, upper)]
-    if spec["kind"] == "bucket":
-        if lower is None or lower != upper:
-            raise ValueError(
-                "bucket transform pruning requires an equality predicate "
-                "(lower == upper)"
-            )
-        (b,) = _transform_literals(table, spec, [lower])
-        # raw min/max on a hash-bucketed column cannot prune — drop the
-        # raw predicate from the stats conjunction, keep only the bucket
-        preds = [(hidden, b, b)]
-    else:
-        bounds = _transform_literals(
-            table, spec, [v for v in (lower, upper) if v is not None]
+    is_eq = lower is not None and lower == upper
+    usable = [
+        e
+        for e in partition_transform_history(table, version, commits)
+        if e["col"] == spec["col"] and (e["kind"] == "days" or is_eq)
+    ]
+    if spec["kind"] == "bucket" and not is_eq and not usable:
+        raise ValueError(
+            "bucket transform pruning requires an equality predicate "
+            "(lower == upper)"
         )
-        tlo = bounds[0] if lower is not None else None
-        thi = bounds[-1] if upper is not None else None
-        preds.append((hidden, tlo, thi))
+    preds: list[tuple] = [(spec["col"], lower, upper)]
+    for e in usable:
+        if e["kind"] == "bucket":
+            (b,) = _transform_literals(table, e, [lower])
+            preds.append((_hidden_name(e), b, b))
+        else:
+            bounds = _transform_literals(
+                table, e, [v for v in (lower, upper) if v is not None]
+            )
+            tlo = bounds[0] if lower is not None else None
+            thi = bounds[-1] if upper is not None else None
+            preds.append((_hidden_name(e), tlo, thi))
     return table.prune_files(preds, version, commits=commits)
 
 
@@ -2298,7 +2545,10 @@ def read_pruned_hidden(
     chosen = prune_files_hidden(table, lower, upper, version, commits)
     df = table.read_files(chosen, version=version)
     col = F.col(spec["col"])
-    if spec["kind"] == "bucket":
+    # the exact filter follows the PREDICATE shape, not the current
+    # spec's kind — after evolution a range probe is legal on a
+    # bucket-current table (old days-era files still prune)
+    if lower is not None and lower == upper:
         return df.where(col == F.lit(lower))
     if lower is not None:
         df = df.where(col >= F.lit(lower))

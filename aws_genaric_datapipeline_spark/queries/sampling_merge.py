@@ -1369,3 +1369,208 @@ def txn_restore_undo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_price_cents",
         F.lit(n_files_after == n_files_before).alias("metadata_only"),
     )
+
+
+@query(
+    "txn_bloom_pointlookup",
+    oracle="""
+        WITH t AS (SELECT * FROM orders WHERE o_orderkey % 50 = 0)
+        SELECT o_orderkey, o_totalprice,
+               CAST(1 AS BIGINT) AS bloom_effective,
+               CAST(1 AS BIGINT) AS absent_pruned
+        FROM t
+        WHERE o_orderkey = (SELECT min(o_orderkey) FROM t)
+           OR o_orderkey = (SELECT max(o_orderkey) FROM t)
+    """,
+    tags=("acid", "pipeline", "skipping"),
+)
+def txn_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom-filter point lookup pinned in data (pipeline/txn.py
+    set_bloom_filter + prune_files_values — Delta's bloom-index role):
+    every-50th order lands HASH-scattered across 8 files, so each file's
+    committed [min, max] spans ~the whole key domain and range stats can
+    never skip anything; the declared bloom's committed sparse bitsets
+    prune a two-key probe to the files that can actually hold them
+    (``bloom_effective`` pins strictly-fewer-than-live in data) and
+    prove a key ABSENT from the data (present in every file's range)
+    matches zero files (``absent_pruned``).  The returned rows are the
+    point lookup the oracle replays relationally.
+
+    Scale: a needle-in-100-TB key probe on a non-clustered column opens
+    O(1) files instead of every file whose range covers the key; the
+    bitset costs at most ``m`` positions of commit metadata per file and
+    is probed entirely at plan time."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        set_bloom_filter,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    sub = orders.where(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_bloom_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    set_bloom_filter(table, "o_orderkey", num_bits=4096, k=5)
+    table.append(sub.repartition(8, "o_orderkey"), app_txn_id="bloom-seed")
+    row = sub.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    kmin, kmax = row["mn"], row["mx"]
+    live = table.live_files()
+    chosen = table.prune_files_values("o_orderkey", [kmin, kmax])
+    # inside [kmin, kmax] (range stats keep every file) but never written
+    absent = table.prune_files_values("o_orderkey", [kmin + 25])
+    return (
+        table.read_files(chosen)
+        .where(F.col("o_orderkey").isin(kmin, kmax))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(1 if len(chosen) < len(live) else 0)
+            .cast("long")
+            .alias("bloom_effective"),
+            F.lit(1 if absent == [] else 0)
+            .cast("long")
+            .alias("absent_pruned"),
+        )
+    )
+
+
+@query(
+    "txn_metadata_count",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS dv_live
+        FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    tags=("acid", "pipeline"),
+)
+def txn_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (pipeline/txn.py metadata_count — the
+    aggregate-pushdown shape Delta answers from the transaction log):
+    orders land in a TxnTable, finished orders are deleted as a
+    DELETION VECTOR (zero file rewrites), and the count is answered
+    from committed per-file ``__rows__`` stats minus the DV positions —
+    no data file is opened.  ``dv_live`` pins that a vector was actually
+    live (the count had to subtract, not just sum), and the oracle
+    recomputes the surviving-row count relationally.
+
+    Scale: `SELECT count(*)` on a 100 TB table costs a commit-log fold
+    plus the tiny DV files — milliseconds, not a cluster scan."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        metadata_count,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_mcount_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    table.overwrite(
+        orders.select("o_orderkey", "o_orderstatus").repartition(4),
+        app_txn_id="mc-seed",
+    )
+    table.delete_keys_dv(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        ["o_orderkey"],
+        app_txn_id="mc-dv",
+    )
+    n = metadata_count(table)
+    dv_live = 1 if table.dv_map() else 0
+    return spark.createDataFrame(
+        [(n, dv_live)], "n_rows bigint, dv_live bigint"
+    )
+
+
+@query(
+    "txn_partition_evolution",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(1 AS BIGINT) AS evolution_effective
+        FROM orders
+        WHERE o_orderdate = (
+            SELECT o_orderdate FROM orders
+            WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        )
+    """,
+    tags=("acid", "pipeline", "skipping"),
+)
+def txn_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style partition SPEC EVOLUTION pinned in data
+    (pipeline/txn.py partition_transform_history + prune_files_hidden):
+    even orders land clustered under ``days(o_orderdate)``, the spec is
+    then re-declared ``bucket(8, o_orderdate)`` and odd orders land
+    under it — two layout eras in one table.  A single-day equality
+    probe prunes the days era through its day band AND the bucket era
+    through its bucket, with no per-file attribution (each era's stats
+    key encodes its transform, so the conjoined predicates only bite
+    their own files).  ``evolution_effective`` pins that BOTH eras had
+    files pruned; the row set replays relationally.
+
+    Scale: changing a 100 TB table's layout never rewrites history —
+    old files keep pruning under the spec they were written with, new
+    files under the new one (Iceberg's core evolution guarantee)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        append_clustered,
+        prune_files_hidden,
+        read_pruned_hidden,
+        set_partition_transform,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_orderdate")
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_pevo_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    set_partition_transform(table, "days", "o_orderdate")
+    append_clustered(
+        table,
+        base.where(F.col("o_orderkey") % 2 == 0),
+        num_files=8,
+        app_txn_id="pe-era1",
+    )
+    era1 = set(table.live_files())
+    set_partition_transform(table, "bucket", "o_orderdate", n=8)
+    append_clustered(
+        table,
+        base.where(F.col("o_orderkey") % 2 == 1),
+        num_files=8,
+        app_txn_id="pe-era2",
+    )
+    era2 = set(table.live_files()) - era1
+    # the probe day: the first order's date — present at every SF, so
+    # the equality read is never vacuously empty
+    probe = (
+        base.orderBy("o_orderkey").select("o_orderdate").limit(1).collect()
+    )[0]["o_orderdate"]
+    chosen = prune_files_hidden(table, probe, probe)
+    effective = bool(era1 - set(chosen)) and bool(era2 - set(chosen))
+    return read_pruned_hidden(table, probe, probe).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(1 if effective else 0).cast("long").alias("evolution_effective"),
+    )

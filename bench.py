@@ -356,6 +356,9 @@ HEADLINE = [
     "txn_null_skipping",
     "txn_hidden_partition",
     "tokenizer_bytebpe_heldout",
+    "txn_bloom_pointlookup",
+    "txn_metadata_count",
+    "txn_partition_evolution",
 ]
 
 

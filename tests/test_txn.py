@@ -2161,3 +2161,287 @@ class TestRound14ReviewFixes:
             for r in table.read_pruned_nullness("c", is_null=True).collect()
         }
         assert pruned == logical == {1, 2}
+
+
+class TestBloomSkipping:
+    """Per-file bloom-filter point-lookup skipping (set_bloom_filter +
+    prune_files_values): the lookup shape min/max stats can never prune
+    on a hash-scattered key."""
+
+    def test_point_lookup_prunes_where_minmax_cannot(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            set_bloom_filter,
+        )
+
+        set_bloom_filter(table, "k")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(2000)], "k bigint, v string"
+        ).repartition(8, "k")
+        table.append(df)
+        live = table.live_files()
+        # hash layout: every file's [min, max] spans ~the whole domain,
+        # so range stats keep everything; the bloom prunes to ~1 file
+        assert len(table.prune_files_values("k", [42])) < len(live)
+        got = {
+            tuple(r)
+            for r in table.read_files(table.prune_files_values("k", [42]))
+            .where("k = 42")
+            .collect()
+        }
+        assert got == {(42, "v42")}
+
+    def test_absent_value_prunes_everything(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            set_bloom_filter,
+        )
+
+        set_bloom_filter(table, "k")
+        table.append(
+            spark.createDataFrame(
+                [(i, "x") for i in range(500)], "k bigint, v string"
+            ).repartition(4, "k")
+        )
+        # min/max covers 250..? no: 10**9 is far outside -> minmax alone
+        # prunes; probe a value INSIDE the range but absent from the data
+        # (odd keys only)
+        table.overwrite(
+            spark.createDataFrame(
+                [(2 * i + 1, "x") for i in range(500)], "k bigint, v string"
+            ).repartition(4, "k")
+        )
+        assert table.prune_files_values("k", [500]) == []
+
+    def test_pre_declaration_files_read_conservatively(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            set_bloom_filter,
+        )
+
+        table.append(_df(spark, [(1, "old")]).coalesce(1))
+        set_bloom_filter(table, "k")
+        table.append(
+            spark.createDataFrame(
+                [(i, "new") for i in range(100, 200)], "k bigint, v string"
+            ).repartition(2, "k")
+        )
+        chosen = set(table.prune_files_values("k", [1]))
+        # the bloom-less file is kept (its minmax matches), bloom files drop
+        assert chosen and len(chosen) < len(table.live_files())
+        assert _rows(table.read_files(sorted(chosen)).where("k = 1")) == {
+            (1, "old")
+        }
+
+    def test_unsupported_type_never_prunes(self, spark, table):
+        """A bloom declared on a timestamp column must contribute NO
+        bitset (tz-aware vs naive str() spellings differ) — probes keep
+        every file rather than risk a wrong skip."""
+        import datetime as dt
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            set_bloom_filter,
+        )
+
+        set_bloom_filter(table, "ts")
+        rows = [
+            (i, dt.datetime(2024, 1, 1, i % 24)) for i in range(48)
+        ]
+        table.append(
+            spark.createDataFrame(rows, "k bigint, ts timestamp").coalesce(1)
+        )
+        stats = table.file_stats()
+        assert all("__bloom__" not in s or "ts" not in s["__bloom__"]
+                   for s in stats.values())
+        assert len(
+            table.prune_files_values("ts", [dt.datetime(2024, 1, 1, 3)])
+        ) == len(table.live_files())
+
+    def test_expiry_checkpoint_carries_declaration(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            bloom_spec,
+            expire_snapshots,
+            set_bloom_filter,
+        )
+
+        set_bloom_filter(table, "k", num_bits=1024, k=3)
+        for i in range(4):
+            table.append(_df(spark, [(i, "x")]).coalesce(1))
+        expire_snapshots(table, keep_last=2)
+        assert bloom_spec(table) == {"k": {"m": 1024, "k": 3}}
+        # post-expiry writes still get bitsets
+        table.append(
+            spark.createDataFrame(
+                [(i, "y") for i in range(50, 80)], "k bigint, v string"
+            ).coalesce(1)
+        )
+        last = table.live_files()[-1]
+        assert any(
+            "k" in (s.get("__bloom__") or {})
+            for f, s in table.file_stats().items()
+        )
+
+
+class TestMetadataCount:
+    """metadata_count: COUNT(*) answered from the commit log (plus DV
+    files when vectors are live) — never a data scan."""
+
+    def test_plain_and_after_dv_delete(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            metadata_count,
+        )
+
+        table.append(
+            spark.createDataFrame(
+                [(i, "g" if i % 3 == 0 else "h") for i in range(100)],
+                "k bigint, v string",
+            ).repartition(4)
+        )
+        assert metadata_count(table) == 100
+        keys = spark.createDataFrame(
+            [(i,) for i in range(0, 100, 3)], "k bigint"
+        )
+        table.delete_keys_dv(keys, ["k"])
+        assert metadata_count(table) == table.read().count() == 66
+
+    def test_counts_without_opening_data_files(self, spark, table, tmp_path):
+        """The metadata-only proof: physically delete every data file —
+        read() would crash, metadata_count still answers."""
+        import os
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            metadata_count,
+        )
+
+        table.append(
+            spark.createDataFrame(
+                [(i, "x") for i in range(50)], "k bigint, v string"
+            ).repartition(2)
+        )
+        for f in table.live_files():
+            os.remove(table.path / table.DATA_DIR / f)
+        assert metadata_count(table) == 50
+
+    def test_time_travel_and_empty(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            metadata_count,
+        )
+
+        assert metadata_count(table) == 0
+        v1 = table.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+        table.overwrite(_df(spark, [(9, "z")]).coalesce(1))
+        assert metadata_count(table) == 1
+        assert metadata_count(table, version=v1) == 2
+
+
+class TestPartitionEvolution:
+    """Iceberg-style partition spec evolution: files written under every
+    past spec keep pruning through THEIR transform after the spec
+    changes (stats keys encode the transform, so no per-file attribution
+    is needed)."""
+
+    @staticmethod
+    def _two_era_table(spark, table):
+        import datetime as dt
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "days", "d")
+        rows = [
+            (i, dt.date(2024, 3, 1) + dt.timedelta(days=i % 8))
+            for i in range(64)
+        ]
+        append_clustered(
+            table,
+            spark.createDataFrame(rows, "k bigint, d date"),
+            num_files=4,
+        )
+        era1 = set(table.live_files())
+        set_partition_transform(table, "bucket", "d", n=8)
+        rows2 = [
+            (100 + i, dt.date(2024, 3, 1) + dt.timedelta(days=i % 8))
+            for i in range(64)
+        ]
+        append_clustered(
+            table,
+            spark.createDataFrame(rows2, "k bigint, d date"),
+            num_files=4,
+        )
+        era2 = set(table.live_files()) - era1
+        return era1, era2
+
+    def test_equality_prunes_both_eras(self, spark, table):
+        import datetime as dt
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            prune_files_hidden,
+            read_pruned_hidden,
+        )
+
+        era1, era2 = self._two_era_table(spark, table)
+        probe = dt.date(2024, 3, 3)
+        chosen = set(prune_files_hidden(table, probe, probe))
+        assert era1 - chosen, "days era must prune through days()"
+        assert era2 - chosen, "bucket era must prune through bucket()"
+        got = {r["k"] for r in read_pruned_hidden(table, probe, probe).collect()}
+        assert got == (
+            {i for i in range(64) if i % 8 == 2}
+            | {100 + i for i in range(64) if i % 8 == 2}
+        )
+
+    def test_range_query_on_bucket_current_table(self, spark, table):
+        """A range probe no longer raises once ANY era can serve it: the
+        days-era files prune through the day band; bucket-era files fall
+        back to raw stats (kept unless their raw [min, max] misses)."""
+        import datetime as dt
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            prune_files_hidden,
+            read_pruned_hidden,
+        )
+
+        era1, era2 = self._two_era_table(spark, table)
+        lo, hi = dt.date(2024, 3, 3), dt.date(2024, 3, 4)
+        chosen = set(prune_files_hidden(table, lo, hi))
+        assert era1 - chosen, "days era must still prune a range probe"
+        got = {r["k"] for r in read_pruned_hidden(table, lo, hi).collect()}
+        assert got == (
+            {i for i in range(64) if i % 8 in (2, 3)}
+            | {100 + i for i in range(64) if i % 8 in (2, 3)}
+        )
+
+    def test_single_bucket_spec_range_still_raises(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            prune_files_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "bucket", "k", n=4)
+        append_clustered(
+            table,
+            spark.createDataFrame([(i, "x") for i in range(20)],
+                                  "k bigint, v string"),
+            num_files=2,
+        )
+        with pytest.raises(ValueError, match="equality"):
+            prune_files_hidden(table, 1, 5)
+
+    def test_expiry_carries_spec_history(self, spark, table):
+        import datetime as dt
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            expire_snapshots,
+            partition_transform_history,
+            prune_files_hidden,
+        )
+
+        era1, era2 = self._two_era_table(spark, table)
+        expire_snapshots(table, keep_last=1)
+        assert [s["kind"] for s in partition_transform_history(table)] == [
+            "days",
+            "bucket",
+        ]
+        probe = dt.date(2024, 3, 3)
+        chosen = set(prune_files_hidden(table, probe, probe))
+        assert era1 - chosen and era2 - chosen
