@@ -148,15 +148,16 @@ def _bloom_positions(key: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-def _bloom_maybe(bl: dict, value) -> bool:
-    """Membership test against a committed per-file bloom: True =
-    cannot rule the value out (unsupported probe types always True —
-    pruning is an optimization, never a correctness gate)."""
+def _bloom_maybe(bits: set[int], m: int, k: int, value) -> bool:
+    """Membership test against a committed per-file bloom (``bits`` is
+    the file's position set, built ONCE per file — multi-value IN-set
+    probes reuse it): True = cannot rule the value out (unsupported
+    probe types always True — pruning is an optimization, never a
+    correctness gate)."""
     key = _bloom_key(value)
     if key is None:
         return True
-    bits = set(bl["bits"])
-    return all(p in bits for p in _bloom_positions(key, bl["m"], bl["k"]))
+    return all(p in bits for p in _bloom_positions(key, m, k))
 
 
 def _file_bloom(path: Path, spec: dict[str, dict]) -> dict[str, dict]:
@@ -823,12 +824,16 @@ class TxnTable:
             if s is None and bl is None:
                 chosen.append(f)
                 continue
+            bits = set(bl["bits"]) if bl is not None else None
 
             def _may_match(w):
                 in_range = s is None or (
                     s[0] <= _stat_bound(s[0], w) <= s[1]
                 )
-                return in_range and (bl is None or _bloom_maybe(bl, w))
+                return in_range and (
+                    bits is None
+                    or _bloom_maybe(bits, bl["m"], bl["k"], w)
+                )
 
             if any(_may_match(w) for w in vals):
                 chosen.append(f)
@@ -1092,10 +1097,11 @@ class TxnTable:
         df.write.mode("overwrite").parquet(str(tmp))
         names = []
         stats: dict[str, dict] = {}
-        # declared point-lookup bloom columns (a concurrent declaration
-        # landing after this read just leaves these files bloom-less —
-        # conservative, never wrong)
-        bspec = bloom_spec(self)
+        # declared point-lookup bloom columns, resolved to this write
+        # era's PHYSICAL names (a concurrent declaration landing after
+        # this read just leaves these files bloom-less — conservative,
+        # never wrong)
+        bspec = self._bloom_write_targets()
         for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
             name = f"{token}-{i:05d}.parquet"
             dest = self.path / self.DATA_DIR / name
@@ -1110,6 +1116,53 @@ class TxnTable:
         self._pending_stats = getattr(self, "_pending_stats", {})
         self._pending_stats.update(stats)
         return names
+
+    def _bloom_write_targets(self) -> dict[str, dict]:
+        """Declared bloom columns resolved to the CURRENT write era's
+        physical names — the name the file about to be written actually
+        carries.  Field-id-recorded declarations survive renames the way
+        the rest of the stats machinery does (probe-side pname
+        resolution lands on the same per-era physical name).  Memoized
+        per commit-log version: latest_version() is a cheap directory
+        glob, so the common bloom-less table pays no JSON log parse on
+        the hot write path (every append/DV write funnels through
+        here)."""
+        v = self.latest_version()
+        cached = getattr(self, "_bloom_cache", None)
+        if cached is not None and cached[0] == v:
+            return cached[1]
+        spec = bloom_spec(self)
+        if spec:
+            schemas = self._schema_commits()
+            if schemas:
+                resolved: dict[str, dict] = {}
+                for c, mk in spec.items():
+                    fid = mk.get("field_id")
+                    if fid is None:
+                        # name-only declaration (made before any schema
+                        # history existed): the name refers to the column
+                        # AS OF the declaration version — find the field
+                        # whose physical name in that era matches
+                        at = mk.get("declared_at", 0)
+                        fid = next(
+                            (
+                                f["id"]
+                                for f in schemas[-1]["fields"]
+                                if self._physical_name(f["id"], at, schemas)
+                                == c
+                            ),
+                            None,
+                        )
+                    pname = (
+                        self._physical_name(fid, v + 1, schemas)
+                        if fid is not None
+                        else None
+                    )
+                    if pname is not None:
+                        resolved[pname] = mk
+                spec = resolved
+        self._bloom_cache = (v, spec)
+        return spec
 
     def _try_commit(
         self,
@@ -2271,11 +2324,40 @@ def set_bloom_filter(
     hash-scattered key.  Earlier files carry no bloom and read
     conservatively.  Defaults (m=4096, k=5) hold ~1% false positives to
     ~570 distinct values per file and cost at most m positions of
-    commit-log metadata per file."""
+    commit-log metadata per file.
+
+    On a schema-evolved table the declaration records the column's FIELD
+    ID, so later renames keep producing bitsets under each write era's
+    physical name (the same rename-transparency the min/max stats have);
+    declaring a column the non-empty table doesn't have raises."""
     if num_bits < 8 or k < 1:
         raise ValueError("bloom filter requires num_bits >= 8 and k >= 1")
     decl = {"col": column, "m": int(num_bits), "k": int(k)}
+    schemas = table._schema_commits()
+    if schemas:
+        fid = next(
+            (
+                f["id"]
+                for f in schemas[-1]["fields"]
+                if f["name"] == column
+            ),
+            None,
+        )
+        if fid is None:
+            raise ValueError(
+                f"set_bloom_filter: column {column!r} is not in the "
+                f"table's current schema"
+            )
+        decl["field_id"] = fid
+    elif table.live_files() and column not in table.read().columns:
+        raise ValueError(
+            f"set_bloom_filter: column {column!r} is not in the "
+            f"table's current schema"
+        )
     v = table.latest_version() + 1
+    # the era the (possibly name-only) declaration refers to — lets the
+    # write path resolve the name through renames that happen later
+    decl["declared_at"] = v
     if not table._try_commit(
         v, "set_bloom_filter", [], [], None, extra={"bloom_filter": decl}
     ):
@@ -2283,26 +2365,58 @@ def set_bloom_filter(
     return v
 
 
+def _fold_meta(
+    table: TxnTable,
+    version: int | None,
+    commits: list[dict] | None,
+    carry_key: str,
+    commit_key: str,
+    init,
+    reset,
+    apply,
+):
+    """THE checkpoint-aware commit-log metadata fold shared by
+    partition_transform, partition_transform_history and bloom_spec
+    (mirroring _constraints_fold's discipline, extracted so the
+    version-cap / base-commit-carry rules can never diverge between
+    them): commits at or below ``version``; a checkpoint ("base")
+    commit carrying ``carry_key`` resets the state through ``reset``;
+    any commit carrying ``commit_key`` folds through ``apply``."""
+    v = table.latest_version() if version is None else version
+    commits = table._commits() if commits is None else commits
+    state = init
+    for c in commits:
+        if c["version"] > v:
+            break
+        if c.get("base") and carry_key in c:
+            state = reset(c[carry_key])
+            continue
+        if c.get(commit_key):
+            state = apply(state, c[commit_key])
+    return state
+
+
 def bloom_spec(
     table: TxnTable,
     version: int | None = None,
     commits: list[dict] | None = None,
 ) -> dict[str, dict]:
-    """column -> {m, k} bloom declarations in force at ``version``
-    (latest per column wins; expiry checkpoints carry the folded map
-    forward under ``bloom_filters``)."""
-    v = table.latest_version() if version is None else version
-    commits = table._commits() if commits is None else commits
-    out: dict[str, dict] = {}
-    for c in commits:
-        if c["version"] > v:
-            break
-        if c.get("base") and "bloom_filters" in c:
-            out = dict(c["bloom_filters"])
-        decl = c.get("bloom_filter")
-        if decl:
-            out[decl["col"]] = {"m": decl["m"], "k": decl["k"]}
-    return out
+    """column -> {m, k[, field_id]} bloom declarations in force at
+    ``version`` (latest per column wins; expiry checkpoints carry the
+    folded map forward under ``bloom_filters``)."""
+    return _fold_meta(
+        table,
+        version,
+        commits,
+        carry_key="bloom_filters",
+        commit_key="bloom_filter",
+        init={},
+        reset=dict,
+        apply=lambda s, d: {
+            **s,
+            d["col"]: {k2: v2 for k2, v2 in d.items() if k2 != "col"},
+        },
+    )
 
 
 def metadata_count(table: TxnTable, version: int | None = None) -> int:
@@ -2381,18 +2495,17 @@ def partition_transform(
     commits: list[dict] | None = None,
 ) -> dict | None:
     """The transform spec in force at ``version`` (latest declaration
-    wins; expiry checkpoints carry it forward)."""
-    v = table.latest_version() if version is None else version
-    commits = table._commits() if commits is None else commits
-    out = None
-    for c in commits:
-        if c["version"] > v:
-            break
-        # checkpoint commits carry the spec under the same key, so one
-        # branch covers both declaration and expiry carryover
-        if c.get("partition_transform"):
-            out = c["partition_transform"]
-    return out
+    wins; expiry checkpoints carry it forward under the same key)."""
+    return _fold_meta(
+        table,
+        version,
+        commits,
+        carry_key="partition_transform",
+        commit_key="partition_transform",
+        init=None,
+        reset=lambda v: v,
+        apply=lambda s, v: v,
+    )
 
 
 def partition_transform_history(
@@ -2409,17 +2522,16 @@ def partition_transform_history(
     checkpoints carry the folded list (``partition_transform_history``);
     a pre-history checkpoint degrades to its single carried spec — old
     eras' files just read conservatively, never wrongly."""
-    v = table.latest_version() if version is None else version
-    commits = table._commits() if commits is None else commits
-    specs: list[dict] = []
-    for c in commits:
-        if c["version"] > v:
-            break
-        if c.get("base") and c.get("partition_transform_history"):
-            specs = list(c["partition_transform_history"])
-            continue
-        if c.get("partition_transform"):
-            specs.append(c["partition_transform"])
+    specs: list[dict] = _fold_meta(
+        table,
+        version,
+        commits,
+        carry_key="partition_transform_history",
+        commit_key="partition_transform",
+        init=[],
+        reset=list,
+        apply=lambda s, v: s + [v],
+    )
     seen: set[str] = set()
     out: list[dict] = []
     for s in specs:
@@ -2457,20 +2569,36 @@ def append_clustered(
     return table.append(out, app_txn_id=app_txn_id)
 
 
-def _transform_literals(table: TxnTable, spec: dict, values: list):
-    """Evaluate the transform on literal raw values ENGINE-SIDE (one
-    1-row job) so pruning bounds are bit-identical to what the writer
-    computed — never a Python reimplementation of xxhash64/datediff.
-    The literal is CAST to the table column's actual type first:
-    xxhash64 is type-sensitive (hash(42 AS int) != hash(42 AS bigint)),
-    so hashing the Python-inferred type would compute a different bucket
-    than append_clustered wrote and silently prune matching files."""
-    col_type = dict(table.read().dtypes)[spec["col"]]
+def _transform_literals_multi(
+    table: TxnTable, specs: list[dict], values: list
+) -> list[list]:
+    """Evaluate EVERY spec's transform on the literal raw values
+    ENGINE-SIDE in one tiny job (one column per spec over a
+    len(values)-row frame) so pruning bounds are bit-identical to what
+    the writer computed — never a Python reimplementation of
+    xxhash64/datediff.  Literals are CAST to the table column's actual
+    type first: xxhash64 is type-sensitive (hash(42 AS int) !=
+    hash(42 AS bigint)), so hashing the Python-inferred type would
+    compute a different bucket than append_clustered wrote and silently
+    prune matching files.  Returns one value list per spec, in order."""
+    if not specs or not values:
+        return [[] for _ in specs]
+    dtypes = dict(table.read().dtypes)
     df = table.spark.createDataFrame([(v,) for v in values], ["v"])
     rows = df.select(
-        _transform_column(spec, F.col("v").cast(col_type)).alias("t")
+        *[
+            _transform_column(
+                s, F.col("v").cast(dtypes[s["col"]])
+            ).alias(f"t{i}")
+            for i, s in enumerate(specs)
+        ]
     ).collect()
-    return [r["t"] for r in rows]
+    return [[r[f"t{i}"] for r in rows] for i in range(len(specs))]
+
+
+def _transform_literals(table: TxnTable, spec: dict, values: list):
+    """Single-spec convenience over _transform_literals_multi."""
+    return _transform_literals_multi(table, [spec], values)[0]
 
 
 def prune_files_hidden(
@@ -2501,8 +2629,11 @@ def prune_files_hidden(
     if spec is None:
         raise ValueError("table has no partition transform declared")
     commits = table._commits() if commits is None else commits
-    if not table.live_files(version, commits=commits):
+    files = table.live_files(version, commits=commits)
+    if not files:
         return []
+    if lower is None and upper is None:
+        return files  # no predicate: nothing to prune by
     is_eq = lower is not None and lower == upper
     usable = [
         e
@@ -2515,16 +2646,16 @@ def prune_files_hidden(
             "(lower == upper)"
         )
     preds: list[tuple] = [(spec["col"], lower, upper)]
-    for e in usable:
+    # ONE 1-row-per-bound Spark job evaluates every usable era's
+    # transform (a column per spec), however many eras the table has
+    vals = [v for v in (lower, upper) if v is not None]
+    tcols = _transform_literals_multi(table, usable, vals)
+    for e, out in zip(usable, tcols):
         if e["kind"] == "bucket":
-            (b,) = _transform_literals(table, e, [lower])
-            preds.append((_hidden_name(e), b, b))
+            preds.append((_hidden_name(e), out[0], out[0]))
         else:
-            bounds = _transform_literals(
-                table, e, [v for v in (lower, upper) if v is not None]
-            )
-            tlo = bounds[0] if lower is not None else None
-            thi = bounds[-1] if upper is not None else None
+            tlo = out[0] if lower is not None else None
+            thi = out[-1] if upper is not None else None
             preds.append((_hidden_name(e), tlo, thi))
     return table.prune_files(preds, version, commits=commits)
 

@@ -2218,9 +2218,13 @@ class TestBloomSkipping:
 
         table.append(_df(spark, [(1, "old")]).coalesce(1))
         set_bloom_filter(table, "k")
+        # post-declaration keys 0..199 EXCEPT 1, hash-scattered: every
+        # new file's [min, max] range COVERS the probe k=1, so only the
+        # bloom can prune them — deleting the bloom probe would keep all
         table.append(
             spark.createDataFrame(
-                [(i, "new") for i in range(100, 200)], "k bigint, v string"
+                [(i, "new") for i in range(200) if i != 1],
+                "k bigint, v string",
             ).repartition(2, "k")
         )
         chosen = set(table.prune_files_values("k", [1]))
@@ -2265,18 +2269,18 @@ class TestBloomSkipping:
         for i in range(4):
             table.append(_df(spark, [(i, "x")]).coalesce(1))
         expire_snapshots(table, keep_last=2)
-        assert bloom_spec(table) == {"k": {"m": 1024, "k": 3}}
-        # post-expiry writes still get bitsets
+        spec = bloom_spec(table)["k"]
+        assert (spec["m"], spec["k"]) == (1024, 3)
+        # post-expiry writes still get bitsets: check THE new file's
+        # stats, not any carried pre-expiry bloom
+        before = set(table.live_files())
         table.append(
             spark.createDataFrame(
                 [(i, "y") for i in range(50, 80)], "k bigint, v string"
             ).coalesce(1)
         )
-        last = table.live_files()[-1]
-        assert any(
-            "k" in (s.get("__bloom__") or {})
-            for f, s in table.file_stats().items()
-        )
+        (new_file,) = set(table.live_files()) - before
+        assert "k" in (table.file_stats()[new_file].get("__bloom__") or {})
 
 
 class TestMetadataCount:
@@ -2445,3 +2449,65 @@ class TestPartitionEvolution:
         probe = dt.date(2024, 3, 3)
         chosen = set(prune_files_hidden(table, probe, probe))
         assert era1 - chosen and era2 - chosen
+
+
+class TestBloomReviewFixes:
+    """Regression pins for the round-14 bloom/evolution review wave."""
+
+    def test_bloom_survives_rename(self, spark, table):
+        """Declarations record the FIELD ID: after rename_column the new
+        era's files still get bitsets under their physical name, and
+        probes on the new logical name still prune."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            set_bloom_filter,
+        )
+
+        table.append(
+            spark.createDataFrame(
+                [(i, "x") for i in range(100)], "k bigint, v string"
+            ).coalesce(1)
+        )
+        set_bloom_filter(table, "k")
+        table.rename_column("k", "key")
+        before = set(table.live_files())
+        table.append(
+            spark.createDataFrame(
+                [(i, "y") for i in range(100, 300)], "key bigint, v string"
+            ).repartition(2, "key"),
+        )
+        new_files = set(table.live_files()) - before
+        stats = table.file_stats()
+        assert all(
+            "key" in (stats[f].get("__bloom__") or {}) for f in new_files
+        )
+        # probe inside every new file's hash-scattered range but absent
+        chosen = set(table.prune_files_values("key", [99]))
+        assert not (chosen & new_files), "bloom must prune the new era"
+
+    def test_bloom_declaration_validates_column(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            set_bloom_filter,
+        )
+
+        table.append(_df(spark, [(1, "a")]).coalesce(1))
+        with pytest.raises(ValueError, match="not in the table"):
+            set_bloom_filter(table, "nope")
+
+    def test_hidden_prune_without_bounds_returns_all(self, spark, table):
+        """prune_files_hidden(None, None) = no predicate: every live
+        file, never a crash in the literal-evaluation path."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            prune_files_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "bucket", "k", n=4)
+        append_clustered(
+            table,
+            spark.createDataFrame(
+                [(i, "x") for i in range(20)], "k bigint, v string"
+            ),
+            num_files=2,
+        )
+        assert set(prune_files_hidden(table)) == set(table.live_files())
