@@ -2461,6 +2461,81 @@ def metadata_count(table: TxnTable, version: int | None = None) -> int:
     return total
 
 
+def metadata_minmax(
+    table: TxnTable, column: str, version: int | None = None
+) -> tuple:
+    """MIN/MAX of ``column`` answered from committed per-file stats
+    wherever that is sound, scanning ONLY the files where it is not
+    (Delta's OptimizeMetadataOnlyQuery role, extended to deletion
+    vectors): a file contributes its footer [min, max] directly unless
+    (a) it carries a live DV (the extremum might be a deleted row),
+    (b) it has no stats for the column, or (c) the column resolution is
+    ambiguous on an evolved table — those files alone are scanned and
+    folded in.  Parquet footer min/max ignore NULLs, matching SQL
+    aggregate semantics; all-null files carry no min/max stat and land
+    in the scan set, where the exact aggregate ignores them too.
+
+    Column-era resolution is STRICT field-id (the prune_files_nullness
+    rule, not the range-pruning rule): a stale same-name stat is sound
+    for range PRUNING (missed rows surface as NULL and never match) but
+    NOT for aggregation (a dropped column's extrema are not the
+    re-added column's), so unresolvable files are scanned, never
+    trusted.
+
+    Stats stringify temporal scalars (ISO order-preserving), so on a
+    date/timestamp column the result may come back as ISO strings when
+    any metadata stat contributed.  Returns (None, None) for an
+    empty/all-null snapshot."""
+    commits = table._commits()
+    v = table.latest_version() if version is None else version
+    files = table.live_files(v, commits=commits)
+    schemas = table._schema_commits(v, commits=commits)
+    addv = table._file_add_versions(commits) if schemas else {}
+    stats = table.file_stats(commits)
+    dvs = table.dv_map(v, commits)
+    if schemas:
+        fid = next(
+            (
+                f["id"]
+                for f in schemas[-1]["fields"]
+                if f["name"] == column
+            ),
+            None,
+        )
+    lo = hi = None
+    scan: list[str] = []
+    for f in files:
+        st = stats.get(f, {})
+        if st.get("__rows__") == 0:
+            continue
+        if not schemas:
+            pname = column
+        elif fid is None:
+            pname = None
+        else:
+            pname = table._physical_name(fid, addv.get(f, 0), schemas)
+        s = st.get(pname) if pname else None
+        if f in dvs or s is None:
+            scan.append(f)
+            continue
+        mn, mx = s
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    if scan:
+        row = (
+            table.read_files(scan, version=v)
+            .agg(F.min(column).alias("mn"), F.max(column).alias("mx"))
+            .collect()[0]
+        )
+        smn, smx = row["mn"], row["mx"]
+        if smn is not None:
+            if isinstance(lo, str) and not isinstance(smn, str):
+                smn, smx = str(smn), str(smx)
+            lo = smn if lo is None else min(lo, smn)
+            hi = smx if hi is None else max(hi, smx)
+    return lo, hi
+
+
 def set_partition_transform(
     table: TxnTable, kind: str, col: str, n: int | None = None
 ) -> int:

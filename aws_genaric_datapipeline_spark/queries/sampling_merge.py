@@ -1574,3 +1574,63 @@ def txn_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.lit(1 if effective else 0).cast("long").alias("evolution_effective"),
     )
+
+
+@query(
+    "txn_metadata_minmax",
+    oracle="""
+        SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+               CAST(1 AS BIGINT) AS partial_scan_effective
+        FROM orders
+        WHERE o_totalprice <> (SELECT max(o_totalprice) FROM orders)
+    """,
+    tags=("acid", "pipeline"),
+)
+def txn_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX with deletion-vector-aware partial scan
+    (pipeline/txn.py metadata_minmax — Delta's OptimizeMetadataOnlyQuery
+    role): orders land range-clustered by price, the max-price rows are
+    DV-deleted, and the aggregate folds footer [min, max] stats for
+    every clean file while scanning ONLY the DV'd file (its extremum
+    might be a deleted row).  ``partial_scan_effective`` pins that the
+    DV touched strictly fewer files than the snapshot holds — most of
+    the answer really came from metadata — and the oracle recomputes
+    both extrema over the surviving rows.
+
+    Scale: min/max on a 100 TB table scans only the files deletion
+    vectors made stats-unsound — typically none — instead of the
+    table."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        metadata_minmax,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_mm_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    table.overwrite(
+        orders.select("o_orderkey", "o_totalprice").repartitionByRange(
+            4, "o_totalprice"
+        ),
+        app_txn_id="mm-seed",
+    )
+    top = orders.agg(F.max("o_totalprice").alias("mx")).collect()[0]["mx"]
+    table.delete_keys_dv(
+        orders.where(F.col("o_totalprice") == top).select("o_orderkey"),
+        ["o_orderkey"],
+        app_txn_id="mm-dv",
+    )
+    mn, mx = metadata_minmax(table, "o_totalprice")
+    n_dv, n_live = len(table.dv_map()), len(table.live_files())
+    return spark.createDataFrame(
+        [(mn, mx, 1 if 0 < n_dv < n_live else 0)],
+        "mn double, mx double, partial_scan_effective bigint",
+    )

@@ -359,6 +359,7 @@ HEADLINE = [
     "txn_bloom_pointlookup",
     "txn_metadata_count",
     "txn_partition_evolution",
+    "txn_metadata_minmax",
 ]
 
 

@@ -2511,3 +2511,84 @@ class TestBloomReviewFixes:
             num_files=2,
         )
         assert set(prune_files_hidden(table)) == set(table.live_files())
+
+
+class TestMetadataMinMax:
+    """metadata_minmax: MIN/MAX from committed stats, scanning ONLY the
+    files where stats are not sound (live DV, missing stat, ambiguous
+    era resolution)."""
+
+    def test_pure_metadata_when_no_dvs(self, spark, table):
+        """No DVs: the answer comes from the log alone — proven by
+        physically deleting every data file first."""
+        import os
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            metadata_minmax,
+        )
+
+        table.append(
+            spark.createDataFrame(
+                [(i, float(i * 7 % 101)) for i in range(200)],
+                "k bigint, x double",
+            ).repartition(4)
+        )
+        for f in table.live_files():
+            os.remove(table.path / table.DATA_DIR / f)
+        assert metadata_minmax(table, "x") == (0.0, 100.0)
+
+    def test_dv_file_scanned_exactly(self, spark, table):
+        """Deleting the max row via DV: only the DV'd file is scanned
+        (the others are physically deleted to prove it), and the new
+        max is exact."""
+        import os
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            metadata_minmax,
+        )
+
+        table.append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(100)], "k bigint, x double"
+            ).repartitionByRange(4, "x")
+        )
+        table.delete_keys_dv(
+            spark.createDataFrame([(99,)], "k bigint"), ["k"]
+        )
+        dv_files = set(table.dv_map())
+        assert len(dv_files) == 1
+        for f in set(table.live_files()) - dv_files:
+            os.remove(table.path / table.DATA_DIR / f)
+        assert metadata_minmax(table, "x") == (0.0, 98.0)
+
+    def test_evolved_readd_never_trusts_stale_stats(self, spark, table):
+        """Strict field-id resolution: a column re-added under a dropped
+        name scans instead of trusting the old column's extrema."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            metadata_minmax,
+        )
+
+        table.append(
+            spark.createDataFrame([(1, 500.0)], "k bigint, x double")
+            .coalesce(1)
+        )
+        table.drop_column("x")
+        table.append(
+            spark.createDataFrame([(2, 7.0)], "k bigint, x double")
+            .coalesce(1)
+        )
+        # old file's rows surface as NULL on x; stale stats said 500
+        assert metadata_minmax(table, "x") == (7.0, 7.0)
+
+    def test_empty_and_all_null(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            metadata_minmax,
+        )
+
+        assert metadata_minmax(table, "k") == (None, None)
+        table.append(
+            spark.createDataFrame(
+                [(None, "a"), (None, "b")], "k bigint, v string"
+            ).coalesce(1)
+        )
+        assert metadata_minmax(table, "k") == (None, None)
