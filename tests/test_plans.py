@@ -1459,3 +1459,74 @@ class TestRound14Plans:
         assert "SortMergeJoin [word" not in plan, plan[:2000]
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, node
+
+
+class TestRound14SecondWavePlans:
+    """Three more SCALING.md claims promoted from prose to machine
+    checks (the round-13 VERDICT item-10 pattern, second round-14
+    wave): Gopher's zero-shuffle row-parallelism, hybrid retrieval's
+    TakeOrdered leg truncation, and the SCD2 lookup's broadcast-equi
+    shape."""
+
+    def test_gopher_rules_have_zero_exchanges(self, spark):
+        """SCALING.md row 'Gopher quality rules': 'pure row-parallel
+        column expressions — ZERO shuffles at any corpus size'.  The
+        whole flag frame must plan without a single Exchange and without
+        any Python eval node."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            gopher_rules,
+        )
+        from aws_genaric_datapipeline_spark.plans.audit import explain_str
+
+        (documents,) = load(spark, SF, "documents")
+        plan = explain_str(gopher_rules(documents))
+        assert shuffle_count(gopher_rules(documents)) == 0, plan[:1500]
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, node
+
+    def test_rrf_legs_truncate_via_take_ordered(self, spark):
+        """SCALING.md row 'Hybrid retrieval (RRF)': 'each leg truncates
+        via TakeOrderedAndProject (heap + driver merge — never a global
+        sort)'.  rank_leg's top-K and rrf_fuse's final top must both
+        plan as TakeOrderedAndProject; a global Sort+GlobalLimit over
+        the corpus would be the 100 TB regression this gate exists to
+        catch."""
+        from aws_genaric_datapipeline_spark.operators.retrieval import (
+            rank_leg,
+            rrf_fuse,
+        )
+        from aws_genaric_datapipeline_spark.plans.audit import explain_str
+
+        (documents,) = load(spark, SF, "documents")
+        scored = documents.select(
+            "doc_id", (F.col("n_chars") % 97).cast("double").alias("s")
+        )
+        leg_plan = explain_str(rank_leg(scored, "s", top=25))
+        assert "TakeOrderedAndProject" in leg_plan, leg_plan[:1500]
+        legs = {
+            "a": rank_leg(scored, "s", top=25),
+            "b": rank_leg(
+                documents.select(
+                    "doc_id",
+                    (F.col("n_chars") % 89).cast("double").alias("s"),
+                ),
+                "s",
+                top=25,
+            ),
+        }
+        fused_plan = explain_str(rrf_fuse(legs, top=10))
+        assert "TakeOrderedAndProject" in fused_plan, fused_plan[:1500]
+
+    def test_scd2_lookup_is_broadcast_equi_join(self, spark):
+        """SCALING.md row 'Temporal SCD2 lookup': 'hash-equi join on the
+        key with the interval predicate as a join filter; the dimension
+        side is key-cardinality-bounded (broadcastable)'.  The driver
+        query's join must be a BroadcastHashJoin on the user key — never
+        a cartesian or nested-loop over the interval predicate."""
+        from aws_genaric_datapipeline_spark.plans.audit import explain_str
+
+        df = QUERIES["join_temporal_scd2"].fn(spark, SF)
+        plan = explain_str(df)
+        assert has_broadcast_hash_join(df), plan[:2000]
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
