@@ -2297,18 +2297,28 @@ def merge_full_sync(
 # transform — the user never sees or manages a partition column.
 
 
-def _transform_column(spec: dict, col) -> "F.Column":
-    """The transform's value expression over ``col`` (a Column)."""
+def _transform_column(spec: dict, col, dtype: str | None = None) -> "F.Column":
+    """The transform's value expression over ``col`` (a Column).
+    ``dtype`` (the column's Spark type string) selects truncate's
+    variant: W-char prefix for strings, floor-to-width for integers
+    (F.pmod is the sign-correct floored modulus, so negative values
+    floor toward -inf like Iceberg) — MONOTONIC either way, so range
+    predicates prune through truncate like days."""
     if spec["kind"] == "days":
         return F.datediff(col.cast("date"), F.to_date(F.lit("1970-01-01")))
     if spec["kind"] == "bucket":
         return F.pmod(F.xxhash64(col), F.lit(int(spec["n"]))).cast("int")
+    if spec["kind"] == "truncate":
+        w = int(spec["n"])
+        if dtype == "string":
+            return F.substring(col, 1, w)
+        return col - F.pmod(col, F.lit(w))
     raise ValueError(f"unknown partition transform kind {spec['kind']!r}")
 
 
 def _hidden_name(spec: dict) -> str:
-    if spec["kind"] == "bucket":
-        return f"__p_bucket_{spec['n']}_{spec['col']}"
+    if spec["kind"] in ("bucket", "truncate"):
+        return f"__p_{spec['kind']}_{spec['n']}_{spec['col']}"
     return f"__p_{spec['kind']}_{spec['col']}"
 
 
@@ -2542,14 +2552,17 @@ def set_partition_transform(
     """Declare the table's hidden partition transform as a metadata-only
     commit (Iceberg's partition spec): ``kind`` is ``"days"`` (temporal
     clustering; raw range predicates prune through the monotonic
-    transform) or ``"bucket"`` with ``n`` (hash clustering; raw equality
-    predicates prune to the one matching bucket).  Later declarations
-    replace earlier ones; existing files keep their old layout and stay
-    readable (pruning is stats-driven, never a correctness gate)."""
-    if kind not in ("days", "bucket"):
+    transform), ``"bucket"`` with ``n`` (hash clustering; raw equality
+    predicates prune to the one matching bucket), or ``"truncate"`` with
+    ``n`` (Iceberg's truncate[W] — floor-to-width for integers, W-char
+    prefix for strings; monotonic, so range predicates prune through it
+    like days).  Later declarations replace earlier ones; existing files
+    keep their old layout and stay readable (pruning is stats-driven,
+    never a correctness gate)."""
+    if kind not in ("days", "bucket", "truncate"):
         raise ValueError(f"unknown partition transform kind {kind!r}")
-    if kind == "bucket" and (n is None or n < 1):
-        raise ValueError("bucket transform requires n >= 1")
+    if kind in ("bucket", "truncate") and (n is None or n < 1):
+        raise ValueError(f"{kind} transform requires n >= 1")
     spec = {"kind": kind, "col": col, **({"n": int(n)} if n else {})}
     v = table.latest_version() + 1
     if not table._try_commit(
@@ -2637,7 +2650,12 @@ def append_clustered(
         )
     hidden = _hidden_name(spec)
     out = (
-        df.withColumn(hidden, _transform_column(spec, F.col(spec["col"])))
+        df.withColumn(
+            hidden,
+            _transform_column(
+                spec, F.col(spec["col"]), dict(df.dtypes).get(spec["col"])
+            ),
+        )
         .repartitionByRange(num_files, hidden)
         .sortWithinPartitions(hidden)
     )
@@ -2663,7 +2681,9 @@ def _transform_literals_multi(
     rows = df.select(
         *[
             _transform_column(
-                s, F.col("v").cast(dtypes[s["col"]])
+                s,
+                F.col("v").cast(dtypes[s["col"]]),
+                dtypes[s["col"]],
             ).alias(f"t{i}")
             for i, s in enumerate(specs)
         ]
@@ -2713,7 +2733,8 @@ def prune_files_hidden(
     usable = [
         e
         for e in partition_transform_history(table, version, commits)
-        if e["col"] == spec["col"] and (e["kind"] == "days" or is_eq)
+        if e["col"] == spec["col"]
+        and (e["kind"] in ("days", "truncate") or is_eq)
     ]
     if spec["kind"] == "bucket" and not is_eq and not usable:
         raise ValueError(

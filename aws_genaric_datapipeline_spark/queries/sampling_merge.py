@@ -1634,3 +1634,63 @@ def txn_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(mn, mx, 1 if 0 < n_dv < n_live else 0)],
         "mn double, mx double, partial_scan_effective bigint",
     )
+
+
+@query(
+    "txn_truncate_transform",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(1 AS BIGINT) AS truncate_prune_effective
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 1199
+    """,
+    tags=("acid", "pipeline", "skipping"),
+)
+def txn_truncate_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's truncate[W] hidden transform pinned in data
+    (pipeline/txn.py `set_partition_transform("truncate", col, n=W)`):
+    orders land clustered by ``truncate(256, o_orderkey)`` — integer
+    floor-to-width, MONOTONIC, so a raw key RANGE opens only the files
+    whose width-256 band can intersect (the days rule, where bucket
+    would need equality).  ``truncate_prune_effective`` pins
+    strictly-fewer-files-than-live in data; the row set replays
+    relationally.
+
+    Scale: key-range scans over a 100 TB fact table keyed by a
+    monotonically assigned id open O(range/W) files; string columns get
+    the same via W-char prefixes."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from aws_genaric_datapipeline_spark.pipeline.txn import (
+        TxnTable,
+        append_clustered,
+        prune_files_hidden,
+        read_pruned_hidden,
+        set_partition_transform,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    root = (
+        Path(tempfile.gettempdir())
+        / f"aws_gdp_txn_trunc_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxnTable(spark, str(root))
+    set_partition_transform(table, "truncate", "o_orderkey", n=256)
+    append_clustered(
+        table,
+        orders.select("o_orderkey", "o_orderstatus"),
+        num_files=8,
+        app_txn_id="trunc-seed",
+    )
+    chosen = prune_files_hidden(table, 1000, 1199)
+    live = table.live_files()
+    return read_pruned_hidden(table, 1000, 1199).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(1 if len(chosen) < len(live) else 0)
+        .cast("long")
+        .alias("truncate_prune_effective"),
+    )

@@ -360,6 +360,7 @@ HEADLINE = [
     "txn_metadata_count",
     "txn_partition_evolution",
     "txn_metadata_minmax",
+    "txn_truncate_transform",
 ]
 
 

@@ -2592,3 +2592,124 @@ class TestMetadataMinMax:
             ).coalesce(1)
         )
         assert metadata_minmax(table, "k") == (None, None)
+
+
+class TestTruncateTransform:
+    """Iceberg's truncate[W] transform: floor-to-width for ints, W-char
+    prefix for strings — monotonic, so RANGE predicates prune through
+    it (the days rule, not the bucket equality-only rule)."""
+
+    def test_int_range_pruning(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            prune_files_hidden,
+            read_pruned_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "truncate", "k", n=100)
+        append_clustered(
+            table,
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(1000)], "k bigint, v string"
+            ),
+            num_files=5,
+        )
+        chosen = prune_files_hidden(table, 250, 349)
+        assert 0 < len(chosen) < len(table.live_files())
+        got = {r["k"] for r in read_pruned_hidden(table, 250, 349).collect()}
+        assert got == set(range(250, 350))
+
+    def test_negative_ints_floor_toward_minus_inf(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            read_pruned_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "truncate", "k", n=100)
+        append_clustered(
+            table,
+            spark.createDataFrame(
+                [(i, "x") for i in range(-500, 500)], "k bigint, v string"
+            ),
+            num_files=5,
+        )
+        got = {
+            r["k"] for r in read_pruned_hidden(table, -250, -151).collect()
+        }
+        assert got == set(range(-250, -150))
+
+    def test_string_prefix_pruning(self, spark, table):
+        import string as st
+
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            prune_files_hidden,
+            read_pruned_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "truncate", "v", n=1)
+        rows = [
+            (i, a + b)
+            for i, (a, b) in enumerate(
+                (a, b)
+                for a in st.ascii_lowercase
+                for b in st.ascii_lowercase
+            )
+        ]
+        append_clustered(
+            table,
+            spark.createDataFrame(rows, "k bigint, v string"),
+            num_files=6,
+        )
+        chosen = prune_files_hidden(table, "ba", "bz")
+        assert 0 < len(chosen) < len(table.live_files())
+        got = {r["v"] for r in read_pruned_hidden(table, "ba", "bz").collect()}
+        assert got == {"b" + c for c in st.ascii_lowercase if c >= "a"}
+
+    def test_evolution_truncate_era_serves_range_probe(self, spark, table):
+        """After truncate(100, k) evolves to bucket(8, k), a RANGE probe
+        still prunes the truncate era (range-capable like days) without
+        raising."""
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            append_clustered,
+            prune_files_hidden,
+            read_pruned_hidden,
+            set_partition_transform,
+        )
+
+        set_partition_transform(table, "truncate", "k", n=100)
+        append_clustered(
+            table,
+            spark.createDataFrame(
+                [(i, "old") for i in range(1000)], "k bigint, v string"
+            ),
+            num_files=5,
+        )
+        era1 = set(table.live_files())
+        set_partition_transform(table, "bucket", "k", n=8)
+        append_clustered(
+            table,
+            spark.createDataFrame(
+                [(i, "new") for i in range(1000, 1100)],
+                "k bigint, v string",
+            ),
+            num_files=2,
+        )
+        chosen = set(prune_files_hidden(table, 150, 249))
+        assert era1 - chosen, "truncate era must prune the range probe"
+        got = {
+            (r["k"], r["v"])
+            for r in read_pruned_hidden(table, 150, 249).collect()
+        }
+        assert got == {(i, "old") for i in range(150, 250)}
+
+    def test_validation(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            set_partition_transform,
+        )
+
+        with pytest.raises(ValueError, match="n >= 1"):
+            set_partition_transform(table, "truncate", "k")
