@@ -1699,6 +1699,64 @@ def viterbi_pieces(
     )
 
 
+def _viterbi_segment_py(
+    word: str, costs: dict[str, int], max_piece_len: int = 4
+) -> list[str]:
+    """Pure-Python twin of the viterbi_pieces expression — the SAME
+    integer DP, candidate encoding (best[j]+cost)·64 + (64-piece_len),
+    array-min tie-break to the longest piece, and backpointer unwind —
+    so the two paths are bit-identical by construction (the unit test
+    pins them against each other).  This is the hot-path form: the
+    expression version re-compiles a vocabulary-sized nested-lambda
+    tree through whole-stage codegen on EVERY query run (three
+    multi-second Janino compilations per tokenizer_unigram_apply run
+    dominated its wall time at sf0.1 — r14 verdict), while this one is
+    a constant-cost closure."""
+    n = len(word) if word else 0
+    best = [0] * (n + 1)
+    back = [0] * (n + 1)
+    for p in range(1, n + 1):
+        e = min(
+            (best[j] + costs.get(word[j:p], UNIGRAM_OOV_COST)) * 64
+            + (64 - (p - j))
+            for j in range(max(0, p - max_piece_len), p)
+        )
+        best[p] = e >> 6
+        back[p] = 64 - (e & 63)
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        plen = back[i]
+        pieces.insert(0, word[i - plen : i])
+        i -= plen
+    return pieces
+
+
+def _viterbi_seg_udf(costs: dict[str, int], max_piece_len: int):
+    """Arrow-batched Viterbi segmenter over word types with a per-batch
+    memo — the wordpiece_apply engine shape.  The vocabulary rides in
+    the UDF closure (model-artifact-sized, a broadcast constant at
+    100 TB); callers apply it to DISTINCT word types only, so the work
+    is vocabulary-sized regardless of corpus size."""
+    import pandas as pd
+
+    cost_map = {p: int(c) for p, c in costs.items()}
+
+    @F.pandas_udf("array<string>")
+    def _seg(words: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+        out = []
+        for w in words:
+            s = memo.get(w)
+            if s is None:
+                s = _viterbi_segment_py(w, cost_map, max_piece_len)
+                memo[w] = s
+            out.append(s)
+        return pd.Series(out)
+
+    return _seg
+
+
 def _unigram_quantized_costs(counts: dict[str, int]) -> dict[str, int]:
     """Add-one-smoothed integer-quantized piece costs from Viterbi counts:
     cost = -floor(1e6·ln((c+1)/(tot+K))).  math.floor∘math.log here
@@ -1785,30 +1843,29 @@ def unigram_learn(
         )
         .groupBy("piece")
         .agg(F.sum("freq").alias("cnt"))
-        .persist()
     )
-    chars = {
-        r["piece"]: int(r["cnt"])
-        for r in subs.where(F.length("piece") == 1).collect()
-    }
-    counts = dict(chars)
-    counts.update(
-        {
-            r["piece"]: int(r["cnt"])
-            for r in subs.where(F.length("piece") > 1)
+    # chars + top-multi seed in ONE collect job (the two sides are both
+    # model-artifact-sized; a second action would re-shuffle the corpus)
+    seed_rows = (
+        subs.where(F.length("piece") == 1)
+        .unionAll(
+            subs.where(F.length("piece") > 1)
             .orderBy(F.desc("cnt"), F.asc("piece"))
             .limit(seed_multi)
-            .collect()
-        }
+        )
+        .collect()
     )
-    subs.unpersist()
+    chars = {
+        r["piece"]: int(r["cnt"]) for r in seed_rows if len(r["piece"]) == 1
+    }
+    counts = {r["piece"]: int(r["cnt"]) for r in seed_rows}
     costs = _unigram_quantized_costs(counts)
     for _ in range(em_iters):
         vc = (
             wt.select(
                 "freq",
                 F.explode(
-                    viterbi_pieces(F.col("word"), costs, max_piece_len)
+                    _viterbi_seg_udf(costs, max_piece_len)(F.col("word"))
                 ).alias("piece"),
             )
             .groupBy("piece")
@@ -1851,10 +1908,12 @@ def unigram_apply(
     (id, n_words, n_pieces, n_multi_pieces, stream_md5) where stream_md5
     hashes the complete in-order piece stream joined by single spaces.
 
-    Engine shape (same as bpe_apply): the Viterbi fold runs over DISTINCT
-    WORD TYPES only; a word-keyed join carries segmentations back to
-    token positions, and the vocabulary rides as a literal map — no
-    Python in the data path, no corpus-sized driver data."""
+    Engine shape (same as wordpiece_apply): the Viterbi DP runs in ONE
+    Arrow-batched pandas UDF over DISTINCT WORD TYPES only
+    (vocabulary-sized work; the pure-Python DP is bit-identical to the
+    viterbi_pieces expression, unit-pinned); a word-keyed join carries
+    segmentations back to token positions, and the vocabulary rides in
+    the UDF closure — no corpus-sized driver data."""
     toks = tokens(F.col(text_col))
     words = df.select(
         F.col(id_col).alias("did"), F.posexplode(toks).alias("pos", "word")
@@ -1864,7 +1923,7 @@ def unigram_apply(
         .distinct()
         .select(
             "word",
-            viterbi_pieces(F.col("word"), costs, max_piece_len).alias(
+            _viterbi_seg_udf(costs, max_piece_len)(F.col("word")).alias(
                 "pieces"
             ),
         )

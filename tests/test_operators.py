@@ -3992,6 +3992,34 @@ class TestUnigramTokenizer:
         # 'abc'+'d' (550) vs 'ab'+'cd' (240) — min cost wins
         assert got["abcd"] == ["ab", "cd"]
 
+    def test_python_dp_matches_expression_dp(self, spark):
+        """The hot-path pure-Python DP (_viterbi_segment_py, what the
+        unigram learn/apply UDF runs) must stay bit-identical to the
+        viterbi_pieces expression — same costs, same tie-breaks, same
+        OOV handling — across tie-heavy, OOV, empty, and long words."""
+        from aws_genaric_datapipeline_spark.operators.text import (
+            _viterbi_segment_py,
+            viterbi_pieces,
+        )
+
+        costs = {
+            "a": 100, "b": 200, "c": 300, "d": 50,
+            "ab": 150, "ba": 10, "abc": 500, "bc": 120, "cd": 90,
+            "abcd": 460,
+        }
+        words = ["abab", "abcd", "dcba", "aaaa", "b", "abcdabcd", "zzz",
+                 "azb", "abcd" * 20, "x"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        expr = {
+            r["word"]: r["p"]
+            for r in df.select(
+                "word", viterbi_pieces(F.col("word"), costs, self.L).alias("p")
+            ).collect()
+        }
+        for w in words:
+            assert _viterbi_segment_py(w, costs, self.L) == expr[w], w
+        assert _viterbi_segment_py("", costs, self.L) == []
+
     def test_learn_artifact_invariants_and_coverage(self, spark):
         from aws_genaric_datapipeline_spark.operators.text import (
             unigram_apply,
