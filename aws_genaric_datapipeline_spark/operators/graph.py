@@ -606,11 +606,17 @@ def sssp_weighted(
 
     Each round is ONE join of the static symmetrized edge list against
     the current distance frame + a min-aggregate — the Pregel SSSP cost
-    model, O(edges) per round with map-side-combining mins;
-    localCheckpoint caps lineage per round as in connected_components.
-    The hop cap is the distributed-world contract (bounded rounds, like
-    the fixed-round PageRank/LPA); diameter-unbounded graphs iterate
-    until a round changes nothing.
+    model, O(edges) per round with map-side-combining mins.  Each
+    round's frame is persist()ed, not eagerly checkpointed: dist_r is
+    referenced TWICE by round r+1 (the relax branch and the union
+    branch), and the cache collapses both references onto one
+    materialization — same 2^rounds-blowup protection as an eager
+    checkpoint but with zero extra actions (the old per-round
+    localCheckpoint job was pure fixed overhead: 5 synchronous jobs a
+    4-round fixpoint never needed).  The hop cap is the
+    distributed-world contract (bounded rounds, like the fixed-round
+    PageRank/LPA); diameter-unbounded graphs iterate until a round
+    changes nothing.
     """
     fwd = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
@@ -623,13 +629,12 @@ def sssp_weighted(
         .where(F.col("s") != F.col("d"))
         .groupBy("s", "d")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     dist = (
         seeds.select(F.col(seeds.columns[0]).cast("bigint").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
         relaxed = (
@@ -643,6 +648,6 @@ def sssp_weighted(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
     return dist
