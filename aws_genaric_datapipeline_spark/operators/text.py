@@ -1928,7 +1928,12 @@ def unigram_apply(
             ),
         )
     )
-    seg = words.join(vocab_seg, "word")
+    # Explicit broadcast: the segmentation side is DISTINCT WORD TYPES —
+    # vocabulary-sized by design — but the Arrow UDF in its plan defeats
+    # the planner's size estimate, so without the hint the word join
+    # falls back to a corpus shuffle on the word string (the exact scale
+    # failure the plan gate forbids).
+    seg = words.join(F.broadcast(vocab_seg), "word")
     per_doc = seg.groupBy("did").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("pieces")).alias("n_pieces"),

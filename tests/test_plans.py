@@ -1144,15 +1144,20 @@ class TestRound12Plans:
     image-caption curation, field-id txn reads)."""
 
     def test_unigram_apply_vocab_join_broadcasts(self, spark):
-        """tokenizer_unigram_apply: the Viterbi fold runs over DISTINCT
-        WORD TYPES and the segmentation joins back to token positions by
-        word — a vocabulary-sized side that must BROADCAST, never
-        sort-merge (a corpus shuffle on word would be the scale failure);
-        the trained vocabulary itself rides as a literal map (no join)."""
+        """tokenizer_unigram_apply: the Viterbi DP runs over DISTINCT
+        WORD TYPES (one Arrow-batched UDF) and the segmentation joins
+        back to token positions by WORD — a vocabulary-sized side that
+        must BROADCAST, never sort-merge (a corpus shuffle on the word
+        string would be the scale failure; the trailing did-keyed left
+        join restoring empty docs may sort-merge — both sides are
+        corpus-sized, same as wordpiece/bpe_apply); the trained
+        vocabulary itself rides in the UDF closure (no join)."""
         df = QUERIES["tokenizer_unigram_apply"].fn(spark, SF)
-        plan = explain_str(df)
-        assert "BroadcastHashJoin" in plan, plan[:2000]
-        assert "SortMergeJoin" not in plan, plan[:2000]
+        plan = explain_str(df, mode="simple")
+        assert "BroadcastHashJoin [word" in plan, plan[:2000]
+        assert "SortMergeJoin [word" not in plan, plan[:2000]
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
+        assert "BatchEvalPython" not in plan, plan[:2000]
 
     def test_unigram_learn_corpus_cost_is_one_histogram(self, spark):
         """unigram_learn's corpus-side work is ONE explode+count shuffle
