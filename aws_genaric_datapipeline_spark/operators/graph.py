@@ -606,17 +606,28 @@ def sssp_weighted(
 
     Each round is ONE join of the static symmetrized edge list against
     the current distance frame + a min-aggregate — the Pregel SSSP cost
-    model, O(edges) per round with map-side-combining mins.  Each
-    round's frame is persist()ed, not eagerly checkpointed: dist_r is
-    referenced TWICE by round r+1 (the relax branch and the union
-    branch), and the cache collapses both references onto one
-    materialization — same 2^rounds-blowup protection as an eager
-    checkpoint but with zero extra actions (the old per-round
-    localCheckpoint job was pure fixed overhead: 5 synchronous jobs a
-    4-round fixpoint never needed).  The hop cap is the
-    distributed-world contract (bounded rounds, like the fixed-round
-    PageRank/LPA); diameter-unbounded graphs iterate until a round
-    changes nothing.
+    model, O(edges) per round with map-side-combining mins.
+
+    Checkpoint discipline (measured at sf0.1, quiet-window A/B): the
+    symmetrized edge list is EAGERLY localCheckpoint'ed — it re-enters
+    every round, and pinning it as one up-front job truncates the
+    (large) edge-build subtree out of every later plan; each ROUND's
+    frame is LAZILY localCheckpoint'ed — dist_r is referenced TWICE by
+    round r+1 (the relax branch and the union branch), so without a
+    lineage cut the logical tree doubles per round, but eager per-round
+    cuts cost one blocking job per round (pure overhead: 6.7-7.6 s vs
+    ~4.2 s for the lazy form; a plain persist() is worst of all, 10-26 s
+    — the exponential analyzed tree survives and every action pays
+    cache-manager canonicalization over it).
+
+    The edge list is NOT pre-deduplicated: the per-round min-fold
+    absorbs multi-edges (a duplicate (s,d,w) row can never change a
+    minimum), so a groupBy(s,d).min(w) before the loop would be one
+    full shuffle of the edge list bought back only when callers pass
+    heavy multi-edge inputs — the near-dup-graph callers pass unique
+    pairs.  The hop cap is the distributed-world contract (bounded
+    rounds, like the fixed-round PageRank/LPA); diameter-unbounded
+    graphs iterate until a round changes nothing.
     """
     fwd = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
@@ -627,9 +638,7 @@ def sssp_weighted(
     sym = (
         fwd.unionByName(rev)
         .where(F.col("s") != F.col("d"))
-        .groupBy("s", "d")
-        .agg(F.min("w").alias("w"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dist = (
         seeds.select(F.col(seeds.columns[0]).cast("bigint").alias("node"))
@@ -648,6 +657,6 @@ def sssp_weighted(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
     return dist
