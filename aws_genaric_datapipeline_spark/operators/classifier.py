@@ -328,9 +328,6 @@ def train_logreg_sparse(
     array expressions (no broadcast, no createDataFrame per round)."""
     D = sp.num_buckets
     S = FP_SCALE
-    n = labels.count()
-    if n == 0:
-        raise ValueError("empty training set")
     if init_weights is not None and len(init_weights) != D + 1:
         raise ValueError(
             f"init_weights needs {D + 1} entries, got {len(init_weights)}"
@@ -353,7 +350,12 @@ def train_logreg_sparse(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     delta.count()
-    labels.count()
+    # the materializing count doubles as n — the empty-set guard and the
+    # learning-rate denominator — so the raw labels frame is never
+    # scanned a second time just to size the training set
+    n = labels.count()
+    if n == 0:
+        raise ValueError("empty training set")
     z = sp.zero_values()
     w = list(init_weights) if init_weights is not None else [0] * (D + 1)
     for _ in range(iters):
