@@ -393,7 +393,8 @@ class TxnTable:
         for any columns present in the current snapshot but not yet
         registered (bootstraps identity ids on the first schema change;
         later, folds additively-evolved columns into the registry)."""
-        schemas = self._schema_commits()
+        commits = self._commits()
+        schemas = self._schema_commits(commits=commits)
         fields = (
             [dict(f) for f in schemas[-1]["fields"]] if schemas else []
         )
@@ -405,16 +406,93 @@ class TxnTable:
             ),
             default=0,
         )
-        try:
-            snapshot_cols = self.read().columns
-        except ValueError:  # empty table
-            snapshot_cols = []
+        if schemas:
+            # evolved table: snapshot column names come straight from the
+            # live files' parquet footers (driver-side, milliseconds),
+            # mapped through the same era resolution _read_resolved uses —
+            # planning a full evolved read just to ask .columns cost a
+            # mergeSchema footer job per era group on every schema commit
+            snapshot_cols = self._snapshot_column_names(commits, schemas)
+        else:
+            try:
+                snapshot_cols = self.read().columns
+            except ValueError:  # empty table
+                snapshot_cols = []
         known = {f["name"] for f in fields}
         for c in snapshot_cols:
             if c not in known:
                 max_id += 1
                 fields.append({"id": max_id, "name": c})
         return fields
+
+    def _snapshot_column_names(
+        self, commits: list[dict], schemas: list[dict]
+    ) -> list[str]:
+        """Logical column names of the latest snapshot, computed from the
+        live files' parquet footers (pyarrow, driver-side) with the SAME
+        era resolution and ordering as ``read().columns``: per era group,
+        current registered names whose era-physical name the group's
+        files carry (registry order), then unregistered additive columns
+        in footer discovery order; groups union in discovery order."""
+        import pyarrow.parquet as pq
+
+        try:
+            files = self.live_files(commits=commits)
+        except ValueError:
+            return []
+        if not files:
+            return []
+        current = schemas[-1]["fields"]
+        cur_names = {f["name"] for f in current}
+        universe = sorted(
+            {
+                f["id"]
+                for s in schemas
+                for f in (s["fields"] + s["pre_fields"])
+            }
+        )
+        addv = self._file_add_versions(commits)
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            wv = addv.get(f, 0)
+            key = tuple(
+                (fid, self._physical_name(fid, wv, schemas))
+                for fid in universe
+            )
+            groups.setdefault(key, []).append(f)
+        out: list[str] = []
+        seen: set[str] = set()
+        for key, fs in groups.items():
+            mapping = dict(key)
+            cols: list[str] = []
+            have: set[str] = set()
+            for f in fs:
+                names = pq.ParquetFile(
+                    self.path / self.DATA_DIR / f
+                ).schema_arrow.names
+                for c in names:
+                    if c not in have:
+                        have.add(c)
+                        cols.append(c)
+            claimed = {pn for pn in mapping.values() if pn}
+            part = [
+                f2["name"]
+                for f2 in current
+                if mapping.get(f2["id"]) and mapping[f2["id"]] in have
+            ]
+            part += [
+                c
+                for c in cols
+                if c not in claimed
+                and c not in cur_names
+                and c not in ("__file", "__pos")
+                and not c.startswith("__p_")
+            ]
+            for c in part:
+                if c not in seen:
+                    seen.add(c)
+                    out.append(c)
+        return out
 
     def _commit_schema(
         self, op: str, mutate, max_retries: int = 10
@@ -575,12 +653,20 @@ class TxnTable:
             dv_rows = self._dv_rows(list(dvs.values())) if dvs else None
             return _hide(self._apply_dvs(raw, dv_rows, with_positions))
 
-        if not schemas:
-            return _finish(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *[str(self.path / self.DATA_DIR / f) for f in files]
-                )
+        def _scan(fs: list[str]) -> DataFrame:
+            # mergeSchema launches a distributed footer-merge job; for a
+            # single file the default (read that file's footer on the
+            # driver) is exact and skips the job — a per-read saving every
+            # txn query pays, metadata ops included.
+            reader = self.spark.read
+            if len(fs) > 1:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(
+                *[str(self.path / self.DATA_DIR / f) for f in fs]
             )
+
+        if not schemas:
+            return _finish(_scan(files))
         current = schemas[-1]["fields"]
         cur_names = {f["name"] for f in current}
         universe = sorted(
@@ -602,9 +688,7 @@ class TxnTable:
         parts = []
         for key, fs in groups.items():
             mapping = dict(key)
-            df = self.spark.read.option("mergeSchema", "true").parquet(
-                *[str(self.path / self.DATA_DIR / f) for f in fs]
-            )
+            df = _scan(fs)
             group_dvs = {f: dvs[f] for f in fs if f in dvs}
             if group_dvs or with_positions:
                 # DV application must touch the RAW scan (the _metadata
