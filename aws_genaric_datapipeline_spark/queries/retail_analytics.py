@@ -12,7 +12,7 @@ engine-deterministic).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from aws_genaric_datapipeline_spark.queries.registry import query
 from aws_genaric_datapipeline_spark.tables import load
@@ -149,7 +149,16 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     by basket size², never corpus²); per-part supports broadcast back;
     the top-20 is a TakeOrdered over the surviving pairs."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # op feeds FOUR subtrees (the order count, per-part supports, and both
+    # sides of the basket self-join); without a lineage cut each reference
+    # re-scanned lineitem and re-paid the distinct shuffle (10 parquet
+    # scans, 0 reused exchanges in the un-pinned plan).  The lazy local
+    # checkpoint materializes it once inside the final action.
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     per = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
     a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
@@ -181,9 +190,10 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
-    return (
-        scored.select("*", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # top-20 as orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k, no single-partition global window) — the ranking
+    # order is total (lift, part_a, part_b), so the row set is identical
+    # to the old rn <= 20 filter
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
