@@ -295,16 +295,25 @@ def pagerank(
     connected_components / ivf_train_centroids).  At 100 TB pre-partition
     edges by ``src`` so the per-round join co-locates.
     """
+    # Checkpoint discipline (the sssp_weighted lesson): the EDGE list is
+    # eagerly pinned — everything else derives from it and it re-enters
+    # every round — while nodes/outdeg/tele are LAZY checkpoints whose
+    # materialization rides an action that must run anyway (the node
+    # count, the first iteration).  The old shape paid one synchronous
+    # job per eager checkpoint (4 of them) before the first iteration
+    # even started.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.where(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    n = nodes.count()  # materializes the lazy checkpoint
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
     if personalization is None:
         tele = nodes.withColumn("tele", F.lit(1.0 / n))
     else:
@@ -323,7 +332,7 @@ def pagerank(
         ).select(
             "node", (F.coalesce("_s", F.lit(0.0)) / k).alias("tele")
         )
-    tele = tele.localCheckpoint(eager=True)
+    tele = tele.localCheckpoint(eager=False)
     ranks = tele.select("node", F.col("tele").alias("rank"))
     for i in range(iterations):
         contribs = (
