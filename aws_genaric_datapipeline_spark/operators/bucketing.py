@@ -76,6 +76,21 @@ def write_bucketed(
     """
     spark = df.sparkSession
     recover_orphan_location(spark, table, mode)
+    # File-count discipline (guide §6): bucketBy writes one file per
+    # (task × bucket-with-rows) pair, so a build whose last stage has P
+    # partitions emits up to P·num_buckets tiny files — listing/planning
+    # cost on every later read and open() overhead per query.  Aligning
+    # the write's partitioning with the bucket spec first collapses that
+    # to files_per_bucket files per bucket: repartition(k·n, cols) and
+    # bucket id pmod(murmur3(cols), n) agree because n divides k·n, so
+    # every task holds exactly one bucket's rows.  k parameterizes file
+    # size at scale (SPARK_GRAFT_BUCKET_FILES; at 100 TB pick k so one
+    # file lands in the 128 MB-1 GB band); the local default k=1 gives
+    # num_buckets files per table.
+    import os
+
+    k = max(1, int(os.environ.get("SPARK_GRAFT_BUCKET_FILES", "1")))
+    df = df.repartition(k * num_buckets, *bucket_cols)
     writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

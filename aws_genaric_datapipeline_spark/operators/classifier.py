@@ -204,9 +204,10 @@ class SparseFeatures:
     """Sparse feature layout for the fixed-point logistic regression:
 
     - ``counts``: (did, j, cnt) — one row per (doc, bucket) with a
-      NONZERO hashed-token count (eagerly localCheckpointed: the
-      corpus explode+groupBy runs exactly once, and every training /
-      scoring scan reads the materialized nnz-sized frame);
+      NONZERO hashed-token count (lazily localCheckpointed: the
+      corpus explode+groupBy runs exactly once — inside the first
+      action that touches it — and every later training / scoring
+      scan reads the materialized nnz-sized frame);
     - ``docs``: (did) — every document, including zero-token ones
       (they still carry the bias feature and a margin);
     - ``stats``: CenteringStats (corpus size + per-bucket totals) the
@@ -270,10 +271,10 @@ def sparse_token_features(
     stats: CenteringStats | None = None,
 ) -> SparseFeatures:
     """Build the sparse feature layout: ONE corpus explode+groupBy
-    (eagerly materialized), one tiny doc-id projection, and the
-    centering stats (frozen ``stats`` for ingest scoring, self-derived
-    for training — derived from the already-checkpointed counts, so no
-    extra corpus scan)."""
+    (lazily checkpointed — it materializes inside the first action that
+    needs it), one tiny doc-id projection, and the centering stats
+    (frozen ``stats`` for ingest scoring, self-derived for training —
+    derived from the checkpointed counts, so no extra corpus scan)."""
     counts = (
         df.select(
             F.col(id_col).alias("did"),
@@ -282,9 +283,15 @@ def sparse_token_features(
         .groupBy("did", _bucket(F.col("tok"), num_buckets).alias("j"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    counts = ensure_parallelism(counts).localCheckpoint(eager=True)
+    # LAZY checkpoints (the bfs_hops discipline): the logical plan is
+    # truncated immediately — every later consumer reads the stored
+    # blocks — but materialization rides an action that must run anyway
+    # (the stats aggregate / docs.count() when training; the first delta
+    # scan when scoring with frozen stats) instead of costing two
+    # synchronous driver-blocking jobs before any training work starts.
+    counts = ensure_parallelism(counts).localCheckpoint(eager=False)
     docs = (
-        df.select(F.col(id_col).alias("did")).localCheckpoint(eager=True)
+        df.select(F.col(id_col).alias("did")).localCheckpoint(eager=False)
     )
     if stats is None:
         by_j = {
@@ -349,13 +356,17 @@ def train_logreg_sparse(
         .repartition("did")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    delta.count()
     # the materializing count doubles as n — the empty-set guard and the
     # learning-rate denominator — so the raw labels frame is never
-    # scanned a second time just to size the training set
+    # scanned a second time just to size the training set; it runs BEFORE
+    # delta materializes so an empty training set raises without paying
+    # (or leaking) the full delta feature build
     n = labels.count()
     if n == 0:
+        delta.unpersist(blocking=False)
+        labels.unpersist(blocking=False)
         raise ValueError("empty training set")
+    delta.count()
     z = sp.zero_values()
     w = list(init_weights) if init_weights is not None else [0] * (D + 1)
     for _ in range(iters):

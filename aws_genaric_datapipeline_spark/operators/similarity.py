@@ -388,7 +388,12 @@ def _pair_dot() -> "F.Column":
     return F.pandas_udf(_dotp, "double")
 
 
-def _assign_cells(base: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
+def _assign_cells(
+    base: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    ranked: bool = False,
+) -> DataFrame:
     """Attach the ``nprobe`` max-dot cell ids to every row of ``base``
     (columns vid, uvec) — no shuffle, one map pass over the corpus.
 
@@ -421,6 +426,16 @@ def _assign_cells(base: DataFrame, centroids: DataFrame, nprobe: int = 1) -> Dat
     # against function-local imports
     topn_cells = F.pandas_udf(_topn, "array<int>")
 
+    if ranked:
+        # posexplode keeps each cell's position in the ordered probe list
+        # (r = 1-based rank).  Because the argsort is stable, rank <= p is
+        # EXACTLY the nprobe=p assignment — the tuning sweep probes once
+        # at pmax and filters per tier.
+        return base.select(
+            "vid",
+            "uvec",
+            F.posexplode(topn_cells(F.col("uvec"))).alias("pos0", "cell_id"),
+        ).select("vid", "uvec", "cell_id", (F.col("pos0") + 1).alias("r"))
     return base.select("vid", "uvec", F.explode(topn_cells(F.col("uvec"))).alias("cell_id"))
 
 
@@ -1520,9 +1535,10 @@ def ivf_tuning_report(
 
     Cost: the corpus is unit-normalized and cell-assigned ONCE
     (checkpointed), the exact ground truth is one brute-force pass, and
-    each swept nprobe adds only its candidate join + top-k window —
-    sweeping 4 settings costs ~1 extra corpus scan total, not 4 index
-    rebuilds.  Only scalar counts reach the driver."""
+    the WHOLE nprobe sweep is one ranked candidate join + one windowed
+    aggregate (the tiers are nested — see below), not one join and
+    checkpoint per setting.  Only the per-tier count rows reach the
+    driver."""
     spark = df.sparkSession
     base = _unit_vectors_np(df, id_col, vec_col).localCheckpoint(eager=True)
     centroids = ivf_train_centroids(df, id_col, vec_col, num_cells, iters)
@@ -1537,31 +1553,68 @@ def ivf_tuning_report(
         .localCheckpoint(eager=True)
     )
     qbase = base.where(F.col("vid").isin(query_ids))
-    rows = []
-    for p in nprobes:
-        queries = _assign_cells(qbase, centroids, nprobe=p).select(
-            F.col("vid").alias("query_id"), F.col("uvec").alias("qvec"), "cell_id"
+    # The swept tiers are NESTED: _assign_cells' stable argsort means the
+    # nprobe=p cell list is exactly the first p entries of the nprobe=pmax
+    # list.  So ONE ranked assignment at pmax + one candidate join serves
+    # every tier — a pair enters tier p iff the lowest rank among its
+    # shared probed cells is <= p — instead of re-assigning, re-joining and
+    # re-checkpointing per tier (4x the probe work and 12+ driver-blocking
+    # jobs for the default sweep).  One exploded (tier, pair) frame then
+    # computes every tier's scan count, top-k window and exact-overlap in a
+    # SINGLE distributed action.
+    pmax = max(nprobes)
+    ranked = _assign_cells(qbase, centroids, nprobe=pmax, ranked=True).select(
+        F.col("vid").alias("query_id"),
+        F.col("uvec").alias("qvec"),
+        "cell_id",
+        "r",
+    )
+    pairs = (
+        F.broadcast(ranked)
+        .join(corpus, "cell_id")
+        .where(F.col("query_id") != F.col("nid"))
+        .groupBy("query_id", F.col("nid").alias("neighbor_id"))
+        .agg(
+            F.min("r").alias("r"),
+            F.first("qvec").alias("qvec"),
+            F.first("nvec").alias("nvec"),
         )
-        cand = (
-            F.broadcast(queries)
-            .join(corpus, "cell_id")
-            .where(F.col("query_id") != F.col("nid"))
-            .dropDuplicates(["query_id", "nid"])
-            .localCheckpoint(eager=True)
-        )
-        scanned = cand.count()
-        scored = cand.select(
+        .select(
             "query_id",
-            F.col("nid").alias("neighbor_id"),
+            "neighbor_id",
+            "r",
             F.round(_pair_dot()(F.col("qvec"), F.col("nvec")), 4).alias("s"),
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
-        topk = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k)
-            .select("query_id", "neighbor_id")
+    )
+    tiers = F.array(*[F.lit(int(p)) for p in sorted(nprobes)])
+    tiered = pairs.withColumn(
+        "nprobe", F.explode(F.filter(tiers, lambda t: t >= F.col("r")))
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("s"), F.asc("neighbor_id")
+    )
+    hits = (
+        tiered.withColumn("rn", F.row_number().over(w))
+        .join(
+            F.broadcast(exact.withColumn("_hit", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
         )
-        overlap = topk.join(exact, ["query_id", "neighbor_id"]).count()
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("scanned"),
+            F.sum(
+                F.when((F.col("rn") <= k) & F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).alias("overlap"),
+        )
+        .collect()
+    )
+    by_tier = {int(r["nprobe"]): r for r in hits}
+    rows = []
+    for p in nprobes:
+        t = by_tier.get(int(p))
+        scanned = int(t["scanned"]) if t else 0
+        overlap = int(t["overlap"]) if t else 0
         rows.append(
             (p, overlap * 10000 // (k * nq), scanned * 10000 // (n * nq))
         )

@@ -1255,7 +1255,11 @@ def bpe_apply(
         vocab_seg = vocab_seg.select("word", col.alias("syms"))
         if i + _BPE_APPLY_CHUNK < len(merges):
             vocab_seg = vocab_seg.localCheckpoint(eager=True)
-    seg = words.join(vocab_seg, "word")
+    # Explicit broadcast, same reason as unigram_apply: the segmentation
+    # side is DISTINCT WORD TYPES (vocabulary-sized by design); relying on
+    # the planner's estimate leaves the word join one stats hiccup away
+    # from a corpus shuffle on the word string.
+    seg = words.join(F.broadcast(vocab_seg), "word")
     per_doc = seg.groupBy("did").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("syms")).alias("n_subwords"),
@@ -1552,7 +1556,10 @@ def wordpiece_apply(
         .select("word", _seg(F.col("word")).alias("s"))
         .select("word", "s.pieces", "s.failed")
     )
-    seg = words.join(vocab_seg, "word")
+    # Explicit broadcast, same reason as unigram_apply: the Arrow UDF in
+    # vocab_seg's plan defeats the planner's size estimate; the word join
+    # must broadcast the vocabulary-sized side, never shuffle the corpus.
+    seg = words.join(F.broadcast(vocab_seg), "word")
     per_doc = seg.groupBy("did").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("pieces")).alias("n_pieces"),

@@ -119,6 +119,28 @@ def _footer_stats(path: Path) -> dict:
     return out
 
 
+def _struct_from_rec(rec: list) -> "StructType":
+    """StructType from a committed ``__schema__`` record
+    ([[name, spark_type_json], ...]) — every field nullable, matching how
+    file-based scans surface columns."""
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": cname,
+                    "type": json.loads(tj),
+                    "nullable": True,
+                    "metadata": {},
+                }
+                for cname, tj in rec
+            ],
+        }
+    )
+
+
 def _bloom_key(v) -> str | None:
     """Normalize a value for bloom hashing, or None if the type has no
     stable cross-engine spelling.  str() is the shared spelling on BOTH
@@ -357,6 +379,52 @@ class TxnTable:
                 out.setdefault(f, c["version"])
         return out
 
+    def _file_write_schemas(
+        self, commits: list[dict]
+    ) -> dict[str, list]:
+        """File name -> the [[name, spark_type_json], ...] schema recorded
+        by the commit that wrote it (``__schema__`` in the per-file stats;
+        carried through expire_snapshots with the rest of the stats fold).
+        Files from commits that predate schema recording are absent —
+        readers fall back to footer-based resolution for those."""
+        out: dict[str, list] = {}
+        for c in self._commits() if commits is None else commits:
+            for n, s in (c.get("stats") or {}).items():
+                rec = s.get("__schema__")
+                if rec is not None:
+                    out.setdefault(n, rec)
+        return out
+
+    def _era_groups(
+        self,
+        files: list[str],
+        schemas: list[dict],
+        commits: list[dict],
+    ) -> dict[tuple, list[str]]:
+        """Group ``files`` by their write era's physical-name mapping —
+        the key is ((field_id, physical_name_or_None), ...) over the full
+        field-id universe.  The single source of the era-resolution rule
+        shared by _read_resolved and _snapshot_column_names (they MUST
+        agree, or schema commits would register different columns than
+        reads surface)."""
+        universe = sorted(
+            {
+                f["id"]
+                for s in schemas
+                for f in (s["fields"] + s["pre_fields"])
+            }
+        )
+        addv = self._file_add_versions(commits)
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            wv = addv.get(f, 0)
+            key = tuple(
+                (fid, self._physical_name(fid, wv, schemas))
+                for fid in universe
+            )
+            groups.setdefault(key, []).append(f)
+        return groups
+
     @staticmethod
     def _physical_name(
         fid: int, write_version: int, schemas: list[dict]
@@ -407,11 +475,12 @@ class TxnTable:
             default=0,
         )
         if schemas:
-            # evolved table: snapshot column names come straight from the
-            # live files' parquet footers (driver-side, milliseconds),
-            # mapped through the same era resolution _read_resolved uses —
-            # planning a full evolved read just to ask .columns cost a
-            # mergeSchema footer job per era group on every schema commit
+            # evolved table: snapshot column names come from the commit-
+            # recorded write schemas (log-only, zero I/O; footer fallback
+            # for pre-recording files), mapped through the same era
+            # resolution _read_resolved uses — planning a full evolved
+            # read just to ask .columns cost a mergeSchema footer job per
+            # era group on every schema commit
             snapshot_cols = self._snapshot_column_names(commits, schemas)
         else:
             try:
@@ -429,13 +498,16 @@ class TxnTable:
         self, commits: list[dict], schemas: list[dict]
     ) -> list[str]:
         """Logical column names of the latest snapshot, computed from the
-        live files' parquet footers (pyarrow, driver-side) with the SAME
-        era resolution and ordering as ``read().columns``: per era group,
-        current registered names whose era-physical name the group's
-        files carry (registry order), then unregistered additive columns
-        in footer discovery order; groups union in discovery order."""
-        import pyarrow.parquet as pq
-
+        commit-recorded write schemas (zero I/O; pyarrow footer fallback
+        only for files predating schema recording) with the SAME era
+        resolution (``_era_groups``) and ordering as ``read().columns``:
+        per era group, current registered names whose era-physical name
+        the group's files carry (registry order), then unregistered
+        additive columns in first-appearance order over the path-sorted
+        group; groups union in discovery order.  Membership is identical
+        to the old read().columns behavior; additive-column ORDER is
+        equivalent up to the discovery order of the scan (path-sorted
+        here, matching mergeSchema's fold and live_files' sort)."""
         try:
             files = self.live_files(commits=commits)
         except ValueError:
@@ -444,33 +516,26 @@ class TxnTable:
             return []
         current = schemas[-1]["fields"]
         cur_names = {f["name"] for f in current}
-        universe = sorted(
-            {
-                f["id"]
-                for s in schemas
-                for f in (s["fields"] + s["pre_fields"])
-            }
-        )
-        addv = self._file_add_versions(commits)
-        groups: dict[tuple, list[str]] = {}
-        for f in files:
-            wv = addv.get(f, 0)
-            key = tuple(
-                (fid, self._physical_name(fid, wv, schemas))
-                for fid in universe
-            )
-            groups.setdefault(key, []).append(f)
+        fsch = self._file_write_schemas(commits)
+
+        def _file_cols(f: str) -> list[str]:
+            rec = fsch.get(f)
+            if rec is not None:
+                return [cname for cname, _ in rec]
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(
+                self.path / self.DATA_DIR / f
+            ).schema_arrow.names
+
         out: list[str] = []
         seen: set[str] = set()
-        for key, fs in groups.items():
+        for key, fs in self._era_groups(files, schemas, commits).items():
             mapping = dict(key)
             cols: list[str] = []
             have: set[str] = set()
-            for f in fs:
-                names = pq.ParquetFile(
-                    self.path / self.DATA_DIR / f
-                ).schema_arrow.names
-                for c in names:
+            for f in sorted(fs):
+                for c in _file_cols(f):
                     if c not in have:
                         have.add(c)
                         cols.append(c)
@@ -653,13 +718,45 @@ class TxnTable:
             dv_rows = self._dv_rows(list(dvs.values())) if dvs else None
             return _hide(self._apply_dvs(raw, dv_rows, with_positions))
 
+        fsch = self._file_write_schemas(commits)
+
+        def _union_schema(fs: list[str]):
+            """Merged Spark schema of ``fs`` from the commit-recorded
+            write schemas — the same fold mergeSchema computes (new
+            fields append in first-appearance order over the path-sorted
+            file list), but from the log, with ZERO footer reads.  None
+            (-> footer fallback) if any file predates schema recording or
+            two files disagree on a column's type (mergeSchema would
+            widen; rare, and correctness beats the saved job)."""
+            names: list[str] = []
+            types: dict[str, str] = {}
+            for f in sorted(fs):
+                rec = fsch.get(f)
+                if rec is None:
+                    return None
+                for cname, tj in rec:
+                    prev = types.get(cname)
+                    if prev is None:
+                        types[cname] = tj
+                        names.append(cname)
+                    elif prev != tj:
+                        return None
+            return _struct_from_rec([[c, types[c]] for c in names])
+
         def _scan(fs: list[str]) -> DataFrame:
-            # mergeSchema launches a distributed footer-merge job; for a
-            # single file the default (read that file's footer on the
-            # driver) is exact and skips the job — a per-read saving every
-            # txn query pays, metadata ops included.
+            # Schema from commit metadata when every file's write schema
+            # was recorded: no mergeSchema footer-merge JOB for multi-file
+            # groups and no driver-side footer read for single files —
+            # at 100 TB file counts, scan planning cost becomes O(log),
+            # not O(live files) (the Iceberg schema-in-metadata shape).
+            # Fallback (pre-recording files, type disagreement): the old
+            # behavior — mergeSchema for multi-file groups, single-file
+            # footer otherwise.
             reader = self.spark.read
-            if len(fs) > 1:
+            sch = _union_schema(fs)
+            if sch is not None:
+                reader = reader.schema(sch)
+            elif len(fs) > 1:
                 reader = reader.option("mergeSchema", "true")
             return reader.parquet(
                 *[str(self.path / self.DATA_DIR / f) for f in fs]
@@ -669,24 +766,8 @@ class TxnTable:
             return _finish(_scan(files))
         current = schemas[-1]["fields"]
         cur_names = {f["name"] for f in current}
-        universe = sorted(
-            {
-                f["id"]
-                for s in schemas
-                for f in (s["fields"] + s["pre_fields"])
-            }
-        )
-        addv = self._file_add_versions(commits)
-        groups: dict[tuple, list[str]] = {}
-        for f in files:
-            wv = addv.get(f, 0)
-            key = tuple(
-                (fid, self._physical_name(fid, wv, schemas))
-                for fid in universe
-            )
-            groups.setdefault(key, []).append(f)
         parts = []
-        for key, fs in groups.items():
+        for key, fs in self._era_groups(files, schemas, commits).items():
             mapping = dict(key)
             df = _scan(fs)
             group_dvs = {f: dvs[f] for f in fs if f in dvs}
@@ -1137,7 +1218,20 @@ class TxnTable:
         live = self.constraints()
         if not live or not adds:
             return live
-        df = self.spark.read.option("mergeSchema", "true").parquet(
+        # All staged files of one write share the writing df's schema —
+        # it is sitting in _pending_stats — so the read-back never needs
+        # a mergeSchema footer job either.
+        rec = (
+            getattr(self, "_pending_stats", {})
+            .get(adds[0], {})
+            .get("__schema__")
+        )
+        reader = self.spark.read
+        if rec is not None:
+            reader = reader.schema(_struct_from_rec(rec))
+        else:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(
             *[str(self.path / self.DATA_DIR / f) for f in adds]
         )
         self._raise_violations(df, live, cleanup=adds)
@@ -1181,6 +1275,17 @@ class TxnTable:
         df.write.mode("overwrite").parquet(str(tmp))
         names = []
         stats: dict[str, dict] = {}
+        # The write SCHEMA rides the commit under a reserved stats key
+        # (like __rows__/__nulls__/__bloom__, and carried forward by
+        # expire_snapshots' stats fold): every part file of this write has
+        # exactly df's columns and Spark types, so readers can reconstruct
+        # an era group's merged schema from the log ALONE — no mergeSchema
+        # footer job, no driver-side footer loop (Iceberg records schemas
+        # in commit metadata for the same reason).  Nullability is not
+        # recorded: file-based scans surface every column nullable.
+        schema_rec = [
+            [f.name, f.dataType.json()] for f in df.schema.fields
+        ]
         # declared point-lookup bloom columns, resolved to this write
         # era's PHYSICAL names (a concurrent declaration landing after
         # this read just leaves these files bloom-less — conservative,
@@ -1192,6 +1297,7 @@ class TxnTable:
             os.rename(part, dest)
             names.append(name)
             stats[name] = _footer_stats(dest)
+            stats[name]["__schema__"] = schema_rec
             if bspec:
                 bl = _file_bloom(dest, bspec)
                 if bl:

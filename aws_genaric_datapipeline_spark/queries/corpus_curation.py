@@ -1515,7 +1515,6 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # reused by every tier; cut the explode
     )
-    tf.unpersist()
 
     # tier decision from BOUNDED driver data only: a ≤ CAP+1-row vocab
     # fetch plus one distributed agg — ALL caps (vocab, docs×vocab cells,
@@ -1523,7 +1522,10 @@ def sim_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oversized matrix or a dense-ish nnz set falls through to the sparse
     # tier without the driver ever materializing it.  The nnz fetch itself
     # is Arrow-batched (toPandas), never a collect() of Python Row objects.
+    # tf stays cached through this fetch — df_t derives from it — and is
+    # released only once every tf consumer (w AND the vocab probe) has run.
     vocab_rows = df_t.limit(DENSE_VOCAB_CAP + 1).collect()
+    tf.unpersist()
     if len(vocab_rows) <= DENSE_VOCAB_CAP:
         sizes = w.agg(
             F.countDistinct("did").alias("nd"), F.count(F.lit(1)).alias("nnz")

@@ -575,6 +575,10 @@ def main() -> None:
         "metric": result["metric"],
         "value": result["value"],
         "unit": "sec",
+        # n_queries = queries actually RUN (and present in the detail file);
+        # a parser can distinguish "evicted from the printed line by the
+        # tail budget below" from "not run" without opening the detail file.
+        "n_queries": len(timings),
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": result["sf"],
     }

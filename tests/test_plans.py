@@ -282,6 +282,37 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS bkt_orders")
             spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
 
+    def test_bucketed_write_emits_one_file_per_bucket(self, spark):
+        """Round-16 file-count discipline (guide §6): the pre-write
+        repartition aligns tasks with buckets, so a bucketed build emits
+        num_buckets files (k=1 default), not tasks×buckets tiny files —
+        AND the rows land in the RIGHT buckets (the murmur3/pmod
+        alignment the repartition relies on), proven by the join test
+        above still reading co-located."""
+        from pathlib import Path
+
+        from aws_genaric_datapipeline_spark.operators.bucketing import (
+            write_bucketed,
+        )
+
+        (orders,) = load(spark, SF, "orders")
+        # >8 input partitions so the old shape would write >8 files
+        write_bucketed(
+            orders.repartition(16).withColumnRenamed("o_orderkey", "k"),
+            "bkt_filecount",
+            ["k"],
+            8,
+        )
+        try:
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                "file:"
+            )
+            files = list(Path(wh, "bkt_filecount").glob("*.parquet"))
+            assert len(files) == 8, [f.name for f in files]
+            assert spark.table("bkt_filecount").count() == orders.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_filecount")
+
     def test_orphan_recovery_respects_database_qualified_names(self, spark):
         """recover_orphan_location resolves warehouse/<db>.db/<table> for
         non-default databases; a qualified orphan must never be resolved to
@@ -1154,7 +1185,15 @@ class TestRound12Plans:
         vocabulary itself rides in the UDF closure (no join)."""
         df = QUERIES["tokenizer_unigram_apply"].fn(spark, SF)
         plan = explain_str(df, mode="simple")
-        assert "BroadcastHashJoin [word" in plan, plan[:2000]
+        word_joins = [
+            ln for ln in plan.splitlines() if "BroadcastHashJoin [word" in ln
+        ]
+        assert word_joins, plan[:2000]
+        # the VOCABULARY side must be the build side (BuildRight, the
+        # right/broadcast input): a BuildLeft here would mean the
+        # corpus-sized word frame was broadcast — the regression the
+        # explicit F.broadcast hint exists to prevent
+        assert all("BuildRight" in ln for ln in word_joins), word_joins
         assert "SortMergeJoin [word" not in plan, plan[:2000]
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
         assert "BatchEvalPython" not in plan, plan[:2000]

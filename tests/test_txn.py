@@ -480,6 +480,79 @@ class TestSchemaEvolution:
         assert [(r["k"], r["extra"]) for r in out.collect()] == [(500, 7)]
 
 
+class TestSchemaInCommitMetadata:
+    """Round-16 optimization: each commit records its write schema in the
+    per-file stats (``__schema__``), so reads resolve era-group schemas
+    from the LOG — no mergeSchema footer-merge job for multi-file groups
+    and no driver-side pyarrow footer loop at schema-commit time."""
+
+    def test_commits_record_write_schema(self, spark, table):
+        table.append(_df(spark, [(1, "a")]))
+        c = table._commits()[-1]
+        recs = [s.get("__schema__") for s in c["stats"].values()]
+        assert recs and all(r is not None for r in recs)
+        assert [n for n, _ in recs[0]] == ["k", "v"]
+
+    def test_read_never_opts_into_mergeschema(self, spark, table, monkeypatch):
+        """Engine-written tables (heterogeneous multi-file snapshot, plus
+        rename evolution) must read via recorded schemas: poison the
+        mergeSchema option to prove the fallback never fires."""
+        table.append(_df(spark, [(1, "a")]))
+        table.append(
+            spark.createDataFrame(
+                [(2, "b", 9)], "k bigint, v string, extra bigint"
+            )
+        )
+        table.rename_column("v", "vv")
+        from pyspark.sql.readwriter import DataFrameReader
+
+        orig = DataFrameReader.option
+
+        def _poison(self, key, value):
+            assert key != "mergeSchema", "recorded-schema path must be used"
+            return orig(self, key, value)
+
+        monkeypatch.setattr(DataFrameReader, "option", _poison)
+        cur = table.read()
+        assert set(cur.columns) == {"k", "vv", "extra"}
+        by_k = {r["k"]: (r["vv"], r["extra"]) for r in cur.collect()}
+        assert by_k == {1: ("a", None), 2: ("b", 9)}
+
+    def test_schema_commit_reads_no_footers(self, spark, table, monkeypatch):
+        """rename/drop on an engine-written table must not open parquet
+        footers driver-side: poison pyarrow.parquet.ParquetFile."""
+        table.append(_df(spark, [(1, "a")]))
+        table.append(
+            spark.createDataFrame(
+                [(2, "b", 9)], "k bigint, v string, extra bigint"
+            )
+        )
+        table.rename_column("v", "v2")  # bootstraps ids from recorded cols
+        import pyarrow.parquet as pq
+
+        def _boom(*a, **k):
+            raise AssertionError("footer fallback must not fire")
+
+        monkeypatch.setattr(pq, "ParquetFile", _boom)
+        table.rename_column("extra", "bonus")
+        cur = table.read()
+        assert set(cur.columns) == {"k", "v2", "bonus"}
+
+    def test_schema_survives_expiry_checkpoint(self, spark, table):
+        from aws_genaric_datapipeline_spark.pipeline.txn import (
+            expire_snapshots,
+        )
+
+        table.append(_df(spark, [(1, "a")]))
+        table.append(_df(spark, [(2, "b")]))
+        table.append(_df(spark, [(3, "c")]))
+        expire_snapshots(table, keep_last=2)
+        fsch = table._file_write_schemas(table._commits())
+        live = table.live_files()
+        assert set(live) <= set(fsch), "checkpoint must carry __schema__"
+        assert _rows(table.read()) == {(1, "a"), (2, "b"), (3, "c")}
+
+
 class TestSnapshotExpiry:
     def _build(self, spark, table):
         # v1..v4: two appends, an overwrite, another append
